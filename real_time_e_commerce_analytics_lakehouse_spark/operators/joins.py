@@ -1,0 +1,149 @@
+"""Join operators beyond plain equi-joins.
+
+Spark has no native as-of or interval/range join (as of Spark 4.x); these
+are the standard scalable formulations:
+
+- ``asof_join``: union-the-sides + running last_value window. ONE shuffle
+  on the key, linear work — survives 100 TB where a correlated subquery /
+  nested-loop join (the naive spelling) is quadratic.
+- ``range_join``: bucketize the range dimension so the join becomes an
+  equi-join on (bucket) [+ optional keys], then re-filter exactly. Avoids
+  the BroadcastNestedLoopJoin Spark would otherwise pick for a pure
+  inequality condition.
+- ``preagg_join``: aggregate-then-join (reference
+  db_notebooks/04_gold_fact_orders.py:42-59, 05_gold_fact_payments.py:31-46).
+  Spark does NOT push aggregations through joins, so pre-aggregating the
+  fact side before a join is a semantic pattern the engine preserves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    alias: str = "asof_value",
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach ``value_col`` from the latest right row with
+    ``right_ts <= left_ts`` (same key). Left rows with no prior right row get
+    NULL (left-join semantics).
+
+    Implementation: tag both sides, union on a common shape, and take a
+    running ``last(value, ignorenulls=True)`` over (key, ts, side). At equal
+    timestamps the right row sorts first, so it is visible to the left row
+    (``<=``); pass ``strict=True`` for ``<``.
+
+    Scale: a single hash-partition on the key; no quadratic pair-up, no
+    range explosion. Skewed keys are handled by AQE skew-join because this
+    is a plain window over a shuffle.
+    """
+    keys = _as_list(on)
+    left_cols = left.columns
+    # right side collapsed to: keys + ts + value
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.col(value_col).alias("__rval"),
+        F.lit(0 if not strict else 1).alias("__side"),
+    )
+    # left side keeps payload; __rval empty
+    l = left.select(  # noqa: E741
+        *left_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(r.schema["__rval"].dataType).alias("__rval"),
+        F.lit(1 if not strict else 0).alias("__side"),
+    )
+    for c in left_cols:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l.unionByName(r.select(l.columns))
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rval").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_left = F.col("__side") == (1 if not strict else 0)
+    out = (
+        unioned.withColumn("__asof", F.last("__rval", ignorenulls=True).over(w))
+        .filter(is_left)
+        .select(*left_cols, F.col("__asof").alias(alias))
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int | float,
+    on: str | Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to interval rows where ``start <= point < end``.
+
+    The range dimension must be numeric (cast timestamps with
+    ``F.unix_micros`` first). Each interval is exploded to the buckets it
+    overlaps; points join on their single bucket — an equi-join Catalyst
+    can hash-partition — then the exact predicate re-filters.
+
+    Pick ``bucket_width`` ~ the typical interval length: wider buckets mean
+    fewer replicated interval rows, narrower buckets mean less post-filter
+    waste.
+    """
+    keys = _as_list(on) if on else []
+    bw = F.lit(bucket_width)
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bw).cast("long"),
+                F.floor((F.col(end_col) - F.lit(1e-9)) / bw).cast("long"),
+            )
+        ),
+    )
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / bw).cast("long"))
+    cond = [p["__bucket"] == i["__bucket"]] + [p[k] == i[k] for k in keys]
+    joined = p.join(i, cond, how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    drop = ["__bucket"] + [i[k] for k in keys]
+    out = joined.drop(p["__bucket"]).drop(*drop) if keys else joined.drop("__bucket")
+    return out
+
+
+def preagg_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str | Sequence[str],
+    dim_key: str | Sequence[str],
+    aggs: list[Column],
+    how: str = "left",
+) -> DataFrame:
+    """Aggregate ``fact`` per key, then join to ``dim`` (dim-driven, so
+    key-less dim rows survive a left join). Reference pattern A10
+    (04_gold_fact_orders.py:42-59): shrink the fact side BEFORE the join —
+    Catalyst will not push an aggregation through a join on its own."""
+    fkeys, dkeys = _as_list(fact_key), _as_list(dim_key)
+    agged = fact.groupBy(*fkeys).agg(*aggs)
+    cond = None
+    for fk, dk in zip(fkeys, dkeys):
+        c = dim[dk] == agged[fk]
+        cond = c if cond is None else (cond & c)
+    return dim.join(agged, cond, how).drop(*[agged[fk] for fk in fkeys])

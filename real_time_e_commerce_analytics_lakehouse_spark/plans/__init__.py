@@ -1,0 +1,13 @@
+"""Declared query inventory: every engine capability as a (Spark, oracle-SQL) pair."""
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    QUERIES,
+    Query,
+    register,
+)
+
+# importing the modules populates QUERIES
+from real_time_e_commerce_analytics_lakehouse_spark.plans import core as _core  # noqa: E402,F401
+from real_time_e_commerce_analytics_lakehouse_spark.plans import events as _events  # noqa: E402,F401
+
+__all__ = ["QUERIES", "Query", "register"]

@@ -1,0 +1,237 @@
+"""Event-stream queries: temporal operators over the `events` table.
+
+The reference claims "real-time" but implements no event-time semantics
+(SURVEY §2.8 — no watermarks, no windows, no sessionization; all stateful
+logic is foreachBatch + MERGE). These are the batch-equivalent declarations
+of the streaming capabilities the engine adds; `streaming/windows.py` runs
+the same logical shapes as incremental Structured Streaming queries.
+
+events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long-nanos and
+truncates to µs (registry.events_table); every oracle here goes through
+EVENTS_CTE which applies the equivalent CAST so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    EVENTS_CTE,
+    dec_sum,
+    register,
+    table,
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+_SUM_VALUE = dec_sum("value")
+
+
+@register(
+    "tumbling_hourly_events",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT time_bucket(INTERVAL '1 hour', ts)                     AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*)     AS n_events,
+           {_SUM_VALUE} AS sum_value
+    FROM ev
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "Tumbling event-time window aggregation (batch declaration of the "
+        "streaming capability; see streaming/windows.py for the watermarked "
+        "readStream twin). F.window keeps the agg map-side partial."
+    ),
+    tags=("events", "window-agg"),
+    bench=True,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(_SUM_VALUE).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    {EVENTS_CTE},
+    lagged AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM ev
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM lagged
+    ),
+    numbered AS (
+        SELECT *,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts)      AS session_start,
+           max(ts)      AS session_end,
+           count(*)     AS n_events,
+           {_SUM_VALUE} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Sessionization (gap > 30 min): lag + gap flag + running count + "
+        "group — one shuffle on user_id reused by both windows and the "
+        "final agg (Catalyst collapses the exchanges). Streaming twin: "
+        "session_window in streaming/windows.py."
+    ),
+    tags=("events", "window"),
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.expr(_SUM_VALUE).alias("sum_value"),
+    )
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM ev c
+             WHERE c.user_id = p.user_id
+               AND c.event_type = 'click'
+               AND c.ts <= p.ts) AS last_click_ts
+    FROM ev p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc=(
+        "As-of join (most recent click at-or-before each purchase, per "
+        "user). Spark lacks a native as-of join; the engine uses the "
+        "union + running-max window formulation (operators/joins.py:asof_join): "
+        "one shuffle on the key, no n^2 blow-up — scalable to 100 TB where a "
+        "correlated subquery or nested-loop join is not. Oracle uses the "
+        "correlated-subquery spelling (DuckDB ASOF JOIN drops unmatched rows; "
+        "we keep them, left-join semantics)."
+    ),
+    tags=("events", "asof"),
+    bench=True,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_col="click_ts",
+        alias="last_click_ts",
+    ).select("event_id", "user_id", "ts", "last_click_ts")
+
+
+@register(
+    "event_pairs_within_5min",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM ev a
+    JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    GROUP BY a.user_id
+    """,
+    doc=(
+        "Range join: pairs of events of the same user within 5 minutes. "
+        "Equi-key (user_id) carries the join; the range predicate filters "
+        "post-shuffle. For pure-range joins (no equi key) the engine "
+        "bucketizes the range key first (operators/joins.py:range_join)."
+    ),
+    tags=("events", "range-join"),
+)
+def event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(F.col("user_id"), F.col("ts").alias("a_ts"))
+    b = ev.select(F.col("user_id").alias("b_user_id"), F.col("ts").alias("b_ts"))
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user_id)
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.unix_micros("b_ts") - F.unix_micros("a_ts") <= 300_000_000),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "json_props_rollup",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS max_k
+    FROM ev
+    GROUP BY event_type
+    """,
+    doc=(
+        "Semi-structured props: JSON path extraction + typed aggregation "
+        "(get_json_object stays JVM-side; no Python in the hot path). The "
+        "reference has no JSON surface; events.props is the north-star "
+        "`props` column (SURVEY §1)."
+    ),
+    tags=("events", "json"),
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,122 @@
+"""Query registry.
+
+Each capability of the engine is declared as a :class:`Query`: a Spark
+DataFrame builder plus (where SQL-expressible) an equivalent ANSI-SQL
+oracle that DuckDB can execute over the same parquet tables. The driver
+compares the two at sf=0.01 (row count + schema + order-insensitive value
+hash), which makes this registry the machine-checkable statement of what
+the engine computes.
+
+Conventions that make the hash comparison robust:
+
+- Every computed column is aliased identically on both sides.
+- Float aggregates are ``round()``-ed on both sides (sum order is not
+  deterministic across engines; rounding makes the value stable).
+- Computed integers are cast to BIGINT on both sides (DuckDB's
+  ``sum(int)`` is HUGEINT, Spark's is LONG; ``datediff`` is INT in Spark
+  and BIGINT in DuckDB).
+- Window orderings carry full tie-breakers so row_number/top-k picks are
+  deterministic.
+- Session timezone is UTC (set in session.py) so timestamps agree with
+  DuckDB's UTC-naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    """Decorator: register a (spark builder, oracle sql) pair under `name`."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        QUERIES[name] = Query(
+            name=name, builder=fn, oracle=oracle, doc=doc or fn.__doc__ or "",
+            tags=tags, bench=bench,
+        )
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (columnar parquet scan; Catalyst
+    prunes columns and pushes filters into the scan).
+
+    The engine's declared timestamp semantics are UTC (matching DuckDB's
+    UTC-naive timestamps); we pin the session timezone here because the
+    session may be caller-provided with a host-local zone, which would
+    shift every collected timestamp."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Read nanos as long (runtime SQL conf) and
+    truncate to microseconds — Spark's native timestamp precision. The
+    DuckDB oracle side applies CAST(ts AS TIMESTAMP) (TIMESTAMP_NS → µs,
+    also truncating), so both engines see identical µs timestamps; use
+    EVENTS_CTE in oracle SQL."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# Prefix for every oracle query touching `events`: normalizes ts to µs.
+EVENTS_CTE = """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value, props
+        FROM events
+    )
+"""
+
+
+def dec_sum(term_sql: str, scale: int = 2, inner_scale: int = 6) -> str:
+    """SQL snippet for an order-independent float sum, valid in BOTH Spark
+    SQL and DuckDB: cast each term to decimal (exact, deterministic per
+    row), sum decimals (exact, order-independent), cast back to double and
+    round. Plain double sums differ between engines in the last bits, which
+    flips round() at .005 boundaries — decimals cannot."""
+    # round the DECIMAL (exact half-up in both engines), THEN cast to
+    # double: round(double) differs between engines when the exact sum
+    # lands on a .5 boundary that double cannot represent.
+    return (
+        f"cast(round(sum(cast(({term_sql}) as decimal(27,{inner_scale}))), "
+        f"{scale}) as double)"
+    )
+
+
+def dec_avg(term_sql: str, scale: int = 6, inner_scale: int = 6) -> str:
+    """Order-independent float avg (see dec_sum); NULL-safe via count(x)."""
+    return (
+        f"round(cast(sum(cast(({term_sql}) as decimal(27,{inner_scale}))) "
+        f"as double) / count({term_sql}), {scale})"
+    )
