@@ -1,0 +1,157 @@
+"""Text-analysis SQL expression builders, generated per dialect.
+
+``dialect`` is "spark" (Spark SQL, used via F.expr so everything stays
+JVM-side / codegen'd — no Python UDFs in the text hot path) or "duck"
+(DuckDB, for the differential oracle). The two dialects differ in:
+
+- regex split:   split(x, '\\\\s+')        vs regexp_split_to_array(x, '\\s+')
+- lambdas:       filter/transform         vs list_filter/list_transform
+- array min:     array_min                vs list_aggregate(:, 'min')
+- array index:   element_at(a, i) 1-based vs a[i] 1-based
+- int sequence:  sequence(a, b)           vs generate_series(a, b)
+- array length:  size                     vs len
+- concat:        concat(a, b)             vs a || b
+
+Semantics are pinned identical; tests/test_text_ops.py and the driver
+gate enforce it.
+"""
+
+from __future__ import annotations
+
+# Per-language stopword seeds for the language-ID heuristic (public
+# common-word lists, truncated; the heuristic is count-of-hits).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "les", "et", "un", "une", "est", "dans", "pour", "que", "du"),
+    "es": ("el", "los", "y", "un", "una", "es", "en", "para", "por", "las"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+# BPE-ish word/punct tokenizer (RE2- and Java-regex compatible)
+BPE_TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def tokens(col: str, dialect: str) -> str:
+    """Whitespace tokens of lower(trim(col))."""
+    if dialect == "spark":
+        return f"split(trim(lower({col})), '\\\\s+')"
+    return f"regexp_split_to_array(trim(lower({col})), '\\s+')"
+
+
+def norm_text(col: str, dialect: str) -> str:
+    """Whitespace-collapsed lower(trim(col)) — dedup normalization."""
+    if dialect == "spark":
+        return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
+    return f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+
+
+def fingerprint(col: str, dialect: str) -> str:
+    """Deterministic document fingerprint = md5 of normalized text."""
+    return f"md5({norm_text(col, dialect)})"
+
+
+def n_array(arr: str, dialect: str) -> str:
+    return f"size({arr})" if dialect == "spark" else f"len({arr})"
+
+
+def count_in_set(arr: str, values: tuple[str, ...], dialect: str) -> str:
+    """Number of array elements contained in a literal set."""
+    lit = ", ".join(f"'{v}'" for v in values)
+    if dialect == "spark":
+        return f"size(filter({arr}, x -> x in ({lit})))"
+    return f"len(list_filter({arr}, x -> x in ({lit})))"
+
+
+def punct_count(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', ''))"
+    return f"length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', '', 'g'))"
+
+
+def bpe_token_count(col: str, dialect: str) -> str:
+    """Token count under a BPE-ish word/punctuation regex."""
+    if dialect == "spark":
+        return f"size(regexp_extract_all(lower({col}), '{BPE_TOKEN_RE}', 0))"
+    return f"len(regexp_extract_all(lower({col}), '{BPE_TOKEN_RE}'))"
+
+
+def shingles(tokens_expr: str, n: int, dialect: str) -> str:
+    """Word n-gram shingles from a token array (space-joined)."""
+    if dialect == "spark":
+        parts = ", ".join(f"element_at({tokens_expr}, i + {k})" for k in range(n))
+        return (
+            f"case when size({tokens_expr}) >= {n} then "
+            f"transform(sequence(1, size({tokens_expr}) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"else array() end"
+        )
+    body = " || ' ' || ".join(f"{tokens_expr}[i + {k}]" for k in range(n))
+    return (
+        f"case when len({tokens_expr}) >= {n} then "
+        f"list_transform(generate_series(1, len({tokens_expr}) - {n - 1}), "
+        f"i -> {body}) "
+        f"else [] end"
+    )
+
+
+def minhash(shingles_expr: str, seed: int, dialect: str) -> str:
+    """One MinHash signature component: min over shingles of a seeded
+    md5. md5 hex strings compare identically in both engines, so MIN of
+    the string IS the signature — no integer conversion needed."""
+    if dialect == "spark":
+        return f"array_min(transform({shingles_expr}, s -> md5(concat('{seed}|', s))))"
+    return (
+        f"list_aggregate(list_transform({shingles_expr}, "
+        f"s -> md5('{seed}|' || s)), 'min')"
+    )
+
+
+_HEX_ODD = "'1','3','5','7','9','b','d','f'"
+
+
+def simhash_bitsum(tokens_expr: str, bit: int, dialect: str) -> str:
+    """Sum over tokens of (2*bit-1) for bit position `bit` (0..15): the
+    bit is the parity of the (bit+1)-th hex nibble of md5(token)."""
+    pos = bit + 1
+    if dialect == "spark":
+        ones = (
+            f"size(filter({tokens_expr}, "
+            f"t -> substr(md5(t), {pos}, 1) in ({_HEX_ODD})))"
+        )
+        return f"({ones} * 2 - size({tokens_expr}))"
+    ones = (
+        f"len(list_filter({tokens_expr}, "
+        f"t -> substr(md5(t), {pos}, 1) in ({_HEX_ODD})))"
+    )
+    return f"({ones} * 2 - len({tokens_expr}))"
+
+
+def simhash(tokens_expr: str, bits: int, dialect: str) -> str:
+    """SimHash value: for each bit position, majority vote of per-token
+    bits (weight 1 per occurrence); assemble into an integer."""
+    terms = [
+        f"(case when {simhash_bitsum(tokens_expr, b, dialect)} > 0 "
+        f"then {1 << b} else 0 end)"
+        for b in range(bits)
+    ]
+    total = " + ".join(terms)
+    return f"cast({total} as bigint)"
+
+
+def langid_case(tokens_expr: str, dialect: str) -> str:
+    """Predicted language: argmax of stopword hits with a fixed
+    tie-break order (en > de > fr > es)."""
+    counts = {
+        lang: count_in_set(tokens_expr, words, dialect)
+        for lang, words in STOPWORDS.items()
+    }
+    c = {lang: f"({expr})" for lang, expr in counts.items()}
+    return (
+        "case "
+        f"when {c['en']} >= {c['de']} and {c['en']} >= {c['fr']} "
+        f"and {c['en']} >= {c['es']} then 'en' "
+        f"when {c['de']} >= {c['fr']} and {c['de']} >= {c['es']} then 'de' "
+        f"when {c['fr']} >= {c['es']} then 'fr' "
+        "else 'es' end"
+    )

@@ -1,0 +1,69 @@
+"""Vector (embedding) SQL expression builders, per dialect.
+
+Cosine similarity and hyperplane-LSH projections over `array<float>`
+columns, computed entirely with built-in array lambdas (JVM-side in
+Spark — no Python in the hot path; Arrow/pandas variants exist for the
+cases where a kernel genuinely beats codegen, see operators/simsearch).
+
+Determinism note: both engines left-fold the elementwise products in
+array order over IEEE doubles, so the resulting similarity is
+bit-identical — rankings therefore agree without rounding tricks.
+"""
+
+from __future__ import annotations
+
+import random
+
+
+def to_double_array(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"cast({col} as array<double>)"
+    return f"CAST({col} AS DOUBLE[])"
+
+
+def dot(a: str, b: str, dialect: str) -> str:
+    """Dot product of two double-array expressions (sequential fold)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, v) -> acc + v)"
+        )
+    return f"list_dot_product({a}, {b})"
+
+
+def norm(a: str, dialect: str) -> str:
+    return f"sqrt({dot(a, a, dialect)})"
+
+
+def cosine(a: str, b: str, dialect: str) -> str:
+    return f"({dot(a, b, dialect)} / ({norm(a, dialect)} * {norm(b, dialect)}))"
+
+
+def literal_vector(values: list[float], dialect: str) -> str:
+    """Embed a constant vector as a SQL literal (double elements)."""
+    if dialect == "spark":
+        return "array(" + ", ".join(f"{v!r}D" for v in values) + ")"
+    return "[" + ", ".join(repr(v) for v in values) + "]::DOUBLE[]"
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH. Components are
+    rounded so the SQL literals parse to identical doubles everywhere."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(col: str, planes: list[list[float]], dialect: str) -> str:
+    """Sign-LSH bucket id: bit j = (v . plane_j) > 0, assembled into a
+    BIGINT. Same constants on both dialects -> identical buckets."""
+    a = to_double_array(col, dialect)
+    terms = []
+    for j, plane in enumerate(planes):
+        p = literal_vector(plane, dialect)
+        terms.append(
+            f"(case when {dot(a, p, dialect)} > 0 then {1 << j} else 0 end)"
+        )
+    return "cast(" + " + ".join(terms) + " as bigint)"

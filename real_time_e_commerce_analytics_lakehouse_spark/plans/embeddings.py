@@ -1,0 +1,209 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+Brute-force cosine top-k is the exactness baseline; sign-LSH bucketing is
+the scale path (candidates shuffle on the bucket key instead of forming
+the full cross product). Both are expressed with built-in array lambdas —
+JVM-side, no Python in the hot loop; the elementwise fold is sequential
+in both engines so similarities are bit-identical to the oracle and
+rankings need no rounding fudge.
+
+At 100 TB the brute-force variant is only run per-bucket or per-IVF-cell;
+`ann_lsh_topk` demonstrates exactly that plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.functions import vecexpr as vx
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+PLANES = vx.hyperplanes(N_PLANES, DIM, seed=42)
+
+
+def _cos(dialect: str) -> str:
+    a = vx.to_double_array("q_emb", dialect)
+    b = vx.to_double_array("e_emb", dialect)
+    return vx.cosine(a, b, dialect)
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    e AS (SELECT vec_id, embedding AS e_emb FROM embeddings),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_cos('duck')} AS sim
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=(
+        f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors: "
+        "broadcast the (tiny) query side, score every corpus vector with a "
+        "JVM-side fold, keep top-k per query with a window. The exactness "
+        "baseline that LSH/IVF variants are measured against."
+    ),
+    tags=("embeddings", "simsearch"),
+    bench=True,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(_cos("spark")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, label,
+           {vx.lsh_bucket('embedding', PLANES, 'duck')} AS bucket
+    FROM embeddings
+    """,
+    doc=(
+        f"Sign-LSH bucket assignment: {N_PLANES} seeded random hyperplanes "
+        "-> 8-bit bucket id per vector. Row-local (linear); the bucket is "
+        "the blocking key that makes ANN a shuffle-on-key problem instead "
+        "of a cross product."
+    ),
+    tags=("embeddings", "simsearch"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(vx.lsh_bucket("embedding", PLANES, "spark")).alias("bucket"),
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {vx.lsh_bucket('embedding', PLANES, 'duck')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b
+        WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT q.query_id, e.vec_id, q.q_emb, e.embedding AS e_emb
+        FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT query_id, vec_id, {_cos('duck')} AS sim FROM cand
+    )
+    SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc=(
+        "ANN via LSH bucketing: score only vectors in the query's bucket "
+        "(equi-join on bucket = one shuffle), then exact top-3 within. "
+        "This is the 100 TB plan shape — candidate generation by blocking "
+        "key, exact rerank on the small candidate set. Recall vs the "
+        "brute-force baseline is property-tested in tests/test_simsearch.py."
+    ),
+    tags=("embeddings", "simsearch"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(vx.lsh_bucket("embedding", PLANES, "spark")).alias("bucket"),
+    )
+    q = (
+        b.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket"),
+        )
+    )
+    e = b.select(
+        F.col("vec_id"), F.col("embedding").alias("e_emb"), F.col("bucket").alias("e_bucket")
+    )
+    cand = F.broadcast(q).join(
+        e, (F.col("e_bucket") == F.col("bucket")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select("query_id", "vec_id", F.expr(_cos("spark")).alias("sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {vx.cosine(vx.to_double_array('a.embedding', 'duck'),
+                          vx.to_double_array('b.embedding', 'duck'), 'duck')} AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(sim, 6) AS cosine_sim
+    FROM pairs WHERE sim >= 0.45
+    """,
+    doc=(
+        "Embedding-cosine near-duplicate pairs (threshold 0.45). Exact "
+        "all-pairs here (the verification oracle requires exactness); the "
+        "production path at 100 TB blocks by LSH bucket first "
+        "(ann_lsh_buckets) and only scores within-bucket pairs."
+    ),
+    tags=("embeddings", "dedup"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    sim = F.expr(
+        vx.cosine(
+            vx.to_double_array("a_emb", "spark"),
+            vx.to_double_array("b_emb", "spark"),
+            "spark",
+        )
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
+    )

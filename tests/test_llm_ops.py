@@ -1,0 +1,86 @@
+"""Unit/property tests for the LLM-data operators beyond the oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+    decode_images,
+    deterministic_fake_decode,
+    extract_binary_features,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+
+
+def _payload_df(spark):
+    rows = [(1, "hello world"), (2, "x" * 1000), (3, "")]
+    return spark.createDataFrame(rows, "id long, text string").select(
+        "id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+
+def test_multimodal_feature_plumbing(spark) -> None:
+    out = extract_binary_features(_payload_df(spark), id_col="id").orderBy("id").collect()
+    assert [r.n_bytes for r in out] == [11, 1000, 0]
+    import hashlib
+
+    assert out[0].content_hash == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_multimodal_fake_decode_schema_and_determinism(spark) -> None:
+    out1 = deterministic_fake_decode(_payload_df(spark), id_col="id").orderBy("id").collect()
+    out2 = deterministic_fake_decode(_payload_df(spark), id_col="id").orderBy("id").collect()
+    assert out1 == out2
+    assert out1[0].width == 12 and out1[0].n_channels == 3
+
+
+def test_real_decode_is_stubbed(spark) -> None:
+    with pytest.raises(Exception) as exc_info:
+        decode_images(_payload_df(spark), id_col="id").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_exact_duplicates_always_lsh_candidates(spark, sf_dir) -> None:
+    """An exact duplicate has Jaccard 1 => identical minhash signature =>
+    identical band hashes => guaranteed candidate pair (deterministic,
+    unlike near-dup recall which is probabilistic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    both = docs.unionByName(dup)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        both.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        pairs = QUERIES["lsh_candidate_pairs"].builder(spark, td).collect()
+        found = {(r.doc_a, r.doc_b) for r in pairs}
+        for i in [r.doc_id for r in docs.select("doc_id").collect()]:
+            assert (i, i + 100000) in found, f"dup pair {i} missing from LSH candidates"
+
+
+def test_ann_results_subset_of_bucket(spark, sf_dir) -> None:
+    """Every ANN hit must share the query's LSH bucket."""
+    buckets = {
+        r.vec_id: r.bucket
+        for r in QUERIES["ann_lsh_buckets"].builder(spark, sf_dir).collect()
+    }
+    hits = QUERIES["ann_lsh_topk"].builder(spark, sf_dir).collect()
+    assert hits, "ANN returned nothing"
+    for r in hits:
+        assert buckets[r.vec_id] == buckets[r.query_id]
+
+
+def test_ann_sims_match_bruteforce_scores(spark, sf_dir) -> None:
+    """ANN cosine values agree with the brute-force scores for the same
+    (query, vec) pairs — the bucket prefilter must not change scoring."""
+    bf = {
+        (r.query_id, r.vec_id): r.cosine_sim
+        for r in QUERIES["cosine_topk_bruteforce"].builder(spark, sf_dir).collect()
+    }
+    for r in QUERIES["ann_lsh_topk"].builder(spark, sf_dir).collect():
+        if (r.query_id, r.vec_id) in bf:
+            assert abs(bf[(r.query_id, r.vec_id)] - r.cosine_sim) < 1e-9
