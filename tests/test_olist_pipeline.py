@@ -1,0 +1,215 @@
+"""End-to-end medallion pipeline tests over the dirty Olist fixtures.
+
+Covers the reference's whole contract (SURVEY §2/§5): streaming bronze
+ingest with file-level idempotency, silver conformance (null-reject,
+domain/range filters, try_cast/try_to_timestamp tolerance, dedup-latest,
+geolocation consolidation), gold dims/facts (pre-agg joins, datediff
+measures, surrogate keys), metric marts (inner-join revenue exclusion),
+replay idempotency and out-of-order late-data protection.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.pipelines.olist import OlistPipeline
+from tools.make_olist_fixtures import make_fixtures
+
+CLOCK = datetime(2024, 6, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("olist")
+    landing = str(root / "landing")
+    lake = str(root / "lake")
+    make_fixtures(landing, seed=42)
+    p = OlistPipeline(spark, lake, landing, clock=CLOCK)
+    p.run()
+    return p
+
+
+def test_bronze_has_all_rows_with_lineage(pipeline):
+    bronze = pipeline.table("bronze", "orders").read()
+    assert bronze.count() == 304  # 300 + 4 dirty
+    assert {"ingestion_ts", "source_file"} <= set(bronze.columns)
+    assert bronze.filter(F.col("source_file").isNull()).count() == 0
+
+
+def test_bronze_replay_is_idempotent(pipeline):
+    """Re-running the whole ingest (same files, fresh checkpoint dir is
+    NOT needed — but even with one, the source_file merge blocks dupes)."""
+    t = pipeline.table("bronze", "orders")
+    before_rows = t.read().count()
+    # simulate an at-least-once redelivery: merge the same batch again
+    batch = t.read()
+    t.merge_insert_only(batch, keys="source_file")
+    assert t.read().count() == before_rows
+
+
+def test_silver_orders_rejects_dirt(pipeline):
+    silver = pipeline.table("silver", "orders").read()
+    ids = {r.order_id for r in silver.select("order_id").collect()}
+    assert "order_badst" not in ids  # out-of-domain status (02:601)
+    assert "" not in ids and None not in ids  # null-reject (02:596)
+    assert "order_orphan" in ids  # orphan FK is silver-valid
+    # malformed purchase ts survived as NULL (try_to_timestamp policy)
+    bad = silver.filter(F.col("order_id") == "order_badts").collect()
+    assert len(bad) == 1 and bad[0].order_purchase_timestamp is None
+    # types enforced
+    dtypes = dict(silver.dtypes)
+    assert dtypes["order_purchase_timestamp"] == "timestamp"
+
+
+def test_silver_payments_defaults_and_rejects(pipeline):
+    silver = pipeline.table("silver", "order_payments").read()
+    dtypes = dict(silver.dtypes)
+    assert dtypes["payment_value"] == "decimal(10,2)"
+    assert dtypes["payment_installments"] == "int"
+    # non-numeric installments -> NULL -> default 1 (02:434-438)
+    row = silver.filter(
+        (F.col("order_id") == "order_00000") & (F.col("payment_sequential") == 9)
+    ).collect()
+    assert len(row) == 1 and row[0].payment_installments == 1
+    # non-numeric payment_value row rejected (02:415)
+    assert (
+        silver.filter(
+            (F.col("order_id") == "order_00001") & (F.col("payment_sequential") == 9)
+        ).count()
+        == 0
+    )
+
+
+def test_silver_reviews_domain_and_ts(pipeline):
+    silver = pipeline.table("silver", "order_reviews").read()
+    ids = {r.review_id for r in silver.select("review_id").collect()}
+    assert {"rev_bad0", "rev_bad6", "rev_badabc", "rev_badts"}.isdisjoint(ids)
+    assert "rev_orphan" in ids
+    scores = [r.review_score for r in silver.select("review_score").collect()]
+    assert all(1 <= s <= 5 for s in scores)
+
+
+def test_silver_customers_dedup_latest(pipeline):
+    silver = pipeline.table("silver", "customers").read()
+    rows = silver.filter(F.col("customer_id") == "cust_0001").collect()
+    assert len(rows) == 1  # dup collapsed
+    assert silver.count() == silver.select("customer_id").distinct().count()
+    # case normalization applied (02:48-49)
+    assert rows[0].customer_state in ("MG", "SP", "RJ", "BA", "RS", "PR", "SC", "PE", "CE", "GO")
+
+
+def test_silver_geolocation_consolidated(pipeline):
+    geo = pipeline.table("silver", "geolocation").read()
+    assert geo.count() == geo.select("zip_code_prefix").distinct().count()
+    cols = set(geo.columns)
+    assert {"latitude", "longitude", "modal_city", "modal_state", "n_points"} <= cols
+
+
+def test_gold_dims(pipeline):
+    dc = pipeline.table("gold", "dim_customers").read()
+    assert dc.select("customer_sk").distinct().count() == dc.count()
+    dp = pipeline.table("gold", "dim_products").read()
+    nodim = dp.filter(F.col("product_id") == "prod_nodim").collect()
+    assert len(nodim) == 1 and nodim[0].product_volume_cm3 is None  # NULL propagation
+    ds = pipeline.table("gold", "dim_sellers").read()
+    assert all(r.seller_city == r.seller_city.upper() for r in ds.collect())
+
+
+def test_gold_fact_orders_measures(pipeline):
+    fo = pipeline.table("gold", "fact_orders").read()
+    assert fo.count() == fo.select("order_id").distinct().count()
+    with_items = fo.filter(F.col("order_item_count").isNotNull())
+    assert with_items.count() > 0
+    # orphan-customer order keeps NULL state (left join, 04:55-59)
+    orphan = fo.filter(F.col("order_id") == "order_orphan").collect()
+    assert len(orphan) == 1 and orphan[0].customer_state is None
+
+
+def test_metrics_revenue_excludes_unpaid(pipeline, spark):
+    """Inner join to payments: orders with no payment rows contribute no
+    revenue (07:26-33)."""
+    fo = pipeline.table("gold", "fact_orders").read()
+    fp = pipeline.table("gold", "fact_payments").read()
+    mart = pipeline.table("metrics", "metrics_revenue").read()
+    paid_orders = fp.select("order_id").distinct().count()
+    mart_orders = mart.agg(F.sum("order_count")).collect()[0][0]
+    assert mart_orders <= paid_orders
+    # revenue reconciles with fact_payments totals for paid fact orders
+    expected = (
+        fo.join(fp.select("order_id", "total_payment_value"), "order_id", "inner")
+        .agg(F.sum("total_payment_value"))
+        .collect()[0][0]
+    )
+    got = mart.agg(F.sum("total_revenue")).collect()[0][0]
+    assert abs(expected - got) < 1e-6
+
+
+def test_incremental_second_batch_and_late_data(pipeline, spark):
+    """Drop a second file with one NEW order and one STALE update of an
+    existing order; re-run. New order appears; stale update is ignored
+    (the ingestion_ts guard) because its ingestion_ts is older."""
+    landing = pipeline.landing_dir
+    silver_before = pipeline.table("silver", "orders").read()
+    existing = silver_before.filter(F.col("order_id") == "order_00005").collect()[0]
+
+    os.makedirs(os.path.join(landing, "orders"), exist_ok=True)
+    import csv
+
+    with open(os.path.join(landing, "orders", "orders_part2.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(
+            ["order_id", "customer_id", "order_status", "order_purchase_timestamp",
+             "order_approved_at", "order_delivered_carrier_date",
+             "order_delivered_customer_date", "order_estimated_delivery_date"]
+        )
+        w.writerow(["order_new99", "cust_0002", "created",
+                    "2018-05-05 05:05:05", "", "", "", "2018-06-01 00:00:00"])
+        w.writerow(["order_00005", "cust_0002", "canceled",
+                    "2018-01-01 00:00:00", "", "", "", "2018-02-01 00:00:00"])
+
+    # late batch: ingestion clock EARLIER than the first run's
+    late = OlistPipeline(
+        pipeline.spark, pipeline.lake_root, landing, clock=CLOCK - timedelta(days=1)
+    )
+    late.bronze_ingest()
+    late.silver_conform()
+
+    silver = late.table("silver", "orders").read()
+    assert silver.filter(F.col("order_id") == "order_new99").count() == 1  # insert happens
+    after = silver.filter(F.col("order_id") == "order_00005").collect()[0]
+    assert after.order_status == existing.order_status  # stale update dropped
+
+
+def test_fresh_update_wins(pipeline):
+    """Same second file content re-delivered with a NEWER clock: now the
+    update must apply (last-writer-wins by ingestion_ts)."""
+    landing = pipeline.landing_dir
+    import csv
+
+    with open(os.path.join(landing, "orders", "orders_part3.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(
+            ["order_id", "customer_id", "order_status", "order_purchase_timestamp",
+             "order_approved_at", "order_delivered_carrier_date",
+             "order_delivered_customer_date", "order_estimated_delivery_date"]
+        )
+        w.writerow(["order_00005", "cust_0002", "canceled",
+                    "2018-01-01 00:00:00", "", "", "", "2018-02-01 00:00:00"])
+
+    fresh = OlistPipeline(
+        pipeline.spark, pipeline.lake_root, landing, clock=CLOCK + timedelta(days=1)
+    )
+    fresh.bronze_ingest()
+    fresh.silver_conform()
+    after = (
+        fresh.table("silver", "orders")
+        .read()
+        .filter(F.col("order_id") == "order_00005")
+        .collect()
+    )
+    assert len(after) == 1 and after[0].order_status == "canceled"

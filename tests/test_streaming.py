@@ -1,0 +1,159 @@
+"""Streaming semantics tests: watermarked windows, availableNow drains,
+checkpoint resume, late-data drop (SURVEY §5.5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import events_table
+from real_time_e_commerce_analytics_lakehouse_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _stream_events(spark, sf_dir, src_dir):
+    """Stage the events parquet as a file-stream source (µs timestamps)."""
+    df = events_table(spark, sf_dir)
+    df.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "ev_src")
+    stream = _stream_events(spark, sf_dir, src)
+    _run_to_memory(tumbling_counts(stream), "tumble_out")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM tumble_out").collect()
+    }
+    batch = tumbling_counts(events_table(spark, sf_dir))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 2))
+        for r in batch.collect()
+    }
+    # availableNow drains everything; with watermark, all windows whose
+    # end < max(ts) - delay are emitted. The final (open) windows are
+    # withheld in append mode — so streamed results ⊆ batch and cover
+    # all closed windows.
+    assert got, "no streaming output"
+    for k, v in got.items():
+        assert want[k] == v
+    closed = [k for k in want if k not in got]
+    # only the tail (last watermark period) may be withheld
+    max_start = max(k[0] for k in want)
+    assert all((max_start - k[0]).total_seconds() <= 2 * 3600 for k in closed)
+
+
+def test_sliding_and_session_streams_run(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "ev_src2")
+    stream = _stream_events(spark, sf_dir, src)
+    _run_to_memory(sliding_counts(stream), "slide_out")
+    assert spark.sql("SELECT count(*) FROM slide_out").collect()[0][0] > 0
+
+    stream2 = _stream_events(spark, sf_dir, str(tmp_path / "ev_src3"))
+    _run_to_memory(session_counts(stream2), "sess_out")
+    sessions = spark.sql("SELECT * FROM sess_out").collect()
+    assert sessions
+    assert all(r.session_end >= r.session_start for r in sessions)
+
+
+def test_checkpoint_resume_no_reprocessing(spark, sf_dir, tmp_path):
+    """Second availableNow run over the same checkpoint must not re-emit
+    already-processed data (S15 exactly-once progress)."""
+    src = str(tmp_path / "ev_src4")
+    ckpt = str(tmp_path / "ckpt")
+    df = events_table(spark, sf_dir).limit(1000)
+    df.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    counts = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        seen = {"n": 0}
+
+        def fn(batch, _eid):
+            seen["n"] += batch.count()
+
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts.append(seen["n"])
+
+    run_once()
+    run_once()  # resume from checkpoint: nothing new
+    assert counts[0] == 1000
+    assert counts[1] == 0
+
+
+def test_late_row_beyond_watermark_dropped(spark, tmp_path):
+    """Feed two files: first advances the watermark far ahead; a late row
+    older than the watermark in the second file must be dropped from the
+    windowed aggregation (documented late-data policy)."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src, exist_ok=True)
+    rows1 = [(1, "2024-01-01 00:10:00", 1.0), (2, "2024-01-01 10:00:00", 1.0)]
+    rows2 = [(3, "2024-01-01 00:20:00", 1.0)]  # 10h late vs watermark
+    schema = "event_id long, ts timestamp, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, v) for i, t, v in rows], "event_id long, ts string, value double"
+        ).select("event_id", F.to_timestamp("ts").alias("ts"), "value")
+
+    mk(rows1).write.mode("append").parquet(src)
+    emitted: list[tuple] = []
+
+    def run():
+        stream = spark.readStream.schema(mk(rows1).schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+        def sink(batch, _eid):
+            emitted.extend((r.ws, r.n) for r in batch.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    mk(rows2).write.mode("append").parquet(src)
+    run()
+    # the 00:00 window was emitted in run 1 with n=1 (watermark advanced to
+    # 09:30 by event 2); the 10h-late row (event 3) must NOT re-open it
+    from datetime import datetime
+
+    w0 = datetime(2024, 1, 1, 0, 0, 0)
+    total = sum(n for ws, n in emitted if ws == w0)
+    assert total == 1, f"late row leaked into closed window: {emitted}"
