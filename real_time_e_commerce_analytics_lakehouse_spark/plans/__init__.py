@@ -11,5 +11,6 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import core as _core  
 from real_time_e_commerce_analytics_lakehouse_spark.plans import documents as _documents  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import embeddings as _embeddings  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import events as _events  # noqa: E402,F401
+from real_time_e_commerce_analytics_lakehouse_spark.plans import extras as _extras  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register"]

@@ -1,0 +1,359 @@
+"""Coverage extensions: the relational surface the reference never uses
+but its users get free from Spark (SURVEY §2.6 notes the absence of
+sorts/limits/set-ops; §2.4 notes no cube/rollup/percentiles). Each is
+declared with an oracle so the capability is verified, not just present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    dec_sum,
+    register,
+    table,
+)
+
+_SUM_TOTALPRICE = dec_sum("o_totalprice")
+
+
+def _orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation, o.o_orderstatus AS order_status,
+           {_SUM_TOTALPRICE} AS revenue, count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, o.o_orderstatus)
+    """,
+    doc="CUBE: all 4 grouping combinations in one pass (shared shuffle via expand).",
+    tags=("agg",),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _orders_nation(spark, sf_dir)
+        .select(F.col("n_name").alias("nation"), F.col("o_orderstatus").alias("order_status"), "o_totalprice")
+        .cube("nation", "order_status")
+        .agg(F.expr(_SUM_TOTALPRICE).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation, o.o_orderstatus AS order_status,
+           {_SUM_TOTALPRICE} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (o.o_orderstatus))
+    """,
+    doc="Explicit GROUPING SETS (nation-only and status-only subtotals, one scan).",
+    tags=("agg",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _orders_nation(spark, sf_dir).select(
+        F.col("n_name").alias("nation"),
+        F.col("o_orderstatus").alias("order_status"),
+        "o_totalprice",
+    )
+    df.createOrReplaceTempView("on_view")
+    return spark.sql(
+        f"""
+        SELECT nation, order_status, {_SUM_TOTALPRICE} AS revenue
+        FROM on_view
+        GROUP BY GROUPING SETS ((nation), (order_status))
+        """
+    )
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="PIVOT with explicit value list (explicit list avoids the extra distinct-values job).",
+    tags=("agg",),
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _orders_nation(spark, sf_dir)
+        .select(F.col("n_name").alias("nation"), "o_orderstatus")
+        .groupBy("nation")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "unpivot_status_counts",
+    oracle="""
+    WITH w AS (
+        SELECT n.n_name AS nation,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation, 'O' AS status, o_cnt AS n FROM w
+    UNION ALL SELECT nation, 'F', f_cnt FROM w
+    UNION ALL SELECT nation, 'P', p_cnt FROM w
+    """,
+    doc="UNPIVOT via stack(): wide pivot back to long form without re-scanning.",
+    tags=("agg",),
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_status_counts(spark, sf_dir)
+    return wide.select(
+        "nation",
+        F.expr("stack(3, 'O', O, 'F', F, 'P', P) AS (status, n)"),
+    )
+
+
+@register(
+    "union_high_low_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'high' AS tier FROM orders WHERE o_totalprice >= 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS tier FROM orders WHERE o_totalprice < 10000
+    """,
+    doc="UNION ALL of disjoint projections (no dedup shuffle needed or incurred).",
+    tags=("setop",),
+)
+def union_high_low_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") >= 400000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("tier")
+    )
+    low = orders.filter(F.col("o_totalprice") < 10000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("tier")
+    )
+    return high.unionByName(low)
+
+
+@register(
+    "except_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    EXCEPT
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    doc="EXCEPT (set difference): customers with no open orders.",
+    tags=("setop",),
+)
+def except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    base = customer.select("c_custkey", "c_mktsegment")
+    open_cust = customer.join(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        customer.c_custkey == orders.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+    return base.exceptAll(open_cust).distinct()
+
+
+@register(
+    "intersect_both_status_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT: customers holding both open and finished orders.",
+    tags=("setop",),
+)
+def intersect_both_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+# exact-decimal second moment => cross-engine-identical variance/stddev
+_N = "count(o_totalprice)"
+_S1 = "cast(sum(cast(o_totalprice as decimal(27,6))) as double)"
+_S2 = "cast(sum(cast(o_totalprice * o_totalprice as decimal(38,6))) as double)"
+_VAR = f"(({_S2}) - ({_S1}) * ({_S1}) / {_N}) / ({_N} - 1)"
+
+
+@register(
+    "dispersion_by_status",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round({_VAR}, 2)       AS var_totalprice,
+           round(sqrt({_VAR}), 4) AS stddev_totalprice
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Sample variance / stddev via exact decimal moments "
+        "(sum, sum-of-squares) so both engines produce identical doubles — "
+        "built-in stddev_samp uses engine-specific streaming algorithms "
+        "whose float noise breaks differential comparison."
+    ),
+    tags=("agg", "stats"),
+)
+def dispersion_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(f"round({_VAR}, 2)").alias("var_totalprice"),
+        F.expr(f"round(sqrt({_VAR}), 4)").alias("stddev_totalprice"),
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact interpolated percentiles (Spark percentile == DuckDB "
+        "quantile_cont: both sort and linearly interpolate). The approx "
+        "variant (approx_percentile/t-digest) is the 100 TB path but is "
+        "engine-specific, hence not oracle-comparable."
+    ),
+    tags=("agg", "stats"),
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    doc=(
+        "approx_count_distinct (HyperLogLog++): the constant-memory "
+        "distinct-count for 100 TB (exact countDistinct doubles the "
+        "shuffle). No oracle: sketch estimates are engine-specific by "
+        "construction; tests assert the estimate is within 5% of exact."
+    ),
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "daily_revenue_momentum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               {_SUM_TOTALPRICE} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT order_date, revenue,
+           lag(revenue)  OVER (ORDER BY order_date) AS prev_revenue,
+           lead(revenue) OVER (ORDER BY order_date) AS next_revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY order_date), 2) AS delta
+    FROM daily
+    """,
+    doc="lag/lead day-over-day deltas (no frame; one sort within the window shuffle).",
+    tags=("window",),
+)
+def daily_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.expr(_SUM_TOTALPRICE).alias("revenue")
+    )
+    w = W.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "promo_window_shipments",
+    oracle="""
+    WITH promo AS (
+        SELECT o_orderkey, epoch_us(o_orderdate) AS start_us,
+               epoch_us(o_orderdate + INTERVAL '7 days') AS end_us
+        FROM orders WHERE o_totalprice > 490000
+    )
+    SELECT p.o_orderkey, count(*) AS n_shipments
+    FROM promo p
+    JOIN lineitem l
+      ON epoch_us(l.l_shipdate) >= p.start_us
+     AND epoch_us(l.l_shipdate) < p.end_us
+    GROUP BY p.o_orderkey
+    """,
+    doc=(
+        "Pure range join (NO equi key): shipments falling in each promo "
+        "week. Runs through operators/joins.py:range_join — intervals are "
+        "exploded onto week buckets and the join becomes an equi-join on "
+        "the bucket, avoiding the O(n*m) BroadcastNestedLoopJoin Spark "
+        "picks for a bare inequality condition."
+    ),
+    tags=("range-join",),
+)
+def promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import range_join
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    # parquet stores these as TIMESTAMP_NTZ; cast to TIMESTAMP (session is
+    # pinned UTC, so the cast is value-preserving) for epoch extraction
+    odate = F.col("o_orderdate").cast("timestamp")
+    promo = orders.filter(F.col("o_totalprice") > 490000).select(
+        "o_orderkey",
+        F.unix_micros(odate).alias("start_us"),
+        (F.unix_micros(odate) + week_us).alias("end_us"),
+    )
+    points = li.select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us")
+    )
+    joined = range_join(
+        points,
+        promo,
+        point_col="ship_us",
+        start_col="start_us",
+        end_col="end_us",
+        bucket_width=week_us,
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipments"))

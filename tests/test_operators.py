@@ -1,0 +1,122 @@
+"""Direct unit tests for the operator library (beyond oracle coverage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.operators import (
+    asof_join,
+    clean,
+    dedup_latest,
+    modal_value,
+    preagg_join,
+    range_join,
+    top_k_per_group,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.operators.cleaning import (
+    CleanSpec,
+    ColumnRule,
+)
+
+
+def test_asof_join_inclusive_vs_strict(spark):
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k long, t long")
+    right = spark.createDataFrame([(1, 10, "a"), (1, 15, "b")], "k long, t long, v string")
+    inc = {
+        r.t: r.last_v
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", value_col="v", alias="last_v"
+        ).collect()
+    }
+    assert inc == {10: "a", 20: "b"}  # t=10 sees the equal-ts right row
+    strict = {
+        r.t: r.last_v
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", value_col="v",
+            alias="last_v", strict=True,
+        ).collect()
+    }
+    assert strict == {10: None, 20: "b"}  # strict: equal-ts row excluded
+
+
+def test_asof_join_no_match_is_null(spark):
+    left = spark.createDataFrame([(2, 5)], "k long, t long")
+    right = spark.createDataFrame([(1, 1, "x")], "k long, t long, v string")
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_col="v", alias="v2"
+    ).collect()
+    assert len(out) == 1 and out[0].v2 is None
+
+
+def test_range_join_matches_naive(spark):
+    points = spark.createDataFrame([(i,) for i in range(0, 100, 3)], "p long")
+    intervals = spark.createDataFrame(
+        [(i, i, i + 10) for i in range(0, 90, 17)], "iid long, s long, e long"
+    )
+    got = sorted(
+        (r.p, r.iid)
+        for r in range_join(
+            points, intervals, point_col="p", start_col="s", end_col="e", bucket_width=8
+        ).collect()
+    )
+    naive = sorted(
+        (r.p, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .collect()
+    )
+    assert got == naive and got
+
+
+def test_preagg_join_keeps_dimension_rows(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "k long, x double"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, name string")
+    out = {
+        r.k: (r.name, r.total)
+        for r in preagg_join(
+            fact, dim, "k", "k", [F.sum("x").alias("total")]
+        ).collect()
+    }
+    assert out == {1: ("a", 15.0), 2: ("b", 7.0), 3: ("c", None)}
+
+
+def test_clean_spec_policies(spark):
+    df = spark.createDataFrame(
+        [(" A ", "5", "x", "ok"), (None, "bad", "2", "ok"), (" b ", "1", "3", "no")],
+        "name string, num string, num2 string, flag string",
+    )
+    spec = CleanSpec(
+        columns={
+            "name": ColumnRule(transforms=("trim", "upper")),
+            "num": ColumnRule(try_cast="int", default=0),
+            "num2": ColumnRule(try_cast="int"),
+            "flag": ColumnRule(),
+        },
+        require_keys=("name",),
+        domains={"flag": ("ok",)},
+    )
+    rows = sorted(clean(df, spec).collect(), key=lambda r: r.name)
+    assert len(rows) == 1  # null name rejected; flag='no' rejected
+    assert rows[0].name == "A" and rows[0].num == 5
+
+
+def test_modal_and_topk_and_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1), (1, "x", 2), (1, "y", 3), (2, "z", 1)],
+        "k long, v string, ver long",
+    )
+    modal = {r.k: r.v for r in modal_value(df, "k", "v").collect()}
+    assert modal == {1: "x", 2: "z"}
+    latest = {r.k: r.ver for r in dedup_latest(df, "k", "ver").collect()}
+    assert latest == {1: 3, 2: 1}
+    top = top_k_per_group(df, "k", [F.desc("ver")], 2).collect()
+    assert len(top) == 3  # 2 for k=1, 1 for k=2
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+
+    for r in QUERIES["approx_distinct_parts"].builder(spark, sf_dir).collect():
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05

@@ -157,3 +157,46 @@ def test_late_row_beyond_watermark_dropped(spark, tmp_path):
     w0 = datetime(2024, 1, 1, 0, 0, 0)
     total = sum(n for ws, n in emitted if ws == w0)
     assert total == 1, f"late row leaked into closed window: {emitted}"
+
+
+def test_stateful_user_profiles_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — the
+    second batch's emitted profile includes the first batch's counts."""
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.stateful import (
+        user_profiles,
+    )
+
+    src = str(tmp_path / "state_src")
+    ckpt = str(tmp_path / "state_ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+
+    emitted = []
+
+    def run():
+        stream = spark.readStream.schema(mk([(1, "2024-01-01 00:00:00", 1.0)]).schema).parquet(src)
+        q = (
+            user_profiles(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, e: emitted.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    mk([(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:01:00", 5.0),
+        (2, "2024-01-01 00:00:30", 7.0)]).write.mode("append").parquet(src)
+    run()
+    got1 = {r.user_id: (r.n_events, r.sum_value) for r in emitted}
+    assert got1 == {1: (2, 15.0), 2: (1, 7.0)}
+
+    emitted.clear()
+    mk([(1, "2024-01-01 01:00:00", 1.0)]).write.mode("append").parquet(src)
+    run()
+    got2 = {r.user_id: (r.n_events, r.sum_value) for r in emitted}
+    assert got2 == {1: (3, 16.0)}  # state carried over; user 2 not re-emitted
