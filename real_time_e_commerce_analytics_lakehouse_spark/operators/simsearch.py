@@ -1,0 +1,78 @@
+"""Similarity-search operators.
+
+The JVM-lambda formulations live in plans/embeddings.py (oracle-exact).
+This module adds the vectorized Arrow path — the production kernel when
+embedding width x corpus size makes per-element codegen the bottleneck —
+and the distributed top-k merge around it.
+
+Plan shape (scales to 100 TB of vectors):
+1. queries (small) are collected once and broadcast inside the closure;
+2. every Arrow batch of corpus vectors is scored with ONE numpy matmul;
+3. per-partition top-k (heap) -> tiny shuffle of k*n_queries rows ->
+   exact global top-k via window. No driver-side scoring, no cross join
+   materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector, numpy-vectorized.
+
+    Output: (query_id, vec_id, rank, cosine_sim) — same shape as the
+    exact JVM variant (plans/embeddings.cosine_topk_bruteforce).
+    """
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_norm.T  # (batch, n_queries)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                # partial top-k per batch: full sort of a batch is fine,
+                # but argpartition keeps it O(n)
+                cand = np.flatnonzero(mask)
+                if len(cand) > k:
+                    part = cand[np.argpartition(-col[cand], k)[:k]]
+                else:
+                    part = cand
+                out_q.extend([qid] * len(part))
+                out_v.extend(ids[part])
+                out_s.extend(col[part])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "sim": out_s}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, vec_id long, sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )

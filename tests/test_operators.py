@@ -120,3 +120,33 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
 
     for r in QUERIES["approx_distinct_parts"].builder(spark, sf_dir).collect():
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
+
+
+def test_salted_join_equals_plain_join(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(10)], "k long, x long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], "k long, v string")
+    got = sorted((r.k, r.x, r.v) for r in salted_join(big, small, "k").collect())
+    want = sorted((r.k, r.x, r.v) for r in big.join(small, "k").collect())
+    assert got == want and len(got) == 510
+
+
+def test_pandas_cosine_matches_exact_topk(spark, sf_dir):
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine_sim)
+        for r in QUERIES["cosine_topk_bruteforce"].builder(spark, sf_dir).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine_sim)
+        for r in QUERIES["cosine_topk_pandas"].builder(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (vid, sim) in exact.items():
+        fvid, fsim = fast[key]
+        assert fvid == vid, f"rank order diverged at {key}"
+        assert abs(fsim - sim) < 1e-6
