@@ -207,3 +207,126 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.45)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+N_CELLS = 16  # IVF coarse cells (centroid seeds = first N_CELLS vectors)
+N_PROBE = 2  # cells probed per query
+
+
+def _ivf_sql() -> str:
+    """Shared relational IVF formulation (identical shape both dialects;
+    only the cosine expression differs)."""
+    cos_d = vx.cosine(
+        vx.to_double_array("v_emb", "duck"), vx.to_double_array("c_emb", "duck"), "duck"
+    )
+    cos_q = vx.cosine(
+        vx.to_double_array("q_emb", "duck"), vx.to_double_array("e_emb", "duck"), "duck"
+    )
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_d.replace('v_emb', 'e.embedding').replace('c_emb', 'c.c_emb')} DESC,
+                                c.cell_id ASC) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.vec_id AS query_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos_d.replace('v_emb', 'q.embedding').replace('c_emb', 'c.c_emb')} DESC,
+                                c.cell_id ASC) AS rn
+            FROM embeddings q CROSS JOIN centroids c
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p
+        JOIN assigned a ON a.cell_id = p.cell_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               {cos_q.replace('q_emb', 'q.embedding').replace('e_emb', 'e.embedding')} AS sim
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=_ivf_sql(),
+    doc=(
+        f"IVF (inverted-file) ANN: corpus vectors are assigned to their "
+        f"nearest of {N_CELLS} coarse cells; each query probes its "
+        f"{N_PROBE} nearest cells and exact-reranks only those candidates. "
+        "The cell id is the blocking key (same plan shape as LSH but with "
+        "a learned/chosen quantizer). Centroid seeds here are the first "
+        f"{N_CELLS} vectors — deterministic; production would run a few "
+        "k-means rounds (each round = one join+group, same operators)."
+    ),
+    tags=("embeddings", "simsearch"),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cos = vx.cosine(
+        vx.to_double_array("v_emb", "spark"), vx.to_double_array("c_emb", "spark"), "spark"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def assign(df: DataFrame, id_out: str, keep_rn: int) -> DataFrame:
+        sims = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "__sim", F.expr(cos)
+        )
+        w = W.partitionBy(id_out).orderBy(F.desc("__sim"), F.asc("cell_id"))
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep_rn)
+            .select(id_out, "cell_id")
+        )
+
+    assigned = assign(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("v_emb")), "vec_id", 1
+    )
+    probes = assign(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("v_emb")
+        ),
+        "query_id",
+        N_PROBE,
+    )
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    e = emb.select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(e, "vec_id")
+        .select("query_id", "vec_id", F.expr(_cos("spark")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )

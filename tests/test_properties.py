@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): core operators vs naive Python
+models on randomized inputs. Small example counts — each example builds
+Spark DataFrames — but the generators hit the edge shapes that matter:
+empty groups, all-duplicate keys, guard ties, unmatched keys.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from real_time_e_commerce_analytics_lakehouse_spark.operators.dedup import dedup_latest
+from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import asof_join
+from real_time_e_commerce_analytics_lakehouse_spark.tables import _merge_dataframes
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key
+        st.integers(0, 20),  # version/ts
+        st.integers(0, 99),  # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_dedup_latest_model(spark, rows):
+    df = spark.createDataFrame(rows, "k long, ver long, x long")
+    got = {
+        r.k: (r.ver, r.x)
+        for r in dedup_latest(df, "k", "ver", tie_breakers=("x",)).collect()
+    }
+    model: dict[int, tuple[int, int]] = {}
+    for k, ver, x in rows:
+        if k not in model or (ver, x) > model[k]:
+            model[k] = (ver, x)
+    assert got == model
+
+
+@given(target=ROWS, source=ROWS)
+@SETTINGS
+def test_merge_upsert_model(spark, target, source):
+    # unique keys per side (merge contract); guard = ver
+    t = {k: (k, v, x) for k, v, x in target}
+    s = {k: (k, v, x) for k, v, x in source}
+    tdf = spark.createDataFrame(list(t.values()), "k long, ver long, x long")
+    sdf = spark.createDataFrame(list(s.values()), "k long, ver long, x long")
+    out = {
+        r.k: (r.ver, r.x)
+        for r in _merge_dataframes(tdf, sdf, ["k"], "ver").collect()
+    }
+    model = {k: (v, x) for k, (_, v, x) in t.items()}
+    for k, (_, v, x) in s.items():
+        if k not in model or v > model[k][0]:
+            model[k] = (v, x)
+    assert out == model
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=15),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 9)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@SETTINGS
+def test_asof_join_model(spark, lefts, rights):
+    # dedupe right on (k, t): keep max payload (matches operator tie-break:
+    # among equal (ts, side), last over rval-asc order = max rval)
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(rights, "k long, rt long, v long") if rights else (
+        spark.createDataFrame([], "k long, rt long, v long")
+    )
+    got = {
+        r.lid: r.asof_v
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="t", right_ts="rt", value_col="v", alias="asof_v"
+        ).collect()
+    }
+    model = {}
+    for i, (k, t) in enumerate(lefts):
+        best = None  # (rt, v)
+        for rk, rt, v in rights:
+            if rk == k and rt <= t and (best is None or (rt, v) > best):
+                best = (rt, v)
+        model[i] = best[1] if best else None
+    assert got == model
