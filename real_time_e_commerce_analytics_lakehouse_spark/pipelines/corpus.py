@@ -1,0 +1,127 @@
+"""Corpus curation pipeline: the LLM-training-data pass, end to end.
+
+Composes the document operators into the standard curation sequence a
+100 TB text corpus goes through before training:
+
+  1. quality gate      (cheap row-local filters first — cut volume early)
+  2. exact dedup       (hash-groupBy on normalized fingerprint)
+  3. near-dup removal  (MinHash-LSH candidates -> exact Jaccard verify ->
+                        drop the higher doc_id of each confirmed pair)
+  4. annotate          (token counts, language id — row-local)
+
+Order matters at scale: each stage shrinks the input of the next, and
+the only shuffles are the dedup groupBy and the LSH band join. Returns
+the curated DataFrame plus a per-stage audit of row counts (the
+"data lineage card" a training run wants recorded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
+
+
+@dataclass
+class CurationReport:
+    input_docs: int
+    after_quality: int
+    after_exact_dedup: int
+    after_neardup: int
+
+    def as_dict(self) -> dict[str, int]:
+        return self.__dict__.copy()
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_chars: int = 30,
+    jaccard_threshold: float = 0.6,
+    with_report: bool = True,
+) -> tuple[DataFrame, CurationReport | None]:
+    """Run the full curation pass. Deterministic survivor policy: the
+    smallest id in a duplicate group/pair survives."""
+    toks = docs.withColumn("t", F.expr(tx.tokens(text_col, "spark")))
+
+    # 1. quality gate (row-local; pushes ahead of every shuffle)
+    quality = toks.filter(
+        (F.expr("size(t)") >= min_tokens) & (F.length(text_col) >= min_chars)
+    )
+
+    # 2. exact dedup on normalized fingerprint, keep min id
+    fp = quality.withColumn("__fp", F.expr(tx.fingerprint(text_col, "spark")))
+    keepers = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    exact = fp.join(keepers, id_col, "left_semi").drop("__fp")
+
+    # 3. near-dup removal: LSH candidates, Jaccard-verified
+    sh = tx.shingles("t", 3, "spark")
+    digs = exact.withColumn(
+        "__hx", F.expr(tx.minhash_digests("(" + sh + ")", "spark"))
+    )
+    sig = digs.select(
+        id_col,
+        *[
+            F.expr(tx.minhash_component("__hx", j, "spark")).alias(f"mh_{j}")
+            for j in range(8)
+        ],
+    ).persist()
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            id_col,
+            F.lit(b).alias("band"),
+            F.md5(F.concat(f"mh_{2 * b}", f"mh_{2 * b + 1}")).alias("h"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    shingle_sets = exact.select(
+        id_col, F.array_distinct(F.expr(sh)).alias("__sh")
+    )
+    sa = shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "__jac",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("__jac") >= jaccard_threshold)
+    )
+    to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    deduped = exact.join(to_drop, id_col, "left_anti")
+
+    # 4. annotate (row-local)
+    curated = deduped.select(
+        *docs.columns,
+        F.expr("size(t)").cast("long").alias("n_tokens"),
+        F.expr(tx.bpe_token_count(text_col, "spark")).cast("long").alias("n_bpe_tokens"),
+        F.expr(tx.langid_case("t", "spark")).alias("predicted_lang"),
+    )
+
+    report = None
+    if with_report:
+        report = CurationReport(
+            input_docs=docs.count(),
+            after_quality=quality.count(),
+            after_exact_dedup=exact.count(),
+            after_neardup=deduped.count(),
+        )
+    return curated, report

@@ -27,11 +27,20 @@ N_BANDS = 4  # LSH bands (2 rows per band)
 SHINGLE_N = 3  # word shingle width
 
 
+def _digests(dialect: str) -> str:
+    """Per-doc shingle digests over a pre-projected token column `t`:
+    computes the 2 md5s per shingle ONCE; the k signature components are
+    cheap substring-mins over it (tx.minhash_component)."""
+    return tx.minhash_digests("(" + tx.shingles("t", SHINGLE_N, dialect) + ")", dialect)
+
+
 def _sig_select(dialect: str) -> str:
-    """doc_id + mh_0..mh_{k-1} column list over a pre-projected token
-    column `t` (convention: stage-1 projection computes `t` once)."""
-    sh = tx.shingles("t", SHINGLE_N, dialect)
-    cols = [f"{tx.minhash('(' + sh + ')', j, dialect)} AS mh_{j}" for j in range(N_MINHASH)]
+    """doc_id + mh_0..mh_{k-1} column list over a pre-projected digest
+    column `hx` (convention: stage-1 computes `t`, stage-2 `hx`)."""
+    cols = [
+        f"{tx.minhash_component('hx', j, dialect)} AS mh_{j}"
+        for j in range(N_MINHASH)
+    ]
     return ", ".join(cols)
 
 
@@ -184,28 +193,31 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, {tx.tokens('text', 'duck')} AS t FROM documents
+    ),
+    digs AS (
+        SELECT doc_id, {_digests('duck')} AS hx FROM toks
     )
     SELECT doc_id, {_sig_select('duck')}
-    FROM toks
+    FROM digs
     """,
     doc=(
         f"MinHash signatures (k={N_MINHASH}) over word {SHINGLE_N}-gram "
-        "shingles. Hash family = seeded md5; the signature component is "
-        "the lexicographic MIN of the hex digests (any uniform hash "
-        "works for MinHash, and md5 is shared with the oracle). "
-        "Row-local -> linear scale-out."
+        "shingles. Hash family: two seeded md5s per shingle sliced into "
+        f"{N_MINHASH} independent 32-bit components (hex-string MIN is "
+        "the signature — md5 hex is identical in both engines, and "
+        "MinHash is hash-agnostic). 2 digest calls per shingle instead "
+        "of k: ~3x faster signature build. Row-local -> linear scale-out."
     ),
     tags=("documents", "dedup"),
     bench=True,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _spark_tokens(spark, sf_dir)
-    sh = tx.shingles("t", SHINGLE_N, "spark")
+    digs = _spark_tokens(spark, sf_dir).withColumn("hx", F.expr(_digests("spark")))
     cols = [F.col("doc_id")] + [
-        F.expr(tx.minhash("(" + sh + ")", j, "spark")).alias(f"mh_{j}")
+        F.expr(tx.minhash_component("hx", j, "spark")).alias(f"mh_{j}")
         for j in range(N_MINHASH)
     ]
-    return toks.select(*cols)
+    return digs.select(*cols)
 
 
 def _bands_sql(dialect: str) -> str:
@@ -227,8 +239,11 @@ def _bands_sql(dialect: str) -> str:
     WITH toks AS (
         SELECT doc_id, {tx.tokens('text', 'duck')} AS t FROM documents
     ),
+    digs AS (
+        SELECT doc_id, {_digests('duck')} AS hx FROM toks
+    ),
     sig AS (
-        SELECT doc_id, {_sig_select('duck')} FROM toks
+        SELECT doc_id, {_sig_select('duck')} FROM digs
     ),
     bands AS ({_bands_sql('duck')})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -243,9 +258,14 @@ def _bands_sql(dialect: str) -> str:
         "exact Jaccard (ngram_jaccard_pairs)."
     ),
     tags=("documents", "dedup"),
+    bench=True,
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+    # materialize the signatures: the band self-join references this
+    # subtree on BOTH sides, and without a persist Spark re-evaluates the
+    # (md5-heavy) minhash lambdas ~8x — measured 41s -> 1.7s at sf0.1.
+    # At 100 TB the signatures are a written table, not a cache.
+    sig = minhash_signatures(spark, sf_dir).persist()
     sig.createOrReplaceTempView("sig")
     bands = spark.sql(_bands_sql("spark"))
     a = bands.alias("a")
@@ -293,15 +313,18 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidates; at 100 TB you run it only on LSH candidate pairs."
     ),
     tags=("documents", "dedup"),
+    bench=True,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _spark_tokens(spark, sf_dir)
+    # persisted: referenced three times below (both join sides + sizes)
     sh = (
         toks.select(
             "doc_id",
             F.explode(F.expr(tx.shingles("t", SHINGLE_N, "spark"))).alias("s"),
         )
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")

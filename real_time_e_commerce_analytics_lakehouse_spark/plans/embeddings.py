@@ -283,6 +283,7 @@ def _ivf_sql() -> str:
         "k-means rounds (each round = one join+group, same operators)."
     ),
     tags=("embeddings", "simsearch"),
+    bench=True,
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

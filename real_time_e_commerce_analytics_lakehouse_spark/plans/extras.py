@@ -330,6 +330,7 @@ def daily_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "picks for a bare inequality condition."
     ),
     tags=("range-join",),
+    bench=True,
 )
 def promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import range_join

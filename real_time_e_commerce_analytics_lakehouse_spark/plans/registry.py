@@ -104,12 +104,19 @@ def dec_sum(term_sql: str, scale: int = 2, inner_scale: int = 6) -> str:
     SQL and DuckDB: cast each term to decimal (exact, deterministic per
     row), sum decimals (exact, order-independent), cast back to double and
     round. Plain double sums differ between engines in the last bits, which
-    flips round() at .005 boundaries — decimals cannot."""
+    flips round() at .005 boundaries — decimals cannot.
+
+    Precision 18 on purpose: Spark backs decimals with precision <= 18 by
+    a plain Long (fast codegen'd arithmetic); 19+ switches to BigDecimal
+    objects — measured ~2x slower on a 600k-row 8-agg query. Terms are
+    < 1e12 in magnitude so 12 integer digits + 6 fraction fit; Spark
+    widens the SUM result itself to decimal(28,6), so overflow headroom
+    is ~1e22."""
     # round the DECIMAL (exact half-up in both engines), THEN cast to
     # double: round(double) differs between engines when the exact sum
     # lands on a .5 boundary that double cannot represent.
     return (
-        f"cast(round(sum(cast(({term_sql}) as decimal(27,{inner_scale}))), "
+        f"cast(round(sum(cast(({term_sql}) as decimal(18,{inner_scale}))), "
         f"{scale}) as double)"
     )
 
@@ -117,6 +124,6 @@ def dec_sum(term_sql: str, scale: int = 2, inner_scale: int = 6) -> str:
 def dec_avg(term_sql: str, scale: int = 6, inner_scale: int = 6) -> str:
     """Order-independent float avg (see dec_sum); NULL-safe via count(x)."""
     return (
-        f"round(cast(sum(cast(({term_sql}) as decimal(27,{inner_scale}))) "
+        f"round(cast(sum(cast(({term_sql}) as decimal(18,{inner_scale}))) "
         f"as double) / count({term_sql}), {scale})"
     )

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local mode: driver JVM IS the executor. The default JIT code
+        # cache (240 MB) fills after ~a dozen codegen-heavy queries in one
+        # session, silently dropping hot loops to the interpreter
+        # (measured 5-8x slowdowns on array-lambda queries late in a
+        # bench run). 1 GB keeps every generated class compiled.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
