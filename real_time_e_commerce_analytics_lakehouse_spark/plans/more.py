@@ -102,3 +102,71 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_vectorized(emb, queries, k=10)
+
+
+@register(
+    "small_quantity_orders",
+    oracle=f"""
+    SELECT l.l_partkey,
+           {dec_sum("l.l_extendedprice")} AS revenue_small_lots,
+           count(*) AS n_small_lots
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.half_avg_qty
+    GROUP BY l.l_partkey
+    """,
+    doc=(
+        "Per-group scalar-aggregate comparison (TPC-H Q17 shape): join "
+        "each row against its group's aggregate and filter below half the "
+        "group mean. The agg side shares the fact scan; Catalyst reuses "
+        "the exchange on l_partkey for both the aggregate and the join."
+    ),
+    tags=("agg", "join", "subquery"),
+)
+def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(avgs, li.l_partkey == avgs.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(dec_sum("l_extendedprice")).alias("revenue_small_lots"),
+            F.count("*").alias("n_small_lots"),
+        )
+    )
+
+
+@register(
+    "customer_order_histogram",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc=(
+        "Distribution-of-counts (TPC-H Q13 shape): left join keeps "
+        "order-less customers (count 0 bucket), double aggregation — "
+        "per-customer then per-count."
+    ),
+    tags=("agg", "join"),
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
