@@ -136,10 +136,17 @@ class LakeTable:
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
         target = self._manifest_file(new_version)
-        if os.path.exists(target):
+        try:
+            # os.link is atomic-exclusive: it FAILS if target exists,
+            # unlike os.rename which silently replaces it — the losing
+            # writer of a race must error, not clobber the winner.
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {new_version} already committed by another writer"
+            ) from None
+        finally:
             os.remove(tmp)
-            raise ConcurrentWriteError(f"version {new_version} already committed")
-        os.rename(tmp, target)  # atomic on POSIX
         return new_version
 
     # ----------------------------------------------------------------- data

@@ -139,3 +139,43 @@ def test_compact_preserves_content(spark, tmp_table):
     t.compact()
     assert len(t._read_manifest(t.latest_version())) < n_units
     assert t.read().count() == 5
+
+
+def test_read_changes_is_exact_cdc_for_appends(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    v2 = t.append(_df(spark, [(2, "b", 1)]))
+    t.append(_df(spark, [(3, "c", 1)]))
+    # changes since v1 = rows of v2+v3 only
+    changes = t.read_changes(v1)
+    assert sorted(r.id for r in changes.collect()) == [2, 3]
+    # fully caught up -> None
+    assert t.read_changes(t.latest_version()) is None
+    # from scratch -> full snapshot
+    assert t.read_changes(None).count() == 3
+
+
+def test_concurrent_commit_detected(spark, tmp_table):
+    """Two writers racing to the same version: the second atomic rename
+    must fail loudly, not corrupt the log."""
+    import os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import (
+        ConcurrentWriteError,
+    )
+
+    t1 = LakeTable(spark, tmp_table)
+    t1.overwrite(_df(spark, [(1, "a", 1)]))
+    # freeze the loser's view of the log at version 1, then let a racer
+    # commit version 2 — the loser targets the same version number
+    t1.latest_version = lambda: 1  # type: ignore[method-assign]
+    racer = LakeTable(spark, tmp_table)
+    racer._commit([], op="append")  # wins version 2
+    racer_doc = open(racer._manifest_file(2)).read()
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriteError):
+        t1._commit([], op="append")
+    # winner's manifest intact, loser clobbered nothing
+    assert open(racer._manifest_file(2)).read() == racer_doc
+    assert racer.latest_version() == 2
