@@ -98,7 +98,8 @@ class OlistPipeline:
     # -------------------------------------------------------------- silver
 
     def silver_conform(self) -> None:
-        """Incrementally conform each bronze table into silver."""
+        """Incrementally conform each bronze table into silver
+        (batch-incremental tier: LakeTable change feed + version state)."""
         for name, contract in CONTRACTS.items():
             bronze = self.table("bronze", name)
             if not bronze.exists():
@@ -106,39 +107,69 @@ class OlistPipeline:
             silver = self.table("silver", name)
 
             def _conform(batch: DataFrame, name=name, contract=contract, silver=silver) -> None:
-                cleaned = clean(batch, contract.clean_spec).withColumn(
-                    "silver_processed_ts", self._now()
-                )
-                if name == "geolocation":
-                    self._conform_geolocation(cleaned, silver)
-                    return
-                deduped = dedup_latest(
-                    cleaned,
+                self._conform_batch(batch, name, contract, silver)
+
+            self.runner.process(f"silver_{name}", bronze, _conform)
+
+    def silver_conform_stream(self) -> None:
+        """True streaming silver (reference S6 parity,
+        02_bronze_to_silver.py:20-24): each bronze table is consumed as a
+        Structured Streaming source (LakeTable.read_stream) under
+        trigger(availableNow) with a per-table checkpoint — silver runs
+        as a StreamingQuery, not a batch poll. The conform body is the
+        same as the batch-incremental tier; the downstream guarded merge
+        makes redelivery idempotent either way."""
+        for name, contract in CONTRACTS.items():
+            bronze = self.table("bronze", name)
+            if not bronze.exists():
+                continue
+            silver = self.table("silver", name)
+
+            def _conform(batch: DataFrame, _epoch: int, name=name, contract=contract, silver=silver) -> None:
+                self._conform_batch(batch, name, contract, silver)
+
+            run_available_now(
+                bronze.read_stream(),
+                checkpoint_dir=os.path.join(
+                    self.lake_root, "_checkpoints", f"silver_{name}"
+                ),
+                batch_fn=_conform,
+            )
+
+    def _conform_batch(self, batch: DataFrame, name: str, contract, silver: LakeTable) -> None:
+        """One micro-batch of bronze rows -> silver (clean / type / dedup
+        / guarded upsert; 02_bronze_to_silver.py per-table semantics)."""
+        cleaned = clean(batch, contract.clean_spec).withColumn(
+            "silver_processed_ts", self._now()
+        )
+        if name == "geolocation":
+            self._conform_geolocation(cleaned, silver)
+            return
+        deduped = dedup_latest(
+            cleaned,
+            keys=list(contract.merge_keys),
+            version_col=contract.version_col,
+            tie_breakers=("source_file",),
+        )
+        if contract.incremental:
+            silver.merge_upsert(
+                deduped,
+                keys=list(contract.merge_keys),
+                guard_col=contract.version_col,
+            )
+        else:
+            # full refresh (reviews, 02:543-550): rebuild from ALL
+            # bronze rows, not just the batch
+            full = clean(self.table("bronze", name).read(), contract.clean_spec)
+            full = full.withColumn("silver_processed_ts", self._now())
+            silver.overwrite(
+                dedup_latest(
+                    full,
                     keys=list(contract.merge_keys),
                     version_col=contract.version_col,
                     tie_breakers=("source_file",),
                 )
-                if contract.incremental:
-                    silver.merge_upsert(
-                        deduped,
-                        keys=list(contract.merge_keys),
-                        guard_col=contract.version_col,
-                    )
-                else:
-                    # full refresh (reviews, 02:543-550): rebuild from ALL
-                    # bronze rows, not just the batch
-                    full = clean(self.table("bronze", name).read(), contract.clean_spec)
-                    full = full.withColumn("silver_processed_ts", self._now())
-                    silver.overwrite(
-                        dedup_latest(
-                            full,
-                            keys=list(contract.merge_keys),
-                            version_col=contract.version_col,
-                            tie_breakers=("source_file",),
-                        )
-                    )
-
-            self.runner.process(f"silver_{name}", bronze, _conform)
+            )
 
     def _conform_geolocation(self, cleaned: DataFrame, silver: LakeTable) -> None:
         """Consolidate per zip: centroid = avg(lat/lng), label = modal

@@ -521,9 +521,14 @@ def _merge_dataframes(
       before the commit (atomicity: no manifest is written).
     - match detection uses an explicit constant marker column, not
       `keys[0] IS NOT NULL`, so NULL-key source rows merge correctly
-      through the eqNullSafe join (ADVICE r1 #3)."""
-    cols = target.columns
+      through the eqNullSafe join (ADVICE r1 #3).
+
+    Additive schema evolution (reference 01_bronze_csv_to_delta.py:40):
+    output columns are the UNION of target and source columns — a column
+    new in the source survives the merge, reading NULL for rows the
+    source didn't update."""
     src_cols = source.columns
+    cols = target.columns + [c for c in src_cols if c not in target.columns]
 
     kcnt = F.count(F.lit(1)).over(W.partitionBy(*keys))
     dup_msg = F.concat(
@@ -558,20 +563,29 @@ def _merge_dataframes(
     else:
         source_wins = matched
 
+    tgt_cols = set(target.columns)
+
+    def _t_val(c: str):  # target-side value (NULL for source-new columns)
+        if c in tgt_cols:
+            return F.col(f"t.{c}")
+        return F.lit(None).cast(source.schema[c].dataType)
+
     joined = t.join(s, cond, "left")
     updated = joined.select(
         *[
-            F.when(
-                source_wins, F.col(f"s.{c}") if c in src_cols else F.col(f"t.{c}")
-            )
-            .otherwise(F.col(f"t.{c}"))
+            F.when(source_wins, F.col(f"s.{c}") if c in src_cols else _t_val(c))
+            .otherwise(_t_val(c))
             .alias(c)
             for c in cols
         ]
     )
     inserts = s.join(t, cond, "left_anti").select(
         *[
-            (F.col(c) if c in src_cols else F.lit(None)).alias(c)
+            (
+                F.col(c)
+                if c in src_cols
+                else F.lit(None).cast(target.schema[c].dataType)
+            ).alias(c)
             for c in cols
         ]
     )
