@@ -1,0 +1,64 @@
+"""Distributed id assignment.
+
+The reference mints surrogate keys with monotonically_increasing_id
+(db_notebooks/03_gold_dimensions.py:142-145) and the engine's gate query
+`surrogate_dim_customer` mirrors the deterministic spelling with a
+GLOBAL-window row_number — correct, but a single-reducer plan (VERDICT
+r1 wrong #3). `dense_row_ids` is the scale path: the same dense
+1..N-by-order ids with no global sort.
+
+Shape: two tiny auxiliary jobs (min/max, then per-bucket counts — a
+bounded `n_buckets`-row collect), then one partitioned window. The order
+column is range-bucketed with deterministic equal-width boundaries (no
+sampling — `repartitionByRange` would be nondeterministic across
+branch re-evaluation), row_number runs per bucket in parallel, and a
+broadcast map of cumulative bucket offsets shifts each bucket into
+place. Equal to `row_number() OVER (ORDER BY order_col)` whenever the
+order column is unique (enforced by the caller; ties would order
+arbitrarily within a bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dense_row_ids(
+    df: DataFrame,
+    order_col: str,
+    out: str = "row_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Dense 1..N ids in `order_col` order, computed distributed."""
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:  # empty input
+        return df.withColumn(out, F.lit(None).cast("long"))
+    span = float(hi) - float(lo) + 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(span)
+         * F.lit(n_buckets)).cast("long"),
+    )
+    bucketed = df.withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for i in range(n_buckets):
+        offsets[i] = acc
+        acc += counts.get(i, 0)
+    omap = F.create_map(
+        *[x for i in range(n_buckets) for x in (F.lit(i), F.lit(offsets[i]))]
+    )
+    w = W.partitionBy("__bucket").orderBy(F.col(order_col).asc())
+    return (
+        bucketed.withColumn(
+            out, (F.row_number().over(w) + omap[F.col("__bucket")]).cast("long")
+        )
+        .drop("__bucket")
+    )

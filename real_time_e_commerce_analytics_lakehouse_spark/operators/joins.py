@@ -106,7 +106,16 @@ def range_join(
     Pick ``bucket_width`` ~ the typical interval length: wider buckets mean
     fewer replicated interval rows, narrower buckets mean less post-filter
     waste.
+
+    ``how``: 'inner' or 'left' (points side preserved — a point matching
+    no interval keeps one NULL-extended row, because the exact range
+    predicate lives IN the join condition, not a post-filter that would
+    discard NULL-extended rows; ADVICE r1 #5). Right/full outer cannot be
+    offered: the interval side is replicated per overlapped bucket, so
+    its unmatched rows would surface once per bucket.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     keys = _as_list(on) if on else []
     bw = F.lit(bucket_width)
     i = intervals.withColumn(
@@ -120,9 +129,8 @@ def range_join(
     )
     p = points.withColumn("__bucket", F.floor(F.col(point_col) / bw).cast("long"))
     cond = [p["__bucket"] == i["__bucket"]] + [p[k] == i[k] for k in keys]
-    joined = p.join(i, cond, how).filter(
-        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
-    )
+    exact = (p[point_col] >= i[start_col]) & (p[point_col] < i[end_col])
+    joined = p.join(i, cond + [exact], how)
     drop = ["__bucket"] + [i[k] for k in keys]
     out = joined.drop(p["__bucket"]).drop(*drop) if keys else joined.drop("__bucket")
     return out

@@ -175,7 +175,11 @@ def except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.c_custkey == orders.o_custkey,
         "left_semi",
     ).select("c_custkey", "c_mktsegment")
-    return base.exceptAll(open_cust).distinct()
+    # DataFrame.subtract IS SQL's (distinct) EXCEPT; exceptAll().distinct()
+    # would subtract multiplicities first — different answer when the left
+    # side has duplicate rows that also appear (fewer times) on the right
+    # (ADVICE r1 #4).
+    return base.subtract(open_cust)
 
 
 @register(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.operators import (
@@ -150,3 +151,85 @@ def test_pandas_cosine_matches_exact_topk(spark, sf_dir):
         fvid, fsim = fast[key]
         assert fvid == vid, f"rank order diverged at {key}"
         assert abs(fsim - sim) < 1e-6
+
+
+# ---------------------------------------------------------------- round 2
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", i % 7, float(i)) for i in range(500)] + [("b", 1, 2.5)],
+        "k string, n long, x double",
+    )
+    got = salted_agg(
+        df,
+        "k",
+        {
+            "sum_x": ("sum", "x"),
+            "n_rows": ("count", "n"),
+            "min_n": ("min", "n"),
+            "max_x": ("max", "x"),
+            "avg_x": ("avg", "x"),
+        },
+        salt=4,
+    )
+    exp = df.groupBy("k").agg(
+        F.sum("x").alias("sum_x"),
+        F.count("n").alias("n_rows"),
+        F.min("n").alias("min_n"),
+        F.max("x").alias("max_x"),
+        F.avg("x").alias("avg_x"),
+    )
+    g = {r.k: (round(r.sum_x, 9), r.n_rows, r.min_n, r.max_x, round(r.avg_x, 9)) for r in got.collect()}
+    e = {r.k: (round(r.sum_x, 9), r.n_rows, r.min_n, r.max_x, round(r.avg_x, 9)) for r in exp.collect()}
+    assert g == e
+
+
+def test_salted_agg_rejects_non_combinable(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("a", 1)], "k string, n long")
+    with pytest.raises(ValueError, match="not a combinable"):
+        salted_agg(df, "k", {"bad": ("median", "n")})
+
+
+def test_two_stage_count_distinct_equals_countdistinct(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.skew import (
+        two_stage_count_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i % 13) for i in range(200)] + [("b", None), ("b", 5)],
+        "k string, v long",
+    )
+    got = {r.k: r.n_distinct for r in two_stage_count_distinct(df, "k", "v").collect()}
+    exp = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == exp == {"a": 13, "b": 1}
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(1, 5.0), (2, 50.0)], "pid long, t double")
+    intervals = spark.createDataFrame([(10, 0.0, 10.0)], "iid long, s double, e double")
+    out = range_join(points, intervals, "t", "s", "e", bucket_width=10, how="left")
+    rows = {r.pid: r.iid for r in out.collect()}
+    assert rows == {1: 10, 2: None}  # unmatched point survives NULL-extended
+    with pytest.raises(ValueError, match="inner.*left"):
+        range_join(points, intervals, "t", "s", "e", 10, how="full")
+
+
+def test_dense_row_ids_matches_global_row_number(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.ids import dense_row_ids
+
+    # non-contiguous, unordered keys
+    keys = [917, 3, 44, 250000, 17, 999, 123456, 2, 71]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.row_id for r in dense_row_ids(df, "k", n_buckets=4).collect()}
+    expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expected
