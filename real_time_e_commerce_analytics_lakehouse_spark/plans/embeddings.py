@@ -331,3 +331,174 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+# ------------------------------------------------------------------ k-means
+
+KM_CELLS = 16  # trained IVF cells
+KM_ROUNDS = 2  # Lloyd iterations (each = one assign + one recombine)
+KM_DIM = 64
+
+
+def _km_cos(a: str, b: str, dialect: str) -> str:
+    """Cosine over already-double arrays (no re-cast)."""
+    return vx.cosine(a, b, dialect)
+
+
+def _kmeans_sql() -> str:
+    """DuckDB twin of the trained-IVF plan, Lloyd rounds unrolled as CTEs.
+
+    Exactness design (why this hashes identically to Spark): spherical
+    k-means needs only a centroid DIRECTION, and cosine is scale-
+    invariant — so the centroid is the componentwise SUM of member
+    vectors (never divided by the count). Each component sum is a
+    sequential left-fold in vec_id order (DuckDB list_reduce over
+    list(... ORDER BY vec_id); Spark aggregate() over a sort_array'd
+    collect_list) — IEEE doubles folded in the same order on both
+    engines are bit-identical, so assignments, probes and rankings
+    agree with no rounding fudge."""
+
+    def assign_cte(cents: str, vec_filter: str, out_id: str, keep: int) -> str:
+        return f"""(
+        SELECT {out_id}, cell_id FROM (
+            SELECT e.vec_id AS {out_id}, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_km_cos('e.emb', 'c.c_emb', 'duck')} DESC,
+                                c.cell_id ASC) AS rn
+            FROM e CROSS JOIN {cents} c {vec_filter}
+        ) WHERE rn <= {keep})"""
+
+    def update_cte(assigned: str) -> str:
+        return f"""(
+        SELECT cell_id, list(sx ORDER BY pos) AS c_emb FROM (
+            SELECT a.cell_id, r.i AS pos,
+                   list_reduce(list(e.emb[r.i] ORDER BY e.vec_id),
+                               (x, y) -> x + y) AS sx
+            FROM {assigned} a JOIN e USING (vec_id)
+            CROSS JOIN range(1, {KM_DIM + 1}) r(i)
+            GROUP BY a.cell_id, r.i
+        ) GROUP BY cell_id)"""
+
+    rounds = []
+    prev = "c0"
+    for n in range(1, KM_ROUNDS + 1):
+        rounds.append(f"a{n} AS {assign_cte(prev, '', 'vec_id', 1)}")
+        rounds.append(f"c{n} AS {update_cte(f'a{n}')}")
+        prev = f"c{n}"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < {KM_CELLS}),
+    {', '.join(rounds)},
+    af AS {assign_cte(prev, '', 'vec_id', 1)},
+    probes AS {assign_cte(prev, f'WHERE e.vec_id < {N_QUERIES}', 'query_id', N_PROBE)},
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN af a USING (cell_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               {_km_cos('q.emb', 'v.emb', 'duck')} AS sim
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e v ON v.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@register(
+    "ivf_kmeans_topk",
+    oracle=_kmeans_sql(),
+    doc=(
+        f"IVF with a TRAINED quantizer (VERDICT r1 next #7): {KM_ROUNDS} "
+        f"deterministic Lloyd rounds refine the first-{KM_CELLS}-vector "
+        "seeds, then probe-2 + exact rerank as in ivf_ann_topk. Spherical "
+        "k-means trick for cross-engine exactness: centroids are "
+        "componentwise SUMS of members folded in vec_id order (cosine is "
+        "scale-invariant, so no division — decimal-free, bit-identical "
+        "to the DuckDB oracle). Each round = one crossJoin(16-row "
+        "broadcast) assignment + one posexplode/group recombine; the "
+        "16xDIM centroid set is collected per round (bounded, the same "
+        "driver-roundtrip MLlib's KMeans does each iteration)."
+    ),
+    tags=("embeddings", "simsearch"),
+)
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.expr("cast(embedding as array<double>)").alias("emb"))
+
+    def assign(vecs: DataFrame, cents: DataFrame, id_out: str, keep: int) -> DataFrame:
+        sims = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim", F.expr(_km_cos("emb", "c_emb", "spark"))
+        )
+        w = W.partitionBy(id_out).orderBy(F.desc("__sim"), F.asc("cell_id"))
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(id_out, "cell_id")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        comp = assigned.join(e, "vec_id").select(
+            "cell_id", "vec_id", F.posexplode("emb").alias("pos", "x")
+        )
+        per_pos = comp.groupBy("cell_id", "pos").agg(
+            F.expr(
+                "aggregate(transform(sort_array(collect_list(struct(vec_id, x))),"
+                " s -> s.x), cast(0 as double), (a, v) -> a + v)"
+            ).alias("sx")
+        )
+        return per_pos.groupBy("cell_id").agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, sx))), s -> s.sx)"
+            ).alias("c_emb")
+        )
+
+    def materialize(cents: DataFrame) -> DataFrame:
+        rows = [(r["cell_id"], list(r["c_emb"])) for r in cents.collect()]
+        return spark.createDataFrame(rows, "cell_id long, c_emb array<double>")
+
+    cents = e.filter(F.col("vec_id") < KM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb")
+    )
+    for _ in range(KM_ROUNDS):
+        assigned = assign(e.select("vec_id", "emb"), cents, "vec_id", 1)
+        cents = materialize(update(assigned))
+
+    final_assigned = assign(e.select("vec_id", "emb"), cents, "vec_id", 1)
+    probes = assign(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        ).withColumnRenamed("query_id", "vec_id"),
+        cents,
+        "vec_id",
+        N_PROBE,
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        probes.join(final_assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    v = e.select("vec_id", F.col("emb").alias("v_emb"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "vec_id")
+        .select(
+            "query_id", "vec_id",
+            F.expr(_km_cos("q_emb", "v_emb", "spark")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )
