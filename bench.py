@@ -14,13 +14,24 @@ what the driver's own harness does.) Result sizes are bounded (top-k /
 grouped outputs), so driver transfer is negligible. A warmup query
 first amortizes JVM/codegen startup so numbers reflect steady-state
 engine throughput, not JIT warmup.
+
+Regression tracking (VERDICT r1 #9): per-query steady-state times are
+compared against the newest recorded BENCH_r*.json; anything >1.25x
+slower lands in "regressions". The table layer is timed separately via
+the silver->gold mart round-trip (pipelines/mart_bench) under
+"table_layer" — kept OUT of the headline total so `value` stays
+comparable across rounds.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -28,6 +39,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
 from real_time_e_commerce_analytics_lakehouse_spark.session import get_spark
+
+REGRESSION_RATIO = 1.25
+
+
+def _latest_recorded() -> tuple[str, dict] | None:
+    """Newest BENCH_r{N}.json in the repo root, by round number."""
+    here = Path(__file__).resolve().parent
+    cands = []
+    for p in glob.glob(str(here / "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None
+    _, path = max(cands)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the driver wraps bench.py's JSON line under "parsed"
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    return os.path.basename(path), doc
 
 
 def main() -> None:
@@ -62,6 +97,38 @@ def main() -> None:
         timings[name] = round(min(time.perf_counter() - t1, cold[name]), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # table-layer round-trip (cold only: it is write-dominated, and a
+    # second run would just re-pay the same disk I/O)
+    from real_time_e_commerce_analytics_lakehouse_spark.pipelines.mart_bench import (
+        mart_build_roundtrip,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="mart_bench_")
+    try:
+        t0 = time.perf_counter()
+        mart_stats = mart_build_roundtrip(spark, sf_dir, workdir)
+        mart_secs = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # regression check vs the newest recorded round
+    prev = _latest_recorded()
+    prev_info: dict = {}
+    regressions: dict[str, float] = {}
+    if prev is not None:
+        prev_file, prev_doc = prev
+        prev_q = prev_doc.get("queries", {})
+        for name, secs in timings.items():
+            old = prev_q.get(name)
+            if old and old > 0 and secs / old > REGRESSION_RATIO:
+                regressions[name] = round(secs / old, 2)
+        prev_info = {
+            "file": prev_file,
+            "total": prev_doc.get("value"),
+            "ratio": round(total / prev_doc["value"], 3) if prev_doc.get("value") else None,
+        }
+
     print(
         json.dumps(
             {
@@ -70,6 +137,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_run": cold,
+                "table_layer": {"mart_build": mart_secs, **mart_stats},
+                "prev": prev_info,
+                "regressions": regressions,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

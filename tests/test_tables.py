@@ -356,3 +356,43 @@ def test_merge_upsert_null_key_row_not_dropped(spark, tmp_table):
     t.merge_upsert(src, keys="id", guard_col="ver")
     rows = {r.id: (r.v, r.ver) for r in t.read().collect()}
     assert rows == {None: ("new", 2), 7: ("k", 1)}
+
+
+def test_mart_build_roundtrip_equivalence(spark, tmp_path):
+    """The benched silver->gold round-trip must produce the same mart as
+    computing directly from the raw parquet (table layer adds no drift),
+    with the merged month's correction applied."""
+    from real_time_e_commerce_analytics_lakehouse_spark.pipelines.mart_bench import (
+        mart_build_roundtrip,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stats = mart_build_roundtrip(spark, sf_dir, str(tmp_path / "mart"))
+    assert stats["silver_units"] > 50  # month-partitioned
+    assert stats["mart_rows"] > 0
+
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    gold = LakeTable(spark, str(tmp_path / "mart" / "gold" / "revenue_by_month_status"))
+    got = {
+        (r.l_month, r.o_orderstatus): (r.revenue, r.n_items)
+        for r in gold.read().collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exp = {
+        (r.l_month, r.o_orderstatus): (r.revenue, r.n_items)
+        for r in li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_month", "o_orderstatus")
+        .agg(
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice * (1 - l_discount)"
+                " as decimal(18,6))), 2) as double)"
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .collect()
+    }
+    assert got == exp
