@@ -69,9 +69,12 @@ class EventsStreamPipeline:
         """Partition-scoped incremental mart refresh (the replaceWhere
         pattern — SURVEY §7 risk 4): recompute ONLY the given dates'
         rollup rows and merge them by (event_date, event_type)."""
-        facts = self.table.read()
-        if for_dates:
-            facts = facts.filter(F.col("event_date").isin(for_dates))
+        # manifest-level partition pruning: only the requested dates'
+        # units are scanned (a .filter on event_date could not prune —
+        # the partition column is join-restored after the scan)
+        facts = self.table.read(
+            partitions={"event_date": for_dates} if for_dates else None
+        )
         rollup = facts.groupBy("event_date", "event_type").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),

@@ -295,12 +295,43 @@ class LakeTable:
 
     # ------------------------------------------------------------------ api
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (S5). `version` = time travel."""
+    def read(
+        self,
+        version: int | None = None,
+        partitions: dict[str, Sequence[object]] | None = None,
+    ) -> DataFrame:
+        """Snapshot read (S5). `version` = time travel.
+
+        `partitions` = manifest-level partition pruning (what Delta's
+        file-skipping gives the reference): {col: allowed values} keeps
+        only units whose partition matches, so a one-day read of a
+        year-partitioned fact scans one day's files — a DataFrame
+        `.filter` on the partition column could not prune, because the
+        partition value is restored by a post-scan join."""
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no table at {self.path}")
-        return self._read_units(self._read_manifest(v))
+        units = self._read_manifest(v)
+        if partitions:
+            unknown = set(partitions) - set(self.partition_by)
+            if unknown:
+                raise ValueError(
+                    f"not partition columns of {self.path}: {sorted(unknown)}"
+                )
+            allowed = {
+                c: {_part_str(x) for x in vals} for c, vals in partitions.items()
+            }
+            units = [
+                u
+                for u in units
+                if all(
+                    self._unit_key(u)[self.partition_by.index(c)] in vals
+                    for c, vals in allowed.items()
+                )
+            ]
+            if not units:
+                return self._read_units(self._read_manifest(v)).limit(0)
+        return self._read_units(units)
 
     def read_changes(self, since_version: int | None) -> DataFrame | None:
         """Incremental change read (S6 batch-incremental analog): rows in

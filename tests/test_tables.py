@@ -396,3 +396,30 @@ def test_mart_build_roundtrip_equivalence(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_read_partition_pruning(spark, tmp_table):
+    """Manifest-level partition pruning: only matching units are scanned
+    (the partition column is join-restored post-scan, so a .filter could
+    never prune the file set)."""
+    t = LakeTable(spark, tmp_table, partition_by=["dt"])
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}") for i in range(50)], "id long, dt string"
+    )
+    t.overwrite(df)
+
+    pruned = t.read(partitions={"dt": ["2024-01-02", "2024-01-03"]})
+    assert pruned.count() == 20
+    assert {r.dt for r in pruned.select("dt").distinct().collect()} == {
+        "2024-01-02", "2024-01-03",
+    }
+    # the scan's location list holds only the 2 matching units
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dt=2024-01-01" not in plan and "dt=2024-01-04" not in plan
+
+    # no matching partition -> empty frame with the full schema
+    empty = t.read(partitions={"dt": ["1999-01-01"]})
+    assert empty.count() == 0 and set(empty.columns) == {"id", "dt"}
+
+    with pytest.raises(ValueError, match="not partition columns"):
+        t.read(partitions={"nope": ["x"]})
