@@ -157,9 +157,16 @@ class LakeTable:
             doc = json.load(f)
         return [_Unit.from_json(u) for u in doc["units"]]
 
-    def _commit(self, units: list[_Unit], op: str) -> int:
+    def _commit(
+        self, units: list[_Unit], op: str, base_version: int | None = None
+    ) -> int:
+        """Atomic manifest commit. `base_version` = the snapshot version
+        the caller's decision was READ at; the commit targets base+1, so
+        a concurrent commit in between makes the exclusive create fail
+        (lost-update detection, Delta's optimistic protocol). Without a
+        base (overwrite — no read dependency), targets latest+1."""
         os.makedirs(self._log_path(), exist_ok=True)
-        current = self.latest_version()
+        current = base_version if base_version is not None else self.latest_version()
         new_version = (current or 0) + 1
         doc = {
             "version": new_version,
@@ -342,6 +349,13 @@ class LakeTable:
         latest = self.latest_version()
         if latest is None or (since_version is not None and latest <= since_version):
             return None
+        if since_version and not os.path.exists(self._manifest_file(since_version)):
+            raise FileNotFoundError(
+                f"consumer's last-seen version {since_version} of {self.path} "
+                "is outside the vacuum retention horizon — exact CDC is "
+                "impossible; re-read the full snapshot (read()) and resume "
+                "from the current version"
+            )
         old_paths = (
             {u.path for u in self._read_manifest(since_version)}
             if since_version
@@ -389,9 +403,28 @@ class LakeTable:
 
     def append(self, df: DataFrame) -> int:
         """Append commit (S8). Old units stay; new units are added — no
-        rewrite, which is what makes streaming ingest cheap."""
-        current = self._read_manifest(v) if (v := self.latest_version()) else []
-        return self._commit(current + self._write_units(df), op="append")
+        rewrite, which is what makes streaming ingest cheap. Blind
+        appends commute, so losing a commit race is recoverable: the
+        data is already written, only the manifest is rebased onto the
+        winner's snapshot and retried (Delta's optimistic-concurrency
+        retry for AppendOnly transactions). Merge/overwrite ops do NOT
+        rebase — their read snapshot is part of the decision, so a
+        concurrent commit surfaces as ConcurrentWriteError."""
+        return self._commit_rebase(self._write_units(df), op="append")
+
+    def _commit_rebase(
+        self, new_units: list[_Unit], op: str, max_retries: int = 5
+    ) -> int:
+        for _ in range(max_retries):
+            v = self.latest_version()
+            current = self._read_manifest(v) if v else []
+            try:
+                return self._commit(current + new_units, op=op, base_version=v or 0)
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"append to {self.path} lost the commit race {max_retries} times"
+        )
 
     def create_if_absent(self, df: DataFrame) -> int | None:
         """S13 create-on-first-write guard."""
@@ -401,8 +434,9 @@ class LakeTable:
 
     def compact(self) -> int:
         """OPTIMIZE analog: rewrite the current snapshot as one unit set."""
-        df = self.read()
-        return self._commit(self._write_units(df), op="compact")
+        v = self.latest_version()
+        df = self.read(version=v)
+        return self._commit(self._write_units(df), op="compact", base_version=v)
 
     def vacuum(self, keep_last_n: int = 1) -> dict[str, int]:
         """VACUUM analog (Delta gives the reference this for free; VERDICT
@@ -457,11 +491,14 @@ class LakeTable:
         ks = [keys] if isinstance(keys, str) else list(keys)
         if not self.exists():
             return self.overwrite(source)
-        current = self._read_manifest(self.latest_version())
+        v = self.latest_version()
+        current = self._read_manifest(v)
         fresh = self._insert_only_fresh(source, ks, current)
         if fresh.isEmpty():
-            return self.latest_version()  # nothing new: no commit needed
-        return self._commit(current + self._write_units(fresh), op="merge_insert_only")
+            return v  # nothing new: no commit needed
+        return self._commit(
+            current + self._write_units(fresh), op="merge_insert_only", base_version=v
+        )
 
     def _insert_only_fresh(
         self, source: DataFrame, ks: list[str], current: list[_Unit]
@@ -508,7 +545,8 @@ class LakeTable:
         if not self.exists():
             return self.overwrite(source)
 
-        current_units = self._read_manifest(self.latest_version())
+        base_v = self.latest_version()
+        current_units = self._read_manifest(base_v)
         if self.partition_by:
             # restrict the rewrite to partitions present in the source
             src_parts = self._source_partitions(source)
@@ -536,7 +574,7 @@ class LakeTable:
                     "dedup first (operators.dedup.dedup_latest)"
                 ) from None
             raise
-        return self._commit(untouched + new_units, op="merge_upsert")
+        return self._commit(untouched + new_units, op="merge_upsert", base_version=base_v)
 
 
 def _merge_dataframes(

@@ -68,3 +68,27 @@ def test_streaming_dedup_and_partitioned_ingest(spark, tmp_path):
         spark, os.path.join(lake, "metrics", "events_daily"), partition_by=["event_date"]
     ).read()
     assert mart2.count() == 2
+
+
+def test_maintain_compacts_and_vacuums(spark, tmp_path):
+    """Stream-ingested fact tables stay bounded: compact + vacuum after
+    ingest, content unchanged."""
+    import os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    lake = str(tmp_path / "lake")
+    p = EventsStreamPipeline(spark, lake, watermark="1 hour")
+    t = p.table
+    for day in ("2024-01-01", "2024-01-02"):
+        batch = spark.createDataFrame(
+            [(f"{day}-e{i}", day, float(i)) for i in range(5)],
+            "event_id string, event_date string, value double",
+        )
+        t.merge_insert_only(batch, keys="event_id")
+    dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+
+    stats = p.maintain(keep_versions=1)
+    assert stats["removed_commit_dirs"] >= 1
+    assert len(os.listdir(os.path.join(t.path, "data"))) < dirs_before
+    assert t.read().count() == 10

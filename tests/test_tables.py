@@ -423,3 +423,38 @@ def test_read_partition_pruning(spark, tmp_table):
 
     with pytest.raises(ValueError, match="not partition columns"):
         t.read(partitions={"nope": ["x"]})
+
+
+def test_append_rebases_on_concurrent_commit(spark, tmp_table, monkeypatch):
+    """Blind appends commute: losing the commit race rebases the new
+    units onto the winner's manifest and retries (optimistic
+    concurrency for AppendOnly transactions)."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    racer = LakeTable(spark, tmp_table)
+
+    orig_commit = LakeTable._commit
+    state = {"raced": False}
+
+    def racing_commit(self, units, op, base_version=None):
+        # the first commit attempt of the APPEND gets beaten by a racer
+        if not state["raced"] and op == "append" and self is t:
+            state["raced"] = True
+            racer.append(_df(spark, [(2, "racer", 1)]))
+        return orig_commit(self, units, op, base_version)
+
+    monkeypatch.setattr(LakeTable, "_commit", racing_commit)
+    t.append(_df(spark, [(3, "mine", 1)]))
+
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    assert t.latest_version() == 3  # overwrite, racer append, rebased append
+
+
+def test_read_changes_behind_vacuum_horizon_raises_clearly(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]))
+    t.append(_df(spark, [(3, "c", 1)]))
+    t.vacuum(keep_last_n=1)
+    with pytest.raises(FileNotFoundError, match="retention horizon"):
+        t.read_changes(v1)
