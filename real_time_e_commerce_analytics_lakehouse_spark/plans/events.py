@@ -235,3 +235,47 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(k).alias("n_with_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "sliding_6h_events",
+    oracle=f"""
+    {EVENTS_CTE},
+    slid AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) - (r.k * INTERVAL '1 hour')
+                   AS window_start,
+               value
+        FROM ev CROSS JOIN range(0, 6) r(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '6 hours' AS window_end,
+           count(*) AS n_events,
+           {dec_sum('value')} AS sum_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding event-time windows (6h width, 1h slide — batch "
+        "declaration of the streaming sliding-window capability in "
+        "streaming/windows.py): every event lands in 6 overlapping "
+        "windows. Spark's F.window replicates rows window-count times "
+        "then aggregates with map-side partials; the oracle spells the "
+        "same replication as a range cross join."
+    ),
+    tags=("events", "window-agg"),
+)
+def sliding_6h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(dec_sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

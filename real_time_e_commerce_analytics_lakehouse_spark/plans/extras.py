@@ -362,3 +362,40 @@ def promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=week_us,
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipments"))
+
+
+@register(
+    "order_price_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_rank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    doc=(
+        "Ranking-function family (dense_rank / ntile / percent_rank / "
+        "cume_dist) over a per-status price ordering with a full "
+        "tie-breaker, so every rank — including ntile's positional "
+        "quartiles — is deterministic across engines."
+    ),
+    tags=("window",),
+)
+def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).cast("long").alias("price_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
