@@ -188,3 +188,29 @@ def langid_case(tokens_expr: str, dialect: str) -> str:
         f"when {c['fr']} >= {c['es']} then 'fr' "
         "else 'es' end"
     )
+
+
+def hash_bucket(expr: str, buckets: int, dialect: str) -> str:
+    """Deterministic [0, buckets) bucket from md5 of an expression — the
+    cross-engine replacement for rand()-based sampling: same row, same
+    bucket, forever (reproducible data mixing / splits). First 8 hex
+    chars = an unbiased 32-bit slice of the digest."""
+    if dialect == "spark":
+        return (
+            f"pmod(cast(conv(substr(md5(cast({expr} as string)), 1, 8), 16, 10) "
+            f"as bigint), {buckets})"
+        )
+    return f"(('0x' || substr(md5(cast({expr} as VARCHAR)), 1, 8))::BIGINT % {buckets})"
+
+
+def redact(col: str, dialect: str) -> str:
+    """PII-style scrubbing: emails then 4+ digit runs, masked with typed
+    placeholders. Patterns kept in the RE2 ∩ Java-regex subset so both
+    engines rewrite identically."""
+    email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    digits = "[0-9]{4,}"
+    if dialect == "spark":
+        inner = f"regexp_replace(lower({col}), '{email}', '<EMAIL>')"
+        return f"regexp_replace({inner}, '{digits}', '<NUM>')"
+    inner = f"regexp_replace(lower({col}), '{email}', '<EMAIL>', 'g')"
+    return f"regexp_replace({inner}, '{digits}', '<NUM>', 'g')"

@@ -62,3 +62,52 @@ def dense_row_ids(
         )
         .drop("__bucket")
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "cumsum",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Running SUM(value) in `order_col` order without a single-reducer
+    global window: same range-bucket + per-bucket window + broadcast
+    offsets shape as dense_row_ids, with offsets = cumulative BUCKET
+    SUMS. Exact for integer values (offsets add exactly); equal to
+    `sum(value) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)`
+    when the order column is unique."""
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    span = float(hi) - float(lo) + 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(span)
+         * F.lit(n_buckets)).cast("long"),
+    )
+    bucketed = df.withColumn("__bucket", bucket)
+    sums = {
+        r["__bucket"]: r["s"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for i in range(n_buckets):
+        offsets[i] = acc
+        acc += sums.get(i, 0) or 0
+    omap = F.create_map(
+        *[x for i in range(n_buckets) for x in (F.lit(i), F.lit(offsets[i]))]
+    )
+    w = (
+        W.partitionBy("__bucket")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        bucketed.withColumn(
+            out, (F.sum(value_col).over(w) + omap[F.col("__bucket")]).cast("long")
+        )
+        .drop("__bucket")
+    )

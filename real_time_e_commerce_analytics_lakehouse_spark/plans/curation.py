@@ -1,0 +1,210 @@
+"""Training-data curation operators beyond dedup/similarity: the
+selection, mixing, packing and scrubbing steps a 100 TB corpus pipeline
+runs between "raw documents" and "training shards". All deterministic —
+sampling uses md5 hash buckets instead of rand(), packing uses a
+distributed exact cumsum — so every step is reproducible AND
+differential-testable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
+from real_time_e_commerce_analytics_lakehouse_spark.operators.ids import (
+    distributed_cumsum,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    register,
+    table,
+)
+
+# per-language keep-rates out of 100 (data mixing: downsample dominant
+# languages, keep scarce ones)
+MIX_RATES = {"en": 50, "de": 100, "fr": 25, "es": 10}
+
+SHARD_TOKENS = 2000  # token budget per training shard
+BENCH_DOCS = 10  # doc_id < BENCH_DOCS form the held-out benchmark set
+
+
+def _rate_case(lang_expr: str) -> str:
+    arms = " ".join(
+        f"when {lang_expr} = '{lang}' then {rate}" for lang, rate in MIX_RATES.items()
+    )
+    return f"(case {arms} else 0 end)"
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+    WITH langs AS (
+        SELECT doc_id,
+               {tx.langid_case(tx.tokens('text', 'duck'), 'duck')} AS lang,
+               {tx.hash_bucket('doc_id', 100, 'duck')} AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+    FROM langs
+    WHERE bucket < {_rate_case('lang')}
+    """,
+    doc=(
+        "Deterministic stratified sampling (data mixing): keep-rate per "
+        "detected language, membership decided by an md5 hash bucket of "
+        "the doc id — reproducible across runs/engines (rand()-based "
+        "sampling is neither), row-local, no shuffle. The shape used to "
+        "downweight dominant languages/sources when composing a corpus."
+    ),
+    tags=("documents", "curation"),
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    lang = tx.langid_case(tx.tokens("text", "spark"), "spark")
+    bucket = tx.hash_bucket("doc_id", 100, "spark")
+    out = docs.select(
+        "doc_id",
+        F.expr(lang).alias("lang"),
+        F.expr(bucket).cast("long").alias("bucket"),
+    )
+    return out.filter(F.col("bucket") < F.expr(_rate_case("lang")))
+
+
+@register(
+    "pack_documents_into_shards",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id,
+               CAST({tx.bpe_token_count('text', 'duck')} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    summed AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+        FROM counted
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {SHARD_TOKENS}) AS BIGINT) AS shard
+    FROM summed
+    """,
+    doc=(
+        f"Token-budget shard packing: documents fill ~{SHARD_TOKENS}-token "
+        "training shards in doc_id order (shard = cumulative start div "
+        "budget). The cumsum is NOT a global-window single reducer: "
+        "operators/ids.distributed_cumsum range-buckets the order key, "
+        "cumsums per bucket in parallel, and shifts by broadcast bucket "
+        "offsets — exact integers, bit-equal to the oracle's global "
+        "window."
+    ),
+    tags=("documents", "curation"),
+)
+def pack_documents_into_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.expr(tx.bpe_token_count("text", "spark")).cast("long").alias("n_tokens"),
+    )
+    summed = distributed_cumsum(counted, "doc_id", "n_tokens", out="cum_tokens")
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / SHARD_TOKENS)
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {tx.tokens('text', 'duck')} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({tx.shingles('toks', 3, 'duck')}) AS shingle
+        FROM toks
+    ),
+    corpus AS (
+        SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id >= {BENCH_DOCS}
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id < {BENCH_DOCS}
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_contaminated
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles, h.n_contaminated,
+           round(h.n_contaminated / t.n_shingles, 6) AS contamination
+    FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    doc=(
+        f"Benchmark decontamination scan: word-3gram overlap between each "
+        f"corpus document and the held-out set (doc_id < {BENCH_DOCS}). "
+        "The join key is the shingle — candidate generation is a "
+        "shuffle-on-key (and the benchmark side is broadcast-small), "
+        "never doc x doc. Documents scoring high get dropped before "
+        "training; the ratio is exact-integer / exact-integer."
+    ),
+    tags=("documents", "curation"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(tx.tokens("text", "spark")).alias("toks"))
+    sh = toks.select(
+        "doc_id", F.explode(F.expr(tx.shingles("toks", 3, "spark"))).alias("shingle")
+    )
+    corpus = sh.filter(F.col("doc_id") >= BENCH_DOCS).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_DOCS).select("shingle").distinct()
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+@register(
+    "redact_documents",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.redact('text', 'duck')} AS redacted,
+           CAST(len(regexp_extract_all(lower(text), '[0-9]{{4,}}')) AS BIGINT)
+               AS n_number_runs
+    FROM documents
+    """,
+    doc=(
+        "PII-style scrubbing: emails and 4+ digit runs replaced with "
+        "typed placeholders, plus a per-doc count of masked number runs. "
+        "Pure row-local regexp rewrites (RE2 ∩ Java-regex subset), "
+        "zero shuffle — the shape of any at-scale scrub pass."
+    ),
+    tags=("documents", "curation"),
+)
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(tx.redact("text", "spark")).alias("redacted"),
+        F.expr("size(regexp_extract_all(lower(text), '[0-9]{4,}', 0))")
+        .cast("long")
+        .alias("n_number_runs"),
+    )

@@ -233,3 +233,23 @@ def test_dense_row_ids_matches_global_row_number(spark):
     got = {r.k: r.row_id for r in dense_row_ids(df, "k", n_buckets=4).collect()}
     expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == expected
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.ids import (
+        distributed_cumsum,
+    )
+
+    keys = [917, 3, 44, 250000, 17, 999, 123456, 2, 71]
+    df = spark.createDataFrame([(k, k % 10 + 1) for k in keys], "k long, v long")
+    got = {r.k: r.cumsum for r in distributed_cumsum(df, "k", "v", n_buckets=4).collect()}
+    w = (
+        W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    exp = {
+        r.k: r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == exp
