@@ -367,14 +367,46 @@ class OlistPipeline:
         self._metrics_orders()
         self._metrics_customers()
 
-    def _metrics_revenue(self) -> None:
-        """Revenue by (order_date, customer_state, order_status): facts
-        inner-joined to payments — unpaid orders excluded (07:26-65)."""
-        fo = self.table("gold", "fact_orders").read()
+    def metrics_revenue_incremental(self) -> bool:
+        """The 100 TB path for the revenue mart (the reference full-
+        refreshes, 07:72-78 — fine at mart cardinality, wasteful when
+        the FACTS are huge): consume the fact_orders change feed
+        (rewritten partitions/units surface as new units), recompute the
+        mart rows for the AFFECTED order dates only, and merge them by
+        the mart's grain. Work is proportional to the changed dates,
+        not the fact table. Returns True if anything was refreshed.
+
+        Grain note: a (date, state, status) group that disappears
+        entirely from a changed date would linger; full `metrics_build`
+        remains the periodic ground-truth rebuild (same answer —
+        equivalence-tested)."""
+        fo_table = self.table("gold", "fact_orders")
+        changes_seen = False
+
+        def _refresh(changed: DataFrame) -> None:
+            nonlocal changes_seen
+            changes_seen = True
+            dates = [
+                r.d
+                for r in changed.select(
+                    F.to_date("order_purchase_timestamp").alias("d")
+                ).distinct().collect()
+            ]
+            fo = fo_table.read().filter(
+                F.to_date("order_purchase_timestamp").isin(dates)
+            )
+            mart = self._revenue_mart_frame(fo)
+            self.table("metrics", "metrics_revenue").merge_upsert(
+                mart, keys=["order_date", "customer_state", "order_status"]
+            )
+
+        return self.runner.process("metrics_revenue", fo_table, _refresh) and changes_seen
+
+    def _revenue_mart_frame(self, fo: DataFrame) -> DataFrame:
         fp = self.table("gold", "fact_payments").read().select(
             "order_id", "total_payment_value"
         )
-        mart = (
+        return (
             fo.join(fp, "order_id", "inner")  # 07:31: only paid orders
             .groupBy(
                 F.to_date("order_purchase_timestamp").alias("order_date"),  # 07:39
@@ -387,6 +419,12 @@ class OlistPipeline:
             )
             .withColumn("gold_processed_ts", self._now())
         )
+
+    def _metrics_revenue(self) -> None:
+        """Revenue by (order_date, customer_state, order_status): facts
+        inner-joined to payments — unpaid orders excluded (07:26-65)."""
+        fo = self.table("gold", "fact_orders").read()
+        mart = self._revenue_mart_frame(fo)
         self.table("metrics", "metrics_revenue").overwrite(mart)  # 07:72-78
 
     def _metrics_orders(self) -> None:

@@ -432,10 +432,29 @@ class LakeTable:
             return None
         return self.overwrite(df)
 
-    def compact(self) -> int:
-        """OPTIMIZE analog: rewrite the current snapshot as one unit set."""
+    def compact(
+        self, cluster_by: Sequence[str] = (), target_files: int | None = None
+    ) -> int:
+        """OPTIMIZE analog: rewrite the current snapshot as one unit set.
+
+        `cluster_by` = OPTIMIZE ZORDER analog (single-dimension): range-
+        repartition + sort by the given columns, so each output file
+        covers a narrow value range and parquet row-group min/max stats
+        let pushed filters skip whole files/row-groups on later scans.
+        (True Z-ordering interleaves multiple dimensions; range-cluster
+        on the dominant filter column is the 80% win and needs no custom
+        file format.) `target_files` sizes the rewrite explicitly —
+        without it AQE picks (and may coalesce a small table to one
+        file, which is usually what you want locally)."""
         v = self.latest_version()
         df = self.read(version=v)
+        if cluster_by:
+            order = [F.col(c) for c in (*self.partition_by, *cluster_by)]
+            if target_files:
+                df = df.repartitionByRange(target_files, *order)
+            else:
+                df = df.repartitionByRange(*order)
+            df = df.sortWithinPartitions(*order)
         return self._commit(self._write_units(df), op="compact", base_version=v)
 
     def vacuum(self, keep_last_n: int = 1) -> dict[str, int]:

@@ -458,3 +458,35 @@ def test_read_changes_behind_vacuum_horizon_raises_clearly(spark, tmp_table):
     t.vacuum(keep_last_n=1)
     with pytest.raises(FileNotFoundError, match="retention horizon"):
         t.read_changes(v1)
+
+
+def test_compact_cluster_by_produces_disjoint_file_ranges(spark, tmp_table):
+    """OPTIMIZE ZORDER analog: after compact(cluster_by), each output
+    file covers a narrow, non-overlapping range of the cluster column —
+    parquet min/max stats then let pushed filters skip whole files."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable(spark, tmp_table)
+    scrambled = spark.range(5000).select(
+        (F.abs(F.xxhash64("id")) % 100000).alias("k"), F.col("id").alias("v")
+    )
+    t.overwrite(scrambled)
+    t.compact(cluster_by=["k"], target_files=6)
+
+    units = t._read_manifest(t.latest_version())
+    ranges = []
+    for u in units:
+        d = os.path.join(tmp_table, u.path)
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                col = md.row_group(0).column(0)
+                assert col.path_in_schema == "k"
+                mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+                maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+                ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file ranges overlap — clustering failed"
+    assert t.read().count() == 5000
