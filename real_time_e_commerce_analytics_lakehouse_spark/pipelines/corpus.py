@@ -7,12 +7,19 @@ Composes the document operators into the standard curation sequence a
   2. exact dedup       (hash-groupBy on normalized fingerprint)
   3. near-dup removal  (MinHash-LSH candidates -> exact Jaccard verify ->
                         drop the higher doc_id of each confirmed pair)
-  4. annotate          (token counts, language id — row-local)
+  4. decontamination   (optional: word-3gram overlap vs a held-out
+                        benchmark set — shingle-keyed join, benchmark
+                        side broadcast)
+  5. scrub             (optional: email/number-run redaction, row-local)
+  6. annotate          (token counts, language id — row-local)
+  7. shard packing     (optional: token-budget shard ids via the
+                        distributed exact cumsum — no global reducer)
 
 Order matters at scale: each stage shrinks the input of the next, and
-the only shuffles are the dedup groupBy and the LSH band join. Returns
-the curated DataFrame plus a per-stage audit of row counts (the
-"data lineage card" a training run wants recorded).
+the only shuffles are the dedup groupBy, the LSH band join, and the
+decontamination shingle join. Returns the curated DataFrame plus a
+per-stage audit of row counts (the "data lineage card" a training run
+wants recorded).
 """
 
 from __future__ import annotations
@@ -23,6 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
+from real_time_e_commerce_analytics_lakehouse_spark.operators.ids import (
+    distributed_cumsum,
+)
 
 
 @dataclass
@@ -31,8 +41,9 @@ class CurationReport:
     after_quality: int
     after_exact_dedup: int
     after_neardup: int
+    after_decontamination: int | None = None
 
-    def as_dict(self) -> dict[str, int]:
+    def as_dict(self) -> dict[str, int | None]:
         return self.__dict__.copy()
 
 
@@ -43,6 +54,10 @@ def curate(
     min_tokens: int = 5,
     min_chars: int = 30,
     jaccard_threshold: float = 0.6,
+    benchmark: DataFrame | None = None,
+    contamination_threshold: float = 0.5,
+    scrub: bool = False,
+    shard_tokens: int | None = None,
     with_report: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation pass. Deterministic survivor policy: the
@@ -108,7 +123,40 @@ def curate(
     to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
     deduped = exact.join(to_drop, id_col, "left_anti")
 
-    # 4. annotate (row-local)
+    # 4. decontamination vs a held-out benchmark (optional): drop docs
+    # whose distinct word-3gram overlap ratio reaches the threshold.
+    # Shingle-keyed join; the benchmark shingle set is broadcast-small.
+    after_decon = None
+    if benchmark is not None:
+        doc_sh = deduped.select(
+            id_col, F.explode(F.array_distinct(F.expr(sh))).alias("__s")
+        )
+        bench_sh = (
+            benchmark.withColumn("t", F.expr(tx.tokens(text_col, "spark")))
+            .select(F.explode(F.expr(sh)).alias("__s"))
+            .distinct()
+        )
+        totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+        hits = (
+            doc_sh.join(F.broadcast(bench_sh), "__s")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("__h"))
+        )
+        contaminated = (
+            totals.join(hits, id_col)
+            .filter(F.col("__h") / F.col("__n") >= contamination_threshold)
+            .select(id_col)
+        )
+        deduped = deduped.join(contaminated, id_col, "left_anti")
+        after_decon = deduped.count() if with_report else None
+
+    # 5. scrub (optional, row-local)
+    if scrub:
+        deduped = deduped.withColumn(
+            text_col, F.expr(tx.redact(text_col, "spark"))
+        ).withColumn("t", F.expr(tx.tokens(text_col, "spark")))
+
+    # 6. annotate (row-local)
     curated = deduped.select(
         *docs.columns,
         F.expr("size(t)").cast("long").alias("n_tokens"),
@@ -116,12 +164,25 @@ def curate(
         F.expr(tx.langid_case("t", "spark")).alias("predicted_lang"),
     )
 
+    # 7. shard packing (optional): token-budget bins in id order,
+    # exact distributed cumsum (no global-window reducer)
+    if shard_tokens:
+        curated = distributed_cumsum(
+            curated, id_col, "n_bpe_tokens", out="__cum"
+        )
+        curated = curated.withColumn(
+            "shard",
+            F.floor((F.col("__cum") - F.col("n_bpe_tokens")) / shard_tokens)
+            .cast("long"),
+        ).drop("__cum")
+
     report = None
     if with_report:
         report = CurationReport(
             input_docs=docs.count(),
             after_quality=quality.count(),
             after_exact_dedup=exact.count(),
-            after_neardup=deduped.count(),
+            after_neardup=exact.join(to_drop, id_col, "left_anti").count(),
+            after_decontamination=after_decon,
         )
     return curated, report

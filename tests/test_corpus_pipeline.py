@@ -51,3 +51,50 @@ def test_curation_idempotent(spark, sf_dir):
     assert r2.input_docs == r1.after_neardup
     assert r2.after_neardup == r1.after_neardup  # already clean: no-op
     assert once.count() == twice.count()
+
+
+def test_curation_full_stack_decon_scrub_pack(spark, sf_dir):
+    """Stages 4-7: benchmark decontamination drops overlapping docs,
+    scrubbing masks PII-ish runs, shard packing respects the token
+    budget and id order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    # benchmark = the verbatim text of two corpus docs -> 100% overlap
+    bench_rows = docs.orderBy("doc_id").limit(2).collect()
+    benchmark = spark.createDataFrame(
+        [(r.text,) for r in bench_rows], "text string"
+    )
+    # one doc with scrubbables appended
+    dirty = spark.createDataFrame(
+        [(90010,
+          "a completely unique sentence about nothing else at all "
+          "contact someone@example.com or call 5551234567 today",
+          "en", "srcx", 110)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    all_docs = docs.unionByName(dirty)
+
+    curated, report = curate(
+        all_docs,
+        benchmark=benchmark,
+        contamination_threshold=0.5,
+        scrub=True,
+        shard_tokens=500,
+    )
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    bench_ids = {r.doc_id for r in bench_rows}
+    assert bench_ids.isdisjoint(ids)  # contaminated docs dropped
+    assert report.after_decontamination == report.after_neardup - 2
+
+    scrubbed = curated.filter(F.col("doc_id") == 90010).collect()[0]
+    assert "<EMAIL>" in scrubbed.text and "<NUM>" in scrubbed.text
+    assert "example.com" not in scrubbed.text
+
+    # packing: shards are contiguous in doc_id order; each shard's token
+    # START offset stays under its boundary by construction
+    rows = sorted(curated.collect(), key=lambda r: r.doc_id)
+    shards = [r.shard for r in rows]
+    assert shards == sorted(shards)  # monotone in id order
+    cum = 0
+    for r in rows:
+        assert r.shard == cum // 500
+        cum += r.n_bpe_tokens
