@@ -96,3 +96,78 @@ def test_asof_join_model(spark, lefts, rights):
                 best = (rt, v)
         model[i] = best[1] if best else None
     assert got == model
+
+
+# ---------------------------------------------------------------- lifecycle
+
+_BATCH = st.dictionaries(
+    st.integers(0, 3),  # key
+    st.tuples(st.integers(0, 9), st.integers(0, 99)),  # (ver, payload)
+    min_size=1,
+    max_size=4,
+)
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "upsert", "insert_only", "compact", "vacuum"]),
+        _BATCH,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(first=_BATCH, ops=_OPS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_table_lifecycle_model(spark, tmp_path, first, ops):
+    """Random op chains (append / guarded upsert / insert-only merge /
+    compact / vacuum) match a naive Python list-of-rows model — content
+    preserved across the full transaction lifecycle."""
+    import uuid as _uuid
+
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    def df_of(batch):
+        return spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in sorted(batch.items())],
+            "k long, ver long, x long",
+        )
+
+    t = LakeTable(spark, str(tmp_path / _uuid.uuid4().hex))
+    t.overwrite(df_of(first))
+    model = [(k, v[0], v[1]) for k, v in sorted(first.items())]
+
+    for op, batch in ops:
+        if op == "append":
+            t.append(df_of(batch))
+            model += [(k, v[0], v[1]) for k, v in sorted(batch.items())]
+        elif op == "upsert":
+            t.merge_upsert(df_of(batch), keys="k", guard_col="ver")
+            new_model = []
+            for k, ver, x in model:
+                if k in batch and batch[k][0] > ver:
+                    new_model.append((k, batch[k][0], batch[k][1]))
+                else:
+                    new_model.append((k, ver, x))
+            present = {r[0] for r in model}
+            for k, v in sorted(batch.items()):
+                if k not in present:
+                    new_model.append((k, v[0], v[1]))
+            model = new_model
+        elif op == "insert_only":
+            t.merge_insert_only(df_of(batch), keys="k")
+            present = {r[0] for r in model}
+            model += [
+                (k, v[0], v[1]) for k, v in sorted(batch.items()) if k not in present
+            ]
+        elif op == "compact":
+            t.compact()
+        elif op == "vacuum":
+            t.vacuum(keep_last_n=1)
+
+    got = sorted((r.k, r.ver, r.x) for r in t.read().collect())
+    assert got == sorted(model)
