@@ -38,20 +38,28 @@ def asof_join(
     value_col: str,
     alias: str = "asof_value",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``value_col`` from the latest right row with
-    ``right_ts <= left_ts`` (same key). Left rows with no prior right row get
-    NULL (left-join semantics).
+    """For each left row, attach ``value_col`` from the nearest right row
+    at-or-before (``direction='backward'``, default: ``right_ts <=
+    left_ts``) or at-or-after (``direction='forward'``: ``right_ts >=
+    left_ts``) the left timestamp, same key. Left rows with no such right
+    row get NULL (left-join semantics).
 
     Implementation: tag both sides, union on a common shape, and take a
-    running ``last(value, ignorenulls=True)`` over (key, ts, side). At equal
-    timestamps the right row sorts first, so it is visible to the left row
-    (``<=``); pass ``strict=True`` for ``<``.
+    running ``last(value, ignorenulls=True)`` over (key, ts, side) —
+    scanning ascending for backward, descending for forward. At equal
+    timestamps the right row sorts first, so it is visible to the left
+    row (``<=`` / ``>=``); pass ``strict=True`` for ``<`` / ``>``. Value
+    ties at identical timestamps resolve deterministically (max value
+    for backward, min for forward).
 
     Scale: a single hash-partition on the key; no quadratic pair-up, no
     range explosion. Skewed keys are handled by AQE skew-join because this
     is a plain window over a shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = _as_list(on)
     left_cols = left.columns
     # right side collapsed to: keys + ts + value
@@ -72,9 +80,21 @@ def asof_join(
         if c not in keys:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l.unionByName(r.select(l.columns))
+    if direction == "backward":
+        order = [
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            F.col("__rval").asc_nulls_first(),
+        ]
+    else:  # forward: scan from the future toward each left row
+        order = [
+            F.col("__ts").desc(),
+            F.col("__side").asc(),
+            F.col("__rval").desc_nulls_first(),
+        ]
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rval").asc_nulls_first())
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     is_left = F.col("__side") == (1 if not strict else 0)

@@ -279,3 +279,43 @@ def sliding_6h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "asof_next_click_after_purchase",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT min(c.ts) FROM ev c
+             WHERE c.user_id = p.user_id
+               AND c.event_type = 'click'
+               AND c.ts >= p.ts) AS next_click_ts
+    FROM ev p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc=(
+        "FORWARD as-of join (earliest click at-or-after each purchase, "
+        "per user) — the direction='forward' mode of the union + running "
+        "window formulation: same one-shuffle plan as the backward "
+        "variant, scanning time descending."
+    ),
+    tags=("events", "asof"),
+)
+def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_col="click_ts",
+        alias="next_click_ts",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "next_click_ts")
