@@ -92,9 +92,15 @@ def main() -> None:
         t0 = time.perf_counter()
         run(name)
         cold[name] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        run(name)
-        timings[name] = round(min(time.perf_counter() - t1, cold[name]), 3)
+        # best of two steady-state runs: single-run numbers on this box
+        # swing ±15% with background load; min-of-2 tracks the engine,
+        # not the machine
+        steady = []
+        for _ in range(2):
+            t1 = time.perf_counter()
+            run(name)
+            steady.append(time.perf_counter() - t1)
+        timings[name] = round(min(*steady, cold[name]), 3)
 
     total = round(sum(timings.values()), 3)
 
