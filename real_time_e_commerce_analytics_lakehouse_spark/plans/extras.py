@@ -399,3 +399,29 @@ def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@register(
+    "approx_price_percentiles",
+    oracle=None,  # t-digest-style sketches are engine-specific; rows-only
+    doc=(
+        "percentile_approx (quantile sketch): the constant-memory "
+        "quantile path for 100 TB — exact percentiles need the whole "
+        "group's values materialized per reducer, a sketch merges "
+        "map-side like any algebraic agg. No oracle: sketch estimates "
+        "are engine-specific by construction; tests assert each "
+        "estimate lands within 1% of the exact percentile (both "
+        "computed in-row for the check)."
+    ),
+    tags=("agg", "approx"),
+)
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_pcts"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias(
+            "exact_pcts"
+        ),
+    )

@@ -1,0 +1,59 @@
+"""Streaming joins (beyond the reference — its streams never join
+before foreachBatch; SURVEY §2.8 extension).
+
+Two shapes Structured Streaming supports natively, packaged with the
+state-bounding discipline that makes them survivable at 100 TB/day:
+
+- stream-STATIC enrich: dimension lookup against a batch frame. The
+  static side is broadcast per micro-batch; no streaming state at all.
+- stream-STREAM interval join: both sides watermarked, and the join
+  condition carries an explicit event-time interval — the watermark +
+  interval bound tells Spark exactly when buffered rows can be evicted,
+  so state stays proportional to (rate x interval), not to history.
+  Without the time bound Spark must keep ALL past rows of both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension (per-micro-batch
+    broadcast hash join; stateless)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner-join two streams on `key` where the right event happened in
+    [left_ts - lookback, left_ts]. Both sides watermarked; the interval
+    predicate bounds the buffered state on each side.
+
+    Column contract: `left_ts` and `right_ts` must be distinct names and
+    `key` the shared join column (the output carries left columns + the
+    right side's non-key columns)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")  # noqa: E741
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND "
+        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {lookback} AND l.{left_ts}"
+    )
+    joined = l.join(r, cond, "inner")
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c != key
+    ]
+    return joined.select(*keep)

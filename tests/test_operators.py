@@ -253,3 +253,13 @@ def test_distributed_cumsum_matches_global_window(spark):
         for r in df.withColumn("c", F.sum("v").over(w)).collect()
     }
     assert got == exp
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+
+    rows = QUERIES["approx_price_percentiles"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_pcts, r.exact_pcts):
+            assert abs(approx - exact) <= 0.01 * abs(exact) + 1e-9

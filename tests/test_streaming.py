@@ -200,3 +200,74 @@ def test_stateful_user_profiles_accumulate_across_batches(spark, tmp_path):
     run()
     got2 = {r.user_id: (r.n_events, r.sum_value) for r in emitted}
     assert got2 == {1: (3, 16.0)}  # state carried over; user 2 not re-emitted
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static dimension enrich: per-batch broadcast, stateless;
+    result equals the batch join."""
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    batch_ev = events_table(spark, sf_dir)
+    dim = batch_ev.select("user_id").distinct().withColumn(
+        "user_tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    stream = _stream_events(spark, sf_dir, str(tmp_path / "ev_enrich"))
+    _run_to_memory(stream_static_enrich(stream, dim, "user_id"), "enrich_out")
+    got = spark.sql(
+        "SELECT user_tier, count(*) AS n FROM enrich_out GROUP BY user_tier"
+    ).collect()
+    want = {
+        r.user_tier: r.n
+        for r in batch_ev.join(F.broadcast(dim), "user_id")
+        .groupBy("user_tier")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {r.user_tier: r.n for r in got} == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join: inner-join results equal
+    the equivalent batch join (state bounded by the interval)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+
+    sl = _stream_events(spark, sf_dir, str(tmp_path / "ev_ssl"))
+    sr = _stream_events(spark, sf_dir, str(tmp_path / "ev_ssr"))
+    joined = stream_stream_interval_join(
+        purchases(sl), clicks(sr), key="user_id",
+        left_ts="p_ts", right_ts="c_ts", lookback="10 minutes",
+    )
+    _run_to_memory(joined, "ssjoin_out")
+    got = {
+        (r.p_id, r.c_id)
+        for r in spark.sql("SELECT p_id, c_id FROM ssjoin_out").collect()
+    }
+
+    ev = events_table(spark, sf_dir)
+    p, c = purchases(ev).alias("l"), clicks(ev).alias("r")
+    want = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            F.expr(
+                "l.user_id = r.user_id AND "
+                "r.c_ts BETWEEN l.p_ts - INTERVAL 10 minutes AND l.p_ts"
+            ),
+        ).select("p_id", "c_id").collect()
+    }
+    assert got == want and len(want) > 0

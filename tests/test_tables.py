@@ -490,3 +490,20 @@ def test_compact_cluster_by_produces_disjoint_file_ranges(spark, tmp_table):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file ranges overlap — clustering failed"
     assert t.read().count() == 5000
+
+
+def test_vacuum_cleans_orphaned_write_dirs(spark, tmp_table):
+    """A writer that died after writing data but before committing the
+    manifest leaves an orphaned commit dir — invisible to readers, and
+    vacuum reclaims it."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    # simulate the dead writer: data written, no manifest
+    orphan = _df(spark, [(99, "orphan", 1)])
+    t._write_units(orphan)
+    assert t.read().count() == 1  # snapshot isolation: orphan invisible
+    data_root = os.path.join(tmp_table, "data")
+    assert len(os.listdir(data_root)) == 2
+    stats = t.vacuum(keep_last_n=1)
+    assert stats["removed_commit_dirs"] == 1
+    assert t.read().count() == 1
