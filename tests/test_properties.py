@@ -171,3 +171,39 @@ def test_table_lifecycle_model(spark, tmp_path, first, ops):
 
     got = sorted((r.k, r.ver, r.x) for r in t.read().collect())
     assert got == sorted(model)
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=15),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 9)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@SETTINGS
+def test_asof_join_forward_model(spark, lefts, rights):
+    """Forward direction: nearest right row at-or-after; value ties at
+    identical timestamps resolve to the MIN value (desc scan, rval
+    desc-order => last seen = min)."""
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(rights, "k long, rt long, v long") if rights else (
+        spark.createDataFrame([], "k long, rt long, v long")
+    )
+    got = {
+        r.lid: r.asof_v
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="t", right_ts="rt", value_col="v",
+            alias="asof_v", direction="forward",
+        ).collect()
+    }
+    model = {}
+    for i, (k, t) in enumerate(lefts):
+        best = None  # (rt, v): smallest rt >= t, then smallest v
+        for rk, rt, v in rights:
+            if rk == k and rt >= t and (best is None or (rt, v) < best):
+                best = (rt, v)
+        model[i] = best[1] if best else None
+    assert got == model
