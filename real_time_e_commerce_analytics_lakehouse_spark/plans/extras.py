@@ -425,3 +425,56 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_pcts"
         ),
     )
+
+
+@register(
+    "daily_revenue_gapfilled",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               {_SUM_TOTALPRICE} AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+                   (SELECT min(order_date) FROM daily),
+                   (SELECT max(order_date) FROM daily),
+                   INTERVAL '1 day'))::DATE AS order_date
+    )
+    SELECT s.order_date,
+           coalesce(d.revenue, 0.0) AS revenue,
+           coalesce(d.n_orders, 0) AS n_orders,
+           CAST(d.order_date IS NULL AS BOOLEAN) AS gap_filled
+    FROM spine s LEFT JOIN daily d USING (order_date)
+    """,
+    doc=(
+        "Gap filling over a generated date spine (time-series "
+        "regularization): sequence(min, max) explodes a calendar, the "
+        "daily aggregate left-joins onto it, missing days read zero. "
+        "The spine is derived from a 2-row min/max aggregate and "
+        "broadcast — no driver-side date loop."
+    ),
+    tags=("window", "timeseries"),
+)
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.expr(_SUM_TOTALPRICE).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    bounds = daily.agg(
+        F.min("order_date").alias("lo"), F.max("order_date").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("order_date")
+    )
+    return (
+        spine.join(daily, "order_date", "left")
+        .select(
+            "order_date",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.col("revenue").isNull().alias("gap_filled"),
+        )
+    )
