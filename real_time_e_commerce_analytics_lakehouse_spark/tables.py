@@ -94,17 +94,21 @@ def _unescape_hive(raw: str) -> str:
 @dataclass
 class _Unit:
     """One immutable data unit (a parquet directory) plus its partition
-    values and their Spark types (empty for unpartitioned units)."""
+    values and their Spark types (empty for unpartitioned units), plus
+    optional per-column [min, max] stats for manifest-level data
+    skipping (Delta file-stats analog)."""
 
     path: str
     partition: dict[str, str] = field(default_factory=dict)
     partition_types: dict[str, str] = field(default_factory=dict)
+    stats: dict[str, list] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
             "path": self.path,
             "partition": self.partition,
             "partition_types": self.partition_types,
+            "stats": self.stats,
         }
 
     @staticmethod
@@ -113,6 +117,7 @@ class _Unit:
             path=d["path"],
             partition=dict(d.get("partition", {})),
             partition_types=dict(d.get("partition_types", {})),
+            stats=dict(d.get("stats", {})),
         )
 
 
@@ -123,10 +128,23 @@ class ConcurrentWriteError(RuntimeError):
 class LakeTable:
     """A manifest-logged parquet table. All operations are atomic commits."""
 
-    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] = ()):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+        stats_cols: Sequence[str] = (),
+    ):
+        """`stats_cols`: columns whose per-unit [min, max] are recorded
+        in the manifest at write time (harvested from the parquet
+        footers the write already produced — no extra Spark job) and
+        used by `read(stats_where=...)` to skip whole units. Numeric and
+        string columns supported; the Delta file-stats / data-skipping
+        analog, strongest after `compact(cluster_by=stats_cols)`."""
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
+        self.stats_cols = list(stats_cols)
 
     # ------------------------------------------------------------------ log
 
@@ -193,13 +211,58 @@ class LakeTable:
 
     # ----------------------------------------------------------------- data
 
+    def _harvest_stats(self, abs_dir: str) -> dict[str, list]:
+        """Per-unit [min, max] for `stats_cols`, read from the parquet
+        footers the write just produced (row-group statistics — no extra
+        Spark job). A column whose stats are missing/untrustworthy in
+        any file is simply omitted (skipping stays safe: no stats, no
+        pruning). Parquet writers adjust truncated string bounds, so
+        footer min/max are always valid bounds."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        acc: dict[str, list] = {}
+        bad: set[str] = set()
+        for fn in sorted(os.listdir(abs_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(abs_dir, fn)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in self.stats_cols:
+                if c in bad:
+                    continue
+                if c not in idx:
+                    bad.add(c)
+                    continue
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str))
+                        or isinstance(st.min, bool)
+                    ):
+                        bad.add(c)
+                        break
+                    if c in acc:
+                        acc[c] = [min(acc[c][0], st.min), max(acc[c][1], st.max)]
+                    else:
+                        acc[c] = [st.min, st.max]
+        return {c: v for c, v in acc.items() if c not in bad}
+
     def _write_units(self, df: DataFrame) -> list[_Unit]:
         """Write df into a fresh immutable dir; one unit per partition
         value when partitioned (enables partition-scoped replace)."""
         dirname = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
         if not self.partition_by:
             df.write.mode("errorifexists").parquet(dirname)
-            return [_Unit(path=os.path.relpath(dirname, self.path))]
+            return [
+                _Unit(
+                    path=os.path.relpath(dirname, self.path),
+                    stats=self._harvest_stats(dirname),
+                )
+            ]
         df.write.mode("errorifexists").partitionBy(*self.partition_by).parquet(dirname)
         ptypes = {
             f_.name: f_.dataType.simpleString()
@@ -220,6 +283,7 @@ class LakeTable:
                         path=os.path.relpath(root, self.path),
                         partition=partition,
                         partition_types=ptypes,
+                        stats=self._harvest_stats(root),
                     )
                 )
         return units
@@ -306,6 +370,7 @@ class LakeTable:
         self,
         version: int | None = None,
         partitions: dict[str, Sequence[object]] | None = None,
+        stats_where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read (S5). `version` = time travel.
 
@@ -314,11 +379,35 @@ class LakeTable:
         only units whose partition matches, so a one-day read of a
         year-partitioned fact scans one day's files — a DataFrame
         `.filter` on the partition column could not prune, because the
-        partition value is restored by a post-scan join."""
+        partition value is restored by a post-scan join.
+
+        `stats_where` = manifest-level DATA skipping: {col: (lo, hi)}
+        (either bound None for open ranges) drops units whose recorded
+        [min, max] cannot intersect the range. Needs `stats_cols` at
+        write time; units without stats are conservatively kept. This
+        prunes the UNIT list — combine with a normal `.filter` for the
+        exact row-level predicate (which also row-group-skips via the
+        same footer stats). Strongest after compact(cluster_by=...)."""
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no table at {self.path}")
         units = self._read_manifest(v)
+        if stats_where:
+            def _may_match(u: _Unit) -> bool:
+                for c, (lo, hi) in stats_where.items():
+                    if c not in u.stats:
+                        continue  # no stats recorded: cannot skip safely
+                    umin, umax = u.stats[c]
+                    if lo is not None and umax < lo:
+                        return False
+                    if hi is not None and umin > hi:
+                        return False
+                return True
+
+            pruned = [u for u in units if _may_match(u)]
+            if not pruned:
+                return self._read_units(units).limit(0)
+            units = pruned
         if partitions:
             unknown = set(partitions) - set(self.partition_by)
             if unknown:

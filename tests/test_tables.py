@@ -507,3 +507,38 @@ def test_vacuum_cleans_orphaned_write_dirs(spark, tmp_table):
     stats = t.vacuum(keep_last_n=1)
     assert stats["removed_commit_dirs"] == 1
     assert t.read().count() == 1
+
+
+def test_stats_data_skipping(spark, tmp_table):
+    """Manifest-level data skipping: per-unit [min,max] recorded from
+    parquet footers at write time prune units whose range cannot match."""
+    t = LakeTable(spark, tmp_table, stats_cols=["v"])
+    t.overwrite(spark.range(0, 10).select(F.col("id").alias("v")))
+    t.append(spark.range(100, 110).select(F.col("id").alias("v")))
+    t.append(spark.range(200, 210).select(F.col("id").alias("v")))
+
+    units = t._read_manifest(t.latest_version())
+    assert all(u.stats.get("v") for u in units)
+    mid = next(u for u in units if u.stats["v"][0] == 100)
+
+    snap = t.read(stats_where={"v": (100, 150)})
+    assert sorted(r.v for r in snap.collect()) == list(range(100, 110))
+    files = snap.inputFiles()
+    mid_uuid = mid.path.split("/")[1]
+    assert files and all(mid_uuid in f for f in files)  # only the matching unit
+
+    # open ranges and empty results
+    assert t.read(stats_where={"v": (None, 50)}).count() == 10
+    assert t.read(stats_where={"v": (1000, None)}).count() == 0
+    # units without recorded stats are conservatively kept
+    t_nostats = LakeTable(spark, tmp_table)
+    t_nostats.append(spark.range(300, 305).select(F.col("id").alias("v")))
+    assert t_nostats.read(stats_where={"v": (None, 50)}).count() == 15
+
+
+def test_stats_skipping_string_column(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, stats_cols=["name"])
+    t.overwrite(spark.createDataFrame([("apple",), ("banana",)], "name string"))
+    t.append(spark.createDataFrame([("walnut",), ("zucchini",)], "name string"))
+    got = {r.name for r in t.read(stats_where={"name": ("a", "m")}).collect()}
+    assert got == {"apple", "banana"}
