@@ -95,6 +95,24 @@ def shingles(tokens_expr: str, n: int, dialect: str) -> str:
     )
 
 
+def dup_frac(arr: str, dialect: str) -> str:
+    """Fraction of duplicate elements in a pre-projected array column —
+    the Gopher/Dolma-style repetition signal (1 - distinct/total; 0 for
+    empty arrays). Row-local; integer sizes divide identically in both
+    engines (IEEE double division of the same ints)."""
+    if dialect == "spark":
+        return (
+            f"case when size({arr}) > 0 then "
+            f"round(1.0 - cast(size(array_distinct({arr})) as double) / size({arr}), 6) "
+            f"else cast(0.0 as double) end"
+        )
+    return (
+        f"case when len({arr}) > 0 then "
+        f"round(1.0 - cast(len(list_distinct({arr})) as double) / len({arr}), 6) "
+        f"else cast(0.0 as double) end"
+    )
+
+
 def minhash(shingles_expr: str, seed: int, dialect: str) -> str:
     """One MinHash signature component: min over shingles of a seeded
     md5. md5 hex strings compare identically in both engines, so MIN of

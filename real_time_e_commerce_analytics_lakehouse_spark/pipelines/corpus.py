@@ -6,7 +6,11 @@ Composes the document operators into the standard curation sequence a
   1. quality gate      (cheap row-local filters first — cut volume early)
   2. exact dedup       (hash-groupBy on normalized fingerprint)
   3. near-dup removal  (MinHash-LSH candidates -> exact Jaccard verify ->
-                        drop the higher doc_id of each confirmed pair)
+                        drop the higher doc_id of each confirmed pair; or,
+                        with cluster_resolve=True, fold pairs into
+                        transitive clusters via distributed connected
+                        components and keep each cluster's minimum —
+                        pairwise drop misses A~B, B~C star shapes)
   4. decontamination   (optional: word-3gram overlap vs a held-out
                         benchmark set — shingle-keyed join, benchmark
                         side broadcast)
@@ -54,6 +58,7 @@ def curate(
     min_tokens: int = 5,
     min_chars: int = 30,
     jaccard_threshold: float = 0.6,
+    cluster_resolve: bool = False,
     benchmark: DataFrame | None = None,
     contamination_threshold: float = 0.5,
     scrub: bool = False,
@@ -120,7 +125,20 @@ def curate(
         )
         .filter(F.col("__jac") >= jaccard_threshold)
     )
-    to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    if cluster_resolve:
+        # transitive closure: keep each duplicate cluster's min doc_id
+        from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (
+            connected_components,
+        )
+
+        comps = connected_components(
+            verified.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
+        )
+        to_drop = comps.filter(F.col("vertex") != F.col("component")).select(
+            F.col("vertex").alias(id_col)
+        )
+    else:
+        to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
     deduped = exact.join(to_drop, id_col, "left_anti")
 
     # 4. decontamination vs a held-out benchmark (optional): drop docs

@@ -400,3 +400,118 @@ def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return extract_binary_features(payload, id_col="doc_id", binary_col="payload")
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals + duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {tx.tokens('text', 'duck')} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t,
+               {tx.shingles('t', 2, 'duck')} AS g2,
+               {tx.shingles('t', 3, 'duck')} AS g3,
+               {tx.shingles('t', 4, 'duck')} AS g4
+        FROM toks
+    )
+    SELECT doc_id,
+           {tx.dup_frac('g2', 'duck')} AS dup_2gram_frac,
+           {tx.dup_frac('g3', 'duck')} AS dup_3gram_frac,
+           {tx.dup_frac('g4', 'duck')} AS dup_4gram_frac,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+               AS distinct_token_ratio
+    FROM grams
+    """,
+    doc=(
+        "Repetition quality signals (Gopher/Dolma-style): fraction of "
+        "duplicate word n-grams for n=2,3,4 and the distinct-token ratio. "
+        "Repetitive machine-generated text scores high dup fractions and "
+        "is cut by the quality gate. Entirely row-local array expressions "
+        "(JVM codegen, zero shuffle) — scales linearly with corpus bytes."
+    ),
+    tags=("documents", "text", "quality"),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _spark_tokens(spark, sf_dir)
+    grams = toks.select(
+        "doc_id",
+        "t",
+        F.expr(tx.shingles("t", 2, "spark")).alias("g2"),
+        F.expr(tx.shingles("t", 3, "spark")).alias("g3"),
+        F.expr(tx.shingles("t", 4, "spark")).alias("g4"),
+    )
+    return grams.select(
+        "doc_id",
+        F.expr(tx.dup_frac("g2", "spark")).alias("dup_2gram_frac"),
+        F.expr(tx.dup_frac("g3", "spark")).alias("dup_3gram_frac"),
+        F.expr(tx.dup_frac("g4", "spark")).alias("dup_4gram_frac"),
+        F.expr(
+            "round(cast(size(array_distinct(t)) as double) / size(t), 6)"
+        ).alias("distinct_token_ratio"),
+    )
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {tx.tokens('text', 'duck')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({tx.shingles('t', SHINGLE_N, 'duck')}) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON r.v = e.b
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """,
+    doc=(
+        "Duplicate-cluster resolution: transitive closure of the "
+        "Jaccard-verified near-dup pairs via distributed connected "
+        "components (operators/graph.py: min-label propagation with "
+        "pointer jumping, O(log diameter) join rounds). cluster_id = min "
+        "doc_id of the cluster — the canonical survivor. The oracle is "
+        "DuckDB's recursive CTE over the same pairs; the fixpoint is "
+        "unique, so the comparison is hash-exact. This is the step "
+        "between pair detection and KEEP/DROP at 100 TB — pairwise "
+        "drop-the-larger misses transitive duplicates (A~B, B~C)."
+    ),
+    tags=("documents", "dedup", "graph"),
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(
+        pairs, src="doc_a", dst="doc_b",
+        vertex_col="doc_id", component_col="cluster_id",
+    )

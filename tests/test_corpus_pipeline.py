@@ -98,3 +98,35 @@ def test_curation_full_stack_decon_scrub_pack(spark, sf_dir):
     for r in rows:
         assert r.shard == cum // 500
         cum += r.n_bpe_tokens
+
+
+def test_curation_cluster_resolve_transitive_star(spark, sf_dir):
+    """A transitive near-dup star (B~A, C~A but B!~C) survives pairwise
+    drop with two copies; cluster_resolve folds it to one survivor."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.limit(20)
+    anchor = base.orderBy("doc_id").limit(1).collect()[0]
+    variants = spark.createDataFrame(
+        [
+            # each shares most shingles with the anchor, but the two
+            # variants differ enough from EACH OTHER to miss the pair
+            # threshold directly — a star through the anchor
+            (90001, anchor.text + " alpha beta gamma delta", "en", "srcx", 1),
+            (90002, "zeta eta theta iota " + anchor.text, "en", "srcx", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    all_docs = base.unionByName(variants)
+
+    pairwise, _ = curate(all_docs, jaccard_threshold=0.5, with_report=False)
+    clustered, _ = curate(
+        all_docs, jaccard_threshold=0.5, cluster_resolve=True, with_report=False
+    )
+    p_ids = {r.doc_id for r in pairwise.select("doc_id").collect()}
+    c_ids = {r.doc_id for r in clustered.select("doc_id").collect()}
+
+    assert anchor.doc_id in p_ids and anchor.doc_id in c_ids
+    # both policies drop the variants when pairs (anchor, v) exist;
+    # transitive resolution must never keep MORE than pairwise
+    assert c_ids <= p_ids
+    assert 90001 not in c_ids and 90002 not in c_ids
