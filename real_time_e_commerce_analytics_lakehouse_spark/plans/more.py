@@ -170,3 +170,80 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT round(cast(sum(cast(o2.o_totalprice as decimal(18,6))) as double)
+                     / count(o2.o_totalprice), 6)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc=(
+        "Correlated scalar-aggregate subquery: orders priced above their "
+        "own customer's average. The oracle is the textbook correlated "
+        "spelling; the Spark plan is the decorrelated form every optimizer "
+        "rewrites it to — aggregate once per customer, then one equi-join "
+        "(Catalyst reuses the orders scan for both sides). The per-customer "
+        "average uses decimal accumulation so both engines compare against "
+        "bit-identical thresholds."
+    ),
+    tags=("agg", "join", "subquery"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.expr(
+            "round(cast(sum(cast(o_totalprice as decimal(18,6))) as double)"
+            " / count(o_totalprice), 6)"
+        ).alias("avg_price")
+    )
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.ck)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "customer_first_last_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w  AS first_price,
+           last_value(o_totalprice)  OVER w  AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    doc=(
+        "Positional window functions (first_value / last_value / "
+        "nth_value) over an explicit unbounded frame — last_value without "
+        "the frame spec silently means 'current row' (the classic window "
+        "bug), so the frame is pinned on both engines. Full tie-broken "
+        "ordering (date, key) keeps the picks deterministic."
+    ),
+    tags=("window",),
+)
+def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

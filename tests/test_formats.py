@@ -52,3 +52,51 @@ def test_partitioned_write_prunes(spark, sample, tmp_path):
     assert one.count() == sample.filter(F.col("k") == 3).count()
     # pruned scan reads a single partition directory
     assert "PartitionFilters: [isnotnull(k" in plan or "k#" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed the same way on the join key
+    join WITHOUT any Exchange (shuffle) or per-bucket Sort in the plan —
+    the 100 TB fact-to-fact join pattern (shuffle paid once at write)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(left, "bkt_left", 4, "k")
+        write_bucketed(right, "bkt_right", 4, "k")
+        joined = colocated_join(spark, "bkt_left", "bkt_right", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+        # control: the same join on plain (unbucketed) frames shuffles
+        ctrl = left.join(right, "k")
+        ctrl_plan = ctrl._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in ctrl_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    """Aggregation on the bucket key also skips its shuffle."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    df = spark.range(0, 1000).selectExpr("id % 50 AS k", "id AS v")
+    try:
+        write_bucketed(df, "bkt_agg", 4, "k")
+        agg = read_table(spark, "bkt_agg").groupBy("k").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_agg")
