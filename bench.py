@@ -21,6 +21,16 @@ slower lands in "regressions". The table layer is timed separately via
 the silver->gold mart round-trip (pipelines/mart_bench) under
 "table_layer" — kept OUT of the headline total so `value` stays
 comparable across rounds.
+
+Environment calibration: the shared VM's effective speed drifts
+between rounds (measured: the IDENTICAL r1 commit re-benched 1.7x
+slower than its recorded r1 numbers on a later day — host contention,
+not code). A fixed CPU-bound workload ("spark_hash_120m": sum of
+xxhash64 over a 120M-row range, whole-stage codegen, all cores) is
+timed each run and recorded under "calibration"; when the previous
+round recorded one too, cross-round comparisons are scaled by the
+drift factor ("prev.calibration_drift", "prev.ratio_calibrated") and
+the >1.25x regression gate applies to drift-adjusted times.
 """
 
 from __future__ import annotations
@@ -78,6 +88,16 @@ def main() -> None:
     # warmup: run the flagship once to pay JVM/codegen/parquet-footer costs
     run("revenue_by_nation_status")
 
+    # environment calibration: fixed JVM-side work, best of two
+    def _cal_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 120_000_000).selectExpr(
+            "sum(xxhash64(id) % 1000000) AS s"  # bounded: no ANSI long overflow
+        ).collect()
+        return time.perf_counter() - t0
+
+    calibration = {"spark_hash_120m": round(min(_cal_once(), _cal_once()), 3)}
+
     # two timed runs per query: the first pays whole-stage-codegen
     # compilation (Janino + JIT) for that query's generated classes —
     # measured up to 8s for the widest vector expressions — the second is
@@ -92,14 +112,19 @@ def main() -> None:
         t0 = time.perf_counter()
         run(name)
         cold[name] = round(time.perf_counter() - t0, 3)
-        # best of two steady-state runs: single-run numbers on this box
-        # swing ±15% with background load; min-of-2 tracks the engine,
-        # not the machine
-        steady = []
-        for _ in range(2):
+        # adaptive steady state: sample until the two fastest runs agree
+        # within 15% (max 4 samples). Single runs on this shared box swing
+        # wildly (observed 1.4s vs 3.9s for the same query minutes apart —
+        # host noisy-neighbor, not code); requiring two concordant minima
+        # tracks the engine, not the machine.
+        steady: list[float] = []
+        for _ in range(4):
             t1 = time.perf_counter()
             run(name)
             steady.append(time.perf_counter() - t1)
+            s = sorted(steady)
+            if len(s) >= 2 and s[1] / s[0] <= 1.15:
+                break
         timings[name] = round(min(*steady, cold[name]), 3)
 
     total = round(sum(timings.values()), 3)
@@ -125,14 +150,26 @@ def main() -> None:
     if prev is not None:
         prev_file, prev_doc = prev
         prev_q = prev_doc.get("queries", {})
+        prev_cal = prev_doc.get("calibration", {}).get("spark_hash_120m")
+        drift = (
+            calibration["spark_hash_120m"] / prev_cal
+            if prev_cal and prev_cal > 0
+            else 1.0
+        )
         for name, secs in timings.items():
             old = prev_q.get(name)
-            if old and old > 0 and secs / old > REGRESSION_RATIO:
-                regressions[name] = round(secs / old, 2)
+            if old and old > 0 and secs / (old * drift) > REGRESSION_RATIO:
+                regressions[name] = round(secs / (old * drift), 2)
         prev_info = {
             "file": prev_file,
             "total": prev_doc.get("value"),
             "ratio": round(total / prev_doc["value"], 3) if prev_doc.get("value") else None,
+            "calibration_drift": round(drift, 3) if prev_cal else None,
+            "ratio_calibrated": (
+                round(total / (prev_doc["value"] * drift), 3)
+                if prev_cal and prev_doc.get("value")
+                else None
+            ),
         }
 
     print(
@@ -144,6 +181,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_run": cold,
                 "table_layer": {"mart_build": mart_secs, **mart_stats},
+                "calibration": calibration,
                 "prev": prev_info,
                 "regressions": regressions,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -319,3 +319,118 @@ def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         alias="next_click_ts",
         direction="forward",
     ).select("event_id", "user_id", "ts", "next_click_ts")
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=f"""
+    {EVENTS_CTE},
+    v AS (
+        SELECT user_id, min(ts) AS t_view FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM ev e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM ev e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, count(*) AS users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+    doc=(
+        "Ordered conversion funnel (view -> click -> purchase): a user "
+        "advances a stage only with an event at-or-after their entry into "
+        "the previous stage. Three per-user min-aggregations chained by "
+        "equi-joins — each stage's output shrinks, and every join is on "
+        "user_id, so AQE broadcasts the later (smaller) stages. The "
+        "classic e-commerce product-analytics query the reference's gold "
+        "tier feeds."
+    ),
+    tags=("events", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def _stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(label).alias("stage"), "users"
+        )
+
+    return (
+        _stage(v, "1_view")
+        .unionAll(_stage(c, "2_click"))
+        .unionAll(_stage(p, "3_purchase"))
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle=f"""
+    {EVENTS_CTE},
+    firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM ev GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM ev
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS users
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Weekly cohort retention: users bucketed by first-seen week, "
+        "counted in each later activity week (offset in whole weeks; both "
+        "sides Monday-truncated so the division is exact). Two "
+        "aggregations over the same events scan + one user_id join — the "
+        "standard retention triangle behind every growth dashboard."
+    ),
+    tags=("events", "cohort"),
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+    )

@@ -522,28 +522,48 @@ class LakeTable:
         return self.overwrite(df)
 
     def compact(
-        self, cluster_by: Sequence[str] = (), target_files: int | None = None
+        self,
+        cluster_by: Sequence[str] = (),
+        target_files: int | None = None,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE analog: rewrite the current snapshot as one unit set.
 
-        `cluster_by` = OPTIMIZE ZORDER analog (single-dimension): range-
-        repartition + sort by the given columns, so each output file
-        covers a narrow value range and parquet row-group min/max stats
+        `cluster_by` without `zorder`: lexicographic range-clustering —
+        range-repartition + sort, so each output file covers a narrow
+        range of the FIRST column and parquet row-group min/max stats
         let pushed filters skip whole files/row-groups on later scans.
-        (True Z-ordering interleaves multiple dimensions; range-cluster
-        on the dominant filter column is the 80% win and needs no custom
-        file format.) `target_files` sizes the rewrite explicitly —
-        without it AQE picks (and may coalesce a small table to one
-        file, which is usually what you want locally)."""
+        The dominant-filter-column 80% win.
+
+        `zorder=True` = OPTIMIZE ZORDER parity (2-3 numeric/date/ts
+        columns): cluster by the Morton interleave of all columns
+        (functions/zorder.py), so every file covers a small
+        hyper-rectangle and filters on ANY clustered column skip files —
+        lexicographic clustering leaves later columns full-width per
+        file. Costs one extra tiny agg job (grid bounds).
+
+        `target_files` sizes the rewrite explicitly — without it AQE
+        picks (and may coalesce a small table to one file, which is
+        usually what you want locally)."""
         v = self.latest_version()
         df = self.read(version=v)
         if cluster_by:
-            order = [F.col(c) for c in (*self.partition_by, *cluster_by)]
+            if zorder:
+                from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
+                    zorder_key,
+                )
+
+                df = df.withColumn("__z", zorder_key(df, cluster_by))
+                order = [F.col(c) for c in self.partition_by] + [F.col("__z")]
+            else:
+                order = [F.col(c) for c in (*self.partition_by, *cluster_by)]
             if target_files:
                 df = df.repartitionByRange(target_files, *order)
             else:
                 df = df.repartitionByRange(*order)
             df = df.sortWithinPartitions(*order)
+            if zorder:
+                df = df.drop("__z")
         return self._commit(self._write_units(df), op="compact", base_version=v)
 
     def vacuum(self, keep_last_n: int = 1) -> dict[str, int]:

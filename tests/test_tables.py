@@ -542,3 +542,64 @@ def test_stats_skipping_string_column(spark, tmp_table):
     t.append(spark.createDataFrame([("walnut",), ("zucchini",)], "name string"))
     got = {r.name for r in t.read(stats_where={"name": ("a", "m")}).collect()}
     assert got == {"apple", "banana"}
+
+
+def test_compact_zorder_files_bound_both_dimensions(spark, tmp_table):
+    """True multi-dim Z-ordering: after compact(zorder=True) each file
+    covers a small rectangle of (x, y) — per-file min/max ranges are
+    narrow on BOTH columns, so a filter on either column alone skips
+    files. Lexicographic cluster_by=[x, y] leaves y full-width per file
+    (the control)."""
+    import pyarrow.parquet as pq
+
+    def _file_widths(table_path, t, col):
+        widths = []
+        for u in t._read_manifest(t.latest_version()):
+            d = os.path.join(table_path, u.path)
+            for fn in os.listdir(d):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }[col]
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                widths.append(max(maxs) - min(mins))
+        return widths
+
+    # two independent uniform dimensions on a 1000 x 1000 grid
+    data = spark.range(20000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("v"),
+    )
+
+    lex = LakeTable(spark, os.path.join(tmp_table, "lex"))
+    lex.overwrite(data)
+    lex.compact(cluster_by=["x", "y"], target_files=16)
+    zor = LakeTable(spark, os.path.join(tmp_table, "zor"))
+    zor.overwrite(data)
+    zor.compact(cluster_by=["x", "y"], target_files=16, zorder=True)
+
+    lex_y = _file_widths(os.path.join(tmp_table, "lex"), lex, "y")
+    zor_x = _file_widths(os.path.join(tmp_table, "zor"), zor, "x")
+    zor_y = _file_widths(os.path.join(tmp_table, "zor"), zor, "y")
+    assert len(zor_y) >= 8
+    # lexicographic: y is full-width in (nearly) every file
+    assert sum(lex_y) / len(lex_y) > 900
+    # z-order: BOTH dimensions bounded well below full width
+    assert sum(zor_x) / len(zor_x) < 600
+    assert sum(zor_y) / len(zor_y) < 600
+    # content unchanged
+    assert zor.read().count() == 20000
+
+
+def test_compact_zorder_rejects_string_columns(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(spark.range(10).selectExpr("cast(id as string) AS s", "id AS v"))
+    with pytest.raises(ValueError, match="z-orderable"):
+        t.compact(cluster_by=["s", "v"], zorder=True)
