@@ -102,6 +102,11 @@ class _Unit:
     partition: dict[str, str] = field(default_factory=dict)
     partition_types: dict[str, str] = field(default_factory=dict)
     stats: dict[str, list] = field(default_factory=dict)
+    # per-file stats {filename: {col: [min, max]}} — finer skipping than
+    # the unit-level `stats` (Delta's per-file granularity): a compacted
+    # unit holds many clustered files, and file-level pruning keeps only
+    # the files whose range intersects the predicate
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -109,6 +114,7 @@ class _Unit:
             "partition": self.partition,
             "partition_types": self.partition_types,
             "stats": self.stats,
+            "file_stats": self.file_stats,
         }
 
     @staticmethod
@@ -118,6 +124,7 @@ class _Unit:
             partition=dict(d.get("partition", {})),
             partition_types=dict(d.get("partition_types", {})),
             stats=dict(d.get("stats", {})),
+            file_stats=dict(d.get("file_stats", {})),
         )
 
 
@@ -211,24 +218,30 @@ class LakeTable:
 
     # ----------------------------------------------------------------- data
 
-    def _harvest_stats(self, abs_dir: str) -> dict[str, list]:
-        """Per-unit [min, max] for `stats_cols`, read from the parquet
-        footers the write just produced (row-group statistics — no extra
-        Spark job). A column whose stats are missing/untrustworthy in
-        any file is simply omitted (skipping stays safe: no stats, no
+    def _harvest_stats(
+        self, abs_dir: str
+    ) -> tuple[dict[str, list], dict[str, dict[str, list]]]:
+        """[min, max] for `stats_cols`, read from the parquet footers the
+        write just produced (row-group statistics — no extra Spark job).
+        Returns (unit_stats, per_file_stats); the per-file granularity is
+        the Delta file-stats analog that makes skipping effective INSIDE
+        a compacted unit (one clustered unit holds many narrow-range
+        files). A column whose stats are missing/untrustworthy in any
+        file is omitted everywhere (skipping stays safe: no stats, no
         pruning). Parquet writers adjust truncated string bounds, so
         footer min/max are always valid bounds."""
         if not self.stats_cols:
-            return {}
+            return {}, {}
         import pyarrow.parquet as pq
 
-        acc: dict[str, list] = {}
+        per_file: dict[str, dict[str, list]] = {}
         bad: set[str] = set()
         for fn in sorted(os.listdir(abs_dir)):
             if not fn.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(abs_dir, fn)).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            facc: dict[str, list] = {}
             for c in self.stats_cols:
                 if c in bad:
                     continue
@@ -245,11 +258,20 @@ class LakeTable:
                     ):
                         bad.add(c)
                         break
-                    if c in acc:
-                        acc[c] = [min(acc[c][0], st.min), max(acc[c][1], st.max)]
+                    if c in facc:
+                        facc[c] = [min(facc[c][0], st.min), max(facc[c][1], st.max)]
                     else:
-                        acc[c] = [st.min, st.max]
-        return {c: v for c, v in acc.items() if c not in bad}
+                        facc[c] = [st.min, st.max]
+            per_file[fn] = facc
+        unit: dict[str, list] = {}
+        for fn in per_file:
+            per_file[fn] = {c: v for c, v in per_file[fn].items() if c not in bad}
+            for c, v in per_file[fn].items():
+                if c in unit:
+                    unit[c] = [min(unit[c][0], v[0]), max(unit[c][1], v[1])]
+                else:
+                    unit[c] = list(v)
+        return unit, per_file
 
     def _write_units(self, df: DataFrame) -> list[_Unit]:
         """Write df into a fresh immutable dir; one unit per partition
@@ -257,10 +279,12 @@ class LakeTable:
         dirname = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
         if not self.partition_by:
             df.write.mode("errorifexists").parquet(dirname)
+            ustats, fstats = self._harvest_stats(dirname)
             return [
                 _Unit(
                     path=os.path.relpath(dirname, self.path),
-                    stats=self._harvest_stats(dirname),
+                    stats=ustats,
+                    file_stats=fstats,
                 )
             ]
         df.write.mode("errorifexists").partitionBy(*self.partition_by).parquet(dirname)
@@ -278,12 +302,14 @@ class LakeTable:
                     if "=" in seg:
                         k, v = seg.split("=", 1)
                         partition[k] = v
+                ustats, fstats = self._harvest_stats(root)
                 units.append(
                     _Unit(
                         path=os.path.relpath(root, self.path),
                         partition=partition,
                         partition_types=ptypes,
-                        stats=self._harvest_stats(root),
+                        stats=ustats,
+                        file_stats=fstats,
                     )
                 )
         return units
@@ -304,16 +330,32 @@ class LakeTable:
             for r in source.select(*self.partition_by).distinct().collect()
         }
 
-    def _read_units(self, units: list[_Unit]) -> DataFrame:
+    def _read_units(
+        self,
+        units: list[_Unit],
+        file_subsets: dict[str, list[str]] | None = None,
+    ) -> DataFrame:
         """ONE multi-path parquet scan over all units (mergeSchema covers
         additive evolution across commits). Partition columns are restored
         by joining a broadcast unit-metadata frame keyed on the trailing
         dir segments of `_metadata.file_path` — O(1) scans in the plan no
         matter how many units the snapshot holds, vs the O(units) union
-        loop flagged in VERDICT r1 (driver-side planning bottleneck)."""
+        loop flagged in VERDICT r1 (driver-side planning bottleneck).
+
+        `file_subsets` (from file-level stats skipping): {unit.path:
+        [filenames]} — those units scan only the listed files; absent
+        units scan their whole dir. File paths keep the dir structure, so
+        partition-column restoration is unaffected."""
         if not units:
             raise ValueError(f"table {self.path} has an empty snapshot")
-        paths = [os.path.join(self.path, u.path) for u in units]
+        paths = []
+        for u in units:
+            base = os.path.join(self.path, u.path)
+            sel = (file_subsets or {}).get(u.path)
+            if sel is None:
+                paths.append(base)
+            else:
+                paths.extend(os.path.join(base, f) for f in sel)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         if not any(u.partition for u in units):
             return df
@@ -325,7 +367,7 @@ class LakeTable:
             by_depth: dict[int, list[_Unit]] = {}
             for u in units:
                 by_depth.setdefault(len(u.path.split("/")), []).append(u)
-            frames = [self._read_units(g) for g in by_depth.values()]
+            frames = [self._read_units(g, file_subsets) for g in by_depth.values()]
             out = frames[0]
             for f_ in frames[1:]:
                 out = out.unionByName(f_, allowMissingColumns=True)
@@ -383,28 +425,45 @@ class LakeTable:
 
         `stats_where` = manifest-level DATA skipping: {col: (lo, hi)}
         (either bound None for open ranges) drops units whose recorded
-        [min, max] cannot intersect the range. Needs `stats_cols` at
-        write time; units without stats are conservatively kept. This
-        prunes the UNIT list — combine with a normal `.filter` for the
+        [min, max] cannot intersect the range, then drops individual
+        FILES inside surviving units via the per-file stats (Delta's
+        file-stats granularity — inside one compacted unit only the
+        clustered files overlapping the range are scanned). Needs
+        `stats_cols` at write time; units/files without stats are
+        conservatively kept. Combine with a normal `.filter` for the
         exact row-level predicate (which also row-group-skips via the
-        same footer stats). Strongest after compact(cluster_by=...)."""
+        same footer stats). Strongest after compact(cluster_by=...) or
+        compact(zorder=True) (skips on ANY clustered column)."""
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no table at {self.path}")
         units = self._read_manifest(v)
+        file_subsets: dict[str, list[str]] = {}
         if stats_where:
-            def _may_match(u: _Unit) -> bool:
+            def _may_match(stats: dict[str, list]) -> bool:
                 for c, (lo, hi) in stats_where.items():
-                    if c not in u.stats:
+                    if c not in stats:
                         continue  # no stats recorded: cannot skip safely
-                    umin, umax = u.stats[c]
-                    if lo is not None and umax < lo:
+                    smin, smax = stats[c]
+                    if lo is not None and smax < lo:
                         return False
-                    if hi is not None and umin > hi:
+                    if hi is not None and smin > hi:
                         return False
                 return True
 
-            pruned = [u for u in units if _may_match(u)]
+            pruned = []
+            for u in units:
+                if not _may_match(u.stats):
+                    continue
+                if u.file_stats:  # file-level skipping inside the unit
+                    keep = [
+                        fn for fn, fs in u.file_stats.items() if _may_match(fs)
+                    ]
+                    if not keep:
+                        continue
+                    if len(keep) < len(u.file_stats):
+                        file_subsets[u.path] = keep
+                pruned.append(u)
             if not pruned:
                 return self._read_units(units).limit(0)
             units = pruned
@@ -427,7 +486,7 @@ class LakeTable:
             ]
             if not units:
                 return self._read_units(self._read_manifest(v)).limit(0)
-        return self._read_units(units)
+        return self._read_units(units, file_subsets)
 
     def read_changes(self, since_version: int | None) -> DataFrame | None:
         """Incremental change read (S6 batch-incremental analog): rows in

@@ -603,3 +603,52 @@ def test_compact_zorder_rejects_string_columns(spark, tmp_table):
     t.overwrite(spark.range(10).selectExpr("cast(id as string) AS s", "id AS v"))
     with pytest.raises(ValueError, match="z-orderable"):
         t.compact(cluster_by=["s", "v"], zorder=True)
+
+
+def test_file_level_stats_skipping_within_compacted_unit(spark, tmp_table):
+    """Per-file stats (Delta file-stats granularity): after a clustered
+    compact the snapshot is ONE unit of many narrow-range files, and
+    stats_where scans only the files whose range intersects — unit-level
+    stats alone could not skip anything here."""
+    t = LakeTable(spark, tmp_table, stats_cols=["k"])
+    scrambled = spark.range(8000).select(
+        (F.abs(F.xxhash64("id")) % 10000).alias("k"), F.col("id").alias("v")
+    )
+    t.overwrite(scrambled)
+    t.compact(cluster_by=["k"], target_files=8)
+
+    units = t._read_manifest(t.latest_version())
+    assert len(units) == 1 and len(units[0].file_stats) >= 4
+
+    expected = sorted(
+        r.k for r in t.read().filter("k between 2000 and 2500").collect()
+    )
+    snap = t.read(stats_where={"k": (2000, 2500)})
+    got = sorted(r.k for r in snap.filter("k between 2000 and 2500").collect())
+    assert got == expected
+    # the point: fewer files scanned than the unit holds
+    assert 0 < len(snap.inputFiles()) < len(units[0].file_stats)
+
+
+def test_file_level_skipping_on_second_zorder_dimension(spark, tmp_table):
+    """Z-order + per-file stats end to end: a range filter on the SECOND
+    clustered column alone skips files — impossible under lexicographic
+    clustering, where y is full-width in every file."""
+    data = spark.range(20000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    zor = LakeTable(spark, os.path.join(tmp_table, "zor"), stats_cols=["x", "y"])
+    zor.overwrite(data)
+    zor.compact(cluster_by=["x", "y"], target_files=16, zorder=True)
+    lex = LakeTable(spark, os.path.join(tmp_table, "lex"), stats_cols=["x", "y"])
+    lex.overwrite(data)
+    lex.compact(cluster_by=["x", "y"], target_files=16)
+
+    n_files = len(lex._read_manifest(lex.latest_version())[0].file_stats)
+    z_scan = zor.read(stats_where={"y": (0, 99)})
+    l_scan = lex.read(stats_where={"y": (0, 99)})
+    assert z_scan.filter("y < 100").count() == data.filter("y < 100").count()
+    # z-order skips most files on the second dimension; lexicographic none
+    assert len(z_scan.inputFiles()) <= n_files // 2
+    assert len(l_scan.inputFiles()) == n_files
