@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Sequence
@@ -334,6 +335,7 @@ class LakeTable:
         self,
         units: list[_Unit],
         file_subsets: dict[str, list[str]] | None = None,
+        with_file_path: str | None = None,
     ) -> DataFrame:
         """ONE multi-path parquet scan over all units (mergeSchema covers
         additive evolution across commits). Partition columns are restored
@@ -345,7 +347,13 @@ class LakeTable:
         `file_subsets` (from file-level stats skipping): {unit.path:
         [filenames]} — those units scan only the listed files; absent
         units scan their whole dir. File paths keep the dir structure, so
-        partition-column restoration is unaffected."""
+        partition-column restoration is unaffected.
+
+        `with_file_path`: name of an extra column carrying each row's
+        source-file URI (`_metadata.file_path`), captured at the scan —
+        after the partition-restore join the hidden column is no longer
+        reachable, so callers that need row→unit lineage (delete/update
+        touched-unit discovery) request it here."""
         if not units:
             raise ValueError(f"table {self.path} has an empty snapshot")
         paths = []
@@ -357,6 +365,8 @@ class LakeTable:
             else:
                 paths.extend(os.path.join(base, f) for f in sel)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if with_file_path:
+            df = df.withColumn(with_file_path, F.col("_metadata.file_path"))
         if not any(u.partition for u in units):
             return df
 
@@ -367,7 +377,10 @@ class LakeTable:
             by_depth: dict[int, list[_Unit]] = {}
             for u in units:
                 by_depth.setdefault(len(u.path.split("/")), []).append(u)
-            frames = [self._read_units(g, file_subsets) for g in by_depth.values()]
+            frames = [
+                self._read_units(g, file_subsets, with_file_path)
+                for g in by_depth.values()
+            ]
             out = frames[0]
             for f_ in frames[1:]:
                 out = out.unionByName(f_, allowMissingColumns=True)
@@ -406,6 +419,38 @@ class LakeTable:
             out = out.withColumn(c, F.col(c).cast(ptypes.get(c, "string")))
         return out
 
+    def _stats_prune(
+        self, units: list[_Unit], stats_where: dict[str, tuple]
+    ) -> tuple[list[_Unit], dict[str, list[str]]]:
+        """Manifest-level data skipping: (surviving units, {unit.path:
+        surviving filenames} for units where only SOME files intersect).
+        Units/files without recorded stats are conservatively kept."""
+
+        def _may_match(stats: dict[str, list]) -> bool:
+            for c, (lo, hi) in stats_where.items():
+                if c not in stats:
+                    continue  # no stats recorded: cannot skip safely
+                smin, smax = stats[c]
+                if lo is not None and smax < lo:
+                    return False
+                if hi is not None and smin > hi:
+                    return False
+            return True
+
+        file_subsets: dict[str, list[str]] = {}
+        pruned = []
+        for u in units:
+            if not _may_match(u.stats):
+                continue
+            if u.file_stats:  # file-level skipping inside the unit
+                keep = [fn for fn, fs in u.file_stats.items() if _may_match(fs)]
+                if not keep:
+                    continue
+                if len(keep) < len(u.file_stats):
+                    file_subsets[u.path] = keep
+            pruned.append(u)
+        return pruned, file_subsets
+
     # ------------------------------------------------------------------ api
 
     def read(
@@ -440,30 +485,7 @@ class LakeTable:
         units = self._read_manifest(v)
         file_subsets: dict[str, list[str]] = {}
         if stats_where:
-            def _may_match(stats: dict[str, list]) -> bool:
-                for c, (lo, hi) in stats_where.items():
-                    if c not in stats:
-                        continue  # no stats recorded: cannot skip safely
-                    smin, smax = stats[c]
-                    if lo is not None and smax < lo:
-                        return False
-                    if hi is not None and smin > hi:
-                        return False
-                return True
-
-            pruned = []
-            for u in units:
-                if not _may_match(u.stats):
-                    continue
-                if u.file_stats:  # file-level skipping inside the unit
-                    keep = [
-                        fn for fn, fs in u.file_stats.items() if _may_match(fs)
-                    ]
-                    if not keep:
-                        continue
-                    if len(keep) < len(u.file_stats):
-                        file_subsets[u.path] = keep
-                pruned.append(u)
+            pruned, file_subsets = self._stats_prune(units, stats_where)
             if not pruned:
                 return self._read_units(units).limit(0)
             units = pruned
@@ -657,6 +679,143 @@ class LakeTable:
         for v in dropped:
             os.remove(self._manifest_file(v))
         return {"removed_manifests": len(dropped), "removed_commit_dirs": removed_dirs}
+
+    # ------------------------------------------------------- delete / update
+
+    def _touched_unit_paths(
+        self,
+        units: list[_Unit],
+        cond,
+        stats_where: dict[str, tuple] | None = None,
+    ) -> set[str]:
+        """Unit paths that contain at least one row matching `cond` —
+        Delta's copy-on-write "find touched files" scan. ONE Spark job:
+        the predicate is pushed into the parquet scan (row-group stats
+        skip non-matching groups) and the output is the distinct set of
+        source-file dirs, bounded by the unit count, not the row count.
+        `stats_where` pre-prunes the candidate scan from the manifest
+        (caller asserts it is implied by `cond`, same contract as
+        read())."""
+        candidates = units
+        if stats_where:
+            candidates, _ = self._stats_prune(units, stats_where)
+            if not candidates:
+                return set()
+        snap = self._read_units(candidates, with_file_path="__fp")
+        dirs = [
+            r[0]
+            for r in snap.filter(cond)
+            .select(F.regexp_replace("__fp", "/[^/]*$", "").alias("d"))
+            .distinct()
+            .collect()
+        ]
+        known = {u.path for u in units}
+        touched: set[str] = set()
+        for d in dirs:
+            # _metadata.file_path is a URI: strip the scheme, URL-decode
+            # (plain unquote — '+' is literal in file URIs), then take
+            # the table-relative dir, which is exactly the unit path for
+            # both layouts (unpartitioned data/<uuid>, partitioned leaf
+            # data/<uuid>/k=v/...).
+            raw = unquote(re.sub(r"^[a-zA-Z][\w+.-]*:(//)?", "", d))
+            rel = os.path.relpath(raw, os.path.abspath(self.path))
+            if rel not in known:
+                raise RuntimeError(
+                    f"matched file dir {raw!r} is not a unit of {self.path}"
+                )
+            touched.add(rel)
+        return touched
+
+    def _rewrite_units(
+        self,
+        predicate,
+        op: str,
+        transform,
+        stats_where: dict[str, tuple] | None = None,
+    ) -> dict[str, int]:
+        """Copy-on-write rewrite shared by delete/update: find the units
+        that contain matching rows, rewrite ONLY those through
+        `transform(df, cond_true)`, carry every other unit over by
+        reference (no data movement). Rewrite cost is proportional to
+        the data touched, not the table — on a date-partitioned 100 TB
+        fact a one-day delete rewrites one partition's units."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no table at {self.path}")
+        units = self._read_manifest(v)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        # SQL DELETE/UPDATE act on rows where the predicate is TRUE;
+        # NULL (three-valued logic) leaves the row untouched.
+        cond_true = F.coalesce(cond, F.lit(False))
+        touched = self._touched_unit_paths(units, cond_true, stats_where)
+        if not touched:
+            return {"version": v, "rewritten_units": 0, "carried_units": len(units)}
+        carried = [u for u in units if u.path not in touched]
+        rewritten = self._write_units(
+            transform(self._read_units([u for u in units if u.path in touched]),
+                      cond_true)
+        )
+        rewritten = [
+            u
+            for u in rewritten
+            if any(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(self.path, u.path))
+            )
+        ]  # a delete can empty a unit; drop fileless output dirs
+        new_v = self._commit(carried + rewritten, op=op, base_version=v)
+        return {
+            "version": new_v,
+            "rewritten_units": len(touched),
+            "carried_units": len(carried),
+        }
+
+    def delete(
+        self, predicate, stats_where: dict[str, tuple] | None = None
+    ) -> dict[str, int]:
+        """DELETE FROM ... WHERE (copy-on-write, Delta parity): removes
+        rows where `predicate` is TRUE. Old snapshots still contain the
+        rows (time travel) until vacuum() — the GDPR-erasure pattern is
+        delete() + vacuum(keep_last_n=1). `predicate` is a SQL string or
+        Column; may reference partition columns (restored before the
+        filter). `stats_where` optionally pre-prunes the touched-unit
+        discovery scan from manifest stats."""
+        return self._rewrite_units(
+            predicate,
+            "delete",
+            lambda df, cond_true: df.filter(~cond_true),
+            stats_where,
+        )
+
+    def update(
+        self,
+        predicate,
+        assignments: dict[str, object],
+        stats_where: dict[str, tuple] | None = None,
+    ) -> dict[str, int]:
+        """UPDATE ... SET ... WHERE (copy-on-write, Delta parity): for
+        rows where `predicate` is TRUE, each column in `assignments`
+        (name -> SQL string or Column) is replaced; every other row and
+        every untouched unit is carried unchanged. Assignments are cast
+        back to the column's current type so the table schema is stable
+        across updates."""
+        if not assignments:
+            raise ValueError("update() needs at least one assignment")
+
+        def _apply(df: DataFrame, cond_true):
+            types = dict(df.dtypes)
+            unknown = set(assignments) - set(types)
+            if unknown:
+                raise ValueError(f"not columns of {self.path}: {sorted(unknown)}")
+            for c, expr in assignments.items():
+                val = F.expr(expr) if isinstance(expr, str) else expr
+                df = df.withColumn(
+                    c,
+                    F.when(cond_true, val.cast(types[c])).otherwise(F.col(c)),
+                )
+            return df
+
+        return self._rewrite_units(predicate, "update", _apply, stats_where)
 
     # ---------------------------------------------------------------- merge
 

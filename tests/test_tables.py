@@ -652,3 +652,103 @@ def test_file_level_skipping_on_second_zorder_dimension(spark, tmp_table):
     # z-order skips most files on the second dimension; lexicographic none
     assert len(z_scan.inputFiles()) <= n_files // 2
     assert len(l_scan.inputFiles()) == n_files
+
+
+def test_delete_rows_and_time_travel(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(i, f"v{i}", 1) for i in range(10)]))
+    res = t.delete("id >= 7")
+    assert res["version"] == v1 + 1
+    assert sorted(r.id for r in t.read().collect()) == list(range(7))
+    # old snapshot still has the deleted rows (GDPR erasure = + vacuum)
+    assert t.read(version=v1).count() == 10
+
+
+def test_delete_rewrites_only_touched_units(spark, tmp_table):
+    """Copy-on-write at unit granularity: appends build disjoint units;
+    a delete hitting one unit carries the others over BY REFERENCE."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(i, "a", 1) for i in range(0, 10)]))
+    t.append(_df(spark, [(i, "b", 1) for i in range(10, 20)]))
+    t.append(_df(spark, [(i, "c", 1) for i in range(20, 30)]))
+    before = {u.path for u in t._read_manifest(t.latest_version())}
+    res = t.delete("id between 12 and 14")
+    after = {u.path for u in t._read_manifest(t.latest_version())}
+    assert res["rewritten_units"] == 1 and res["carried_units"] == 2
+    assert len(before & after) == 2  # two units carried verbatim
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(30) if not 12 <= i <= 14
+    ]
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_table):
+    """SQL three-valued logic: DELETE removes rows where the predicate
+    is TRUE; a NULL predicate value leaves the row in place."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(
+        spark.createDataFrame([(1, "x"), (2, None), (3, "y")], "id long, v string")
+    )
+    t.delete("v = 'x'")
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_delete_can_empty_a_unit(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]))
+    res = t.delete("id = 2")
+    assert res["rewritten_units"] == 1
+    assert [r.id for r in t.read().collect()] == [1]
+
+
+def test_delete_nothing_matches_no_new_commit(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    res = t.delete("id = 99")
+    assert res == {"version": v1, "rewritten_units": 0, "carried_units": 1}
+    assert t.latest_version() == v1
+
+
+def test_delete_on_partitioned_table(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"d{i % 3}") for i in range(30)], "id long, p string"
+        )
+    )
+    # predicate on the (restored) partition column + a data column
+    res = t.delete("p = 'd1' and id < 20")
+    assert res["rewritten_units"] >= 1 and res["carried_units"] >= 1
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [i for i in range(30) if not (i % 3 == 1 and i < 20)]
+
+
+def test_update_assignments_and_untouched_rows(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(i, f"v{i}", 1) for i in range(6)]))
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(6, 12)]))
+    res = t.update("id % 2 = 0 and id < 6", {"v": "concat(v, '!')", "ver": F.lit(9)})
+    assert res["rewritten_units"] == 1 and res["carried_units"] == 1
+    rows = {r.id: (r.v, r.ver) for r in t.read().collect()}
+    assert rows[0] == ("v0!", 9) and rows[2] == ("v2!", 9)
+    assert rows[1] == ("v1", 1) and rows[7] == ("v7", 1)  # untouched
+    # schema stable: ver stays long after the lit(9) int assignment
+    assert dict(t.read().dtypes)["ver"] == "bigint"
+
+
+def test_update_unknown_column_rejected(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="not columns"):
+        t.update("id = 1", {"nope": "1"})
+
+
+def test_delete_stats_where_prunes_discovery_scan(spark, tmp_table):
+    """stats_where pre-prunes the touched-unit discovery from the
+    manifest: only candidate units are scanned, and results match."""
+    t = LakeTable(spark, tmp_table, stats_cols=["id"])
+    t.overwrite(_df(spark, [(i, "a", 1) for i in range(0, 10)]))
+    t.append(_df(spark, [(i, "b", 1) for i in range(100, 110)]))
+    res = t.delete("id between 103 and 105", stats_where={"id": (103, 105)})
+    assert res["rewritten_units"] == 1 and res["carried_units"] == 1
+    assert t.read().count() == 17
