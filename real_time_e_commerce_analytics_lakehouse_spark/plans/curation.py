@@ -9,11 +9,15 @@ differential-testable against the DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.operators.ids import (
     distributed_cumsum,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.operators.topk import (
+    top_k_per_group,
 )
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
     register,
@@ -207,4 +211,92 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(regexp_extract_all(lower(text), '[0-9]{4,}', 0))")
         .cast("long")
         .alias("n_number_runs"),
+    )
+
+
+SOURCE_CAP = 15  # max docs kept per source (domain capping)
+QUALITY_DROP_FRAC = 0.3  # drop the bottom 30% per language
+
+
+@register(
+    "cap_docs_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS source_rank
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(source_rank AS BIGINT) AS source_rank
+    FROM ranked WHERE source_rank <= {SOURCE_CAP}
+    """,
+    doc=(
+        f"Domain capping (RefinedWeb/Dolma pattern): keep at most "
+        f"{SOURCE_CAP} docs per source, preferring longer docs, doc_id "
+        "tie-break for determinism. operators/topk.top_k_per_group = one "
+        "shuffle on source, per-group sort only — never a global sort. "
+        "At 100 TB a mega-domain is exactly the skewed hot key the cap "
+        "exists for; the window sorts one domain's rows per task, and "
+        "pathological domains fall back to operators/skew salting."
+    ),
+    tags=("documents", "curation"),
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return top_k_per_group(
+        docs,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        SOURCE_CAP,
+        rank_alias="source_rank",
+    )
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(CAST({tx.count_in_set(tx.tokens('text', 'duck'),
+                                           tx.STOPWORDS['en'], 'duck')} AS DOUBLE)
+                     / len({tx.tokens('text', 'duck')}), 6) AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, score,
+               percent_rank() OVER (
+                   PARTITION BY lang ORDER BY score, doc_id
+               ) AS pr
+        FROM scored
+    )
+    SELECT doc_id, lang, score, round(pr, 6) AS q_rank
+    FROM ranked WHERE pr >= {QUALITY_DROP_FRAC}
+    """,
+    doc=(
+        f"Quality-quantile filtering: score docs (stopword ratio), drop "
+        f"the bottom {int(QUALITY_DROP_FRAC * 100)}% per language by "
+        "exact percent_rank (unique ordering via doc_id tie-break makes "
+        "the quantile deterministic and engine-portable). One shuffle on "
+        "lang; the per-language sort is the irreducible cost of an exact "
+        "quantile cut — at 100 TB swap in approx_percentile thresholds "
+        "(approx_price_percentiles shows that path) and keep this as "
+        "the auditable exact variant."
+    ),
+    tags=("documents", "curation"),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tx.tokens("text", "spark")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"round(cast({tx.count_in_set(toks, tx.STOPWORDS['en'], 'spark')} "
+            f"as double) / size({toks}), 6)"
+        ).alias("score"),
+    )
+    w = W.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = docs.withColumn("pr", F.percent_rank().over(w))
+    return ranked.filter(F.col("pr") >= QUALITY_DROP_FRAC).select(
+        "doc_id", "lang", "score", F.round("pr", 6).alias("q_rank")
     )

@@ -502,3 +502,106 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+SEMDEDUP_TAU = 0.3  # within-cell cosine threshold for semantic dup
+
+
+def _semdedup_sql() -> str:
+    cos_c = vx.cosine(
+        vx.to_double_array("e.embedding", "duck"),
+        vx.to_double_array("c.c_emb", "duck"),
+        "duck",
+    )
+    cos_p = vx.cosine(
+        vx.to_double_array("a.embedding", "duck"),
+        vx.to_double_array("b.embedding", "duck"),
+        "duck",
+    )
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id, embedding FROM (
+            SELECT e.vec_id, c.cell_id, e.embedding,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_c} DESC, c.cell_id ASC) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a
+        JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE {cos_p} >= {SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cell_id AS BIGINT) AS cell,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """
+
+
+@register(
+    "semantic_dedup_embeddings",
+    oracle=_semdedup_sql(),
+    doc=(
+        "SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+        f"cluster embeddings into {N_CELLS} coarse cells (same "
+        "deterministic quantizer as ivf_ann_topk), score cosine ONLY "
+        "within a cell, and drop every vector that has a higher-priority "
+        f"(lower vec_id) neighbor at sim >= {SEMDEDUP_TAU}. The cell id "
+        "is the blocking key: the pairwise join shuffles on cell_id and "
+        "never scores cross-cell pairs, so cost is sum(cell^2), not "
+        "corpus^2 — the property that makes semantic dedup feasible at "
+        "100 TB (cells from a trained quantizer, ivf_kmeans_topk)."
+    ),
+    tags=("embeddings", "dedup"),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cos_c = vx.cosine(
+        vx.to_double_array("embedding", "spark"),
+        vx.to_double_array("c_emb", "spark"),
+        "spark",
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("cell_id"))
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", F.expr(cos_c))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cell_id", "embedding")
+    )
+    cos_p = vx.cosine(
+        vx.to_double_array("a_emb", "spark"),
+        vx.to_double_array("b_emb", "spark"),
+        "spark",
+    )
+    a = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
+    )
+    b = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb")
+    )
+    dups = (
+        a.join(b, ["cell_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.expr(cos_p) >= SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned.vec_id == dups.dup_id, "left")
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("long").alias("cell"),
+            F.when(F.col("dup_id").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
