@@ -247,3 +247,60 @@ def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "regional_local_supplier_revenue",
+    oracle=f"""
+    SELECT rg.r_name AS region, n.n_name AS nation,
+           {dec_sum("l.l_extendedprice * (1 - l.l_discount)")} AS local_revenue,
+           count(DISTINCT o.o_orderkey) AS order_count
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region rg  ON n.n_regionkey = rg.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q5 shape: 6-way join (fact ⋈ fact-sized orders ⋈ 4 dims) "
+        "with the local-supplier condition (customer and supplier share "
+        "a nation) and a year filter. Plan: the o_orderdate range is "
+        "pushed into the orders scan BEFORE the join (Catalyst predicate "
+        "pushdown), supplier/nation/region broadcast, and the only "
+        "shuffles are lineitem⋈orders on orderkey and the final group — "
+        "at 100 TB those are the two irreducible exchanges; everything "
+        "else rides broadcasts."
+    ),
+    tags=("join", "agg"),
+)
+def regional_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.expr(dec_sum("l_extendedprice * (1 - l_discount)")).alias("local_revenue"),
+        F.countDistinct("o_orderkey").alias("order_count"),
+    )

@@ -56,6 +56,7 @@ import os
 import re
 import shutil
 import uuid
+from datetime import datetime, timezone
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 from urllib.parse import unquote
@@ -73,6 +74,10 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # marker string embedded in the in-plan duplicate-source-key guard's
 # raise_error message; merge_upsert converts it back into a ValueError
 _DUP_KEY_MARK = "MERGE_DUPLICATE_SOURCE_KEYS"
+
+# marker for CHECK-constraint violations (same in-plan raise_error
+# pattern; _write_units converts it back into a ValueError)
+_CHECK_MARK = "CHECK_CONSTRAINT_VIOLATION"
 
 
 def _part_str(v: object) -> str:
@@ -142,17 +147,28 @@ class LakeTable:
         path: str,
         partition_by: Sequence[str] = (),
         stats_cols: Sequence[str] = (),
+        constraints: dict[str, str] | None = None,
     ):
         """`stats_cols`: columns whose per-unit [min, max] are recorded
         in the manifest at write time (harvested from the parquet
         footers the write already produced — no extra Spark job) and
         used by `read(stats_where=...)` to skip whole units. Numeric and
         string columns supported; the Delta file-stats / data-skipping
-        analog, strongest after `compact(cluster_by=stats_cols)`."""
+        analog, strongest after `compact(cluster_by=stats_cols)`.
+
+        `constraints`: {name: SQL boolean expr} CHECK constraints (Delta
+        `ALTER TABLE ADD CONSTRAINT` parity). Enforced on every write
+        INSIDE the write plan (raise_error folded into a column, like
+        the merge dup-guard) — zero extra Spark jobs; a violating row
+        aborts the job before any manifest commit, so the table is
+        untouched. SQL CHECK semantics: a row fails only when the expr
+        is FALSE — NULL passes (add an explicit IS NOT NULL constraint
+        for NOT NULL columns)."""
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
         self.stats_cols = list(stats_cols)
+        self.constraints = dict(constraints or {})
 
     # ------------------------------------------------------------------ log
 
@@ -197,6 +213,7 @@ class LakeTable:
         doc = {
             "version": new_version,
             "operation": op,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
             "partition_by": self.partition_by,
             "units": [u.to_json() for u in units],
         }
@@ -274,10 +291,42 @@ class LakeTable:
                     unit[c] = list(v)
         return unit, per_file
 
+    def _enforce_constraints(self, df: DataFrame) -> DataFrame:
+        """Fold every CHECK constraint into the first column as a
+        raise_error guard: the check evaluates row-by-row during the
+        write scan itself (no validation pre-pass job). Violated only
+        when the expr is FALSE; NULL passes (SQL CHECK semantics)."""
+        if not self.constraints:
+            return df
+        first = df.columns[0]
+        guard = F.col(first)
+        for name, expr in self.constraints.items():
+            violated = ~F.coalesce(F.expr(expr), F.lit(True))
+            msg = F.concat(
+                F.lit(f"{_CHECK_MARK}: constraint '{name}' ({expr}) "),
+                F.lit("violated by a row in the write"),
+            )
+            guard = F.when(violated, F.raise_error(msg)).otherwise(guard)
+        return df.withColumn(first, guard)
+
     def _write_units(self, df: DataFrame) -> list[_Unit]:
         """Write df into a fresh immutable dir; one unit per partition
-        value when partitioned (enables partition-scoped replace)."""
+        value when partitioned (enables partition-scoped replace). A
+        CHECK-constraint violation aborts the write job BEFORE any
+        manifest commit — the orphan data dir is unreferenced and
+        reclaimed by vacuum()."""
+        df = self._enforce_constraints(df)
         dirname = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
+        try:
+            return self._write_units_at(df, dirname)
+        except Exception as e:
+            if _CHECK_MARK in str(e):
+                raise ValueError(
+                    str(e)[str(e).find(_CHECK_MARK):].splitlines()[0]
+                ) from None
+            raise
+
+    def _write_units_at(self, df: DataFrame, dirname: str) -> list[_Unit]:
         if not self.partition_by:
             df.write.mode("errorifexists").parquet(dirname)
             ustats, fstats = self._harvest_stats(dirname)
@@ -509,6 +558,48 @@ class LakeTable:
             if not units:
                 return self._read_units(self._read_manifest(v)).limit(0)
         return self._read_units(units, file_subsets)
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per commit inside the
+        retention horizon — (version, operation, committed_at, n_units,
+        n_added_units). Added-unit counts are derived from consecutive
+        manifests (a carried unit appears in both), so the row doubles
+        as an audit of how incremental each commit was. Driver-side
+        manifest reads only — no data scan."""
+        rows = []
+        prev_paths: set[str] | None = None
+        for v in self._versions():
+            doc_units = self._read_manifest(v)
+            with open(self._manifest_file(v)) as f:
+                doc = json.load(f)
+            paths = {u.path for u in doc_units}
+            rows.append(
+                (
+                    v,
+                    doc.get("operation", ""),
+                    doc.get("committed_at"),
+                    len(doc_units),
+                    len(paths - prev_paths) if prev_paths is not None else len(paths),
+                )
+            )
+            prev_paths = paths
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, committed_at string, "
+            "n_units long, n_added_units long",
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF analog: commits the old
+        snapshot's unit list as a NEW version (history is preserved —
+        restore is itself a commit, exactly Delta's semantics). Only
+        versions inside the vacuum retention horizon are restorable."""
+        if not os.path.exists(self._manifest_file(version)):
+            raise FileNotFoundError(
+                f"version {version} of {self.path} does not exist or was vacuumed"
+            )
+        units = self._read_manifest(version)
+        return self._commit(units, op=f"restore(v{version})")
 
     def read_changes(self, since_version: int | None) -> DataFrame | None:
         """Incremental change read (S6 batch-incremental analog): rows in
@@ -755,14 +846,20 @@ class LakeTable:
             transform(self._read_units([u for u in units if u.path in touched]),
                       cond_true)
         )
-        rewritten = [
-            u
-            for u in rewritten
-            if any(
-                f.endswith(".parquet")
-                for f in os.listdir(os.path.join(self.path, u.path))
+        # a delete can empty a unit — drop zero-row output (parquet
+        # footer num_rows; no Spark job) so manifests don't accumulate
+        # empty units; the dropped dirs are orphans vacuum() reclaims
+        import pyarrow.parquet as pq
+
+        def _n_rows(u: _Unit) -> int:
+            d = os.path.join(self.path, u.path)
+            return sum(
+                pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
             )
-        ]  # a delete can empty a unit; drop fileless output dirs
+
+        rewritten = [u for u in rewritten if _n_rows(u) > 0]
         new_v = self._commit(carried + rewritten, op=op, base_version=v)
         return {
             "version": new_v,

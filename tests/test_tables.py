@@ -752,3 +752,56 @@ def test_delete_stats_where_prunes_discovery_scan(spark, tmp_table):
     res = t.delete("id between 103 and 105", stats_where={"id": (103, 105)})
     assert res["rewritten_units"] == 1 and res["carried_units"] == 1
     assert t.read().count() == 17
+
+
+def test_history_records_commits_and_added_units(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]))
+    t.delete("id = 1")
+    h = {r.version: r for r in t.history().collect()}
+    assert [h[v].operation for v in sorted(h)] == ["overwrite", "append", "delete"]
+    assert h[2].n_units == 2 and h[2].n_added_units == 1
+    # delete rewrote unit 1, carried unit 2
+    assert h[3].n_units == 1 and h[3].n_added_units == 0
+    assert all(r.committed_at is not None for r in h.values())
+
+
+def test_restore_is_a_new_commit(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 1)]))
+    v3 = t.restore(v1)
+    assert v3 == 3
+    assert [r.id for r in t.read().collect()] == [1]
+    # history preserved: v2 still time-travels to the 2-row state
+    assert t.read(version=2).count() == 2
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        t.restore(99)
+
+
+def test_check_constraint_rejects_write_atomically(spark, tmp_table):
+    t = LakeTable(
+        spark, tmp_table,
+        constraints={"pos_ver": "ver > 0", "id_not_null": "id is not null"},
+    )
+    v1 = t.overwrite(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    with pytest.raises(ValueError, match="pos_ver"):
+        t.append(_df(spark, [(3, "c", 0)]))
+    with pytest.raises(ValueError, match="id_not_null"):
+        t.append(_df(spark, [(None, "d", 5)]))
+    # atomicity: failed writes committed nothing
+    assert t.latest_version() == v1
+    assert t.read().count() == 2
+    # valid rows still pass; orphan dirs from failed writes get vacuumed
+    t.append(_df(spark, [(4, "e", 4)]))
+    assert t.read().count() == 3
+
+
+def test_check_constraint_null_passes(spark, tmp_table):
+    """SQL CHECK semantics: a NULL predicate value is not a violation."""
+    t = LakeTable(spark, tmp_table, constraints={"v_short": "length(v) < 5"})
+    t.overwrite(
+        spark.createDataFrame([(1, "ok"), (2, None)], "id long, v string")
+    )
+    assert t.read().count() == 2
