@@ -478,3 +478,51 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").isNull().alias("gap_filled"),
         )
     )
+
+
+@register(
+    "trailing_7d_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev
+        FROM orders GROUP BY 1
+    )
+    SELECT order_date,
+           round(CAST(day_rev AS DOUBLE), 2) AS day_revenue,
+           round(CAST(sum(day_rev) OVER (
+               ORDER BY order_date
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS trailing_7d_revenue
+    FROM daily
+    """,
+    doc=(
+        "Time-RANGE window frame (distinct from the ROWS frames in "
+        "running_revenue): per-day revenue plus a trailing-7-DAY sum — "
+        "the frame is value-based (missing days shrink it), expressed in "
+        "Spark as rangeBetween(-6, 0) over a day-number ordering. The "
+        "windowed sum accumulates DECIMAL so the value is association- "
+        "order independent (DuckDB's segment-tree window vs Spark's "
+        "sliding frame would disagree in double), cast to double only at "
+        "the end. Global date ordering = single-partition window over "
+        "the ~2.4k-row daily aggregate, NOT the fact table — the pre-agg "
+        "shrinks first, which is the 100 TB-safe shape."
+    ),
+    tags=("window",),
+)
+def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev")
+    )
+    w = (
+        W.orderBy(F.datediff("order_date", F.lit("1995-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "order_date",
+        F.round(F.col("day_rev").cast("double"), 2).alias("day_revenue"),
+        F.round(F.sum("day_rev").over(w).cast("double"), 2).alias(
+            "trailing_7d_revenue"
+        ),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import events_table
@@ -271,3 +272,73 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         ).select("p_id", "c_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_profiles_and_recent_window(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4): two typed state variables —
+    the running aggregate carries across micro-batches AND the bounded
+    ListState keeps only the last 3 values."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's worker protocol needs protobuf, "
+        "not shipped in this container",
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.tws import (
+        user_profiles_tws,
+    )
+
+    src = str(tmp_path / "tws_src")
+    ckpt = str(tmp_path / "tws_ckpt")
+    # transformWithState requires the RocksDB state store provider
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+
+    emitted = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            user_profiles_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, e: emitted.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        mk([(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:01:00", 5.0),
+            (2, "2024-01-01 00:00:30", 7.0)]).write.mode("append").parquet(src)
+        run()
+        got1 = {
+            r.user_id: (r.n_events, r.sum_value, list(r.recent)) for r in emitted
+        }
+        assert got1 == {1: (2, 15.0, [10.0, 5.0]), 2: (1, 7.0, [7.0])}
+
+        emitted.clear()
+        mk(
+            [(1, "2024-01-01 01:00:00", 1.0), (1, "2024-01-01 01:01:00", 2.0)]
+        ).write.mode("append").parquet(src)
+        run()
+        got2 = {
+            r.user_id: (r.n_events, r.sum_value, list(r.recent)) for r in emitted
+        }
+        # aggregate carried (4 events) and the list window trimmed to last 3
+        assert got2 == {1: (4, 18.0, [5.0, 1.0, 2.0])}
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
