@@ -1,0 +1,75 @@
+"""Physical-plan invariant regression tests.
+
+PLANS.md is the full audit (tools/explain_audit.py regenerates it);
+these tests pin the load-bearing properties of the headline plans so a
+refactor that silently un-pushes a filter, widens a scan, or drops a
+query into row-at-a-time Python fails CI — not the next bench run.
+Plan shape only: nothing here executes a job (sf0.001 inputs, no
+collect), so the whole module is cheap.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from explain_audit import audit_one  # noqa: E402
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans import registry  # noqa: E402,F401
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    names = [
+        "pricing_summary",
+        "revenue_by_nation_status",
+        "fact_orders_preagg",
+        "regional_local_supplier_revenue",
+        "minhash_signatures",
+        "dedup_latest",
+        "lsh_candidate_pairs",
+        "cap_docs_per_source",
+    ]
+    return {n: audit_one(spark, n, SF_DIR) for n in names}
+
+
+def test_filters_reach_the_scan(audits):
+    a = audits["pricing_summary"]
+    assert any("l_shipdate" in p for p in a["pushed"])
+    q5 = audits["regional_local_supplier_revenue"]
+    assert any("o_orderdate" in p for p in q5["pushed"])
+
+
+def test_scans_are_column_pruned(audits):
+    # pricing_summary needs 7 lineitem cols of 11; a full-width scan
+    # means projection pruning broke
+    assert all(w <= 7 for w in audits["pricing_summary"]["scan_widths"])
+    # orders scan: 5 of 6 cols (key, custkey, status, totalprice, date);
+    # dims at 2
+    assert all(w <= 5 for w in audits["revenue_by_nation_status"]["scan_widths"])
+
+
+def test_no_python_in_jvm_only_queries(audits):
+    for name, a in audits.items():
+        assert a["python_stages"] == 0, f"{name} gained a Python stage"
+
+
+def test_no_accidental_cartesian_joins(audits):
+    for name, a in audits.items():
+        assert "CartesianProduct" not in a["joins"], name
+        assert "BroadcastNestedLoopJoin" not in a["joins"], name
+
+
+def test_rowlocal_queries_have_no_exchange(audits):
+    # minhash is row-local by design: any exchange is a regression
+    assert audits["minhash_signatures"]["exchanges"] == 0
+
+
+def test_single_shuffle_queries_stay_single_shuffle(audits):
+    assert audits["pricing_summary"]["exchanges"] <= 1
+    assert audits["dedup_latest"]["exchanges"] <= 1

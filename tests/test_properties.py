@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.operators.dedup import dedup_latest
 from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import asof_join
@@ -109,7 +110,18 @@ _BATCH = st.dictionaries(
 
 _OPS = st.lists(
     st.tuples(
-        st.sampled_from(["append", "upsert", "insert_only", "compact", "vacuum"]),
+        st.sampled_from(
+            [
+                "append",
+                "upsert",
+                "insert_only",
+                "compact",
+                "vacuum",
+                "delete",
+                "update",
+                "restore_prev",
+            ]
+        ),
         _BATCH,
     ),
     min_size=1,
@@ -125,8 +137,9 @@ _OPS = st.lists(
 )
 def test_table_lifecycle_model(spark, tmp_path, first, ops):
     """Random op chains (append / guarded upsert / insert-only merge /
-    compact / vacuum) match a naive Python list-of-rows model — content
-    preserved across the full transaction lifecycle."""
+    compact / vacuum / delete / update / restore) match a naive Python
+    list-of-rows model — content preserved across the full transaction
+    lifecycle including copy-on-write DML."""
     import uuid as _uuid
 
     from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
@@ -168,6 +181,29 @@ def test_table_lifecycle_model(spark, tmp_path, first, ops):
             t.compact()
         elif op == "vacuum":
             t.vacuum(keep_last_n=1)
+        elif op == "delete":
+            # delete keys present in the batch (DML predicate from data)
+            ks = sorted(batch)
+            t.delete(F.col("k").isin(ks))
+            model = [r for r in model if r[0] not in set(ks)]
+            if not model:
+                # an empty table has no snapshot to read; reseed
+                t.append(df_of(first))
+                model = [(k, v[0], v[1]) for k, v in sorted(first.items())]
+        elif op == "update":
+            ks = sorted(batch)
+            ver0 = min(v[0] for v in batch.values())
+            t.update(F.col("k").isin(ks), {"ver": F.lit(ver0)})
+            model = [
+                (k, ver0 if k in set(ks) else ver, x) for k, ver, x in model
+            ]
+        elif op == "restore_prev":
+            v = t.latest_version()
+            pre = sorted((r.k, r.ver, r.x) for r in t.read(version=v).collect())
+            t.restore(v)  # restore to current = content no-op, new commit
+            assert t.latest_version() == v + 1
+            model_now = sorted(model)
+            assert pre == model_now
 
     got = sorted((r.k, r.ver, r.x) for r in t.read().collect())
     assert got == sorted(model)
