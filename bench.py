@@ -160,14 +160,20 @@ def main() -> None:
             old = prev_q.get(name)
             if old and old > 0 and secs / (old * drift) > REGRESSION_RATIO:
                 regressions[name] = round(secs / (old * drift), 2)
+        # cross-round ratio over the INTERSECTION of query sets, so
+        # adding new headline queries does not read as a slowdown
+        shared = [n for n in timings if prev_q.get(n)]
+        now_shared = sum(timings[n] for n in shared)
+        old_shared = sum(prev_q[n] for n in shared)
         prev_info = {
             "file": prev_file,
             "total": prev_doc.get("value"),
-            "ratio": round(total / prev_doc["value"], 3) if prev_doc.get("value") else None,
+            "shared_queries": len(shared),
+            "ratio": round(now_shared / old_shared, 3) if old_shared else None,
             "calibration_drift": round(drift, 3) if prev_cal else None,
             "ratio_calibrated": (
-                round(total / (prev_doc["value"] * drift), 3)
-                if prev_cal and prev_doc.get("value")
+                round(now_shared / (old_shared * drift), 3)
+                if prev_cal and old_shared
                 else None
             ),
         }

@@ -559,6 +559,7 @@ def _semdedup_sql() -> str:
         "100 TB (cells from a trained quantizer, ivf_kmeans_topk)."
     ),
     tags=("embeddings", "dedup"),
+    bench=True,
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

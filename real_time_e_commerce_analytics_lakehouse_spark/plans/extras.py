@@ -509,6 +509,7 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shrinks first, which is the 100 TB-safe shape."
     ),
     tags=("window",),
+    bench=True,
 )
 def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")

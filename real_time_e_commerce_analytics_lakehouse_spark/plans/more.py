@@ -277,6 +277,7 @@ def customer_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "else rides broadcasts."
     ),
     tags=("join", "agg"),
+    bench=True,
 )
 def regional_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
