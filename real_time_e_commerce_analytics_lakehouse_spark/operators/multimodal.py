@@ -6,16 +6,24 @@ the only Python in the engine's hot paths, and the standard shape for
 decode/resize/frame-sample at 100 TB (per-partition batch iterators, no
 per-row serde, no driver involvement).
 
-Decode kernels for real media need image/audio libraries that are not in
-this container; they are stubbed behind NotImplementedError with the
-Spark-side plumbing (schema, batch iteration, partitioning) real and
-tested. `extract_binary_features` is the fully-working reference kernel
-(byte length + md5) used by the differential gate.
+Three tiers, by what this container can honestly run:
+- `extract_binary_features` — byte length + md5, oracle-verifiable.
+- CONTAINER-HEADER CODEC (`parse_image_headers` + `synthesize_image`):
+  real struct-level decode of PNG IHDR / GIF logical-screen / BMP
+  BITMAPINFOHEADER / JPEG SOF marker-walk, pure stdlib — the metadata
+  pass a 100 TB image catalog actually runs (dimensions/format/depth
+  without pixel decode). Differential-tested: Spark synthesizes real
+  byte streams, parses them back, and the DuckDB oracle recomputes the
+  expected fields arithmetically — a parser bug hash-mismatches.
+- PIXEL decode / video frame-sample — needs imaging libs absent here;
+  stubbed behind NotImplementedError with the plumbing real and
+  exercised by `deterministic_fake_decode`.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -48,6 +56,121 @@ def extract_binary_features(
 
     schema = f"{id_col} long, n_bytes long, content_hash string"
     return df.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Container-header codec (real, stdlib-only)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_image(fmt: str, width: int, height: int) -> bytes:
+    """Minimal VALID container bytes for the given format/dimensions —
+    real magic numbers, real header layout (PNG IHDR chunk, GIF89a
+    logical screen descriptor, BMP BITMAPINFOHEADER, JPEG JFIF + SOF0
+    segment). Used to build test corpora whose parsed metadata is known
+    in closed form."""
+    if fmt == "png":
+        ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # CRC not validated by header readers
+        )
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
+    if fmt == "bmp":
+        info = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
+        return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40) + info
+    if fmt == "jpeg":
+        # APP0 length 16 = 2 (length field) + 14 payload: "JFIF\0",
+        # version 1.2, units, X/Y density, X/Y thumbnail
+        app0 = (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00"
+            + struct.pack(">HH", 1, 1)
+            + b"\x00\x00"
+        )
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 17)
+            + bytes([8])
+            + struct.pack(">HH", height, width)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """Decode (format, width, height, bit_depth) from container header
+    bytes — PNG IHDR, GIF logical screen, BMP info header, JPEG SOF0/2
+    via marker walk. Returns None for unrecognized/truncated payloads
+    (callers emit NULLs — corrupt files are data, not exceptions)."""
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h, b[24]
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", w, h, (b[10] & 0x07) + 1
+        if b[:2] == b"BM":
+            _, w, h = struct.unpack("<Iii", b[14:26])
+            depth = struct.unpack("<H", b[28:30])[0]
+            return "bmp", w, abs(h), depth
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(b) and b[i] == 0xFF:
+                marker, seg_len = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    depth = b[i + 4]
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return "jpeg", w, h, depth
+                if marker == 0xD9:  # EOI before any SOF
+                    return None
+                i += 2 + seg_len
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+IMAGE_HEADER_SCHEMA = (
+    "format string, width int, height int, bit_depth int"
+)
+
+
+def parse_image_headers(
+    df: DataFrame, id_col: str = "id", binary_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched container-metadata decode over a binary column:
+    (id, format, width, height, bit_depth), NULLs for unparseable rows.
+    This is the working decode tier — at 100 TB the cataloging pass that
+    reads only headers, partition-parallel, no pixel decode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(bytes(x)) for x in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] if p else None for p in parsed],
+                    "width": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bit_depth": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel, schema=f"{id_col} long, {IMAGE_HEADER_SCHEMA}"
+    )
 
 
 @dataclass

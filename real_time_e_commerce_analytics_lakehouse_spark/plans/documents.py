@@ -402,6 +402,60 @@ def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(payload, id_col="doc_id", binary_col="payload")
 
 
+@register(
+    "image_header_catalog",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+           CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+           CAST(n_chars % 480 + 1 AS INTEGER) AS height,
+           CAST(CASE doc_id % 4 WHEN 2 THEN 24 ELSE 8 END AS INTEGER)
+               AS bit_depth
+    FROM documents
+    """,
+    doc=(
+        "Working image-metadata decode (the catalog pass of a 100 TB "
+        "multimodal pipeline): synthesize REAL container bytes per doc "
+        "(PNG IHDR / GIF screen descriptor / BMP info header / JPEG "
+        "JFIF+SOF0 — format by doc_id%4, dimensions from n_chars), then "
+        "parse them back by struct-walking the headers "
+        "(operators/multimodal.parse_image_headers, stdlib only, no "
+        "imaging libs). The oracle recomputes the fields arithmetically, "
+        "so any codec bug — endianness, offset, marker walk — "
+        "hash-mismatches. Two Arrow stages, row-local, zero shuffle."
+    ),
+    tags=("documents", "multimodal"),
+)
+def image_header_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        parse_image_headers,
+        synthesize_image,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def make_payload(batches):
+        import pandas as pd
+
+        fmts = ["png", "gif", "bmp", "jpeg"]
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_image(
+                            fmts[int(d) % 4], int(n) % 640 + 1, int(n) % 480 + 1
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(make_payload, schema="doc_id long, payload binary")
+    return parse_image_headers(payloads, id_col="doc_id", binary_col="payload")
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals + duplicate-cluster resolution
 # ---------------------------------------------------------------------------

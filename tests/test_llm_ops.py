@@ -84,3 +84,31 @@ def test_ann_sims_match_bruteforce_scores(spark, sf_dir) -> None:
     for r in QUERIES["ann_lsh_topk"].builder(spark, sf_dir).collect():
         if (r.query_id, r.vec_id) in bf:
             assert abs(bf[(r.query_id, r.vec_id)] - r.cosine_sim) < 1e-9
+
+
+def test_image_header_codec_roundtrip_and_robustness(spark) -> None:
+    """The container codec parses what it writes for every format, and
+    treats corrupt/truncated/alien bytes as data (None), not errors."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+        parse_image_headers,
+        synthesize_image,
+    )
+
+    for fmt, depth in (("png", 8), ("gif", 8), ("bmp", 24), ("jpeg", 8)):
+        b = synthesize_image(fmt, 641, 123)
+        assert parse_image_header(b) == (fmt, 641, 123, depth), fmt
+        # any truncation must yield None, never raise
+        for cut in range(len(b)):
+            assert parse_image_header(b[:cut]) is None or cut >= 10
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
+    # JPEG with EOI before any SOF marker: recognized but dimensionless
+    assert parse_image_header(b"\xff\xd8\xff\xd9\x00\x00") is None
+    # distributed path emits NULL rows for the unparseable payloads
+    rows = [(1, synthesize_image("png", 10, 20)), (2, b"garbage")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: (r.format, r.width, r.height) for r in
+           parse_image_headers(df, id_col="id").collect()}
+    assert got[1] == ("png", 10, 20)
+    assert got[2] == (None, None, None)
