@@ -173,6 +173,92 @@ def parse_image_headers(
     )
 
 
+def synthesize_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
+    """Minimal valid RIFF/WAVE container (16-bit PCM): real RIFF framing
+    with fmt and data chunks; the data chunk is declared but elided
+    (header-only corpus), exactly what a metadata catalog reads."""
+    data_len = n_samples * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """Decode (sample_rate, n_channels, bits_per_sample, duration_ms)
+    from a RIFF/WAVE header by chunk-walking to fmt and data. Duration
+    is integer milliseconds (floor) — exact integer arithmetic, so the
+    value is engine-portable (float seconds would hit cross-engine
+    round() disagreement). None for non-WAV/truncated payloads."""
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i, fmt, data_len = 12, None, None
+        while i + 8 <= len(b):
+            cid, clen = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt ":
+                _, ch, rate, _, block, bits = struct.unpack(
+                    "<HHIIHH", b[i + 8 : i + 24]
+                )
+                fmt = (rate, ch, bits, block)
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+        if fmt is None or data_len is None:
+            return None
+        rate, ch, bits, block = fmt
+        if not block or not rate:
+            return None
+        return rate, ch, bits, (data_len * 1000) // (block * rate)
+    except (struct.error, IndexError):
+        return None
+
+
+WAV_HEADER_SCHEMA = (
+    "sample_rate int, n_channels int, bits_per_sample int, duration_ms long"
+)
+
+
+def parse_wav_headers(
+    df: DataFrame, id_col: str = "id", binary_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched audio-metadata decode (sibling of
+    parse_image_headers): NULLs for unparseable payloads."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_header(bytes(x)) for x in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=f"{id_col} long, {WAV_HEADER_SCHEMA}")
+
+
 @dataclass
 class ImageMeta:
     """Typed metadata accompanying an image payload column."""

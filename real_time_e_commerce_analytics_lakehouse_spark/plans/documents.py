@@ -456,6 +456,57 @@ def image_header_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_image_headers(payloads, id_col="doc_id", binary_col="payload")
 
 
+@register(
+    "audio_header_catalog",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST((n_chars * 100 * 1000) // (CASE doc_id % 3 WHEN 0 THEN 8000
+                WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    doc=(
+        "Audio sibling of image_header_catalog: synthesize real "
+        "RIFF/WAVE headers (fmt + data chunk framing; rate by doc_id%3, "
+        "mono/stereo by parity, 100 samples per char) and chunk-walk "
+        "them back (operators/multimodal.parse_wav_headers). Duration is "
+        "integer milliseconds — exact floor arithmetic both engines "
+        "agree on. Two Arrow stages, row-local, zero shuffle."
+    ),
+    tags=("documents", "multimodal"),
+)
+def audio_header_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        parse_wav_headers,
+        synthesize_wav,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rates = [8000, 16000, 44100]
+
+    def make_payload(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_wav(
+                            rates[int(d) % 3], int(d) % 2 + 1, int(n) * 100
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(make_payload, schema="doc_id long, payload binary")
+    return parse_wav_headers(payloads, id_col="doc_id", binary_col="payload")
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals + duplicate-cluster resolution
 # ---------------------------------------------------------------------------

@@ -112,3 +112,22 @@ def test_image_header_codec_roundtrip_and_robustness(spark) -> None:
            parse_image_headers(df, id_col="id").collect()}
     assert got[1] == ("png", 10, 20)
     assert got[2] == (None, None, None)
+
+
+def test_wav_header_codec_roundtrip_and_robustness(spark) -> None:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        parse_wav_header,
+        synthesize_wav,
+    )
+
+    b = synthesize_wav(16000, 2, 16000 * 3)  # 3s stereo
+    assert parse_wav_header(b) == (16000, 2, 16, 3000)
+    for cut in range(len(b)):  # truncation never raises
+        parse_wav_header(b[:cut])
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    assert parse_wav_header(b"") is None
+    # zero-rate fmt chunk is data corruption, not a crash
+    import struct as _s
+    corrupt = bytearray(b)
+    corrupt[12 + 8 + 4 : 12 + 8 + 8] = _s.pack("<I", 0)
+    assert parse_wav_header(bytes(corrupt)) is None
