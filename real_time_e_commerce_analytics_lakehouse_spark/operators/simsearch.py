@@ -76,3 +76,70 @@ def cosine_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+def semantic_dedup_flags(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a reusable operator: returns
+    (id_col, cell bigint, kept int) for every vector — kept=0 iff a
+    LOWER-id vector in the same coarse cell has cosine >= tau.
+
+    The cell id is the blocking key: pairwise cosine is scored only
+    within a cell (shuffle on cell_id), so cost is sum(cell^2), never
+    corpus^2. Centroids are the n_cells smallest-id vectors —
+    deterministic and oracle-reproducible; swap in trained k-means
+    centroids (plans/embeddings.ivf_kmeans_topk shows the rounds) for
+    production cell balance. Used by both the semantic_dedup_embeddings
+    gate query and pipelines/corpus.curate(embeddings=...)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.functions import vecexpr as vx
+
+    cos_c = vx.cosine(
+        vx.to_double_array(vec_col, "spark"),
+        vx.to_double_array("c_emb", "spark"),
+        "spark",
+    )
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("c_emb"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    assigned = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", F.expr(cos_c))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cell_id", vec_col)
+    )
+    cos_p = vx.cosine(
+        vx.to_double_array("a_emb", "spark"),
+        vx.to_double_array("b_emb", "spark"),
+        "spark",
+    )
+    a = assigned.select(
+        "cell_id", F.col(id_col).alias("__ida"), F.col(vec_col).alias("a_emb")
+    )
+    b = assigned.select(
+        "cell_id", F.col(id_col).alias("__idb"), F.col(vec_col).alias("b_emb")
+    )
+    dups = (
+        a.join(b, ["cell_id"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.expr(cos_p) >= tau)
+        .select(F.col("__idb").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned[id_col] == dups.__dup_id, "left")
+        .select(
+            id_col,
+            F.col("cell_id").cast("long").alias("cell"),
+            F.when(F.col("__dup_id").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

@@ -45,6 +45,7 @@ class CurationReport:
     after_quality: int
     after_exact_dedup: int
     after_neardup: int
+    after_semantic: int | None = None
     after_decontamination: int | None = None
 
     def as_dict(self) -> dict[str, int | None]:
@@ -59,6 +60,8 @@ def curate(
     min_chars: int = 30,
     jaccard_threshold: float = 0.6,
     cluster_resolve: bool = False,
+    embeddings: DataFrame | None = None,
+    semantic_tau: float = 0.3,
     benchmark: DataFrame | None = None,
     contamination_threshold: float = 0.5,
     scrub: bool = False,
@@ -141,6 +144,29 @@ def curate(
         to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
     deduped = exact.join(to_drop, id_col, "left_anti")
 
+    # 3b. semantic dedup (optional, SemDeDup): embeddings keyed by the
+    # SAME id space as the docs; a doc whose vector has a lower-id
+    # within-cell neighbor at cosine >= semantic_tau is dropped. Runs
+    # AFTER lexical dedup — near-identical texts are already gone, this
+    # removes paraphrase-level redundancy the shingle pass cannot see.
+    if embeddings is not None:
+        from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+            semantic_dedup_flags,
+        )
+
+        emb_cols = embeddings.columns
+        flags = semantic_dedup_flags(
+            embeddings, id_col=emb_cols[0], vec_col=emb_cols[1],
+            tau=semantic_tau,
+        )
+        sem_drop = flags.filter(F.col("kept") == 0).select(
+            F.col(emb_cols[0]).alias(id_col)
+        )
+        deduped = deduped.join(sem_drop, id_col, "left_anti")
+    after_semantic = (
+        deduped.count() if with_report and embeddings is not None else None
+    )
+
     # 4. decontamination vs a held-out benchmark (optional): drop docs
     # whose distinct word-3gram overlap ratio reaches the threshold.
     # Shingle-keyed join; the benchmark shingle set is broadcast-small.
@@ -201,6 +227,7 @@ def curate(
             after_quality=quality.count(),
             after_exact_dedup=exact.count(),
             after_neardup=exact.join(to_drop, id_col, "left_anti").count(),
+            after_semantic=after_semantic,
             after_decontamination=after_decon,
         )
     return curated, report

@@ -562,47 +562,14 @@ def _semdedup_sql() -> str:
     bench=True,
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        semantic_dedup_flags,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
-    cos_c = vx.cosine(
-        vx.to_double_array("embedding", "spark"),
-        vx.to_double_array("c_emb", "spark"),
-        "spark",
-    )
-    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("cell_id"))
-    assigned = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", F.expr(cos_c))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "cell_id", "embedding")
-    )
-    cos_p = vx.cosine(
-        vx.to_double_array("a_emb", "spark"),
-        vx.to_double_array("b_emb", "spark"),
-        "spark",
-    )
-    a = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
-    )
-    b = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb")
-    )
-    dups = (
-        a.join(b, ["cell_id"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(F.expr(cos_p) >= SEMDEDUP_TAU)
-        .select(F.col("vec_b").alias("dup_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dups, assigned.vec_id == dups.dup_id, "left")
-        .select(
-            "vec_id",
-            F.col("cell_id").cast("long").alias("cell"),
-            F.when(F.col("dup_id").isNull(), 1).otherwise(0).alias("kept"),
-        )
+    # centroid choice (n_cells smallest ids) == the oracle's vec_id <
+    # N_CELLS because vec_ids are dense from 0
+    return semantic_dedup_flags(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_cells=N_CELLS, tau=SEMDEDUP_TAU,
     )

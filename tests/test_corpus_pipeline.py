@@ -130,3 +130,35 @@ def test_curation_cluster_resolve_transitive_star(spark, sf_dir):
     # transitive resolution must never keep MORE than pairwise
     assert c_ids <= p_ids
     assert 90001 not in c_ids and 90002 not in c_ids
+
+
+def test_curation_semantic_dedup_stage(spark, sf_dir):
+    """Stage 3b: paraphrase-level duplicates invisible to shingles but
+    near-identical in embedding space are dropped, keeping the lower id;
+    docs with distant embeddings survive."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    n_docs = docs.count()
+    dim = 32
+
+    def vec(seed):
+        base = [0.0] * dim
+        base[seed % dim] = 1.0
+        return base
+
+    # doc 18 (NOT a centroid — the 16 smallest ids are) gets a vector
+    # nearly identical to doc 0's (cos ~ 0.999): both land in cell 0
+    # and 18 is dropped. Everyone else: orthogonal basis vectors, kept.
+    rows = []
+    for i in range(n_docs):
+        if i == 18:
+            v = vec(0)
+            v[1] = 0.05  # not bit-identical, still cos ~ 0.999
+            rows.append((i, v))
+        else:
+            rows.append((i, vec(i)))
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    curated, report = curate(docs, embeddings=emb, semantic_tau=0.9)
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert 18 not in ids and 0 in ids
+    assert report.after_semantic == report.after_neardup - 1
