@@ -117,26 +117,43 @@ def semantic_dedup_flags(
         .filter(F.col("__rn") == 1)
         .select(id_col, "cell_id", vec_col)
     )
-    cos_p = vx.cosine(
-        vx.to_double_array("a_emb", "spark"),
-        vx.to_double_array("b_emb", "spark"),
-        "spark",
+    # Pair-stage plan, two deliberate choices (both measured):
+    # 1. normalize ONCE per vector so each of the O(sum cell^2) pair
+    #    evaluations is a single fold instead of dot + 2 norms (an
+    #    UNROLLED 64-term scalar dot was tried and is 2-3x SLOWER than
+    #    the aggregate() fold — the giant expression tree blows codegen;
+    #    see vx.dot_unrolled's docstring);
+    # 2. persist the tiny normalized frame so the assignment crossJoin
+    #    + window runs once per action, not once per consumer.
+    # The oracle mirrors the same normalize-then-dot with the same fold
+    # order, so results stay bit-identical cross-engine.
+    d_vec = vx.to_double_array(vec_col, "spark")
+    normed = (
+        assigned.withColumn("__nrm", F.expr(vx.norm(d_vec, "spark")))
+        .select(
+            id_col,
+            "cell_id",
+            F.expr(f"transform({d_vec}, x -> x / __nrm)").alias("__u"),
+        )
+        .persist()
     )
-    a = assigned.select(
-        "cell_id", F.col(id_col).alias("__ida"), F.col(vec_col).alias("a_emb")
+    a = normed.select(
+        "cell_id", F.col(id_col).alias("__ida"), F.col("__u").alias("a_u")
     )
-    b = assigned.select(
-        "cell_id", F.col(id_col).alias("__idb"), F.col(vec_col).alias("b_emb")
+    b = normed.select(
+        "cell_id", F.col(id_col).alias("__idb"), F.col("__u").alias("b_u")
     )
     dups = (
         a.join(b, ["cell_id"])
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(F.expr(cos_p) >= tau)
+        .filter(F.expr(vx.dot("a_u", "b_u", "spark")) >= tau)
         .select(F.col("__idb").alias("__dup_id"))
         .distinct()
     )
+    # final flags read from the persisted frame — the assignment
+    # subtree runs exactly once per action, not once per consumer
     return (
-        assigned.join(dups, assigned[id_col] == dups.__dup_id, "left")
+        normed.join(dups, normed[id_col] == dups.__dup_id, "left")
         .select(
             id_col,
             F.col("cell_id").cast("long").alias("cell"),

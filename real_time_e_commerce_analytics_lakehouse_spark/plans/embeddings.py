@@ -513,10 +513,13 @@ def _semdedup_sql() -> str:
         vx.to_double_array("c.c_emb", "duck"),
         "duck",
     )
-    cos_p = vx.cosine(
-        vx.to_double_array("a.embedding", "duck"),
-        vx.to_double_array("b.embedding", "duck"),
-        "duck",
+    emb_d = vx.to_double_array("embedding", "duck")
+    # mirror the engine exactly: normalize each vector once (same
+    # per-element division), then pair similarity is a plain dot —
+    # identical fold order keeps the two engines bit-identical
+    unit = (
+        f"list_transform({emb_d}, x -> x / sqrt(list_dot_product("
+        f"{emb_d}, {emb_d})))"
     )
     return f"""
     WITH centroids AS (
@@ -532,11 +535,14 @@ def _semdedup_sql() -> str:
             FROM embeddings e CROSS JOIN centroids c
         ) WHERE rn = 1
     ),
+    normed AS (
+        SELECT vec_id, cell_id, {unit} AS u FROM assigned
+    ),
     dups AS (
         SELECT DISTINCT b.vec_id
-        FROM assigned a
-        JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-        WHERE {cos_p} >= {SEMDEDUP_TAU}
+        FROM normed a
+        JOIN normed b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.u, b.u) >= {SEMDEDUP_TAU}
     )
     SELECT a.vec_id, CAST(a.cell_id AS BIGINT) AS cell,
            CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
