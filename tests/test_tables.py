@@ -805,3 +805,18 @@ def test_check_constraint_null_passes(spark, tmp_table):
         spark.createDataFrame([(1, "ok"), (2, None)], "id long, v string")
     )
     assert t.read().count() == 2
+
+
+def test_partition_layout_evolution_mixed_depth_read(spark, tmp_table):
+    """partition_by changed mid-history: old unpartitioned units and new
+    Hive-layout units coexist in one snapshot; the reader unions the
+    per-depth groups, restoring partition values for new rows and NULL
+    for rows from before the layout change."""
+    flat = LakeTable(spark, tmp_table)
+    flat.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    parted = LakeTable(spark, tmp_table, partition_by=["p"])
+    parted.append(
+        spark.createDataFrame([(3, "c", "x"), (4, "d", "y")], "id long, v string, p string")
+    )
+    rows = {r.id: r.p for r in parted.read().collect()}
+    assert rows == {1: None, 2: None, 3: "x", 4: "y"}
