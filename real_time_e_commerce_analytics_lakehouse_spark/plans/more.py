@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    EVENTS_CTE,
     dec_sum,
     register,
     table,
@@ -304,4 +305,55 @@ def regional_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     ).agg(
         F.expr(dec_sum("l_extendedprice * (1 - l_discount)")).alias("local_revenue"),
         F.countDistinct("o_orderkey").alias("order_count"),
+    )
+
+
+@register(
+    "daily_orders_vs_events_activity",
+    oracle=f"""
+    {EVENTS_CTE},
+    od AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               {dec_sum("o_totalprice")} AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    evd AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+        FROM ev GROUP BY 1
+    )
+    SELECT coalesce(od.d, evd.d) AS activity_date,
+           od.revenue, od.n_orders, evd.n_events
+    FROM od FULL OUTER JOIN evd ON od.d = evd.d
+    """,
+    doc=(
+        "FULL OUTER join of two daily pre-aggregates (order revenue vs "
+        "event counts) on the calendar date, key coalesced — the "
+        "activity-ledger shape where either side may be absent. The "
+        "testdata makes the outer semantics load-bearing: order dates "
+        "(1995-2001) and event dates (2024) are disjoint, so every row "
+        "exercises a NULL-extended side. Both inputs pre-aggregate "
+        "BEFORE the join (two small shuffles + one merge join of "
+        "day-cardinality frames, never fact x fact)."
+    ),
+    tags=("join", "agg"),
+)
+def daily_orders_vs_events_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events")
+    od = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(dec_sum("o_totalprice")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    ev = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_events")
+    )
+    joined = od.alias("od").join(
+        ev.alias("ev"), F.col("od.d") == F.col("ev.d"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("od.d"), F.col("ev.d")).alias("activity_date"),
+        "revenue",
+        "n_orders",
+        "n_events",
     )
