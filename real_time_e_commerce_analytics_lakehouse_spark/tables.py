@@ -419,13 +419,23 @@ class LakeTable:
         if not any(u.partition for u in units):
             return df
 
-        depths = {len(u.path.split("/")) for u in units}
+        def _canon(u: _Unit) -> list[str]:
+            # trailing `data/<uuid>[/k=v...]` segments — identical for a
+            # native unit ("data/...") and a shallow-cloned one
+            # ("../src/data/..."), so the file-path join key matches both
+            segs = u.path.split("/")
+            if _DATA_DIR in segs:
+                idx = len(segs) - 1 - segs[::-1].index(_DATA_DIR)
+                return segs[idx:]
+            return segs
+
+        depths = {len(_canon(u)) for u in units}
         if len(depths) != 1:
             # mixed layouts (e.g. partition_by changed mid-history):
             # fall back to per-depth groups, one scan per group
             by_depth: dict[int, list[_Unit]] = {}
             for u in units:
-                by_depth.setdefault(len(u.path.split("/")), []).append(u)
+                by_depth.setdefault(len(_canon(u)), []).append(u)
             frames = [
                 self._read_units(g, file_subsets, with_file_path)
                 for g in by_depth.values()
@@ -440,7 +450,10 @@ class LakeTable:
         for u in units:
             ptypes.update(u.partition_types)
         meta_rows = [
-            (u.path, *(None if v == _HIVE_NULL else v for v in self._unit_key(u)))
+            (
+                "/".join(_canon(u)),
+                *(None if v == _HIVE_NULL else v for v in self._unit_key(u)),
+            )
             for u in units
         ]
         meta_schema = "__unit_key string, " + ", ".join(
@@ -738,12 +751,16 @@ class LakeTable:
                 df = df.drop("__z")
         return self._commit(self._write_units(df), op="compact", base_version=v)
 
-    def vacuum(self, keep_last_n: int = 1) -> dict[str, int]:
+    def vacuum(
+        self, keep_last_n: int = 1, dry_run: bool = False
+    ) -> dict[str, int]:
         """VACUUM analog (Delta gives the reference this for free; VERDICT
         r1 miss #3): drop manifests older than the newest `keep_last_n`
         and delete commit dirs no kept manifest references. Time travel
         inside the horizon keeps working; outside it raises. Storage stops
         growing without bound under streaming append + compact cycles.
+        `dry_run=True` (VACUUM DRY RUN parity) reports what WOULD be
+        removed without touching disk.
 
         Single-writer assumption (same as commits): run vacuum from the
         table's writer, not concurrently with another writer. Readers of
@@ -765,11 +782,50 @@ class LakeTable:
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 if d not in referenced:
-                    shutil.rmtree(os.path.join(data_root, d))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(data_root, d))
                     removed_dirs += 1
-        for v in dropped:
-            os.remove(self._manifest_file(v))
+        if not dry_run:
+            for v in dropped:
+                os.remove(self._manifest_file(v))
         return {"removed_manifests": len(dropped), "removed_commit_dirs": removed_dirs}
+
+    def clone(self, dest_path: str) -> "LakeTable":
+        """SHALLOW CLONE parity: a new table at `dest_path` whose first
+        manifest references THIS table's current data units (relative
+        paths rebased; zero data copied). Writes to the clone add its
+        own units; the source is never modified. Same caveat as Delta:
+        `vacuum()` on the SOURCE can delete units the clone still
+        references — vacuum the source only after clones are dropped or
+        deep-copied (compact() on the clone materializes its own
+        copy)."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no table at {self.path}")
+        dest = LakeTable(
+            self.spark,
+            dest_path,
+            partition_by=self.partition_by,
+            stats_cols=self.stats_cols,
+            constraints=self.constraints,
+        )
+        if dest.exists():
+            raise FileExistsError(f"table already exists at {dest_path}")
+        rebased = [
+            _Unit(
+                path=os.path.relpath(
+                    os.path.join(os.path.abspath(self.path), u.path),
+                    os.path.abspath(dest_path),
+                ),
+                partition=dict(u.partition),
+                partition_types=dict(u.partition_types),
+                stats=dict(u.stats),
+                file_stats=dict(u.file_stats),
+            )
+            for u in self._read_manifest(v)
+        ]
+        dest._commit(rebased, op=f"clone({self.path}@v{v})")
+        return dest
 
     # ------------------------------------------------------- delete / update
 

@@ -820,3 +820,48 @@ def test_partition_layout_evolution_mixed_depth_read(spark, tmp_table):
     )
     rows = {r.id: r.p for r in parted.read().collect()}
     assert rows == {1: None, 2: None, 3: "x", 4: "y"}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.overwrite(_df(spark, [(2, "b", 1)]))
+    would = t.vacuum(keep_last_n=1, dry_run=True)
+    assert would == {"removed_manifests": 1, "removed_commit_dirs": 1}
+    # nothing actually removed: time travel to v1 still works
+    assert t.read(version=1).count() == 1
+    did = t.vacuum(keep_last_n=1)
+    assert did == would
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_table):
+    src = LakeTable(spark, os.path.join(tmp_table, "src"))
+    src.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    dst = src.clone(os.path.join(tmp_table, "dst"))
+    assert sorted(r.id for r in dst.read().collect()) == [1, 2]
+    # zero copy: the clone's data dir holds nothing of its own yet
+    assert not os.path.isdir(os.path.join(tmp_table, "dst", "data")) or not os.listdir(
+        os.path.join(tmp_table, "dst", "data")
+    )
+    # divergence: writes to the clone do not touch the source
+    dst.append(_df(spark, [(3, "c", 1)]))
+    src.delete("id = 1")
+    assert sorted(r.id for r in dst.read().collect()) == [1, 2, 3]
+    assert sorted(r.id for r in src.read().collect()) == [2]
+    with pytest.raises(FileExistsError):
+        src.clone(os.path.join(tmp_table, "dst"))
+
+
+def test_shallow_clone_partitioned_restores_partition_columns(spark, tmp_table):
+    src = LakeTable(spark, os.path.join(tmp_table, "psrc"), partition_by=["p"])
+    src.overwrite(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(10)], "id long, p string"
+        )
+    )
+    dst = src.clone(os.path.join(tmp_table, "pdst"))
+    rows = {r.id: r.p for r in dst.read().collect()}
+    assert rows == {i: f"d{i % 2}" for i in range(10)}
+    # clone's own writes mix with referenced source units
+    dst.append(spark.createDataFrame([(10, "d0")], "id long, p string"))
+    assert dst.read().count() == 11 and src.read().count() == 10
