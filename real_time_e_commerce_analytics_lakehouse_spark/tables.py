@@ -67,6 +67,8 @@ from pyspark.sql import Window as W
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"  # deletion-vector tombstone dirs (separate from data/
+             # so the read_stream file glob never ingests them)
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -199,23 +201,41 @@ class LakeTable:
             doc = json.load(f)
         return [_Unit.from_json(u) for u in doc["units"]]
 
+    def _read_dv(self, version: int) -> list[str]:
+        """Deletion-vector dirs (relative paths) active at `version`."""
+        with open(self._manifest_file(version)) as f:
+            return list(json.load(f).get("dv", []))
+
     def _commit(
-        self, units: list[_Unit], op: str, base_version: int | None = None
+        self,
+        units: list[_Unit],
+        op: str,
+        base_version: int | None = None,
+        dv: list[str] | str = "carry",
     ) -> int:
         """Atomic manifest commit. `base_version` = the snapshot version
         the caller's decision was READ at; the commit targets base+1, so
         a concurrent commit in between makes the exclusive create fail
         (lost-update detection, Delta's optimistic protocol). Without a
-        base (overwrite — no read dependency), targets latest+1."""
+        base (overwrite — no read dependency), targets latest+1.
+
+        `dv`: deletion-vector dirs for the new snapshot. The default
+        "carry" keeps the previous snapshot's tombstones active (append/
+        merge commits: old rows stay deleted); rewriting commits
+        (overwrite/compact/cow-delete) pass [] because the rewrite
+        materialized the deletions."""
         os.makedirs(self._log_path(), exist_ok=True)
         current = base_version if base_version is not None else self.latest_version()
         new_version = (current or 0) + 1
+        if dv == "carry":
+            dv = self._read_dv(current) if current else []
         doc = {
             "version": new_version,
             "operation": op,
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "partition_by": self.partition_by,
             "units": [u.to_json() for u in units],
+            "dv": sorted(dv),
         }
         tmp = self._manifest_file(new_version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -385,6 +405,8 @@ class LakeTable:
         units: list[_Unit],
         file_subsets: dict[str, list[str]] | None = None,
         with_file_path: str | None = None,
+        dv_paths: list[str] | None = None,
+        with_row_index: str | None = None,
     ) -> DataFrame:
         """ONE multi-path parquet scan over all units (mergeSchema covers
         additive evolution across commits). Partition columns are restored
@@ -398,11 +420,17 @@ class LakeTable:
         units scan their whole dir. File paths keep the dir structure, so
         partition-column restoration is unaffected.
 
-        `with_file_path`: name of an extra column carrying each row's
-        source-file URI (`_metadata.file_path`), captured at the scan —
-        after the partition-restore join the hidden column is no longer
-        reachable, so callers that need row→unit lineage (delete/update
-        touched-unit discovery) request it here."""
+        `with_file_path` / `with_row_index`: names of extra columns
+        carrying each row's source-file URI / in-file row index
+        (`_metadata`), captured at the scan — after the partition-restore
+        join the hidden column is no longer reachable, so callers that
+        need row lineage (DML touched-unit discovery, deletion-vector
+        tombstone construction) request them here.
+
+        `dv_paths`: deletion-vector dirs (relative) — tombstoned
+        (file URI, row index) pairs are anti-joined out right after the
+        scan, BEFORE any caller-visible columns, so merge-on-read
+        deletes are invisible to every consumer."""
         if not units:
             raise ValueError(f"table {self.path} has an empty snapshot")
         paths = []
@@ -414,10 +442,28 @@ class LakeTable:
             else:
                 paths.extend(os.path.join(base, f) for f in sel)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # capture metadata into real columns ONCE, at the scan — hidden
+        # _metadata is not resolvable after a join, and the DV anti-join
+        # below is a join
+        partitioned = any(u.partition for u in units)
+        df = df.withColumn("__fp_raw", F.col("_metadata.file_path"))
+        if dv_paths or with_row_index:
+            df = df.withColumn("__ri_raw", F.col("_metadata.row_index"))
+        if dv_paths:
+            tomb = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in dv_paths]
+            )
+            df = df.join(
+                tomb,
+                (F.col("__fp_raw") == tomb.fp) & (F.col("__ri_raw") == tomb.ri),
+                "left_anti",
+            )
         if with_file_path:
-            df = df.withColumn(with_file_path, F.col("_metadata.file_path"))
-        if not any(u.partition for u in units):
-            return df
+            df = df.withColumn(with_file_path, F.col("__fp_raw"))
+        if with_row_index:
+            df = df.withColumn(with_row_index, F.col("__ri_raw"))
+        if not partitioned:
+            return df.drop("__fp_raw", "__ri_raw")
 
         def _canon(u: _Unit) -> list[str]:
             # trailing `data/<uuid>[/k=v...]` segments — identical for a
@@ -437,7 +483,9 @@ class LakeTable:
             for u in units:
                 by_depth.setdefault(len(_canon(u)), []).append(u)
             frames = [
-                self._read_units(g, file_subsets, with_file_path)
+                self._read_units(
+                    g, file_subsets, with_file_path, dv_paths, with_row_index
+                )
                 for g in by_depth.values()
             ]
             out = frames[0]
@@ -460,13 +508,13 @@ class LakeTable:
             f"`{c}` string" for c in self.partition_by
         )
         meta = self.spark.createDataFrame(meta_rows, meta_schema)
-        # _metadata.file_path is a URI (space -> %20, '%' -> %25, ...);
+        # the file path is a URI (space -> %20, '%' -> %25, ...);
         # url_decode after protecting literal '+' (URLDecoder would read
         # it as an encoded space) recovers the raw on-disk dir name that
         # _write_units recorded in the manifest.
         decoded_dir = F.url_decode(
             F.replace(
-                F.regexp_replace(F.col("_metadata.file_path"), "/[^/]*$", ""),
+                F.regexp_replace(F.col("__fp_raw"), "/[^/]*$", ""),
                 F.lit("+"),
                 F.lit("%2B"),
             )
@@ -475,7 +523,7 @@ class LakeTable:
         out = (
             df.withColumn("__unit_key", unit_key)
             .join(F.broadcast(meta), "__unit_key", "inner")
-            .drop("__unit_key")
+            .drop("__unit_key", "__fp_raw", "__ri_raw")
         )
         for c in self.partition_by:
             out = out.withColumn(c, F.col(c).cast(ptypes.get(c, "string")))
@@ -570,7 +618,7 @@ class LakeTable:
             ]
             if not units:
                 return self._read_units(self._read_manifest(v)).limit(0)
-        return self._read_units(units, file_subsets)
+        return self._read_units(units, file_subsets, dv_paths=self._read_dv(v))
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY analog: one row per commit inside the
@@ -640,7 +688,7 @@ class LakeTable:
         ]
         if not new_units:
             return None
-        return self._read_units(new_units)
+        return self._read_units(new_units, dv_paths=self._read_dv(latest))
 
     def read_stream(self, schema=None) -> DataFrame:
         """True Structured Streaming source over an APPEND-ONLY table —
@@ -663,6 +711,13 @@ class LakeTable:
                 f"{self.path} is partitioned by {self.partition_by} — use "
                 "read_changes/IncrementalRunner instead"
             )
+        v = self.latest_version()
+        if v is not None and self._read_dv(v):
+            raise ValueError(
+                "read_stream cannot apply deletion vectors (a file "
+                f"stream bypasses the manifest); {self.path} has active "
+                "tombstones — compact() to materialize them first"
+            )
         if schema is None:
             schema = self.read().schema
         return (
@@ -673,7 +728,7 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-refresh write (S7; reference metrics marts 07:72-78)."""
-        return self._commit(self._write_units(df), op="overwrite")
+        return self._commit(self._write_units(df), op="overwrite", dv=[])
 
     def append(self, df: DataFrame) -> int:
         """Append commit (S8). Old units stay; new units are added — no
@@ -749,7 +804,9 @@ class LakeTable:
             df = df.sortWithinPartitions(*order)
             if zorder:
                 df = df.drop("__z")
-        return self._commit(self._write_units(df), op="compact", base_version=v)
+        return self._commit(
+            self._write_units(df), op="compact", base_version=v, dv=[]
+        )
 
     def vacuum(
         self, keep_last_n: int = 1, dry_run: bool = False
@@ -777,6 +834,12 @@ class LakeTable:
             for u in self._read_manifest(v)
             if u.path.startswith(_DATA_DIR + "/")
         }
+        referenced_dv = {
+            p.split("/")[1]
+            for v in kept
+            for p in self._read_dv(v)
+            if p.startswith(_DV_DIR + "/")
+        }
         data_root = os.path.join(self.path, _DATA_DIR)
         removed_dirs = 0
         if os.path.isdir(data_root):
@@ -784,6 +847,13 @@ class LakeTable:
                 if d not in referenced:
                     if not dry_run:
                         shutil.rmtree(os.path.join(data_root, d))
+                    removed_dirs += 1
+        dv_root = os.path.join(self.path, _DV_DIR)
+        if os.path.isdir(dv_root):
+            for d in os.listdir(dv_root):
+                if d not in referenced_dv:
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(dv_root, d))
                     removed_dirs += 1
         if not dry_run:
             for v in dropped:
@@ -824,7 +894,14 @@ class LakeTable:
             )
             for u in self._read_manifest(v)
         ]
-        dest._commit(rebased, op=f"clone({self.path}@v{v})")
+        rebased_dv = [
+            os.path.relpath(
+                os.path.join(os.path.abspath(self.path), p),
+                os.path.abspath(dest_path),
+            )
+            for p in self._read_dv(v)
+        ]
+        dest._commit(rebased, op=f"clone({self.path}@v{v})", dv=rebased_dv)
         return dest
 
     # ------------------------------------------------------- delete / update
@@ -848,7 +925,9 @@ class LakeTable:
             candidates, _ = self._stats_prune(units, stats_where)
             if not candidates:
                 return set()
-        snap = self._read_units(candidates, with_file_path="__fp")
+        snap = self._read_units(
+            candidates, with_file_path="__fp", dv_paths=self._read_dv(self.latest_version())
+        )
         dirs = [
             r[0]
             for r in snap.filter(cond)
@@ -899,8 +978,13 @@ class LakeTable:
             return {"version": v, "rewritten_units": 0, "carried_units": len(units)}
         carried = [u for u in units if u.path not in touched]
         rewritten = self._write_units(
-            transform(self._read_units([u for u in units if u.path in touched]),
-                      cond_true)
+            transform(
+                self._read_units(
+                    [u for u in units if u.path in touched],
+                    dv_paths=self._read_dv(v),
+                ),
+                cond_true,
+            )
         )
         # a delete can empty a unit — drop zero-row output (parquet
         # footer num_rows; no Spark job) so manifests don't accumulate
@@ -924,21 +1008,79 @@ class LakeTable:
         }
 
     def delete(
-        self, predicate, stats_where: dict[str, tuple] | None = None
+        self,
+        predicate,
+        stats_where: dict[str, tuple] | None = None,
+        mode: str = "cow",
     ) -> dict[str, int]:
-        """DELETE FROM ... WHERE (copy-on-write, Delta parity): removes
-        rows where `predicate` is TRUE. Old snapshots still contain the
-        rows (time travel) until vacuum() — the GDPR-erasure pattern is
-        delete() + vacuum(keep_last_n=1). `predicate` is a SQL string or
-        Column; may reference partition columns (restored before the
-        filter). `stats_where` optionally pre-prunes the touched-unit
-        discovery scan from manifest stats."""
+        """DELETE FROM ... WHERE (Delta parity): removes rows where
+        `predicate` is TRUE. Old snapshots still contain the rows (time
+        travel) until vacuum() — the GDPR-erasure pattern is delete() +
+        vacuum(keep_last_n=1). `predicate` is a SQL string or Column;
+        may reference partition columns (restored before the filter).
+        `stats_where` optionally pre-prunes the touched-unit discovery
+        scan from manifest stats.
+
+        `mode="cow"` (default) rewrites the touched units. `mode="mor"`
+        is the DELETION-VECTOR path (Delta merge-on-read): ONE scan
+        writes a tombstone list of (file URI, row index) — no data
+        rewrite at all, so a point delete on a 100 TB table costs the
+        scan plus a KB-scale write. Readers anti-join tombstones at the
+        scan (every consumer: read, merges, change feed, DML discovery);
+        compact() materializes them away; overwrite clears them. The
+        write-amplification / read-amplification trade is the caller's
+        choice, exactly as in Delta."""
+        if mode == "mor":
+            return self._delete_mor(predicate, stats_where)
+        if mode != "cow":
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         return self._rewrite_units(
             predicate,
             "delete",
             lambda df, cond_true: df.filter(~cond_true),
             stats_where,
         )
+
+    def _delete_mor(
+        self, predicate, stats_where: dict[str, tuple] | None = None
+    ) -> dict[str, int]:
+        """Merge-on-read delete: append tombstones, touch no data."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no table at {self.path}")
+        units = self._read_manifest(v)
+        dv = self._read_dv(v)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cond_true = F.coalesce(cond, F.lit(False))
+        candidates = units
+        if stats_where:
+            candidates, _ = self._stats_prune(units, stats_where)
+            if not candidates:
+                return {"version": v, "tombstones": 0}
+        snap = self._read_units(
+            candidates,
+            with_file_path="__fp",
+            with_row_index="__ri",
+            dv_paths=dv,  # already-deleted rows must not re-tombstone
+        )
+        tomb = snap.filter(cond_true).select(
+            F.col("__fp").alias("fp"), F.col("__ri").alias("ri")
+        )
+        dirname = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
+        tomb.write.parquet(dirname)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(dirname, f)).metadata.num_rows
+            for f in os.listdir(dirname)
+            if f.endswith(".parquet")
+        )
+        if n == 0:
+            shutil.rmtree(dirname)  # nothing matched: no commit
+            return {"version": v, "tombstones": 0}
+        rel = os.path.relpath(dirname, self.path)
+        new_v = self._commit(units, op="delete_mor", base_version=v, dv=dv + [rel])
+        return {"version": new_v, "tombstones": n}
 
     def update(
         self,
@@ -1011,7 +1153,13 @@ class LakeTable:
             target_units = current
         if not target_units:
             return source
-        existing = self._read_units(target_units).select(*ks).dropDuplicates(ks)
+        existing = (
+            self._read_units(
+                target_units, dv_paths=self._read_dv(self.latest_version())
+            )
+            .select(*ks)
+            .dropDuplicates(ks)
+        )
         return source.join(existing, ks, "left_anti")
 
     def merge_upsert(
@@ -1055,13 +1203,13 @@ class LakeTable:
             touched_paths = {u.path for u in touched}
             untouched = [u for u in current_units if u.path not in touched_paths]
             target = (
-                self._read_units(touched)
+                self._read_units(touched, dv_paths=self._read_dv(base_v))
                 if touched
                 else self.read().limit(0)
             )
         else:
             untouched = []
-            target = self._read_units(current_units)
+            target = self._read_units(current_units, dv_paths=self._read_dv(base_v))
 
         merged = _merge_dataframes(target, source, ks, guard_col)
         try:

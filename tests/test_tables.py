@@ -865,3 +865,75 @@ def test_shallow_clone_partitioned_restores_partition_columns(spark, tmp_table):
     # clone's own writes mix with referenced source units
     dst.append(spark.createDataFrame([(10, "d0")], "id long, p string"))
     assert dst.read().count() == 11 and src.read().count() == 10
+
+
+def test_mor_delete_touches_no_data_units(spark, tmp_table):
+    """Deletion vectors: a merge-on-read delete commits only tombstones —
+    every data unit carries over byte-identical — yet every reader sees
+    the rows gone."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(i, f"v{i}", 1) for i in range(10)]))
+    before = {u.path for u in t._read_manifest(t.latest_version())}
+    res = t.delete("id >= 7", mode="mor")
+    assert res["tombstones"] == 3
+    after = {u.path for u in t._read_manifest(t.latest_version())}
+    assert after == before  # zero rewrite
+    assert sorted(r.id for r in t.read().collect()) == list(range(7))
+    # time travel: pre-delete snapshot still has all rows
+    assert t.read(version=1).count() == 10
+
+
+def test_mor_deletes_compound_and_compact_materializes(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(i, "a", 1) for i in range(10)]))
+    t.delete("id = 0", mode="mor")
+    t.delete("id = 1", mode="mor")
+    assert sorted(r.id for r in t.read().collect()) == list(range(2, 10))
+    # deleting an already-mor-deleted row is a no-op (no double tombstone)
+    res = t.delete("id <= 1", mode="mor")
+    assert res["tombstones"] == 0
+    t.compact()
+    assert t._read_dv(t.latest_version()) == []  # materialized
+    assert sorted(r.id for r in t.read().collect()) == list(range(2, 10))
+    removed = t.vacuum(keep_last_n=1)
+    assert removed["removed_commit_dirs"] >= 2  # old units + dv dirs
+    assert sorted(r.id for r in t.read().collect()) == list(range(2, 10))
+
+
+def test_mor_tombstones_survive_append_and_guard_merges(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.delete("id = 2", mode="mor")
+    t.append(_df(spark, [(3, "c", 1)]))
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    # insert-only merge: the tombstoned key is absent, so it may re-insert
+    t.merge_insert_only(_df(spark, [(2, "b2", 2)]), keys="id")
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "b2"), (3, "c"),
+    ]
+
+
+def test_mor_then_cow_delete_does_not_resurrect(spark, tmp_table):
+    """A cow rewrite of a unit with active tombstones must not bring
+    the mor-deleted rows back."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(i, "a", 1) for i in range(6)]))
+    t.delete("id = 0", mode="mor")
+    t.delete("id = 5")  # cow: rewrites the (only) unit
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 4]
+
+
+def test_mor_delete_blocks_read_stream(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.delete("id = 1", mode="mor")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.read_stream()
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_table):
+    src = LakeTable(spark, os.path.join(tmp_table, "src"))
+    src.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    src.delete("id = 2", mode="mor")
+    dst = src.clone(os.path.join(tmp_table, "dst"))
+    assert [r.id for r in dst.read().collect()] == [1]
