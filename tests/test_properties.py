@@ -118,6 +118,7 @@ _OPS = st.lists(
                 "compact",
                 "vacuum",
                 "delete",
+                "delete_mor",
                 "update",
                 "restore_prev",
             ]
@@ -181,10 +182,14 @@ def test_table_lifecycle_model(spark, tmp_path, first, ops):
             t.compact()
         elif op == "vacuum":
             t.vacuum(keep_last_n=1)
-        elif op == "delete":
-            # delete keys present in the batch (DML predicate from data)
+        elif op in ("delete", "delete_mor"):
+            # delete keys present in the batch (DML predicate from data);
+            # the mor variant must be observationally identical
             ks = sorted(batch)
-            t.delete(F.col("k").isin(ks))
+            t.delete(
+                F.col("k").isin(ks),
+                mode="mor" if op == "delete_mor" else "cow",
+            )
             model = [r for r in model if r[0] not in set(ks)]
             if not model:
                 # an empty table has no snapshot to read; reseed
