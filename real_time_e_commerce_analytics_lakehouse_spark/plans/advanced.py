@@ -1,0 +1,279 @@
+"""Advanced relational shapes: decision-support subquery patterns
+(TPC-H Q18/Q21 shapes), aggregate-side argmax, array aggregation, and
+edit-distance record linkage.
+
+The reference's notebooks never need these (its marts are star-join
+rollups — SURVEY §2.4/§2.6), but they are table-stakes for an analytics
+engine users would migrate to: IN-on-aggregated-subquery, correlated
+EXISTS/NOT EXISTS, max_by/min_by, collect_list, and fuzzy matching all
+appear in day-2 workloads. Each is declared with a DuckDB oracle so the
+semantics are hash-verified, not just present.
+
+Cross-engine conventions (see registry.py docstring): computed ints cast
+to BIGINT on both sides; argmax orderings carry a unique sort key so
+ties cannot differ between engines; arrays are sorted before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    register,
+    table,
+)
+
+
+@register(
+    "big_basket_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(q.sum_qty AS BIGINT) AS sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 200) q
+      ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc=(
+        "TPC-H Q18 shape: orders whose total lineitem quantity exceeds a "
+        "threshold (IN / join on a HAVING-filtered aggregated subquery), "
+        "joined back to customer detail. Plan: lineitem pre-aggregates on "
+        "its own key (one shuffle, map-side combine), the HAVING filter "
+        "shrinks it to a sliver, and AQE broadcasts that sliver to the "
+        "orders join — so the big-fact join costs no extra shuffle. The "
+        "customer join then runs on the handful of surviving orders. At "
+        "100 TB the same plan holds: the agg output is bounded by "
+        "distinct orderkeys over threshold, always << lineitem. "
+        "l_quantity is integer-valued double; sum cast to BIGINT on both "
+        "sides (exact, < 2^53)."
+    ),
+    tags=("join", "subquery", "agg"),
+)
+def big_basket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("qty").cast("long").alias("sum_qty"),
+        )
+    )
+    return (
+        orders.join(big, "o_orderkey")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "fully_shipped_multisupplier_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING count(DISTINCT l_suppkey) >= 4)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate >= TIMESTAMP '2000-01-01')
+    """,
+    doc=(
+        "TPC-H Q21 shape: orders sourced from >= 4 distinct suppliers "
+        "(IN on a count-distinct HAVING subquery) with no lineitem still "
+        "shipping at/after a cutoff (correlated NOT EXISTS). Spark side "
+        "composes it as semi-join against the filtered aggregate plus "
+        "anti-join against the late-lineitem keys — exactly how Catalyst "
+        "decorrelates the SQL, but declared explicitly. Both subquery "
+        "scans shuffle lineitem on l_orderkey; AQE broadcasts the "
+        "filtered sides. The late-keys anti input applies the shipdate "
+        "filter at the parquet scan, so at 100 TB it reads only the "
+        "late tail."
+    ),
+    tags=("join", "subquery"),
+)
+def fully_shipped_multisupplier_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nsupp"))
+        .filter(F.col("nsupp") >= 4)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    late = li.filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        orders.join(multi, "o_orderkey", "left_semi")
+        .join(late, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "customer_last_order_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,   date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) * 10000000 + o_orderkey)
+             AS last_orderkey,
+           arg_max(o_totalprice, date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) * 10000000 + o_orderkey)
+             AS last_price,
+           arg_min(o_orderkey,   date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) * 10000000 + o_orderkey)
+             AS first_orderkey,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "Aggregate-side argmax (max_by / min_by; DuckDB arg_max / "
+        "arg_min): latest and earliest order per customer in ONE hash "
+        "aggregate — no window sort, so unlike dedup_latest this "
+        "combines map-side (each partition keeps one running argmax per "
+        "key) and never materializes a whole customer's history on one "
+        "reducer. The ordering key is (epoch_day * 1e7 + orderkey): a "
+        "single unique BIGINT, so ties are impossible and both engines "
+        "must pick identical rows. The window variant "
+        "(customer_first_last_orders) is the per-partition-sort "
+        "alternative; this is the plan to prefer at 100 TB when only "
+        "the extremum row is needed."
+    ),
+    tags=("agg",),
+)
+def customer_last_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    sort_key = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        * F.lit(10000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("sort_key", sort_key)
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(o_orderkey, sort_key)").alias("last_orderkey"),
+            F.expr("max_by(o_totalprice, sort_key)").alias("last_price"),
+            F.expr("min_by(o_orderkey, sort_key)").alias("first_orderkey"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "customer_order_keys_array",
+    oracle="""
+    SELECT o_custkey, order_keys,
+           CAST(len(order_keys) AS BIGINT) AS n_orders,
+           order_keys[1] AS first_key,
+           order_keys[len(order_keys)] AS last_key
+    FROM (SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+          FROM orders GROUP BY o_custkey)
+    """,
+    doc=(
+        "Array aggregation: collect each customer's orderkeys into a "
+        "SORTED array (collect_list is unordered in both engines — the "
+        "sort is what makes the value deterministic), plus element "
+        "access (element_at / list indexing, both 1-based) and length. "
+        "One shuffle on the group key; the array stays row-local after "
+        "that. Scale note: collect_list materializes the whole group in "
+        "one row — fine for bounded groups (orders per customer), wrong "
+        "for unbounded ones; the engine's top-k/window operators are "
+        "the bounded-memory alternative there."
+    ),
+    tags=("agg", "array"),
+)
+def customer_order_keys_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    grouped = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys")
+    )
+    return grouped.select(
+        "o_custkey",
+        "order_keys",
+        F.size("order_keys").cast("long").alias("n_orders"),
+        F.element_at("order_keys", 1).alias("first_key"),
+        F.element_at(F.col("order_keys"), F.size("order_keys")).alias(
+            "last_key"
+        ),
+    )
+
+
+@register(
+    "fuzzy_customer_pairs",
+    oracle="""
+    SELECT a.c_nationkey,
+           a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc=(
+        "Record linkage by edit distance: customer pairs in the same "
+        "nation whose names are within Levenshtein distance 1. The "
+        "equi-join on nation is the blocking key — the quadratic "
+        "levenshtein comparison runs only within a block, never "
+        "all-pairs. At 100 TB, nation alone is too coarse a block; the "
+        "production recipe is the same shape with a tighter key "
+        "(q-gram / length bucket, or the LSH machinery from "
+        "plans/documents.py) feeding this verify join — mirroring how "
+        "lsh_candidate_pairs feeds ngram_jaccard_pairs. levenshtein is "
+        "the textbook DP in both engines, so distances are exact and "
+        "identical."
+    ),
+    tags=("join", "text", "dedup"),
+)
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    a = customer.select(
+        F.col("c_nationkey"),
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = customer.select(
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("c_nationkey") == F.col("nk_b"))
+            & (F.col("custkey_a") < F.col("custkey_b")),
+        )
+        .drop("nk_b")
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 1)
+        .select(
+            "c_nationkey",
+            "custkey_a",
+            "custkey_b",
+            "name_a",
+            "name_b",
+            "edit_dist",
+        )
+    )
