@@ -181,7 +181,8 @@ def customer_last_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customer_order_keys_array",
     oracle="""
-    SELECT o_custkey, order_keys,
+    SELECT o_custkey,
+           array_to_string(order_keys, ',') AS order_keys_csv,
            CAST(len(order_keys) AS BIGINT) AS n_orders,
            order_keys[1] AS first_key,
            order_keys[len(order_keys)] AS last_key
@@ -194,10 +195,14 @@ def customer_last_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort is what makes the value deterministic), plus element "
         "access (element_at / list indexing, both 1-based) and length. "
         "One shuffle on the group key; the array stays row-local after "
-        "that. Scale note: collect_list materializes the whole group in "
-        "one row — fine for bounded groups (orders per customer), wrong "
-        "for unbounded ones; the engine's top-k/window operators are "
-        "the bounded-memory alternative there."
+        "that. The array is emitted CSV-serialized (array_join /"
+        "array_to_string) because the differential gate hashes cells "
+        "with pandas, which cannot hash list values — the array ops "
+        "themselves (sort_array, element_at, size) still run on the "
+        "native array. Scale note: collect_list materializes the whole "
+        "group in one row — fine for bounded groups (orders per "
+        "customer), wrong for unbounded ones; the engine's top-k/window "
+        "operators are the bounded-memory alternative there."
     ),
     tags=("agg", "array"),
 )
@@ -208,7 +213,9 @@ def customer_order_keys_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grouped.select(
         "o_custkey",
-        "order_keys",
+        F.array_join(F.col("order_keys").cast("array<string>"), ",").alias(
+            "order_keys_csv"
+        ),
         F.size("order_keys").cast("long").alias("n_orders"),
         F.element_at("order_keys", 1).alias("first_key"),
         F.element_at(F.col("order_keys"), F.size("order_keys")).alias(

@@ -78,15 +78,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read nanos as long (runtime SQL conf) and
-    truncate to microseconds — Spark's native timestamp precision. The
-    DuckDB oracle side applies CAST(ts AS TIMESTAMP) (TIMESTAMP_NS → µs,
-    also truncating), so both engines see identical µs timestamps; use
-    EVENTS_CTE in oracle SQL."""
+    """Normalize events.ts to a µs TIMESTAMP regardless of the physical
+    parquet layout, which has varied across driver testdata generations:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read nanos
+      as long (runtime SQL conf) and truncate to µs, Spark's native
+      precision.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): read natively as
+      TIMESTAMP_NTZ; cast to TIMESTAMP (identity under the pinned UTC
+      session zone).
+
+    The DuckDB oracle side applies CAST(ts AS TIMESTAMP) (truncating
+    TIMESTAMP_NS → µs; no-op on µs), so both engines see identical µs
+    timestamps; use EVENTS_CTE in oracle SQL."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos-as-long layout
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # Prefix for every oracle query touching `events`: normalizes ts to µs.
