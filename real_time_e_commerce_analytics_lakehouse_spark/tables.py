@@ -206,12 +206,23 @@ class LakeTable:
         with open(self._manifest_file(version)) as f:
             return list(json.load(f).get("dv", []))
 
+    def _colmap(self, version: int | None = None) -> tuple[dict, list]:
+        """Column mapping active at `version` (default: latest):
+        ({logical: physical}, [dropped physical...]). Empty = identity."""
+        v = version if version is not None else self.latest_version()
+        if v is None or not os.path.exists(self._manifest_file(v)):
+            return {}, []
+        with open(self._manifest_file(v)) as f:
+            doc = json.load(f)
+        return dict(doc.get("column_map", {})), list(doc.get("column_dropped", []))
+
     def _commit(
         self,
         units: list[_Unit],
         op: str,
         base_version: int | None = None,
         dv: list[str] | str = "carry",
+        colmap: object = "carry",
     ) -> int:
         """Atomic manifest commit. `base_version` = the snapshot version
         the caller's decision was READ at; the commit targets base+1, so
@@ -229,6 +240,11 @@ class LakeTable:
         new_version = (current or 0) + 1
         if dv == "carry":
             dv = self._read_dv(current) if current else []
+        cm, dropped = (
+            (self._colmap(current) if current else ({}, []))
+            if colmap == "carry"
+            else colmap  # type: ignore[misc]
+        )
         doc = {
             "version": new_version,
             "operation": op,
@@ -237,6 +253,10 @@ class LakeTable:
             "units": [u.to_json() for u in units],
             "dv": sorted(dv),
         }
+        if cm:
+            doc["column_map"] = cm
+        if dropped:
+            doc["column_dropped"] = dropped
         tmp = self._manifest_file(new_version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
@@ -329,13 +349,36 @@ class LakeTable:
             guard = F.when(violated, F.raise_error(msg)).otherwise(guard)
         return df.withColumn(first, guard)
 
-    def _write_units(self, df: DataFrame) -> list[_Unit]:
+    def _write_units(self, df: DataFrame, apply_colmap: bool = True) -> list[_Unit]:
         """Write df into a fresh immutable dir; one unit per partition
         value when partitioned (enables partition-scoped replace). A
         CHECK-constraint violation aborts the write job BEFORE any
         manifest commit — the orphan data dir is unreferenced and
-        reclaimed by vacuum()."""
+        reclaimed by vacuum().
+
+        Under column mapping, `df` arrives with LOGICAL names and is
+        written with PHYSICAL ones (stable across renames, so old and
+        new units stay mergeSchema-compatible). `apply_colmap=False` is
+        the overwrite path, which resets the mapping."""
         df = self._enforce_constraints(df)
+        if apply_colmap:
+            cm, dropped = self._colmap()
+            if cm or dropped:
+                inv = {p: l for l, p in cm.items()}
+                bad = [
+                    c
+                    for c in df.columns
+                    if c in dropped or (c in inv and c not in cm)
+                ]
+                if bad:
+                    raise ValueError(
+                        f"columns {bad} collide with physical names of "
+                        f"renamed/dropped columns of {self.path} — "
+                        "re-adding a retired physical name is not supported"
+                    )
+                df = df.select(
+                    *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+                )
         dirname = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
         try:
             return self._write_units_at(df, dirname)
@@ -401,6 +444,36 @@ class LakeTable:
         }
 
     def _read_units(
+        self,
+        units: list[_Unit],
+        file_subsets: dict[str, list[str]] | None = None,
+        with_file_path: str | None = None,
+        dv_paths: list[str] | None = None,
+        with_row_index: str | None = None,
+        colmap: object = "latest",
+    ) -> DataFrame:
+        """`_read_units_raw` + column mapping: physical parquet columns
+        are renamed to their logical names and dropped columns are
+        projected away (Delta column-mapping read path). `colmap` is
+        the (map, dropped) pair to apply — default the latest
+        manifest's; `read(version=)` passes the version's own."""
+        df = self._read_units_raw(
+            units, file_subsets, with_file_path, dv_paths, with_row_index
+        )
+        cm, dropped = (
+            self._colmap() if colmap == "latest" else colmap  # type: ignore[misc]
+        )
+        if not cm and not dropped:
+            return df
+        inv = {p: l for l, p in cm.items()}
+        keep = [
+            F.col(c).alias(inv.get(c, c))
+            for c in df.columns
+            if c not in dropped
+        ]
+        return df.select(*keep)
+
+    def _read_units_raw(
         self,
         units: list[_Unit],
         file_subsets: dict[str, list[str]] | None = None,
@@ -483,7 +556,7 @@ class LakeTable:
             for u in units:
                 by_depth.setdefault(len(_canon(u)), []).append(u)
             frames = [
-                self._read_units(
+                self._read_units_raw(
                     g, file_subsets, with_file_path, dv_paths, with_row_index
                 )
                 for g in by_depth.values()
@@ -597,7 +670,7 @@ class LakeTable:
         if stats_where:
             pruned, file_subsets = self._stats_prune(units, stats_where)
             if not pruned:
-                return self._read_units(units).limit(0)
+                return self._read_units(units, colmap=self._colmap(v)).limit(0)
             units = pruned
         if partitions:
             unknown = set(partitions) - set(self.partition_by)
@@ -617,8 +690,12 @@ class LakeTable:
                 )
             ]
             if not units:
-                return self._read_units(self._read_manifest(v)).limit(0)
-        return self._read_units(units, file_subsets, dv_paths=self._read_dv(v))
+                return self._read_units(
+                    self._read_manifest(v), colmap=self._colmap(v)
+                ).limit(0)
+        return self._read_units(
+            units, file_subsets, dv_paths=self._read_dv(v), colmap=self._colmap(v)
+        )
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY analog: one row per commit inside the
@@ -660,7 +737,11 @@ class LakeTable:
                 f"version {version} of {self.path} does not exist or was vacuumed"
             )
         units = self._read_manifest(version)
-        return self._commit(units, op=f"restore(v{version})")
+        return self._commit(
+            units,
+            op=f"restore(v{version})",
+            colmap=self._colmap(version),
+        )
 
     def read_changes(self, since_version: int | None) -> DataFrame | None:
         """Incremental change read (S6 batch-incremental analog): rows in
@@ -726,9 +807,224 @@ class LakeTable:
             .parquet(os.path.join(self.path, _DATA_DIR, "*"))
         )
 
+    def read_cdf(
+        self,
+        since_version: int | None,
+        keys: str | Sequence[str] | None = None,
+    ) -> DataFrame | None:
+        """Change Data Feed (Delta CDF parity: `readChangeFeed` /
+        `table_changes`): every row change committed AFTER
+        `since_version`, tagged `_change_type` ∈ {insert,
+        update_preimage, update_postimage, delete} + `_commit_version`.
+        Returns None when there are no commits after `since_version`.
+
+        Unlike `read_changes` (append-only inserts), this reconstructs
+        the full change set of rewrite commits by diffing ONLY the data
+        units each commit touched — removed units (old image) vs added
+        units (new image), keyed by `keys`:
+
+        - key only in the old image            -> delete
+        - key only in the new image            -> insert
+        - key in both, any non-key col differs -> update_preimage +
+                                                  update_postimage
+        - key in both, row identical           -> no change (the row was
+          merely carried through a rewrite — emitting it would be noise)
+
+        Merge-on-read deletes surface without any unit diff: tombstones
+        added to carried units between the two manifests select their
+        rows as `delete` via an inner join on (file URI, row index).
+
+        Scale contract: cost is proportional to the units a commit
+        actually touched (partition-scoped merges bound that to the
+        partitions of the batch), never to table size; append-style
+        commits skip the diff entirely and emit their added units as
+        inserts in one scan. `keys` is only required when the range
+        contains a rewrite commit. Compaction/z-order commits are
+        data-neutral by construction and diff to zero rows."""
+        latest = self.latest_version()
+        if latest is None or (since_version is not None and latest <= since_version):
+            return None
+        base = since_version or 0
+        have = set(self._versions())
+        if not all(v in have for v in range(max(base, 1), latest + 1)):
+            raise FileNotFoundError(
+                f"versions {max(base, 1)}..{latest} of {self.path} are not "
+                "all inside the vacuum retention horizon — exact CDC is "
+                "impossible; re-read the full snapshot and resume"
+            )
+        ks = [keys] if isinstance(keys, str) else (list(keys) if keys else None)
+        data_cols = [
+            c
+            for c in self.read().columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        frames: list[DataFrame] = []
+        for v in range(base + 1, latest + 1):
+            prev_units = self._read_manifest(v - 1) if v - 1 >= 1 else []
+            cur_units = self._read_manifest(v)
+            prev_paths = {u.path for u in prev_units}
+            cur_paths = {u.path for u in cur_units}
+            removed = [u for u in prev_units if u.path not in cur_paths]
+            added = [u for u in cur_units if u.path not in prev_paths]
+            dv_prev = self._read_dv(v - 1) if v - 1 >= 1 else []
+            dv_new = [p for p in self._read_dv(v) if p not in dv_prev]
+            if dv_new:
+                carried = [u for u in cur_units if u.path in prev_paths]
+                tomb = self.spark.read.parquet(
+                    *[os.path.join(self.path, p) for p in dv_new]
+                )
+                dead = self._read_units(
+                    carried,
+                    dv_paths=dv_prev,
+                    with_file_path="__cdf_fp",
+                    with_row_index="__cdf_ri",
+                )
+                dead = dead.join(
+                    tomb,
+                    (dead["__cdf_fp"] == tomb.fp) & (dead["__cdf_ri"] == tomb.ri),
+                    "left_semi",
+                )
+                frames.append(
+                    self._cdf_tag(dead, data_cols, "delete", v)
+                )
+            if not removed:
+                if added:
+                    ins = self._read_units(added, dv_paths=self._read_dv(v))
+                    frames.append(self._cdf_tag(ins, data_cols, "insert", v))
+                continue
+            if ks is None:
+                raise ValueError(
+                    f"commit v{v} of {self.path} rewrites units "
+                    f"({len(removed)} removed) — pass keys= to read_cdf to "
+                    "reconstruct row-level changes"
+                )
+            old = self._read_units(removed, dv_paths=dv_prev)
+            if not added:
+                frames.append(self._cdf_tag(old, data_cols, "delete", v))
+                continue
+            old = old.withColumn("__o", F.lit(1)).alias("o")
+            new = (
+                self._read_units(added, dv_paths=self._read_dv(v))
+                .withColumn("__n", F.lit(1))
+                .alias("n")
+            )
+            non_keys = [c for c in data_cols if c not in ks]
+            cond = None
+            for k in ks:
+                e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+                cond = e if cond is None else (cond & e)
+            j = old.join(new, cond, "full_outer")
+            same = F.lit(True)
+            for c in non_keys:
+                same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            o_side = [F.col(f"o.{c}").alias(c) for c in data_cols]
+            n_side = [F.col(f"n.{c}").alias(c) for c in data_cols]
+            deletes = j.filter(F.col("__n").isNull()).select(*o_side)
+            inserts = j.filter(F.col("__o").isNull()).select(*n_side)
+            changed = j.filter(
+                F.col("__o").isNotNull() & F.col("__n").isNotNull() & ~same
+            )
+            frames.append(self._cdf_tag(deletes, data_cols, "delete", v))
+            frames.append(self._cdf_tag(inserts, data_cols, "insert", v))
+            frames.append(
+                self._cdf_tag(
+                    changed.select(*o_side), data_cols, "update_preimage", v
+                )
+            )
+            frames.append(
+                self._cdf_tag(
+                    changed.select(*n_side), data_cols, "update_postimage", v
+                )
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_, allowMissingColumns=True)
+        return out
+
+    def _cdf_tag(
+        self, df: DataFrame, data_cols: list[str], change: str, version: int
+    ) -> DataFrame:
+        """Project to the declared column set (+NULL for columns a pre-
+        evolution commit lacks) and stamp the CDF metadata columns."""
+        cols = [
+            (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+            for c in data_cols
+        ]
+        return df.select(
+            *cols,
+            F.lit(change).alias("_change_type"),
+            F.lit(version).cast("long").alias("_commit_version"),
+        )
+
     def overwrite(self, df: DataFrame) -> int:
-        """Full-refresh write (S7; reference metrics marts 07:72-78)."""
-        return self._commit(self._write_units(df), op="overwrite", dv=[])
+        """Full-refresh write (S7; reference metrics marts 07:72-78).
+        Resets deletion vectors AND column mapping — the new data
+        defines the schema, so its names become the physical names."""
+        return self._commit(
+            self._write_units(df, apply_colmap=False),
+            op="overwrite",
+            dv=[],
+            colmap=({}, []),
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN parity (Delta column mapping):
+        a metadata-only commit — zero data files touched; readers remap
+        the stable physical name to the new logical name at the scan,
+        and writers map it back, so units written before and after the
+        rename stay one mergeSchema-compatible scan. Partition and
+        stats columns are excluded (their names are load-bearing in dir
+        layouts and manifests, as in Delta's own restriction)."""
+        cols = self.read().columns
+        if old not in cols:
+            raise ValueError(f"no column {old!r} in {self.path} (has {cols})")
+        if old in self.partition_by or old in self.stats_cols:
+            raise ValueError(
+                f"cannot rename {old!r}: partition/stats columns are "
+                "load-bearing in dir layouts and manifests"
+            )
+        cm, dropped = self._colmap()
+        physical = cm.pop(old, old)
+        if new in cols or new in dropped or new in {p for p in cm.values()}:
+            raise ValueError(
+                f"column name {new!r} collides with an existing logical, "
+                f"dropped, or physical column of {self.path}"
+            )
+        cm[new] = physical
+        v = self.latest_version()
+        return self._commit(
+            self._read_manifest(v),
+            op=f"rename_column({old}->{new})",
+            base_version=v,
+            colmap=(cm, dropped),
+        )
+
+    def drop_column(self, col: str) -> int:
+        """ALTER TABLE ... DROP COLUMN parity: metadata-only — the
+        physical column stays in the parquet files (reclaimed only when
+        rewrites rewrite units) but every reader projects it away from
+        the scan. Re-adding the retired name later is rejected at write
+        (Delta re-adds under a fresh physical id; this engine keeps the
+        simpler invariant)."""
+        cols = self.read().columns
+        if col not in cols:
+            raise ValueError(f"no column {col!r} in {self.path} (has {cols})")
+        if col in self.partition_by or col in self.stats_cols:
+            raise ValueError(
+                f"cannot drop {col!r}: partition/stats columns are "
+                "load-bearing in dir layouts and manifests"
+            )
+        cm, dropped = self._colmap()
+        physical = cm.pop(col, col)
+        v = self.latest_version()
+        return self._commit(
+            self._read_manifest(v),
+            op=f"drop_column({col})",
+            base_version=v,
+            colmap=(cm, dropped + [physical]),
+        )
 
     def append(self, df: DataFrame) -> int:
         """Append commit (S8). Old units stay; new units are added — no
@@ -901,7 +1197,12 @@ class LakeTable:
             )
             for p in self._read_dv(v)
         ]
-        dest._commit(rebased, op=f"clone({self.path}@v{v})", dv=rebased_dv)
+        dest._commit(
+            rebased,
+            op=f"clone({self.path}@v{v})",
+            dv=rebased_dv,
+            colmap=self._colmap(v),
+        )
         return dest
 
     # ------------------------------------------------------- delete / update

@@ -937,3 +937,198 @@ def test_clone_carries_deletion_vectors(spark, tmp_table):
     src.delete("id = 2", mode="mor")
     dst = src.clone(os.path.join(tmp_table, "dst"))
     assert [r.id for r in dst.read().collect()] == [1]
+
+
+# ----------------------------------------------------------- change data feed
+
+
+def _cdf_rows(df):
+    """(change_type, id, v, ver) tuples, sorted, for assertion."""
+    return sorted(
+        (r._change_type, r._commit_version, r.id, r.v, r.ver)
+        for r in df.collect()
+    )
+
+
+def test_cdf_append_commits_are_inserts(spark, tmp_table):
+    """CDF over append-style commits needs no keys and tags every new
+    row `insert` with its commit version."""
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    v2 = t.append(_df(spark, [(2, "b", 1)]))
+    v3 = t.append(_df(spark, [(3, "c", 1)]))
+    changes = t.read_cdf(since_version=v1)
+    assert _cdf_rows(changes) == [
+        ("insert", v2, 2, "b", 1),
+        ("insert", v3, 3, "c", 1),
+    ]
+    assert t.read_cdf(since_version=v3) is None
+
+
+def test_cdf_upsert_emits_pre_post_and_insert(spark, tmp_table):
+    """An upsert that updates one row, inserts one, and carries the rest
+    produces exactly update_preimage+update_postimage+insert — carried
+    rows (rewritten but identical) are NOT emitted."""
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "old", 1), (2, "keep", 1)]))
+    t.merge_upsert(_df(spark, [(1, "new", 2), (3, "ins", 1)]), keys="id")
+    v2 = t.latest_version()
+    changes = t.read_cdf(since_version=v1, keys="id")
+    assert _cdf_rows(changes) == [
+        ("insert", v2, 3, "ins", 1),
+        ("update_postimage", v2, 1, "new", 2),
+        ("update_preimage", v2, 1, "old", 1),
+    ]
+
+
+def test_cdf_cow_delete_emits_deletes(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(i, f"v{i}", 1) for i in range(5)]))
+    t.delete("id >= 3")
+    v2 = t.latest_version()
+    changes = t.read_cdf(since_version=v1, keys="id")
+    assert _cdf_rows(changes) == [
+        ("delete", v2, 3, "v3", 1),
+        ("delete", v2, 4, "v4", 1),
+    ]
+
+
+def test_cdf_mor_delete_emits_deletes_without_keys(spark, tmp_table):
+    """Merge-on-read deletes surface as `delete` rows from the tombstone
+    delta alone — no unit rewrite, no keys needed."""
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(i, f"v{i}", 1) for i in range(5)]))
+    t.delete("id IN (1, 3)", mode="mor")
+    v2 = t.latest_version()
+    changes = t.read_cdf(since_version=v1)
+    assert _cdf_rows(changes) == [
+        ("delete", v2, 1, "v1", 1),
+        ("delete", v2, 3, "v3", 1),
+    ]
+
+
+def test_cdf_rewrite_requires_keys(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.merge_upsert(_df(spark, [(1, "b", 2)]), keys="id")
+    with pytest.raises(ValueError, match="pass keys="):
+        t.read_cdf(since_version=v1)
+
+
+def test_cdf_multi_commit_range_and_compaction_neutrality(spark, tmp_table):
+    """A range spanning append + upsert + compact: compact is
+    data-neutral and must contribute zero CDF rows."""
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    v2 = t.append(_df(spark, [(2, "b", 1)]))
+    t.merge_upsert(_df(spark, [(2, "b2", 2)]), keys="id")
+    v3 = t.latest_version()
+    t.compact()
+    v4 = t.latest_version()
+    changes = t.read_cdf(since_version=v1, keys="id")
+    assert v4 > v3
+    assert _cdf_rows(changes) == [
+        ("insert", v2, 2, "b", 1),
+        ("update_postimage", v3, 2, "b2", 2),
+        ("update_preimage", v3, 2, "b", 1),
+    ]
+
+
+def test_cdf_vacuumed_range_raises(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    for i in range(2, 7):
+        t.append(_df(spark, [(i, "x", 1)]))
+    t.vacuum(keep_last_n=2)
+    with pytest.raises(FileNotFoundError, match="retention horizon"):
+        t.read_cdf(since_version=1, keys="id")
+
+
+# ----------------------------------------------------------- column mapping
+
+
+def test_rename_column_is_metadata_only(spark, tmp_table):
+    """RENAME COLUMN touches zero data files; reads remap at the scan."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    units_before = {u.path for u in t._read_manifest(t.latest_version())}
+    t.rename_column("v", "value")
+    units_after = {u.path for u in t._read_manifest(t.latest_version())}
+    assert units_after == units_before  # no rewrite
+    got = t.read()
+    assert set(got.columns) == {"id", "value", "ver"}
+    assert sorted((r.id, r.value) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_rename_then_write_stays_one_scan(spark, tmp_table):
+    """Writes after a rename store the PHYSICAL name, so pre- and
+    post-rename units merge into one consistent scan; merges see
+    logical names throughout."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame([(2, "b", 1)], "id long, value string, ver long")
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(1, "a2", 2)], "id long, value string, ver long"),
+        keys="id",
+    )
+    got = {r.id: r.value for r in t.read().collect()}
+    assert got == {1: "a2", 2: "b"}
+    # physical files carry the original name
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(f"{tmp_table}/data/*/*.parquet")
+    phys = {n for f in files for n in pq.read_schema(f).names}
+    assert "v" in phys and "value" not in phys
+
+
+def test_rename_time_travel_sees_old_name(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.rename_column("v", "value")
+    assert "v" in t.read(version=v1).columns
+    assert "value" in t.read().columns
+
+
+def test_drop_column_projects_away_and_blocks_readd(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.drop_column("v")
+    assert set(t.read().columns) == {"id", "ver"}
+    with pytest.raises(ValueError, match="retired physical name"):
+        t.append(_df(spark, [(2, "x", 1)]))  # still has column v
+    # appends without the dropped column are fine
+    t.append(spark.createDataFrame([(2, 1)], "id long, ver long"))
+    assert t.read().count() == 2
+
+
+def test_rename_guards(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, partition_by=["v"])
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="load-bearing"):
+        t.rename_column("v", "vv")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="collides"):
+        t.rename_column("id", "ver")
+
+
+def test_rename_roundtrip_back_to_original_name(spark, tmp_table):
+    """a->b then b->a restores identity mapping against the same files."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.rename_column("v", "value")
+    t.rename_column("value", "v")
+    assert set(t.read().columns) == {"id", "v", "ver"}
+    assert t.read().collect()[0].v == "a"
+
+
+def test_clone_carries_column_mapping(spark, tmp_table, tmp_path):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    t.rename_column("v", "value")
+    c = t.clone(str(tmp_path / "clone"))
+    assert set(c.read().columns) == {"id", "value", "ver"}
