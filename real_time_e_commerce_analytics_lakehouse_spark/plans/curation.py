@@ -300,3 +300,64 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("pr") >= QUALITY_DROP_FRAC).select(
         "doc_id", "lang", "score", F.round("pr", 6).alias("q_rank")
     )
+
+
+_SPAN_SH_SPARK = tx.shingles(tx.tokens("text", "spark"), 8, "spark")
+_SPAN_SH_DUCK = tx.shingles(tx.tokens("text", "duck"), 8, "duck")
+
+
+@register(
+    "cross_doc_duplicate_spans",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_SPAN_SH_DUCK}) AS shingle
+        FROM documents
+    ),
+    cnt AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN cnt.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(CAST(sum(CASE WHEN cnt.n_docs > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS shared_frac
+    FROM sh JOIN cnt ON sh.shingle = cnt.shingle
+    GROUP BY sh.doc_id
+    """,
+    doc=(
+        "Exact-substring duplication signal (Lee et al. 2022, "
+        "'Deduplicating Training Data Makes Language Models Better'): "
+        "per document, the fraction of its distinct 8-gram word spans "
+        "that also occur in at least one OTHER document. Docs above a "
+        "threshold are near-copies assembled from shared boilerplate "
+        "even when no single whole-doc hash matches. Plan: explode to "
+        "(doc, span), distinct, count docs per span (the one big "
+        "shuffle, keyed on the span), join back, per-doc ratio. At "
+        "100 TB the span strings are xxhash64-ed to 8-byte keys before "
+        "the shuffle (collision-tolerable for a fraction estimate) — "
+        "the gate keeps raw strings so both engines group identically; "
+        "docs shorter than 8 tokens have no spans and drop out, "
+        "mirroring the suffix-array tool's minimum match length."
+    ),
+    tags=("documents", "text", "dedup"),
+)
+def cross_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_SPAN_SH_SPARK)).alias("shingle")
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        sh.join(cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            F.round(
+                F.sum(shared).cast("double") / F.count("*"), 6
+            ).alias("shared_frac"),
+        )
+    )

@@ -63,6 +63,7 @@ REV = "l_extendedprice * (1 - l_discount)"
         "Tie-break on l_orderkey makes the LIMIT deterministic."
     ),
     tags=("join", "agg", "sort", "tpch"),
+    bench=True,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = "1998-06-01"
@@ -618,6 +619,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on partkey so the join adds no extra shuffle of the fact."
     ),
     tags=("join", "agg", "subquery", "tpch"),
+    bench=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")

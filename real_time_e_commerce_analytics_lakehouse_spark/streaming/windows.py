@@ -92,3 +92,26 @@ def session_counts(
             "sum_value",
         )
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state
+    (dropDuplicatesWithinWatermark): the first row per key is emitted,
+    later duplicates arriving within the watermark delay are dropped,
+    and each key's state is evicted once the watermark passes its
+    event time — so state is O(keys seen per watermark window), not
+    O(keys ever seen), which is what makes at-least-once ingest dedup
+    viable on an unbounded 100 TB/day stream. The trade-off is honest:
+    a duplicate arriving LATER than the watermark delay is re-emitted
+    (its state is gone) — downstream idempotent merge_insert_only
+    (tables.py) turns that back into exactly-once, the same two-layer
+    pattern the reference relies on (01_bronze_csv_to_delta.py:58-68).
+    Plain dropDuplicates on a stream would keep state forever."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

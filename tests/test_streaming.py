@@ -342,3 +342,61 @@ def test_transform_with_state_profiles_and_recent_window(spark, tmp_path):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, old_prov)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Cross-batch duplicate suppression with bounded state: a duplicate
+    inside the watermark delay is dropped; after the watermark passes,
+    the key's state is evicted and the id can be emitted again."""
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, value double"
+        ).select("event_id", F.to_timestamp("ts").alias("ts"), "value")
+
+    emitted: list[tuple] = []
+
+    def run():
+        stream = spark.readStream.schema(mk([]).schema).parquet(src)
+        deduped = dedup_within_watermark(
+            stream, keys=("event_id",), watermark="30 minutes"
+        )
+
+        def sink(batch, _eid):
+            emitted.extend((r.event_id, r.ts) for r in batch.collect())
+
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    mk(
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:01:00", 1.0)]
+    ).write.mode("append").parquet(src)
+    run()
+    assert sorted(e for e, _ in emitted) == [1, 2]
+    # batch 2: a duplicate of id=1 within the watermark -> dropped;
+    # a fresh id=3 -> emitted
+    mk(
+        [(1, "2024-01-01 00:02:00", 9.9), (3, "2024-01-01 00:03:00", 1.0)]
+    ).write.mode("append").parquet(src)
+    run()
+    assert sorted(e for e, _ in emitted) == [1, 2, 3]
+    # batch 3: far-future row advances the watermark hours past id=1's
+    # state; then batch 4 re-sends id=1 -> state was evicted, re-emitted
+    mk([(4, "2024-01-01 12:00:00", 1.0)]).write.mode("append").parquet(src)
+    run()
+    mk([(1, "2024-01-01 11:50:00", 1.0)]).write.mode("append").parquet(src)
+    run()
+    assert sorted(e for e, _ in emitted) == [1, 1, 2, 3, 4]
