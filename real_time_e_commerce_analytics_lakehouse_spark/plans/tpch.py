@@ -814,3 +814,55 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round("pair_rev", 2).cast("double").alias("cheapest_volume"),
         )
     )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH pair AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, sum(q) AS tq FROM pair GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation,
+           count(*) AS n_dominated_parts
+    FROM pair p
+    JOIN tot t      ON p.l_partkey = t.l_partkey
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.q * 8 > t.tq
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q20 shape (nested aggregate threshold feeding a "
+        "dimension rollup): suppliers that shipped more than an EIGHTH of "
+        "some part's total quantity (partsupp availability is absent; "
+        "shipped-quantity share stands in for the availqty-vs-demand "
+        "test — same two-level aggregate with a correlated threshold). "
+        "The inner aggregate reuses its own output for the outer total "
+        "(pair -> tot is a second tiny group on the already-reduced "
+        "frame, NOT a second fact scan) and the share comparison is "
+        "exact decimal (q*8 > tq). At 100 TB both aggregates and the "
+        "threshold join partition on partkey — one fact shuffle total."
+    ),
+    tags=("agg", "subquery", "tpch"),
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    pair = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).alias("q"))
+        .cache()
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    return (
+        pair.join(tot, "l_partkey")
+        .filter(F.col("q") * 8 > F.col("tq"))
+        .join(F.broadcast(s), pair.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+        .agg(F.count("*").alias("n_dominated_parts"))
+    )

@@ -656,13 +656,40 @@ class LakeTable:
 
     # ------------------------------------------------------------------ api
 
+    def version_at_timestamp(self, ts: str | datetime) -> int:
+        """TIMESTAMP AS OF resolution (Delta parity): the latest version
+        committed at or before `ts` (ISO string = UTC). Manifest-only —
+        no data scan. Raises if `ts` predates the first retained commit
+        (same behavior as Delta when the timestamp is before table
+        creation or inside a vacuumed range)."""
+        if isinstance(ts, str):
+            target = datetime.fromisoformat(ts)
+        else:
+            target = ts
+        if target.tzinfo is None:
+            target = target.replace(tzinfo=timezone.utc)
+        best = None
+        for v in self._versions():
+            at = datetime.fromisoformat(self._manifest_doc(v)["committed_at"])
+            if at <= target:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no commit of {self.path} at or before {target.isoformat()} "
+                "(predates table creation or the vacuum retention horizon)"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         partitions: dict[str, Sequence[object]] | None = None,
         stats_where: dict[str, tuple] | None = None,
+        timestamp: str | datetime | None = None,
     ) -> DataFrame:
-        """Snapshot read (S5). `version` = time travel.
+        """Snapshot read (S5). `version` = VERSION AS OF time travel;
+        `timestamp` = TIMESTAMP AS OF (resolved via
+        `version_at_timestamp`; mutually exclusive with `version`).
 
         `partitions` = manifest-level partition pruning (what Delta's
         file-skipping gives the reference): {col: allowed values} keeps
@@ -682,6 +709,10 @@ class LakeTable:
         exact row-level predicate (which also row-group-skips via the
         same footer stats). Strongest after compact(cluster_by=...) or
         compact(zorder=True) (skips on ANY clustered column)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass either version= or timestamp=, not both")
+            version = self.version_at_timestamp(timestamp)
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no table at {self.path}")

@@ -1132,3 +1132,29 @@ def test_clone_carries_column_mapping(spark, tmp_table, tmp_path):
     t.rename_column("v", "value")
     c = t.clone(str(tmp_path / "clone"))
     assert set(c.read().columns) == {"id", "value", "ver"}
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_table):
+    """TIMESTAMP AS OF resolves to the latest commit at-or-before the
+    given instant; earlier-than-creation raises."""
+    import json
+
+    t = LakeTable(spark, tmp_table)
+    v1 = t.overwrite(_df(spark, [(1, "a", 1)]))
+    v2 = t.append(_df(spark, [(2, "b", 1)]))
+    # pin distinct commit timestamps (manifest files are the clock)
+    for v, ts in [(v1, "2024-01-01T00:00:00+00:00"), (v2, "2024-02-01T00:00:00+00:00")]:
+        mf = t._manifest_file(v)
+        doc = json.load(open(mf))
+        doc["committed_at"] = ts
+        json.dump(doc, open(mf, "w"))
+    from real_time_e_commerce_analytics_lakehouse_spark import tables as _tbl
+
+    _tbl._MANIFEST_CACHE.clear()
+    assert t.version_at_timestamp("2024-01-15T00:00:00+00:00") == v1
+    assert t.read(timestamp="2024-01-15T00:00:00+00:00").count() == 1
+    assert t.read(timestamp="2024-03-01T00:00:00+00:00").count() == 2
+    with pytest.raises(FileNotFoundError, match="predates"):
+        t.read(timestamp="2023-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=v1, timestamp="2024-03-01T00:00:00+00:00")
