@@ -154,6 +154,8 @@ class LakeTable:
         partition_by: Sequence[str] = (),
         stats_cols: Sequence[str] = (),
         constraints: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
+        identity: str | None = None,
     ):
         """`stats_cols`: columns whose per-unit [min, max] are recorded
         in the manifest at write time (harvested from the parquet
@@ -175,6 +177,13 @@ class LakeTable:
         self.partition_by = list(partition_by)
         self.stats_cols = list(stats_cols)
         self.constraints = dict(constraints or {})
+        # generated: {col: SQL expr} — GENERATED ALWAYS AS parity
+        # (computed when absent, in-plan validated when supplied)
+        self.generated = dict(generated or {})
+        # identity: column name — GENERATED ALWAYS AS IDENTITY parity on
+        # append/overwrite (unique monotonically-increasing BIGINTs from
+        # a manifest-tracked high-water mark; gaps allowed, as in Delta)
+        self.identity = identity
 
     # ------------------------------------------------------------------ log
 
@@ -243,6 +252,7 @@ class LakeTable:
         base_version: int | None = None,
         dv: list[str] | str = "carry",
         colmap: object = "carry",
+        identity_high: int | str = "carry",
     ) -> int:
         """Atomic manifest commit. `base_version` = the snapshot version
         the caller's decision was READ at; the commit targets base+1, so
@@ -277,6 +287,13 @@ class LakeTable:
             doc["column_map"] = cm
         if dropped:
             doc["column_dropped"] = dropped
+        ih = (
+            (self._identity_high(current) if current else 0)
+            if identity_high == "carry"
+            else int(identity_high)  # type: ignore[arg-type]
+        )
+        if ih:
+            doc["identity_high"] = ih
         tmp = self._manifest_file(new_version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
@@ -351,11 +368,87 @@ class LakeTable:
                     unit[c] = list(v)
         return unit, per_file
 
+    def _identity_high(self, version: int | None = None) -> int:
+        """Highest identity value ever assigned (manifest-tracked
+        high-water mark; 0 before any assignment)."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return 0
+        return int(self._manifest_doc(v).get("identity_high", 0))
+
+    def _assign_identity(self, df: DataFrame, start: int) -> tuple[DataFrame, int]:
+        """Unique monotonically-increasing BIGINTs `start, start+1, ...`
+        with NO global sort: one tiny per-input-partition count job
+        (bounded collect: one row per partition), a broadcast offset
+        map, and a row_number windowed PER PARTITION — every partition
+        numbers its rows in parallel and shifts by its cumulative
+        offset. The same scale shape as operators/ids.dense_row_ids,
+        minus the order column (identity promises uniqueness and
+        monotonic growth, not a total order — Delta's own contract)."""
+        tagged = df.withColumn("__pid", F.spark_partition_id())
+        counts = sorted(
+            (r["__pid"], r["n"])
+            for r in tagged.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not counts:
+            return df.withColumn(self.identity, F.lit(None).cast("long")), 0
+        offsets: dict[int, int] = {}
+        acc = 0
+        for p, n in counts:
+            offsets[p] = acc
+            acc += n
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        w = W.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+        out = tagged.withColumn(
+            self.identity,
+            (
+                F.lit(start)
+                + omap[F.col("__pid")]
+                + F.row_number().over(w)
+                - 1
+            ).cast("long"),
+        ).drop("__pid")
+        return out, acc
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Delta GENERATED ALWAYS AS (expr) parity, at write time:
+        a generated column absent from the batch is computed from its
+        expression; one supplied by the writer is VALIDATED against the
+        expression inside the write plan (same in-plan raise_error
+        pattern as CHECK constraints — no extra validation job), so the
+        invariant col == expr(row) holds in every committed file.
+        Typical use: `generated={"order_date": "CAST(ts AS DATE)"}` with
+        `partition_by=["order_date"]` — the daily-partition layout is
+        derived, never hand-maintained, and readers prune on it via
+        read(partitions=...)."""
+        for col, expr in self.generated.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            else:
+                mismatch = ~F.coalesce(
+                    F.col(col).eqNullSafe(F.expr(expr)), F.lit(False)
+                )
+                msg = F.lit(
+                    f"{_CHECK_MARK}: generated column '{col}' was supplied "
+                    f"with a value that differs from its expression ({expr})"
+                )
+                df = df.withColumn(
+                    col,
+                    F.when(mismatch, F.raise_error(msg)).otherwise(F.col(col)),
+                )
+        return df
+
     def _enforce_constraints(self, df: DataFrame) -> DataFrame:
         """Fold every CHECK constraint into the first column as a
         raise_error guard: the check evaluates row-by-row during the
         write scan itself (no validation pre-pass job). Violated only
         when the expr is FALSE; NULL passes (SQL CHECK semantics)."""
+        if self.generated:
+            df = self._apply_generated(df)
         if not self.constraints:
             return df
         first = df.columns[0]
@@ -1012,12 +1105,20 @@ class LakeTable:
     def overwrite(self, df: DataFrame) -> int:
         """Full-refresh write (S7; reference metrics marts 07:72-78).
         Resets deletion vectors AND column mapping — the new data
-        defines the schema, so its names become the physical names."""
+        defines the schema, so its names become the physical names.
+        An identity column keeps counting from the high-water mark
+        (Delta semantics: truncate/overwrite never recycles ids)."""
+        ih: int | str = "carry"
+        if self.identity and self.identity not in df.columns:
+            start = self._identity_high() + 1
+            df, n = self._assign_identity(df, start)
+            ih = start + n - 1 if n else "carry"
         return self._commit(
             self._write_units(df, apply_colmap=False),
             op="overwrite",
             dv=[],
             colmap=({}, []),
+            identity_high=ih,
         )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1085,7 +1186,24 @@ class LakeTable:
         winner's snapshot and retried (Delta's optimistic-concurrency
         retry for AppendOnly transactions). Merge/overwrite ops do NOT
         rebase — their read snapshot is part of the decision, so a
-        concurrent commit surfaces as ConcurrentWriteError."""
+        concurrent commit surfaces as ConcurrentWriteError.
+
+        With an identity column, the append is NOT rebase-retried: the
+        assigned ids depend on the high-water mark read before the
+        write, so losing the race must surface as ConcurrentWriteError
+        rather than silently committing duplicate ids (identity
+        generation serializes concurrent inserts, as in Delta)."""
+        if self.identity and self.identity not in df.columns:
+            v = self.latest_version()
+            start = self._identity_high(v) + 1
+            df, n = self._assign_identity(df, start)
+            current = self._read_manifest(v) if v else []
+            return self._commit(
+                current + self._write_units(df),
+                op="append",
+                base_version=v or 0,
+                identity_high=start + n - 1 if n else "carry",
+            )
         return self._commit_rebase(self._write_units(df), op="append")
 
     def _commit_rebase(

@@ -1158,3 +1158,61 @@ def test_timestamp_as_of_time_travel(spark, tmp_table):
         t.read(timestamp="2023-01-01T00:00:00+00:00")
     with pytest.raises(ValueError, match="not both"):
         t.read(version=v1, timestamp="2024-03-01T00:00:00+00:00")
+
+
+# ------------------------------------------- generated / identity columns
+
+
+def test_generated_column_computed_when_absent(spark, tmp_table):
+    """GENERATED ALWAYS AS: the column is derived at write time and can
+    drive the partition layout."""
+    t = LakeTable(
+        spark,
+        tmp_table,
+        partition_by=["flag"],
+        generated={"flag": "CASE WHEN ver >= 10 THEN 'hot' ELSE 'cold' END"},
+    )
+    t.overwrite(_df(spark, [(1, "a", 10), (2, "b", 1)]))
+    got = {r.id: r.flag for r in t.read().collect()}
+    assert got == {1: "hot", 2: "cold"}
+    # partition pruning works on the generated column
+    assert [r.id for r in t.read(partitions={"flag": ["hot"]}).collect()] == [1]
+
+
+def test_generated_column_validated_when_supplied(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, generated={"double_ver": "ver * 2"})
+    ok = spark.createDataFrame(
+        [(1, "a", 2, 4)], "id long, v string, ver long, double_ver long"
+    )
+    t.overwrite(ok)  # matching value passes
+    bad = spark.createDataFrame(
+        [(2, "b", 3, 7)], "id long, v string, ver long, double_ver long"
+    )
+    with pytest.raises(Exception, match="generated column"):
+        t.append(bad)
+    assert t.read().count() == 1  # failed write committed nothing
+
+
+def test_identity_column_assigns_unique_monotonic_ids(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, identity="row_id")
+    t.overwrite(_df(spark, [(i, "a", 1) for i in range(5)]).repartition(3))
+    ids1 = sorted(r.row_id for r in t.read().collect())
+    assert ids1 == [1, 2, 3, 4, 5]
+    t.append(_df(spark, [(9, "b", 1), (10, "b", 1)]))
+    ids2 = sorted(r.row_id for r in t.read().collect())
+    assert len(set(ids2)) == 7  # all unique
+    assert min(i for i in ids2 if i not in ids1) == 6  # continues past high water
+    # overwrite never recycles ids (Delta identity semantics)
+    t.overwrite(_df(spark, [(99, "c", 1)]))
+    assert [r.row_id for r in t.read().collect()] == [8]
+
+
+def test_identity_column_respects_supplied_values(spark, tmp_table):
+    """A batch that already carries the identity column passes through
+    (GENERATED BY DEFAULT flavor for backfills/migrations)."""
+    t = LakeTable(spark, tmp_table, identity="row_id")
+    df = spark.createDataFrame(
+        [(1, "a", 1, 100)], "id long, v string, ver long, row_id long"
+    )
+    t.overwrite(df)
+    assert t.read().collect()[0].row_id == 100
