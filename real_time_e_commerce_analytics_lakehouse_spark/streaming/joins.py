@@ -57,3 +57,35 @@ def stream_stream_interval_join(
         F.col(f"r.{c}") for c in right.columns if c != key
     ]
     return joined.select(*keep)
+
+
+def stream_stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER flavor of the interval join: every left event is
+    emitted; those with no right match within the interval carry NULLs
+    on the right side. Streaming semantics differ from batch in WHEN
+    the NULL-extended row appears: the engine can only declare "no
+    match will ever come" once the watermark passes the end of the
+    match interval, so unmatched rows are emitted with that delay —
+    which is exactly why both the watermark AND the interval condition
+    are mandatory for outer stream-stream joins (without them Spark
+    rejects the query: state could never be evicted and no row could
+    ever be finalized)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")  # noqa: E741
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND "
+        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {lookback} AND l.{left_ts}"
+    )
+    joined = l.join(r, cond, "left_outer")
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c != key
+    ]
+    return joined.select(*keep)

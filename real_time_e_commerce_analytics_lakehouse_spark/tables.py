@@ -1637,6 +1637,7 @@ class LakeTable:
         source: DataFrame,
         keys: str | Sequence[str],
         guard_col: str | None = None,
+        delete_unmatched: bool = False,
     ) -> int:
         """Keyed upsert (S10-S12).
 
@@ -1645,6 +1646,14 @@ class LakeTable:
           reference's late/out-of-order protection, 02_bronze_to_silver.py:74)
         - matched & guard fails: target kept (stale update dropped)
         - not matched: insert
+        - `delete_unmatched=True` adds Delta's third clause (WHEN NOT
+          MATCHED BY SOURCE THEN DELETE): target rows whose key is
+          absent from the source are dropped — full snapshot-sync
+          semantics. On a partitioned table the clause applies WITHIN
+          the partitions the source touches (the rewrite scope);
+          untouched partitions are carried verbatim, making this the
+          partition-scoped sync pattern (sync one day's partition from
+          a full re-extract without scanning the other 3,000 days)
 
         Correctness invariant (SURVEY §7 risk 3): multiple source rows per
         key are an error (Delta throws DELTA_MULTIPLE_SOURCE_ROW_MATCHES);
@@ -1681,7 +1690,9 @@ class LakeTable:
             untouched = []
             target = self._read_units(current_units, dv_paths=self._read_dv(base_v))
 
-        merged = _merge_dataframes(target, source, ks, guard_col)
+        merged = _merge_dataframes(
+            target, source, ks, guard_col, delete_unmatched=delete_unmatched
+        )
         try:
             new_units = self._write_units(merged)
         except Exception as e:  # surface the in-plan dup guard as ValueError
@@ -1695,7 +1706,11 @@ class LakeTable:
 
 
 def _merge_dataframes(
-    target: DataFrame, source: DataFrame, keys: list[str], guard_col: str | None
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    guard_col: str | None,
+    delete_unmatched: bool = False,
 ) -> DataFrame:
     """Join-based MERGE: per-column conditional select. Runs as one
     shuffle join on the keys (sort-merge or broadcast per Catalyst/AQE).
@@ -1757,6 +1772,10 @@ def _merge_dataframes(
         return F.lit(None).cast(source.schema[c].dataType)
 
     joined = t.join(s, cond, "left")
+    if delete_unmatched:
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE: drop target rows with
+        # no source match — same join, one extra filter, no extra job
+        joined = joined.filter(F.col("s.__src_marker").isNotNull())
     updated = joined.select(
         *[
             F.when(source_wins, F.col(f"s.{c}") if c in src_cols else _t_val(c))

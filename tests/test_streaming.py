@@ -400,3 +400,54 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     mk([(1, "2024-01-01 11:50:00", 1.0)]).write.mode("append").parquet(src)
     run()
     assert sorted(e for e, _ in emitted) == [1, 1, 2, 3, 4]
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(
+    spark, sf_dir, tmp_path
+):
+    """LEFT OUTER stream-stream interval join: matched pairs equal the
+    batch join; left rows with no match in the interval surface
+    NULL-extended once the watermark passes their interval."""
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.joins import (
+        stream_stream_interval_join_outer,
+    )
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+
+    sl = _stream_events(spark, sf_dir, str(tmp_path / "ev_osl"))
+    sr = _stream_events(spark, sf_dir, str(tmp_path / "ev_osr"))
+    joined = stream_stream_interval_join_outer(
+        purchases(sl), clicks(sr), key="user_id",
+        left_ts="p_ts", right_ts="c_ts", lookback="10 minutes",
+    )
+    _run_to_memory(joined, "ossjoin_out")
+    rows = spark.sql("SELECT p_id, c_id FROM ossjoin_out").collect()
+    got_pairs = {(r.p_id, r.c_id) for r in rows if r.c_id is not None}
+
+    ev = events_table(spark, sf_dir)
+    p, c = purchases(ev).alias("l"), clicks(ev).alias("r")
+    want_pairs = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            F.expr(
+                "l.user_id = r.user_id AND "
+                "r.c_ts BETWEEN l.p_ts - INTERVAL 10 minutes AND l.p_ts"
+            ),
+        ).select("p_id", "c_id").collect()
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+    # outer semantics: unmatched purchases behind the final watermark
+    # appear exactly once, NULL-extended (availableNow drains the
+    # stream, so all but the tail interval are finalized)
+    matched_left = {p_ for p_, _ in got_pairs}
+    null_left = {r.p_id for r in rows if r.c_id is None}
+    assert null_left and not (null_left & matched_left)

@@ -1216,3 +1216,33 @@ def test_identity_column_respects_supplied_values(spark, tmp_table):
     )
     t.overwrite(df)
     assert t.read().collect()[0].row_id == 100
+
+
+def test_merge_delete_unmatched_full_sync(spark, tmp_table):
+    """Three-clause MERGE: update matched, insert new, DELETE target
+    rows absent from the source."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    t.merge_upsert(
+        _df(spark, [(2, "b2", 2), (4, "d", 1)]), keys="id", delete_unmatched=True
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {2: "b2", 4: "d"}
+
+
+def test_merge_delete_unmatched_is_partition_scoped(spark, tmp_table):
+    """On a partitioned table the not-matched-by-source delete applies
+    only within partitions the source touches."""
+    df = spark.createDataFrame(
+        [(1, "a", 1, "p1"), (2, "b", 1, "p1"), (3, "c", 1, "p2")],
+        "id long, v string, ver long, part string",
+    )
+    t = LakeTable(spark, tmp_table, partition_by=["part"])
+    t.overwrite(df)
+    src = spark.createDataFrame(
+        [(2, "b2", 2, "p1")], "id long, v string, ver long, part string"
+    )
+    t.merge_upsert(src, keys="id", delete_unmatched=True)
+    got = {r.id: (r.v, r.part) for r in t.read().collect()}
+    # id=1 (p1, unmatched) deleted; id=3 (p2, untouched partition) kept
+    assert got == {2: ("b2", "p1"), 3: ("c", "p2")}
