@@ -357,3 +357,145 @@ def daily_orders_vs_events_activity(spark: SparkSession, sf_dir: str) -> DataFra
         "n_orders",
         "n_events",
     )
+
+
+@register(
+    "order_calendar_features",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus3m,
+           CAST(greatest(year(o_orderdate), 1996) AS BIGINT) AS year_floor,
+           CAST(nullif(quarter(o_orderdate), 4) AS BIGINT) AS q_nullif4
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+    doc=(
+        "Calendar scalar-function family: date_trunc, last_day, "
+        "dayofweek (Spark is 1=Sunday, DuckDB 0=Sunday — the oracle "
+        "shifts by one, documenting the dialect trap), quarter, "
+        "add_months (month-end clamped identically in both engines), "
+        "greatest, nullif. Row-local, zero shuffles; the orderkey "
+        "filter is pushed into the scan."
+    ),
+    tags=("functions",),
+)
+def order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+        F.greatest(F.year("o_orderdate"), F.lit(1996)).cast("long").alias(
+            "year_floor"
+        ),
+        F.nullif(F.quarter("o_orderdate"), F.lit(4)).cast("long").alias(
+            "q_nullif4"
+        ),
+    )
+
+
+@register(
+    "part_string_features",
+    oracle="""
+    SELECT p_partkey,
+           substring(p_name, 1, 4) AS prefix4,
+           CAST(position(' ' IN p_name) AS BIGINT) AS space_at,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           reverse(p_type) AS type_rev,
+           replace(p_name, ' ', '_') AS name_snake,
+           CAST(length(p_name) - length(replace(p_name, ' ', ''))
+                AS BIGINT) AS n_spaces,
+           upper(right(p_name, 3)) AS tail3
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+    doc=(
+        "String scalar-function family: substring, position/instr "
+        "(1-based, 0 when absent — same convention both engines), lpad, "
+        "translate, reverse, replace, the length-difference char-count "
+        "idiom, right+upper. Row-local projection over a pushed key "
+        "filter."
+    ),
+    tags=("functions",),
+)
+def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.instr("p_name", " ").cast("long").alias("space_at"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.reverse("p_type").alias("type_rev"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        (
+            F.length("p_name")
+            - F.length(F.regexp_replace("p_name", " ", ""))
+        ).cast("long").alias("n_spaces"),
+        F.upper(F.substring("p_name", -3, 3)).alias("tail3"),
+    )
+
+
+@register(
+    "doc_tfidf_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tx.tokens('text', 'duck')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+    doc=(
+        "TF-IDF term weighting (the classic lexical-relevance score a "
+        "corpus pipeline computes before BM25/embedding reranking): "
+        "term frequency per doc, document frequency per term (one "
+        "term-keyed shuffle each), idf = ln(N/df) with the corpus size "
+        "broadcast as a single-row aggregate. ln() is the one "
+        "transcendental in the gate — both engines evaluate libm log "
+        "on identical doubles and the result is rounded to 6 decimals, "
+        "which absorbs any last-ulp platform difference. The tf>=3 "
+        "filter keeps the gate output focused (and is where a real "
+        "pipeline drops hapax noise)."
+    ),
+    tags=("documents", "text"),
+)
+def doc_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )

@@ -263,3 +263,58 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
     for r in rows:
         for approx, exact in zip(r.approx_pcts, r.exact_pcts):
             assert abs(approx - exact) <= 0.01 * abs(exact) + 1e-9
+
+
+# ------------------------------------------------------------ expectations
+
+
+def test_expectations_warn_drop_and_metrics(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.quality import (
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 2.0)],
+        "id long, amount double",
+    )
+    clean, metrics = apply_expectations(
+        df,
+        {
+            "amount_positive": ("amount > 0", "drop"),
+            "amount_present": ("amount IS NOT NULL", "warn"),
+        },
+    )
+    # drop removes the negative AND the NULL (null expr = violation)
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    got = {r.rule: (r.action, r.n_violations) for r in metrics.collect()}
+    assert got == {
+        "amount_positive": ("drop", 2),
+        "amount_present": ("warn", 1),
+    }
+
+
+def test_expectations_fail_aborts_batch(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.quality import (
+        apply_expectations,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0), (2, -1.0)], "id long, amount double")
+    clean, _ = apply_expectations(
+        df, {"no_negatives": ("amount >= 0", "fail")}
+    )
+    with _pytest.raises(Exception, match="EXPECTATION_FAILED"):
+        clean.collect()
+
+
+def test_expectations_empty_batch_metrics_are_zero(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.quality import (
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame([], "id long, amount double")
+    clean, metrics = apply_expectations(
+        df, {"amount_positive": ("amount > 0", "drop")}
+    )
+    assert clean.count() == 0
+    assert [r.n_violations for r in metrics.collect()] == [0]
