@@ -253,6 +253,7 @@ class LakeTable:
         dv: list[str] | str = "carry",
         colmap: object = "carry",
         identity_high: int | str = "carry",
+        txn: dict | str = "carry",
     ) -> int:
         """Atomic manifest commit. `base_version` = the snapshot version
         the caller's decision was READ at; the commit targets base+1, so
@@ -294,6 +295,13 @@ class LakeTable:
         )
         if ih:
             doc["identity_high"] = ih
+        tx = (
+            (dict(self._manifest_doc(current).get("txn", {})) if current else {})
+            if txn == "carry"
+            else dict(txn)  # type: ignore[arg-type]
+        )
+        if tx:
+            doc["txn"] = tx
         tmp = self._manifest_file(new_version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
@@ -1205,6 +1213,53 @@ class LakeTable:
                 identity_high=start + n - 1 if n else "carry",
             )
         return self._commit_rebase(self._write_units(df), op="append")
+
+    def append_once(self, df: DataFrame, txn_app: str, txn_version: int) -> int | None:
+        """Idempotent append (Delta txnAppId/txnVersion parity — the
+        foreachBatch exactly-once pattern): each writer application
+        carries a monotonically increasing version (epoch/batch id); an
+        append whose version is <= the last one recorded for that app
+        is a REPLAY and becomes a no-op, so a micro-batch retried after
+        a sink failure cannot double-append. The watermark is stored in
+        the manifest and travels with clones/restores like any other
+        table metadata. Returns the committed version, or None for a
+        skipped replay.
+
+        Unlike merge_insert_only (row-key idempotency — needs an
+        anti-join against the target), this is O(1) metadata: the right
+        tool when the batch has no natural key or the caller already
+        has exactly-once offsets (Structured Streaming's batchId)."""
+        v = self.latest_version()
+        txns = dict(self._manifest_doc(v).get("txn", {})) if v else {}
+        last = int(txns.get(txn_app, -1))
+        if txn_version <= last:
+            return None
+        txns[txn_app] = int(txn_version)
+        ih: int | str = "carry"
+        if self.identity and self.identity not in df.columns:
+            start = self._identity_high(v) + 1
+            df, n = self._assign_identity(df, start)
+            if n:
+                ih = start + n - 1
+        if v is None:
+            return self._commit(
+                self._write_units(df),
+                op="append_once",
+                dv=[],
+                txn=txns,
+                identity_high=ih,
+            )
+        current = self._read_manifest(v)
+        # strict base (no rebase-retry): the replay decision was read at
+        # snapshot v, so a concurrent commit must surface as a conflict,
+        # not silently race the watermark (Delta txn commits conflict too)
+        return self._commit(
+            current + self._write_units(df),
+            op="append_once",
+            base_version=v,
+            txn=txns,
+            identity_high=ih,
+        )
 
     def _commit_rebase(
         self, new_units: list[_Unit], op: str, max_retries: int = 5

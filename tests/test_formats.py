@@ -100,3 +100,29 @@ def test_bucketed_groupby_has_no_exchange(spark):
         assert agg.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_agg")
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """Format breadth: the engine's frames write/read ORC losslessly
+    (same rows and schema as the parquet source) — columnar sink
+    interchangeability for consumers standardized on ORC."""
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table as _t
+
+    src = _t(spark, sf_dir, "nation")
+    dest = str(tmp_path / "nation_orc")
+    src.write.orc(dest)
+    back = spark.read.orc(dest)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    """JSON-lines sink/source roundtrip (timestamps pinned UTC by the
+    session; schema supplied on read — inference would widen types)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table as _t
+
+    src = _t(spark, sf_dir, "region")
+    dest = str(tmp_path / "region_jsonl")
+    src.write.json(dest)
+    back = spark.read.schema(src.schema).json(dest)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

@@ -1246,3 +1246,21 @@ def test_merge_delete_unmatched_is_partition_scoped(spark, tmp_table):
     got = {r.id: (r.v, r.part) for r in t.read().collect()}
     # id=1 (p1, unmatched) deleted; id=3 (p2, untouched partition) kept
     assert got == {2: ("b2", "p1"), 3: ("c", "p2")}
+
+
+def test_append_once_is_replay_idempotent(spark, tmp_table):
+    """Delta txnAppId/txnVersion parity: replaying a batch id is a
+    metadata no-op; new ids append; independent apps do not interfere."""
+    t = LakeTable(spark, tmp_table)
+    assert t.append_once(_df(spark, [(1, "a", 1)]), "job1", 0) is not None
+    assert t.append_once(_df(spark, [(1, "a", 1)]), "job1", 0) is None  # replay
+    assert t.read().count() == 1
+    assert t.append_once(_df(spark, [(2, "b", 1)]), "job1", 1) is not None
+    # a stale version after a newer one is also a replay
+    assert t.append_once(_df(spark, [(9, "x", 1)]), "job1", 0) is None
+    # a different app has its own watermark
+    assert t.append_once(_df(spark, [(3, "c", 1)]), "job2", 0) is not None
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    # watermarks survive unrelated commits
+    t.append(_df(spark, [(4, "d", 1)]))
+    assert t.append_once(_df(spark, [(5, "e", 1)]), "job1", 1) is None
