@@ -1214,6 +1214,88 @@ class LakeTable:
             )
         return self._commit_rebase(self._write_units(df), op="append")
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        keys: str | Sequence[str],
+        sequence_col: str = "_commit_version",
+    ) -> int:
+        """APPLY CHANGES INTO parity (DLT's CDC consumer): fold a change
+        feed — rows tagged `_change_type` ∈ {insert, update_postimage,
+        update_preimage, delete}, e.g. the output of `read_cdf` on
+        another table — into this table:
+
+        1. reduce the feed to each key's FINAL state by `sequence_col`
+           (latest change wins; preimages are ignored — they describe
+           the past). Out-of-order application is therefore safe: the
+           reduction is an argmax, not a replay.
+        2. keys whose final change is insert/update -> upserted;
+           keys whose final change is delete -> removed.
+
+        One merge rewrite commit; partition-scoped on partitioned
+        tables like merge_upsert. Chaining `replica.apply_changes(
+        source.read_cdf(v, keys=...), keys=...)` replicates a table
+        exactly (tested round-trip), which is the cross-system CDC
+        mirror pattern Delta+DLT users run."""
+        ks = [keys] if isinstance(keys, str) else list(keys)
+        w = W.partitionBy(*ks).orderBy(
+            F.desc(sequence_col),
+            # within one sequence value an update emits pre+post; the
+            # preimage is filtered out below, and 'update_postimage' >
+            # 'insert' > 'delete' alphabetically is irrelevant then —
+            # the remaining types are mutually exclusive per (key, seq)
+            F.desc("_change_type"),
+        )
+        latest = (
+            changes.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        meta = ["_change_type", "_commit_version"]
+        upserts = latest.filter(F.col("_change_type") != "delete").drop(*meta)
+        deletes = latest.filter(F.col("_change_type") == "delete").select(*ks)
+        if not self.exists():
+            return self.overwrite(upserts)
+
+        base_v = self.latest_version()
+        current_units = self._read_manifest(base_v)
+        if self.partition_by:
+            # partitions touched by EITHER flavor of change
+            src_parts = self._source_partitions(
+                latest.drop(*meta).select(*self.partition_by)
+            )
+            touched = [
+                u for u in current_units if self._unit_key(u) in src_parts
+            ]
+            touched_paths = {u.path for u in touched}
+            untouched = [
+                u for u in current_units if u.path not in touched_paths
+            ]
+            target = (
+                self._read_units(touched, dv_paths=self._read_dv(base_v))
+                if touched
+                else self.read().limit(0)
+            )
+        else:
+            untouched = []
+            target = self._read_units(
+                current_units, dv_paths=self._read_dv(base_v)
+            )
+
+        merged = _merge_dataframes(target, upserts, ks, None)
+        # remove keys whose final change is a delete — one anti-join in
+        # the same rewrite (no second commit, no driver-side key list)
+        cond = None
+        for k in ks:
+            e = merged[k].eqNullSafe(deletes[k])
+            cond = e if cond is None else (cond & e)
+        merged = merged.join(deletes, cond, "left_anti")
+        new_units = self._write_units(merged)
+        return self._commit(
+            untouched + new_units, op="apply_changes", base_version=base_v
+        )
+
     def append_once(self, df: DataFrame, txn_app: str, txn_version: int) -> int | None:
         """Idempotent append (Delta txnAppId/txnVersion parity — the
         foreachBatch exactly-once pattern): each writer application

@@ -1264,3 +1264,63 @@ def test_append_once_is_replay_idempotent(spark, tmp_table):
     # watermarks survive unrelated commits
     t.append(_df(spark, [(4, "d", 1)]))
     assert t.append_once(_df(spark, [(5, "e", 1)]), "job1", 1) is None
+
+
+def test_apply_changes_cdc_mirror_roundtrip(spark, tmp_table, tmp_path):
+    """Full CDC loop: a replica fed only by read_cdf increments tracks
+    the source exactly through inserts, updates, and deletes."""
+    src = LakeTable(spark, tmp_table)
+    replica = LakeTable(spark, str(tmp_path / "replica"))
+
+    v0 = src.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    replica.apply_changes(src.read_cdf(None, keys="id"), keys="id")
+    assert sorted((r.id, r.v) for r in replica.read().collect()) == sorted(
+        (r.id, r.v) for r in src.read().collect()
+    )
+
+    # mixed increment: update 2, insert 4, delete 1 — across commits
+    src.merge_upsert(_df(spark, [(2, "b2", 2), (4, "d", 1)]), keys="id")
+    src.delete("id = 1")
+    v1 = src.latest_version()
+    replica.apply_changes(src.read_cdf(v0, keys="id"), keys="id")
+    assert sorted((r.id, r.v) for r in replica.read().collect()) == sorted(
+        (r.id, r.v) for r in src.read().collect()
+    )
+    # a key updated then deleted within one feed ends deleted
+    src.merge_upsert(_df(spark, [(4, "d2", 2)]), keys="id")
+    src.delete("id = 4")
+    replica.apply_changes(src.read_cdf(v1, keys="id"), keys="id")
+    assert sorted((r.id, r.v) for r in replica.read().collect()) == sorted(
+        (r.id, r.v) for r in src.read().collect()
+    )
+    assert 4 not in {r.id for r in replica.read().collect()}
+
+
+def test_apply_changes_partition_scoped(spark, tmp_table, tmp_path):
+    """CDC apply rewrites only the partitions the feed touches."""
+    df = spark.createDataFrame(
+        [(1, "a", 1, "p1"), (2, "b", 1, "p2")],
+        "id long, v string, ver long, part string",
+    )
+    src = LakeTable(spark, tmp_table, partition_by=["part"])
+    v0 = src.overwrite(df)
+    rep = LakeTable(spark, str(tmp_path / "rep"), partition_by=["part"])
+    rep.apply_changes(src.read_cdf(None, keys="id"), keys="id")
+    rep_units_before = {
+        u.path for u in rep._read_manifest(rep.latest_version())
+    }
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(1, "a2", 2, "p1")], "id long, v string, ver long, part string"
+        ),
+        keys="id",
+    )
+    rep.apply_changes(src.read_cdf(v0, keys="id"), keys="id")
+    rep_units_after = {
+        u.path for u in rep._read_manifest(rep.latest_version())
+    }
+    # p2's unit carried over untouched
+    p2_units = {p for p in rep_units_before if "part=p2" in p}
+    assert p2_units and p2_units <= rep_units_after
+    got = {r.id: r.v for r in rep.read().collect()}
+    assert got == {1: "a2", 2: "b"}
