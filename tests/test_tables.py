@@ -1324,3 +1324,36 @@ def test_apply_changes_partition_scoped(spark, tmp_table, tmp_path):
     assert p2_units and p2_units <= rep_units_after
     got = {r.id: r.v for r in rep.read().collect()}
     assert got == {1: "a2", 2: "b"}
+
+
+def test_vacuum_retain_hours_keeps_recent_commits(spark, tmp_table):
+    """Duration-based retention: commits inside the horizon survive even
+    beyond keep_last_n; an all-old history still keeps the latest."""
+    import json as _json
+
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, "x", 1)]))
+    # age versions 1-2 far into the past; 3-5 stay "now"
+    from real_time_e_commerce_analytics_lakehouse_spark import tables as _tbl
+
+    for v in (1, 2):
+        mf = t._manifest_file(v)
+        doc = _json.load(open(mf))
+        doc["committed_at"] = "2000-01-01T00:00:00+00:00"
+        _json.dump(doc, open(mf, "w"))
+    _tbl._MANIFEST_CACHE.clear()
+    t.vacuum(keep_last_n=1, retain_hours=48)
+    assert t._versions() == [3, 4, 5]  # recent ones kept despite n=1
+    assert t.read(version=3).count() == 3
+    # duration horizon excluding everything still keeps the latest
+    for v in (3, 4, 5):
+        mf = t._manifest_file(v)
+        doc = _json.load(open(mf))
+        doc["committed_at"] = "2000-01-01T00:00:00+00:00"
+        _json.dump(doc, open(mf, "w"))
+    _tbl._MANIFEST_CACHE.clear()
+    t.vacuum(keep_last_n=1, retain_hours=48)
+    assert t._versions() == [5]
+    assert t.read().count() == 5
