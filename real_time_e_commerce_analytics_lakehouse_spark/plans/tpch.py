@@ -866,3 +866,57 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
         .agg(F.count("*").alias("n_dominated_parts"))
     )
+
+
+@register(
+    "q12_late_lines_by_priority_class",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12 (shipping modes / order priority): lineitems shipped "
+        "in a one-year window and late (>30 days after order date), "
+        "classified by order priority into high/low conditional counts, "
+        "grouped by a lineitem attribute. The testdata has no "
+        "l_shipmode/l_receiptdate, so the group key is l_linestatus and "
+        "'late' is shipdate vs orderdate+30 (same shape: scan-window "
+        "filter + fact-fact equi-join + join-condition residual + "
+        "CASE-conditional counts). The year filter pushes into the "
+        "lineitem scan; the join shuffles both sides on orderkey once "
+        "(sort-merge at scale) and the residual date comparison rides "
+        "the join, so no second pass over lineitem is needed."
+    ),
+    tags=("join", "agg", "conditional", "tpch"),
+)
+def q12_late_lines_by_priority_class(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
