@@ -16,7 +16,7 @@ costs nothing semantically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
@@ -619,4 +619,81 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, src="doc_a", dst="doc_b",
         vertex_col="doc_id", component_col="cluster_id",
+    )
+
+
+@register(
+    "paragraph_dedup_reassembled",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(ws[(i*20 + 1):(i*20 + 20)], ' ') AS chunk_text
+        FROM toks,
+             LATERAL UNNEST(generate_series(
+                 0, CAST(ceil(len(ws) / 20.0) AS INT) - 1)) AS g(i)
+    ),
+    ranked AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (
+                   PARTITION BY chunk_text
+                   ORDER BY doc_id, chunk_idx) AS rk
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept_chunks,
+           string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS cleaned_text
+    FROM ranked WHERE rk = 1
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Paragraph-level exact dedup (Lee et al. 2022 'Deduplicating "
+        "Training Data Makes Language Models Better', at paragraph "
+        "granularity): split each doc into non-overlapping 20-word "
+        "chunks, keep only the globally FIRST occurrence of each exact "
+        "chunk (ordered by doc_id, position), and reassemble the "
+        "surviving chunks into the cleaned document. Chunking is "
+        "row-local (sequence+slice JVM lambdas, no explode of words); "
+        "the only shuffles are the first-occurrence window keyed on "
+        "chunk_text and the per-doc reassembly — both linear in corpus "
+        "size. At 100 TB the chunk_text key would be its 128-bit hash "
+        "(collision-safe, ~50x narrower shuffle payload); kept verbatim "
+        "here so the oracle compares the actual reassembled text."
+    ),
+    tags=("documents", "dedup", "text"),
+)
+def paragraph_dedup_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                    "/ 20.0) as int) - 1), "
+                    "i -> array_join(slice(split(text, ' '), i*20 + 1, 20), ' '))"
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
     )

@@ -825,22 +825,7 @@ class LakeTable:
                 return self._read_units(units, colmap=self._colmap(v)).limit(0)
             units = pruned
         if partitions:
-            unknown = set(partitions) - set(self.partition_by)
-            if unknown:
-                raise ValueError(
-                    f"not partition columns of {self.path}: {sorted(unknown)}"
-                )
-            allowed = {
-                c: {_part_str(x) for x in vals} for c, vals in partitions.items()
-            }
-            units = [
-                u
-                for u in units
-                if all(
-                    self._unit_key(u)[self.partition_by.index(c)] in vals
-                    for c, vals in allowed.items()
-                )
-            ]
+            units = self._partition_select(units, partitions)
             if not units:
                 return self._read_units(
                     self._read_manifest(v), colmap=self._colmap(v)
@@ -1110,12 +1095,26 @@ class LakeTable:
             F.lit(version).cast("long").alias("_commit_version"),
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, where: object | None = None) -> int:
         """Full-refresh write (S7; reference metrics marts 07:72-78).
         Resets deletion vectors AND column mapping — the new data
         defines the schema, so its names become the physical names.
         An identity column keeps counting from the high-water mark
-        (Delta semantics: truncate/overwrite never recycles ids)."""
+        (Delta semantics: truncate/overwrite never recycles ids).
+
+        `where` = Delta's `replaceWhere` (a SQL string or Column):
+        atomically replace ONLY the rows matching the predicate with
+        `df`, in one commit — the incremental-mart refresh pattern
+        (rebuild one day/region without touching the rest). Exactly as
+        in Delta, every incoming row must satisfy the predicate; a
+        violating row aborts the write before any commit (the check is
+        folded into the write scan — no validation pre-pass job).
+        Touched units (found by ONE pushed-predicate discovery scan,
+        same machinery as DELETE) are rewritten without their matching
+        rows; every other unit is carried by reference, so the cost is
+        proportional to the data replaced, not the table."""
+        if where is not None:
+            return self._overwrite_where(df, where)
         ih: int | str = "carry"
         if self.identity and self.identity not in df.columns:
             start = self._identity_high() + 1
@@ -1127,6 +1126,56 @@ class LakeTable:
             dv=[],
             colmap=({}, []),
             identity_high=ih,
+        )
+
+    def _overwrite_where(self, df: DataFrame, where: object) -> int:
+        """replaceWhere: delete-matching + insert-new as ONE commit."""
+        v = self.latest_version()
+        cond = F.expr(where) if isinstance(where, str) else where
+        cond_true = F.coalesce(cond, F.lit(False))
+        # every incoming row must satisfy the predicate (Delta contract);
+        # folded into the first column as a raise_error guard so the
+        # check rides the write scan itself
+        first = df.columns[0]
+        df = df.withColumn(
+            first,
+            F.when(
+                ~cond_true,
+                F.raise_error(
+                    F.lit(
+                        f"replaceWhere: a written row does not satisfy "
+                        f"the predicate ({where})"
+                    )
+                ),
+            ).otherwise(F.col(first)),
+        )
+        if self.identity and self.identity not in df.columns:
+            raise ValueError(
+                "replaceWhere with an auto-assigned identity column is "
+                "not supported — supply the identity values explicitly"
+            )
+        if v is None:
+            # no table yet: replaceWhere degrades to a validated create
+            return self._commit(self._write_units(df), op="overwrite_where")
+        units = self._read_manifest(v)
+        touched = self._touched_unit_paths(units, cond_true)
+        carried = [u for u in units if u.path not in touched]
+        kept: list[_Unit] = []
+        if touched:
+            kept = [
+                u
+                for u in self._write_units(
+                    self._read_units(
+                        [u for u in units if u.path in touched],
+                        dv_paths=self._read_dv(v),
+                    ).filter(~cond_true)
+                )
+                if self._unit_nrows(u) > 0
+            ]
+        return self._commit(
+            carried + kept + self._write_units(df),
+            op="overwrite_where",
+            base_version=v,
         )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1368,6 +1417,7 @@ class LakeTable:
         cluster_by: Sequence[str] = (),
         target_files: int | None = None,
         zorder: bool = False,
+        partitions: dict[str, Sequence[object]] | None = None,
     ) -> int:
         """OPTIMIZE analog: rewrite the current snapshot as one unit set.
 
@@ -1386,29 +1436,81 @@ class LakeTable:
 
         `target_files` sizes the rewrite explicitly — without it AQE
         picks (and may coalesce a small table to one file, which is
-        usually what you want locally)."""
-        v = self.latest_version()
-        df = self.read(version=v)
-        if cluster_by:
-            if zorder:
-                from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
-                    zorder_key,
-                )
+        usually what you want locally).
 
-                df = df.withColumn("__z", zorder_key(df, cluster_by))
-                order = [F.col(c) for c in self.partition_by] + [F.col("__z")]
-            else:
-                order = [F.col(c) for c in (*self.partition_by, *cluster_by)]
-            if target_files:
-                df = df.repartitionByRange(target_files, *order)
-            else:
-                df = df.repartitionByRange(*order)
-            df = df.sortWithinPartitions(*order)
-            if zorder:
-                df = df.drop("__z")
+        `partitions` = OPTIMIZE ... WHERE parity: {col: allowed values}
+        restricts the rewrite to the matching partitions — the hot-path
+        maintenance pattern on a streaming fact (compact only today's
+        partition after the day closes; a 100 TB table never rewrites
+        cold history). Untouched units carry by reference; their
+        deletion vectors stay active (the rewritten partitions'
+        tombstones are materialized by the rewrite)."""
+        v = self.latest_version()
+        if partitions:
+            units = self._read_manifest(v)
+            sel = self._partition_select(units, partitions)
+            if not sel:
+                return v
+            carried = [u for u in units if u.path not in {x.path for x in sel}]
+            df = self._read_units(sel, dv_paths=self._read_dv(v))
+            df = self._cluster_for_compact(df, cluster_by, target_files, zorder)
+            return self._commit(
+                carried + self._write_units(df),
+                op="compact_where",
+                base_version=v,
+            )
+        df = self.read(version=v)
+        df = self._cluster_for_compact(df, cluster_by, target_files, zorder)
         return self._commit(
             self._write_units(df), op="compact", base_version=v, dv=[]
         )
+
+    def _cluster_for_compact(
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str],
+        target_files: int | None,
+        zorder: bool,
+    ) -> DataFrame:
+        if not cluster_by:
+            return df
+        if zorder:
+            from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
+                zorder_key,
+            )
+
+            df = df.withColumn("__z", zorder_key(df, cluster_by))
+            order = [F.col(c) for c in self.partition_by] + [F.col("__z")]
+        else:
+            order = [F.col(c) for c in (*self.partition_by, *cluster_by)]
+        if target_files:
+            df = df.repartitionByRange(target_files, *order)
+        else:
+            df = df.repartitionByRange(*order)
+        df = df.sortWithinPartitions(*order)
+        return df.drop("__z") if zorder else df
+
+    def _partition_select(
+        self, units: list[_Unit], partitions: dict[str, Sequence[object]]
+    ) -> list[_Unit]:
+        """Units whose partition values match {col: allowed values} —
+        the manifest-level selection read()/compact() share."""
+        unknown = set(partitions) - set(self.partition_by)
+        if unknown:
+            raise ValueError(
+                f"not partition columns of {self.path}: {sorted(unknown)}"
+            )
+        allowed = {
+            c: {_part_str(x) for x in vals} for c, vals in partitions.items()
+        }
+        return [
+            u
+            for u in units
+            if all(
+                self._unit_key(u)[self.partition_by.index(c)] in vals
+                for c, vals in allowed.items()
+            )
+        ]
 
     def vacuum(
         self,
@@ -1532,6 +1634,17 @@ class LakeTable:
 
     # ------------------------------------------------------- delete / update
 
+    def _unit_nrows(self, u: _Unit) -> int:
+        """Row count of a unit from parquet footers — no Spark job."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.path, u.path)
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
     def _touched_unit_paths(
         self,
         units: list[_Unit],
@@ -1615,17 +1728,7 @@ class LakeTable:
         # a delete can empty a unit — drop zero-row output (parquet
         # footer num_rows; no Spark job) so manifests don't accumulate
         # empty units; the dropped dirs are orphans vacuum() reclaims
-        import pyarrow.parquet as pq
-
-        def _n_rows(u: _Unit) -> int:
-            d = os.path.join(self.path, u.path)
-            return sum(
-                pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-                for f in os.listdir(d)
-                if f.endswith(".parquet")
-            )
-
-        rewritten = [u for u in rewritten if _n_rows(u) > 0]
+        rewritten = [u for u in rewritten if self._unit_nrows(u) > 0]
         new_v = self._commit(carried + rewritten, op=op, base_version=v)
         return {
             "version": new_v,

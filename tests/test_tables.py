@@ -1357,3 +1357,83 @@ def test_vacuum_retain_hours_keeps_recent_commits(spark, tmp_table):
     t.vacuum(keep_last_n=1, retain_hours=48)
     assert t._versions() == [5]
     assert t.read().count() == 5
+
+
+# ----------------------------------------------------- replaceWhere parity
+
+
+def test_overwrite_where_replaces_only_matching_rows(spark, tmp_table):
+    """Delta replaceWhere: one commit deletes the predicate's rows and
+    inserts the new data; everything else is untouched."""
+    t = LakeTable(spark, tmp_table, partition_by=["v"])
+    t.overwrite(_df(spark, [(1, "a", 1), (2, "a", 1), (3, "b", 1), (4, "c", 1)]))
+    v1 = t.latest_version()
+    t.overwrite(_df(spark, [(10, "a", 2), (11, "a", 2)]), where="v = 'a'")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {10: "a", 11: "a", 3: "b", 4: "c"}
+    # exactly one commit; time travel sees the pre-replace snapshot
+    assert t.latest_version() == v1 + 1
+    assert sorted(r.id for r in t.read(version=v1).collect()) == [1, 2, 3, 4]
+
+
+def test_overwrite_where_carries_untouched_units_by_reference(spark, tmp_table):
+    """The replace must be partition-scoped in cost: units outside the
+    predicate appear in the new manifest with their ORIGINAL paths."""
+    t = LakeTable(spark, tmp_table, partition_by=["v"])
+    t.overwrite(_df(spark, [(1, "a", 1), (3, "b", 1), (4, "c", 1)]))
+    before = {
+        u.path: u.partition for u in t._read_manifest(t.latest_version())
+    }
+    untouched = {p for p, part in before.items() if part.get("v") != "a"}
+    t.overwrite(_df(spark, [(10, "a", 2)]), where="v = 'a'")
+    after = {u.path for u in t._read_manifest(t.latest_version())}
+    assert untouched <= after  # b and c units carried, not rewritten
+    assert not any(p in after for p, part in before.items()
+                   if part.get("v") == "a")  # a's old unit replaced
+
+
+def test_overwrite_where_rejects_rows_outside_predicate(spark, tmp_table):
+    """Delta contract: every written row must satisfy replaceWhere."""
+    from py4j.protocol import Py4JJavaError
+
+    t = LakeTable(spark, tmp_table, partition_by=["v"])
+    t.overwrite(_df(spark, [(1, "a", 1), (3, "b", 1)]))
+    v = t.latest_version()
+    with pytest.raises(Exception) as ei:
+        t.overwrite(
+            _df(spark, [(10, "a", 2), (11, "b", 2)]), where="v = 'a'"
+        )
+    assert "replaceWhere" in str(ei.value)
+    assert t.latest_version() == v  # aborted before any commit
+
+
+# ----------------------------------------------- OPTIMIZE ... WHERE parity
+
+
+def test_compact_partition_scoped_rewrites_only_selected(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, partition_by=["v"])
+    t.overwrite(_df(spark, [(1, "a", 1), (3, "b", 1)]))
+    t.append(_df(spark, [(2, "a", 2), (4, "b", 2)]))
+    units_before = {u.path for u in t._read_manifest(t.latest_version())}
+    b_units = {
+        u.path
+        for u in t._read_manifest(t.latest_version())
+        if u.partition.get("v") == "b"
+    }
+    t.compact(partitions={"v": ["a"]})
+    after = t._read_manifest(t.latest_version())
+    after_paths = {u.path for u in after}
+    assert b_units <= after_paths  # b untouched (carried by reference)
+    a_units = [u for u in after if u.partition.get("v") == "a"]
+    assert len(a_units) == 1  # a's two units compacted into one
+    assert all(u.path not in units_before for u in a_units)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "a", 3: "b", 4: "b"}
+
+
+def test_compact_partition_scoped_no_match_is_noop(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, partition_by=["v"])
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    v = t.latest_version()
+    assert t.compact(partitions={"v": ["zzz"]}) == v
+    assert t.latest_version() == v
