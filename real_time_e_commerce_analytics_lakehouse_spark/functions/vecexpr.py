@@ -49,6 +49,17 @@ def dot_unrolled(a: str, b: str, dim: int) -> str:
     return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)) + ")"
 
 
+def sqdist(a: str, b: str, dialect: str) -> str:
+    """Squared Euclidean distance via the polarization identity
+    ||a-b||^2 = a.a - 2 a.b + b.b — three bit-identical dot folds plus
+    scalar arithmetic, so both engines produce the same double (the
+    same cross-engine-exactness contract as cosine())."""
+    return (
+        f"({dot(a, a, dialect)} - 2 * {dot(a, b, dialect)} "
+        f"+ {dot(b, b, dialect)})"
+    )
+
+
 def cosine(a: str, b: str, dialect: str) -> str:
     return f"({dot(a, b, dialect)} / ({norm(a, dialect)} * {norm(b, dialect)}))"
 

@@ -579,3 +579,176 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding",
         n_cells=N_CELLS, tau=SEMDEDUP_TAU,
     )
+
+
+# ------------------------------------------------------- product quantization
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # KM_DIM / PQ_M
+PQ_K = 8  # centroids per subspace codebook
+PQ_TOPK = 3
+
+
+def _pq_sql() -> str:
+    """DuckDB twin of the PQ/ADC plan (Jegou et al. 2011, 'Product
+    Quantization for Nearest Neighbor Search'). Exactness design:
+    squared distances use the polarization identity over bit-identical
+    dot folds; codebook means are an ordered fold (by vec_id) divided
+    by the member count — identical doubles on both engines — and the
+    M partial distances of ADC are summed in subspace order, never in
+    shuffle order."""
+    sq = vx.sqdist("s.sv", "c.c_sv", "duck")
+
+    def assign(cents: str) -> str:
+        return f"""(
+        SELECT vec_id, m, cell_id FROM (
+            SELECT s.vec_id, s.m, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {sq} ASC, c.cell_id ASC) AS rn
+            FROM sub s JOIN {cents} c USING (m)
+        ) WHERE rn = 1)"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    sub AS (
+        SELECT vec_id, m,
+               emb[(m*{PQ_SUBDIM} + 1):(m*{PQ_SUBDIM} + {PQ_SUBDIM})] AS sv
+        FROM e, LATERAL UNNEST(generate_series(0, {PQ_M - 1})) AS g(m)
+    ),
+    c0 AS (SELECT m, vec_id AS cell_id, sv AS c_sv FROM sub WHERE vec_id < {PQ_K}),
+    a1 AS {assign('c0')},
+    c1 AS (
+        SELECT m, cell_id, list(mx ORDER BY pos) AS c_sv FROM (
+            SELECT a.m, a.cell_id, r.i AS pos,
+                   list_reduce(list(s.sv[r.i] ORDER BY s.vec_id),
+                               (x, y) -> x + y) / count(*) AS mx
+            FROM a1 a JOIN sub s USING (vec_id, m)
+            CROSS JOIN range(1, {PQ_SUBDIM + 1}) r(i)
+            GROUP BY a.m, a.cell_id, r.i
+        ) GROUP BY m, cell_id
+    ),
+    codes AS {assign('c1')},
+    lut AS (
+        SELECT s.vec_id AS query_id, c.m, c.cell_id, {sq} AS pd
+        FROM sub s JOIN c1 c USING (m)
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT l.query_id, k.vec_id,
+               list_reduce(list(l.pd ORDER BY l.m), (x, y) -> x + y)
+                   AS approx_sqdist
+        FROM codes k JOIN lut l ON l.m = k.m AND l.cell_id = k.cell_id
+        WHERE k.vec_id <> l.query_id
+        GROUP BY l.query_id, k.vec_id
+    )
+    SELECT query_id, vec_id, rank, round(approx_sqdist, 6) AS approx_sqdist
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {PQ_TOPK}
+    """
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_pq_sql(),
+    doc=(
+        f"Product-quantization ANN with asymmetric distance computation "
+        f"(Jegou et al. 2011): {PQ_M} subspaces x {PQ_K}-centroid "
+        "codebooks (seeded from the first vectors, one deterministic "
+        "Lloyd round each, Euclidean), every vector encoded to "
+        f"{PQ_M} byte-sized codes, then scored against each query's "
+        "per-subspace distance lookup table and ranked by the summed "
+        "approximate distance. Scale story: the compressed scan reads "
+        f"{PQ_M} small ints per vector instead of the full {KM_DIM}-dim "
+        "float array (16x narrower), the codebook (M*K rows) and the "
+        "per-query LUT (Q*M*K rows) are broadcast, and the ADC join "
+        "shuffles nothing but the code table — at 100 TB the LUT join "
+        "becomes a mapPartitions over the broadcast LUT with an in-core "
+        "top-k heap per partition (operators/simsearch shape). "
+        "Cross-engine exactness: ordered-fold means, polarization-"
+        "identity distances, subspace-ordered ADC sums."
+    ),
+    tags=("embeddings", "simsearch"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.expr("cast(embedding as array<double>)").alias("emb"))
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(emb, m*{PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+            )
+        ).alias("m", "sv"),
+    )
+    sq = vx.sqdist("sv", "c_sv", "spark")
+
+    def assign(cents: DataFrame) -> DataFrame:
+        sims = sub.join(F.broadcast(cents), "m").withColumn("__d", F.expr(sq))
+        w = W.partitionBy("vec_id", "m").orderBy(F.asc("__d"), F.asc("cell_id"))
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cell_id")
+        )
+
+    seeds = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cell_id"), F.col("sv").alias("c_sv")
+    )
+    assigned = assign(seeds)
+    per_pos = (
+        assigned.join(sub, ["vec_id", "m"])
+        .select("m", "cell_id", "vec_id", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "cell_id", "pos")
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(sort_array(collect_list(struct(vec_id, x))),"
+                    " s -> s.x), cast(0 as double), (a, v) -> a + v)"
+                )
+                / F.count("*")
+            ).alias("mx")
+        )
+    )
+    trained = per_pos.groupBy("m", "cell_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("c_sv")
+    )
+    # bounded driver roundtrip: M*K = 32 subspace centroids
+    rows = [(r["m"], r["cell_id"], list(r["c_sv"])) for r in trained.collect()]
+    codebook = spark.createDataFrame(
+        rows, "m int, cell_id long, c_sv array<double>"
+    )
+    codes = assign(codebook)
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "cell_id", F.expr(sq).alias("pd"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "cell_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(sort_array(collect_list(struct(m, pd))),"
+                " s -> s.pd), cast(0 as double), (a, v) -> a + v)"
+            ).alias("approx_sqdist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id", "vec_id", "rank",
+            F.round("approx_sqdist", 6).alias("approx_sqdist"),
+        )
+    )

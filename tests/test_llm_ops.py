@@ -131,3 +131,66 @@ def test_wav_header_codec_roundtrip_and_robustness(spark) -> None:
     corrupt = bytearray(b)
     corrupt[12 + 8 + 4 : 12 + 8 + 8] = _s.pack("<I", 0)
     assert parse_wav_header(bytes(corrupt)) is None
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir) -> None:
+    """PQ is an approximation; prove it is a USEFUL one: the ADC top-3
+    per query must recover a decent fraction of the exact squared-L2
+    top-3 (recall@3 over all queries), not just self-consistent codes."""
+    import duckdb
+    import os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.embeddings import (
+        N_QUERIES,
+        PQ_TOPK,
+    )
+
+    con = duckdb.connect()
+    pq_path = os.path.join(sf_dir, "embeddings.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq_path}')"
+    )
+    exact = con.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(q.emb, v.emb) ASC,
+                                v.vec_id ASC) AS rk
+            FROM e q JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rk <= {PQ_TOPK}
+    """).fetchall()
+    truth = set(map(tuple, exact))
+    got = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["pq_adc_topk"].builder(spark, sf_dir).collect()
+    }
+    # The synthetic embeddings are near-uniform in 64-dim (NN distance
+    # ~1.15 vs median ~1.41, labels uncorrelated with geometry), the
+    # hardest possible regime for PQ: chance recall@3 is 3/499 = 0.006.
+    # Measured recall is ~0.33 (55x chance); assert a safety margin
+    # above 0.15, plus that the average PQ hit sits in the best ~25%
+    # of the exact-distance ranking (measured mean percentile ~0.12).
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.15, f"PQ recall@{PQ_TOPK} too low: {recall:.2f}"
+    exact_rank = {
+        (q, v): rk
+        for q, v, rk in con.execute(f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings)
+            SELECT q.vec_id, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(q.emb, v.emb) ASC,
+                                v.vec_id ASC) AS rk
+            FROM e q JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        """).fetchall()
+    }
+    n_corpus = len({v for _, v in exact_rank}) + 1
+    pctl = [exact_rank[k] / n_corpus for k in got]
+    mean_pctl = sum(pctl) / len(pctl)
+    assert mean_pctl <= 0.25, f"PQ hits not near: mean pctl {mean_pctl:.2f}"
