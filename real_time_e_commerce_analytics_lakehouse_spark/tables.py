@@ -1632,6 +1632,72 @@ class LakeTable:
         )
         return dest
 
+    @classmethod
+    def convert_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+        partition_types: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """CONVERT TO DELTA parity: adopt an existing plain-parquet
+        directory in place — the first manifest REFERENCES the files
+        already on disk (zero data rewritten, zero copied), after which
+        every LakeTable operation (ACID commits, time travel, DML,
+        merges, compact/vacuum, CDF from the conversion point) works on
+        it. Hive-partitioned layouts (`k=v` dirs) convert with their
+        partition values read from the dir names, exactly like Delta's
+        ``CONVERT TO DELTA ... PARTITIONED BY``; `partition_types`
+        optionally declares non-string partition column types.
+
+        Mirrors Delta's constraints: the dir must not already be a
+        table, and files added to the dir AFTER conversion (outside
+        the commit protocol) are invisible — writers must go through
+        the table from then on."""
+        t = cls(spark, path, partition_by=partition_by)
+        if t.exists():
+            raise FileExistsError(f"{path} is already a LakeTable")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no parquet directory at {path}")
+        units: list[_Unit] = []
+        if not partition_by:
+            if not any(f.endswith(".parquet") for f in os.listdir(path)):
+                raise FileNotFoundError(f"no parquet files in {path}")
+            units.append(_Unit(path="."))
+        else:
+            ptypes = dict(partition_types or {})
+
+            def walk(d: str, depth: int, part: dict[str, str]) -> None:
+                if depth == len(partition_by):
+                    units.append(
+                        _Unit(
+                            path=os.path.relpath(d, path),
+                            partition=part,
+                            partition_types={
+                                c: ptypes.get(c, "string")
+                                for c in partition_by
+                            },
+                        )
+                    )
+                    return
+                col = partition_by[depth]
+                for name in sorted(os.listdir(d)):
+                    sub = os.path.join(d, name)
+                    if os.path.isdir(sub) and name.startswith(f"{col}="):
+                        walk(
+                            sub, depth + 1,
+                            {**part, col: name[len(col) + 1:]},
+                        )
+
+            walk(path, 0, {})
+            if not units:
+                raise FileNotFoundError(
+                    f"no {'/'.join(c + '=*' for c in partition_by)} "
+                    f"partition dirs under {path}"
+                )
+        t._commit(units, op="convert_parquet")
+        return t
+
     # ------------------------------------------------------- delete / update
 
     def _unit_nrows(self, u: _Unit) -> int:

@@ -1437,3 +1437,56 @@ def test_compact_partition_scoped_no_match_is_noop(spark, tmp_table):
     v = t.latest_version()
     assert t.compact(partitions={"v": ["zzz"]}) == v
     assert t.latest_version() == v
+
+
+# ----------------------------------------------------- CONVERT TO DELTA parity
+
+
+def test_convert_parquet_unpartitioned_in_place(spark, tmp_path):
+    """Adopting a plain parquet dir rewrites NOTHING; afterwards the
+    full op surface (append, delete, time travel) works on it."""
+    src = str(tmp_path / "plain")
+    _df(spark, [(1, "a", 1), (2, "b", 1)]).write.parquet(src)
+    files_before = {
+        f for f in os.listdir(src) if not f.startswith(("_log", "."))
+    }
+    t = LakeTable.convert_parquet(spark, src)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    assert files_before <= set(os.listdir(src))  # nothing rewritten
+    v1 = t.latest_version()
+    t.append(_df(spark, [(3, "c", 1)]))
+    t.delete("id = 1")
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+    assert sorted(r.id for r in t.read(version=v1).collect()) == [1, 2]
+    # double conversion must fail, as in Delta
+    with pytest.raises(FileExistsError):
+        LakeTable.convert_parquet(spark, src)
+
+
+def test_convert_parquet_partitioned_reads_dir_values(spark, tmp_path):
+    src = str(tmp_path / "hive")
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 10, "y"), (3, 20, "x")], "id long, bucket int, v string"
+    )
+    df.write.partitionBy("bucket").parquet(src)
+    t = LakeTable.convert_parquet(
+        spark, src, partition_by=["bucket"],
+        partition_types={"bucket": "int"},
+    )
+    got = {(r.id, r.bucket) for r in t.read().collect()}
+    assert got == {(1, 10), (2, 10), (3, 20)}
+    assert dict(t.read().dtypes)["bucket"] == "int"
+    # manifest-level partition pruning works on converted units
+    assert {r.id for r in t.read(partitions={"bucket": [20]}).collect()} == {3}
+    # appends write native units; the mixed-layout snapshot still reads
+    t.append(spark.createDataFrame([(4, 20, "z")], "id long, bucket int, v string"))
+    assert {r.id for r in t.read(partitions={"bucket": [20]}).collect()} == {3, 4}
+
+
+def test_convert_parquet_rejects_missing_or_empty(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        LakeTable.convert_parquet(spark, str(tmp_path / "nope"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        LakeTable.convert_parquet(spark, str(empty))
