@@ -156,6 +156,9 @@ class LakeTable:
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         identity: str | None = None,
+        cluster_by: Sequence[str] = (),
+        cluster_zorder: bool = False,
+        cluster_target_files: int | None = None,
     ):
         """`stats_cols`: columns whose per-unit [min, max] are recorded
         in the manifest at write time (harvested from the parquet
@@ -175,7 +178,24 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
-        self.stats_cols = list(stats_cols)
+        # cluster_by: liquid-clustering analog (Delta CLUSTER BY). Every
+        # WRITE range-clusters its own batch on these columns before the
+        # files land (incremental clustering: each new unit's files get
+        # narrow per-file ranges), and compact() defaults to the same
+        # spec for the periodic global re-cluster. Clustered columns are
+        # auto-added to stats_cols so read(stats_where=...) skipping
+        # works out of the box; `cluster_zorder` interleaves all
+        # clustered columns (multi-dim skipping) instead of
+        # lexicographic ordering.
+        self.cluster_by = list(cluster_by)
+        self.cluster_zorder = bool(cluster_zorder)
+        # None -> AQE sizes the clustered write's files (64MB advisory,
+        # right at scale); an int pins the per-write file count (small
+        # fixtures, or matching a downstream reader's parallelism)
+        self.cluster_target_files = cluster_target_files
+        self.stats_cols = list(stats_cols) + [
+            c for c in cluster_by if c not in stats_cols
+        ]
         self.constraints = dict(constraints or {})
         # generated: {col: SQL expr} — GENERATED ALWAYS AS parity
         # (computed when absent, in-plan validated when supplied)
@@ -470,7 +490,12 @@ class LakeTable:
             guard = F.when(violated, F.raise_error(msg)).otherwise(guard)
         return df.withColumn(first, guard)
 
-    def _write_units(self, df: DataFrame, apply_colmap: bool = True) -> list[_Unit]:
+    def _write_units(
+        self,
+        df: DataFrame,
+        apply_colmap: bool = True,
+        already_clustered: bool = False,
+    ) -> list[_Unit]:
         """Write df into a fresh immutable dir; one unit per partition
         value when partitioned (enables partition-scoped replace). A
         CHECK-constraint violation aborts the write job BEFORE any
@@ -482,6 +507,15 @@ class LakeTable:
         new units stay mergeSchema-compatible). `apply_colmap=False` is
         the overwrite path, which resets the mapping."""
         df = self._enforce_constraints(df)
+        if (
+            self.cluster_by
+            and not already_clustered
+            and all(c in df.columns for c in self.cluster_by)
+        ):
+            df = self._cluster_for_compact(
+                df, self.cluster_by, self.cluster_target_files,
+                self.cluster_zorder,
+            )
         if apply_colmap:
             cm, dropped = self._colmap()
             if cm or dropped:
@@ -1445,6 +1479,11 @@ class LakeTable:
         cold history). Untouched units carry by reference; their
         deletion vectors stay active (the rewritten partitions'
         tombstones are materialized by the rewrite)."""
+        if not cluster_by and self.cluster_by:
+            # liquid-clustering default: OPTIMIZE re-clusters on the
+            # table's declared CLUSTER BY spec
+            cluster_by = self.cluster_by
+            zorder = zorder or self.cluster_zorder
         v = self.latest_version()
         if partitions:
             units = self._read_manifest(v)
@@ -1455,14 +1494,15 @@ class LakeTable:
             df = self._read_units(sel, dv_paths=self._read_dv(v))
             df = self._cluster_for_compact(df, cluster_by, target_files, zorder)
             return self._commit(
-                carried + self._write_units(df),
+                carried + self._write_units(df, already_clustered=True),
                 op="compact_where",
                 base_version=v,
             )
         df = self.read(version=v)
         df = self._cluster_for_compact(df, cluster_by, target_files, zorder)
         return self._commit(
-            self._write_units(df), op="compact", base_version=v, dv=[]
+            self._write_units(df, already_clustered=True),
+            op="compact", base_version=v, dv=[]
         )
 
     def _cluster_for_compact(

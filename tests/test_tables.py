@@ -1490,3 +1490,56 @@ def test_convert_parquet_rejects_missing_or_empty(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         LakeTable.convert_parquet(spark, str(empty))
+
+
+# ------------------------------------------------- liquid clustering analog
+
+
+def _file_ranges(t, col):
+    """Per-file [min, max] of `col` across the current snapshot."""
+    out = []
+    for u in t._read_manifest(t.latest_version()):
+        for fname, stats in u.file_stats.items():
+            if col in stats:
+                out.append(tuple(stats[col]))
+    return out
+
+
+def test_cluster_by_clusters_every_write(spark, tmp_table):
+    """A declared CLUSTER BY spec range-clusters each incoming batch:
+    with multiple files per write, per-file ranges of the clustered
+    column must be (near-)disjoint, unlike the unclustered twin."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(10**6)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, k long").repartition(8)
+
+    # pinned file count: this fixture is far below AQE's 64MB advisory
+    # target (at real scale cluster_target_files=None lets AQE size them)
+    t = LakeTable(spark, tmp_table, cluster_by=["k"], cluster_target_files=6)
+    t.overwrite(df)
+    ranges = _file_ranges(t, "k")
+    assert len(ranges) >= 4  # several files, so disjointness means something
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if b[0] <= a[1]
+    )
+    assert overlaps == 0, f"clustered write produced overlapping files: {ranges}"
+    # cluster columns auto-register for stats skipping
+    assert "k" in t.stats_cols
+
+
+def test_compact_defaults_to_declared_clustering(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, cluster_by=["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.createDataFrame(
+                [(i, i) for i in range(lo, lo + 1000)], "id long, k long"
+            )
+        )
+    t.compact(target_files=4)  # no cluster_by passed: uses declared spec
+    ranges = sorted(_file_ranges(t, "k"))
+    assert len(ranges) >= 2
+    assert all(b[0] > a[1] for a, b in zip(ranges, ranges[1:]))
+    assert t.read().count() == 3000
