@@ -942,7 +942,9 @@ class LakeTable:
             return None
         return self._read_units(new_units, dv_paths=self._read_dv(latest))
 
-    def read_stream(self, schema=None) -> DataFrame:
+    def read_stream(
+        self, schema=None, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
         """True Structured Streaming source over an APPEND-ONLY table —
         S6 parity with the reference's bronze->silver Delta stream
         (02_bronze_to_silver.py:20-24). The file stream globs the unit
@@ -972,11 +974,15 @@ class LakeTable:
             )
         if schema is None:
             schema = self.read().schema
-        return (
-            self.spark.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(os.path.join(self.path, _DATA_DIR, "*"))
+        reader = self.spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
         )
+        if max_files_per_trigger is not None:
+            # Delta's maxFilesPerTrigger: bound each micro-batch so a
+            # backlogged consumer catches up in controlled steps (state
+            # and sink commits stay small) instead of one giant batch
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(os.path.join(self.path, _DATA_DIR, "*"))
 
     def read_cdf(
         self,

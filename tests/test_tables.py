@@ -1543,3 +1543,26 @@ def test_compact_defaults_to_declared_clustering(spark, tmp_table):
     assert len(ranges) >= 2
     assert all(b[0] > a[1] for a, b in zip(ranges, ranges[1:]))
     assert t.read().count() == 3000
+
+
+def test_read_stream_rate_limit_bounds_each_microbatch(spark, tmp_table, tmp_path):
+    """maxFilesPerTrigger parity: a backlog drains in several bounded
+    micro-batches instead of one giant catch-up batch."""
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+    )
+
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]).coalesce(1))
+    for i in range(2, 5):
+        t.append(_df(spark, [(i, "x", 1)]).coalesce(1))
+
+    batches: list[list[int]] = []
+    run_available_now(
+        t.read_stream(max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+        lambda b, e: batches.append(sorted(r.id for r in b.collect())),
+    )
+    assert sorted(x for b in batches for x in b) == [1, 2, 3, 4]
+    assert len(batches) >= 4  # one file per trigger -> >= 4 micro-batches
+    assert all(len(b) <= 1 for b in batches)
