@@ -2009,6 +2009,7 @@ class LakeTable:
         keys: str | Sequence[str],
         guard_col: str | None = None,
         delete_unmatched: bool = False,
+        delete_condition: object | None = None,
     ) -> int:
         """Keyed upsert (S10-S12).
 
@@ -2017,6 +2018,12 @@ class LakeTable:
           reference's late/out-of-order protection, 02_bronze_to_silver.py:74)
         - matched & guard fails: target kept (stale update dropped)
         - not matched: insert
+        - `delete_condition` adds Delta's matched-delete clause (WHEN
+          MATCHED AND <cond> THEN DELETE): a SQL predicate over `s.col`
+          / `t.col`; matched pairs where it is TRUE drop the target row
+          instead of updating (the CDC tombstone pattern, e.g.
+          "s._op = 'D'"). Delete is evaluated BEFORE the update clause,
+          matching Delta's first-clause-wins ordering when both apply.
         - `delete_unmatched=True` adds Delta's third clause (WHEN NOT
           MATCHED BY SOURCE THEN DELETE): target rows whose key is
           absent from the source are dropped — full snapshot-sync
@@ -2062,7 +2069,9 @@ class LakeTable:
             target = self._read_units(current_units, dv_paths=self._read_dv(base_v))
 
         merged = _merge_dataframes(
-            target, source, ks, guard_col, delete_unmatched=delete_unmatched
+            target, source, ks, guard_col,
+            delete_unmatched=delete_unmatched,
+            delete_condition=delete_condition,
         )
         try:
             new_units = self._write_units(merged)
@@ -2082,6 +2091,7 @@ def _merge_dataframes(
     keys: list[str],
     guard_col: str | None,
     delete_unmatched: bool = False,
+    delete_condition: object | None = None,
 ) -> DataFrame:
     """Join-based MERGE: per-column conditional select. Runs as one
     shuffle join on the keys (sort-merge or broadcast per Catalyst/AQE).
@@ -2143,6 +2153,20 @@ def _merge_dataframes(
         return F.lit(None).cast(source.schema[c].dataType)
 
     joined = t.join(s, cond, "left")
+    if delete_condition is not None:
+        # WHEN MATCHED AND <cond> THEN DELETE (Delta's matched-delete
+        # clause): the predicate may reference both sides as `s.col` /
+        # `t.col` (e.g. "s._op = 'D'" for a CDC tombstone marker).
+        # Deleting is a filter on the SAME join — no extra job; a
+        # deleted key's source row is matched, so the anti-join insert
+        # branch never resurrects it. NULL predicate keeps the row
+        # (SQL three-valued logic, as in DELETE).
+        dc = (
+            F.expr(delete_condition)
+            if isinstance(delete_condition, str)
+            else delete_condition
+        )
+        joined = joined.filter(~(matched & F.coalesce(dc, F.lit(False))))
     if delete_unmatched:
         # WHEN NOT MATCHED BY SOURCE THEN DELETE: drop target rows with
         # no source match — same join, one extra filter, no extra job

@@ -1566,3 +1566,48 @@ def test_read_stream_rate_limit_bounds_each_microbatch(spark, tmp_table, tmp_pat
     assert sorted(x for b in batches for x in b) == [1, 2, 3, 4]
     assert len(batches) >= 4  # one file per trigger -> >= 4 micro-batches
     assert all(len(b) <= 1 for b in batches)
+
+
+# -------------------------------------------- WHEN MATCHED THEN DELETE
+
+
+def test_merge_matched_delete_condition(spark, tmp_table):
+    """Delta's matched-delete clause: tombstone-marked source rows drop
+    their target rows; other matches update; new keys insert; the
+    deleted key is NOT resurrected by the insert branch."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    src = spark.createDataFrame(
+        [(1, "x", 2, "U"), (2, None, 2, "D"), (4, "new", 1, "U")],
+        "id long, v string, ver long, _op string",
+    )
+    t.merge_upsert(src, keys="id", delete_condition="s._op = 'D'")
+    got = {r.id: r.v for r in t.read().drop("_op").collect()}
+    assert got == {1: "x", 3: "c", 4: "new"}
+
+
+def test_merge_matched_delete_null_condition_keeps_row(spark, tmp_table):
+    """SQL 3VL: a NULL delete predicate does not delete."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1)]))
+    src = spark.createDataFrame(
+        [(1, "upd", 2, None)], "id long, v string, ver long, _op string"
+    )
+    t.merge_upsert(src, keys="id", delete_condition="s._op = 'D'")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "upd"}
+
+
+def test_merge_matched_delete_wins_over_guard_update(spark, tmp_table):
+    """Clause order: delete is evaluated before the guarded update, so
+    a tombstone deletes even when the guard would also allow an update."""
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    src = spark.createDataFrame(
+        [(1, "newer", 5, "D"), (2, "newer", 5, "U")],
+        "id long, v string, ver long, _op string",
+    )
+    t.merge_upsert(src, keys="id", guard_col="ver",
+                   delete_condition="s._op = 'D'")
+    got = {r.id: (r.v, r.ver) for r in t.read().collect()}
+    assert got == {2: ("newer", 5)}
