@@ -194,3 +194,46 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir) -> None:
     pctl = [exact_rank[k] / n_corpus for k in got]
     mean_pctl = sum(pctl) / len(pctl)
     assert mean_pctl <= 0.25, f"PQ hits not near: mean pctl {mean_pctl:.2f}"
+
+
+def test_ivf_index_matches_inline_training(spark, sf_dir, tmp_path) -> None:
+    """The persisted-index query path returns EXACTLY what the inline
+    gate query (ivf_kmeans_topk, oracle-verified) computes — training
+    once and querying from the index loses nothing."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.vecindex import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.embeddings import (
+        KM_CELLS,
+        KM_ROUNDS,
+        N_PROBE,
+        N_QUERIES,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_index")
+    ct, at = build_ivf_index(
+        spark, emb, idx, n_cells=KM_CELLS, rounds=KM_ROUNDS
+    )
+    assert ct.read().count() == KM_CELLS
+    assert at.read().count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    got = {
+        (r.query_id, r.vec_id, r.rank, r.cosine_sim)
+        for r in ivf_index_topk(
+            spark, emb, idx, queries, k=3, n_probe=N_PROBE
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank, r.cosine_sim)
+        for r in QUERIES["ivf_kmeans_topk"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # index reuse: a second query batch hits the same persisted index
+    # without retraining (new LakeTable versions would mean a rebuild)
+    v_before = (ct.latest_version(), at.latest_version())
+    ivf_index_topk(spark, emb, idx, queries.limit(2), k=1).collect()
+    assert (ct.latest_version(), at.latest_version()) == v_before
