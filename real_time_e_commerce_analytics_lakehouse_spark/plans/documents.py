@@ -664,6 +664,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "here so the oracle compares the actual reassembled text."
     ),
     tags=("documents", "dedup", "text"),
+    bench=True,
 )
 def paragraph_dedup_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)

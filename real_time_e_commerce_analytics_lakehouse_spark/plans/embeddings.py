@@ -431,55 +431,21 @@ def _kmeans_sql() -> str:
     tags=("embeddings", "simsearch"),
 )
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training + assignment shared with the persistent-index operator
+    # (operators/vecindex builds the SAME quantizer into LakeTables;
+    # equivalence pinned by test_ivf_index_matches_inline_training)
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.vecindex import (
+        assign_cells,
+        train_spherical_kmeans,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.expr("cast(embedding as array<double>)").alias("emb"))
+    cents = train_spherical_kmeans(spark, e, KM_CELLS, KM_ROUNDS)
 
-    def assign(vecs: DataFrame, cents: DataFrame, id_out: str, keep: int) -> DataFrame:
-        sims = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "__sim", F.expr(_km_cos("emb", "c_emb", "spark"))
-        )
-        w = W.partitionBy(id_out).orderBy(F.desc("__sim"), F.asc("cell_id"))
-        return (
-            sims.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= keep)
-            .select(id_out, "cell_id")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        comp = assigned.join(e, "vec_id").select(
-            "cell_id", "vec_id", F.posexplode("emb").alias("pos", "x")
-        )
-        per_pos = comp.groupBy("cell_id", "pos").agg(
-            F.expr(
-                "aggregate(transform(sort_array(collect_list(struct(vec_id, x))),"
-                " s -> s.x), cast(0 as double), (a, v) -> a + v)"
-            ).alias("sx")
-        )
-        return per_pos.groupBy("cell_id").agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(pos, sx))), s -> s.sx)"
-            ).alias("c_emb")
-        )
-
-    def materialize(cents: DataFrame) -> DataFrame:
-        rows = [(r["cell_id"], list(r["c_emb"])) for r in cents.collect()]
-        return spark.createDataFrame(rows, "cell_id long, c_emb array<double>")
-
-    cents = e.filter(F.col("vec_id") < KM_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb")
-    )
-    for _ in range(KM_ROUNDS):
-        assigned = assign(e.select("vec_id", "emb"), cents, "vec_id", 1)
-        cents = materialize(update(assigned))
-
-    final_assigned = assign(e.select("vec_id", "emb"), cents, "vec_id", 1)
-    probes = assign(
-        e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), "emb"
-        ).withColumnRenamed("query_id", "vec_id"),
-        cents,
-        "vec_id",
-        N_PROBE,
+    final_assigned = assign_cells(e, cents, "vec_id", 1)
+    probes = assign_cells(
+        e.filter(F.col("vec_id") < N_QUERIES), cents, "vec_id", N_PROBE
     ).withColumnRenamed("vec_id", "query_id")
     cand = (
         probes.join(final_assigned, "cell_id")
@@ -673,6 +639,7 @@ def _pq_sql() -> str:
         "identity distances, subspace-ordered ADC sums."
     ),
     tags=("embeddings", "simsearch"),
+    bench=True,
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

@@ -898,6 +898,48 @@ class LakeTable:
             "n_units long, n_added_units long",
         )
 
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL parity: one row of table-level facts read
+        from the manifest + file metadata only (no data scan) — format,
+        location, partition/cluster spec, file count, total bytes,
+        PHYSICAL row count (parquet footers; merge-on-read tombstones
+        not subtracted — compact() to materialize them), active
+        deletion vectors, version."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no table at {self.path}")
+        units = self._read_manifest(v)
+        n_files = 0
+        n_bytes = 0
+        n_rows = 0
+        for u in units:
+            d = os.path.join(self.path, u.path)
+            for f_ in os.listdir(d):
+                if f_.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(d, f_))
+            n_rows += self._unit_nrows(u)
+        row = {
+            "format": "lakehouse-parquet",
+            "location": os.path.abspath(self.path),
+            "version": v,
+            "numFiles": n_files,
+            "sizeInBytes": n_bytes,
+            "numRows": n_rows,
+            "numDataUnits": len(units),
+            "numDeletionVectorDirs": len(self._read_dv(v)),
+            "partitionColumns": list(self.partition_by),
+            "clusteringColumns": list(self.cluster_by),
+            "statsColumns": list(self.stats_cols),
+        }
+        return self.spark.createDataFrame(
+            [row],
+            "format string, location string, version long, numFiles long, "
+            "sizeInBytes long, numRows long, numDataUnits long, "
+            "numDeletionVectorDirs long, partitionColumns array<string>, "
+            "clusteringColumns array<string>, statsColumns array<string>",
+        )
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF analog: commits the old
         snapshot's unit list as a NEW version (history is preserved —

@@ -1611,3 +1611,16 @@ def test_merge_matched_delete_wins_over_guard_update(spark, tmp_table):
                    delete_condition="s._op = 'D'")
     got = {r.id: (r.v, r.ver) for r in t.read().collect()}
     assert got == {2: ("newer", 5)}
+
+
+def test_describe_detail(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, partition_by=["v"])
+    t.overwrite(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.append(_df(spark, [(3, "a", 1)]))
+    d = t.detail().collect()[0]
+    assert d.version == t.latest_version()
+    assert d.numRows == 3 and d.numFiles >= 2 and d.sizeInBytes > 0
+    assert d.partitionColumns == ["v"] and d.numDataUnits >= 2
+    assert d.numDeletionVectorDirs == 0
+    t.delete("id = 1", mode="mor")
+    assert t.detail().collect()[0].numDeletionVectorDirs == 1
