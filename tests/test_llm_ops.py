@@ -237,3 +237,38 @@ def test_ivf_index_matches_inline_training(spark, sf_dir, tmp_path) -> None:
     v_before = (ct.latest_version(), at.latest_version())
     ivf_index_topk(spark, emb, idx, queries.limit(2), k=1).collect()
     assert (ct.latest_version(), at.latest_version()) == v_before
+
+
+def test_incremental_lsh_dedup_matches_one_shot(spark, sf_dir, tmp_path) -> None:
+    """Ingesting the corpus in two batches through the persisted band
+    index yields EXACTLY the candidate pairs of the one-shot gate query
+    over the full corpus — the incremental path loses nothing and the
+    existing corpus is never re-paired with itself."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incdedup import (
+        create_dedup_index,
+        ingest_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = create_dedup_index(spark, str(tmp_path / "lsh_index"))
+    pairs = set()
+    for batch in (b1, b2):
+        got = ingest_batch(spark, idx, batch)
+        pairs |= {(r.doc_a, r.doc_b) for r in got.collect()}
+        got.unpersist()
+
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["lsh_candidate_pairs"].builder(spark, sf_dir).collect()
+    }
+    assert pairs == want
+    # the index holds every doc's bands, partitioned by band
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.documents import N_BANDS
+
+    assert idx.read().count() == docs.count() * N_BANDS
+    parts = {u.partition.get("band")
+             for u in idx._read_manifest(idx.latest_version())}
+    assert len(parts) == N_BANDS
