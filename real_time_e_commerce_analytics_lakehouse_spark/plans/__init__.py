@@ -65,9 +65,9 @@ GATE_ORDER = [
     "customer_order_histogram",
     "q2_cheapest_supplier_per_part",
     "q9_profit_by_nation_year",
-    "q12_late_lines_by_priority_class",
-    "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
+    # SCD Type 2 (LakeTable.merge_scd2's interval-construction shape)
+    "scd2_order_status_history",
     # documents: dedup + text analysis
     "docs_exact_dedup",
     "minhash_signatures",
@@ -78,6 +78,7 @@ GATE_ORDER = [
     "cross_doc_duplicate_spans",
     "doc_token_stats",
     "doc_langid",
+    "doc_unigram_logprob",
     # curation
     "benchmark_contamination",
     "pack_documents_into_shards",

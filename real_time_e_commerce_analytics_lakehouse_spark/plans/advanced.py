@@ -284,3 +284,66 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+@register(
+    "scd2_order_status_history",
+    oracle="""
+    WITH obs AS (
+        SELECT o_custkey, o_orderstatus AS state,
+               CAST(o_orderdate AS DATE) AS seen, o_orderkey
+        FROM orders
+    ),
+    comp AS (
+        SELECT o_custkey, state, seen, o_orderkey FROM (
+            SELECT obs.*,
+                   lag(state) OVER (
+                       PARTITION BY o_custkey ORDER BY seen, o_orderkey
+                   ) AS prev
+            FROM obs
+        ) WHERE prev IS NULL OR state <> prev
+    )
+    SELECT o_custkey, state, seen AS valid_from,
+           lead(seen) OVER w AS valid_to,
+           (lead(seen) OVER w IS NULL) AS is_current,
+           o_orderkey AS opened_by
+    FROM comp
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY seen, o_orderkey)
+    """,
+    doc=(
+        "SCD Type 2 history construction (the query shape behind "
+        "LakeTable.merge_scd2, tables.py): treat each customer's orders "
+        "as a stream of observed states, compress consecutive identical "
+        "states (lag pass), then derive validity intervals "
+        "[valid_from, valid_to) with an open current row (lead pass). "
+        "Both window passes share one key partitioning, so the whole "
+        "history build is a SINGLE shuffle on the dimension key — the "
+        "same plan merge_scd2 runs per merge batch. Orderings carry "
+        "o_orderkey as a unique tie-break so same-day status flips "
+        "compress identically in both engines."
+    ),
+    tags=("window", "scd", "table"),
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("state"),
+        F.col("o_orderdate").cast("date").alias("seen"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_custkey").orderBy("seen", "o_orderkey")
+    comp = (
+        orders.withColumn("__prev", F.lag("state").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("state") != F.col("__prev")))
+        .drop("__prev")
+    )
+    return comp.select(
+        "o_custkey",
+        "state",
+        F.col("seen").alias("valid_from"),
+        F.lead("seen").over(w).alias("valid_to"),
+        F.lead("seen").over(w).isNull().alias("is_current"),
+        F.col("o_orderkey").alias("opened_by"),
+    )

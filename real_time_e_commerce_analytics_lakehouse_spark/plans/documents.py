@@ -698,3 +698,68 @@ def paragraph_dedup_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+@register(
+    "chunk_documents_sliding",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {tx.tokens('text', 'duck')} AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, len(toks) AS n FROM base
+    ),
+    starts AS (
+        SELECT doc_id, toks, n, unnest(generate_series(1, greatest(n, 1), 20)) AS s
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 20 AS BIGINT) AS chunk_index,
+           CAST(s AS BIGINT) AS token_start,
+           CAST(least(s + 39, n) - s + 1 AS BIGINT) AS chunk_tokens,
+           array_to_string(list_slice(toks, s, least(s + 39, n)), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+    doc=(
+        "Sliding-window document chunking (the retrieval / "
+        "context-window prep stage of a training or RAG pipeline): "
+        "40-token chunks on a 20-token stride (50% overlap), each chunk "
+        "re-serialized as text with its ordinal and token span. "
+        "Entirely row-local — tokenize, sequence() the chunk starts, "
+        "explode, slice — zero shuffles; chunking 100 TB is a pure map "
+        "with output ~2x input (the overlap factor). Tail chunks "
+        "shorter than the window are kept (the last words of a doc "
+        "must land in some chunk); empty docs produce one empty chunk "
+        "row rather than disappearing, so chunk counts reconcile "
+        "against doc counts downstream."
+    ),
+    tags=("documents", "text"),
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    window, stride = 40, 20
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.expr(tx.tokens("text", "spark")).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    starts = sized.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest("n", F.lit(1)), F.lit(stride))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("long").alias("chunk_index"),
+        F.col("s").cast("long").alias("token_start"),
+        (
+            F.least(F.col("s") + (window - 1), F.col("n")) - F.col("s") + 1
+        ).cast("long").alias("chunk_tokens"),
+        F.array_join(F.slice("toks", F.col("s"), F.lit(window)), " ").alias(
+            "chunk_text"
+        ),
+    )

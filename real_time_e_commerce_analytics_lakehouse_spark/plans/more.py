@@ -499,3 +499,68 @@ def doc_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tx.tokens('text', 'duck')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, sum(tf) AS tc FROM tf GROUP BY 1),
+    corpus AS (SELECT sum(tc) AS total FROM vocab)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(
+               CAST(round(tf.tf * ln(CAST(vocab.tc AS DOUBLE)
+                                     / CAST(corpus.total AS DOUBLE)), 6)
+                    AS DECIMAL(18, 6))
+           ) AS DOUBLE) / sum(tf.tf), 6) AS avg_logprob
+    FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN corpus
+    GROUP BY tf.doc_id
+    """,
+    doc=(
+        "Corpus-trained unigram language-model scoring (the CCNet / "
+        "Wenzek et al. 2020 perplexity-filter recipe, with the LM "
+        "trained on the corpus itself): token logprob = ln(count/total) "
+        "from a one-pass vocabulary aggregate, each document scored by "
+        "its length-normalized total logprob. Low avg_logprob = "
+        "rare-token-heavy documents (boilerplate, encoding noise) — "
+        "the standard pre-training quality gate next to the heuristic "
+        "scores in doc_quality_scores. Plan: token-keyed shuffle for "
+        "tf, term-keyed shuffle for the vocabulary, broadcast the "
+        "1-row corpus total, doc-keyed final agg — all JVM built-ins, "
+        "linear in corpus size. Cross-engine exactness: per-term "
+        "logprobs are rounded to 6 decimals and summed as decimals "
+        "(order-independent), so the doc score cannot drift with "
+        "aggregation order; ln() on identical doubles agrees (same "
+        "libm contract as doc_tfidf_weights)."
+    ),
+    tags=("documents", "text", "quality"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("tc"))
+    corpus = vocab.agg(F.sum("tc").alias("total"))
+    term_lp = F.round(
+        F.col("tf")
+        * F.log(F.col("tc").cast("double") / F.col("total").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(term_lp).cast("double") / F.sum("tf"), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -2126,6 +2126,149 @@ class LakeTable:
             raise
         return self._commit(untouched + new_units, op="merge_upsert", base_version=base_v)
 
+    def merge_scd2(
+        self,
+        source: DataFrame,
+        keys: str | Sequence[str],
+        effective_col: str,
+        track_cols: Sequence[str] | None = None,
+        start_col: str = "__start_at",
+        end_col: str = "__end_at",
+        current_col: str = "__is_current",
+    ) -> int:
+        """Slowly-changing-dimension Type 2 merge (Databricks
+        `APPLY CHANGES ... STORED AS SCD TYPE 2` / classic Kimball SCD2).
+
+        The target is a HISTORY table: one row per (key, validity
+        interval) with `start_col`/`end_col` bounds (end NULL = open) and
+        a `current_col` flag. Each call folds a batch of observed states
+        (`source`: keys + attributes + `effective_col` observation time)
+        into that history:
+
+        - new key -> one open row starting at its first observation
+        - tracked attributes changed vs the key's current row -> the
+          current row is CLOSED (`end` = change time, current = False)
+          and a new open row starts
+        - observation equal to the current state -> no-op (change
+          compression: consecutive identical states never split rows)
+        - multiple observations per key in one batch are chained in
+          `effective_col` order (each closes its predecessor), so a
+          backfilled batch builds the whole history in one call
+        - stale observations at/before the current row's start are
+          DROPPED (the same late-data stance as merge_upsert's guard;
+          late rows inside closed intervals would require rewriting
+          history and are a restore/backfill operation, not a merge)
+
+        Execution is ONE plan: current target rows are replayed as
+        pseudo-observations at their own `start`, unioned with the fresh
+        batch, and the per-key chain is rebuilt with two window passes
+        over the SAME key partitioning (lag for change compression, lead
+        for interval bounds) — a single shuffle on the keys. Closed
+        history rows are carried through the rewrite unchanged.
+
+        Duplicate (key, effective) pairs in the source are rejected
+        in-plan (raise_error folded into the chain, like merge_upsert's
+        dup guard) because their relative order — hence which state
+        survives compression — would be nondeterministic.
+
+        Scale: the rewrite scope is the whole table (SCD dims are
+        dimension-sized — millions of rows, not the 100 TB fact side; a
+        fact-sized history would be partitioned by key-bucket and merged
+        per bucket with this same chain)."""
+        ks = [keys] if isinstance(keys, str) else list(keys)
+        exists = self.exists()
+        base_v = self.latest_version() if exists else None
+
+        attrs = [c for c in source.columns if c not in ks and c != effective_col]
+        track = list(track_cols) if track_cols is not None else attrs
+
+        # in-plan duplicate (key, effective) guard
+        dup_w = W.partitionBy(*ks, effective_col)
+        dup_msg = F.concat(
+            F.lit(f"{_DUP_KEY_MARK}: duplicate (key, {effective_col}) ("),
+            F.concat_ws(
+                ", ",
+                *[F.col(k).cast("string") for k in ks],
+                F.col(effective_col).cast("string"),
+            ),
+            F.lit(")"),
+        )
+        src = (
+            source.withColumn("__kcnt", F.count(F.lit(1)).over(dup_w))
+            .withColumn(
+                effective_col,
+                F.when(F.col("__kcnt") > 1, F.raise_error(dup_msg)).otherwise(
+                    F.col(effective_col)
+                ),
+            )
+            .drop("__kcnt")
+        )
+
+        if exists:
+            snapshot = self._read_units(
+                self._read_manifest(base_v), dv_paths=self._read_dv(base_v)
+            )
+            cur = snapshot.filter(F.col(current_col))
+            closed = snapshot.filter(~F.col(current_col))
+            # late-data guard: drop observations at/before the open row's start
+            starts = cur.select(*ks, F.col(start_col).alias("__cur_start"))
+            src = (
+                src.join(starts, ks, "left")
+                .filter(
+                    F.col("__cur_start").isNull()
+                    | (F.col(effective_col) > F.col("__cur_start"))
+                )
+                .drop("__cur_start")
+            )
+            # replay the open rows as observations at their own start so the
+            # chain rebuild sees the incumbent state (and keeps its start)
+            incumbent = cur.select(
+                *ks,
+                *attrs,
+                F.col(start_col).alias(effective_col),
+                F.lit(0).alias("__rank"),
+            )
+        else:
+            closed = None
+            incumbent = None
+
+        fresh = src.select(*ks, *attrs, effective_col, F.lit(1).alias("__rank"))
+        chain = incumbent.unionByName(fresh) if incumbent is not None else fresh
+
+        ordered = W.partitionBy(*ks).orderBy(effective_col, "__rank")
+        state = F.struct(*[F.col(c) for c in track])
+        compressed = (
+            chain.withColumn("__prev", F.lag(state).over(ordered))
+            .filter(
+                F.col("__prev").isNull() | ~state.eqNullSafe(F.col("__prev"))
+            )
+            .drop("__prev")
+        )
+        rebuilt = (
+            compressed.withColumn(
+                end_col, F.lead(effective_col).over(ordered)
+            )
+            .withColumn(current_col, F.col(end_col).isNull())
+            .withColumnRenamed(effective_col, start_col)
+            .drop("__rank")
+        )
+        out_cols = [*ks, *attrs, start_col, end_col, current_col]
+        final = rebuilt.select(*out_cols)
+        if closed is not None:
+            final = closed.select(*out_cols).unionByName(final)
+        # a batch of only-stale rows still rebuilds the same history; the
+        # commit is cheap relative to detecting it, and keeps history linear
+        try:
+            new_units = self._write_units(final)
+        except Exception as e:
+            if _DUP_KEY_MARK in str(e):
+                raise ValueError(
+                    f"merge_scd2 source has duplicate (key, {effective_col}) "
+                    f"pairs for keys {ks}; dedup or sequence them first"
+                ) from None
+            raise
+        return self._commit(new_units, op="merge_scd2", base_version=base_v)
+
 
 def _merge_dataframes(
     target: DataFrame,

@@ -1624,3 +1624,117 @@ def test_describe_detail(spark, tmp_table):
     assert d.numDeletionVectorDirs == 0
     t.delete("id = 1", mode="mor")
     assert t.detail().collect()[0].numDeletionVectorDirs == 1
+
+
+# ---------------------------------------------------------------- SCD Type 2
+
+
+def _scd_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, state string, seen long")
+
+
+def _scd_rows(t):
+    return sorted(
+        (
+            (r["id"], r["state"], r["__start_at"], r["__end_at"], r["__is_current"])
+            for r in t.read().collect()
+        ),
+    )
+
+
+def test_scd2_first_write_builds_history(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.merge_scd2(
+        _scd_df(spark, [(1, "a", 10), (1, "b", 20), (2, "x", 15)]),
+        keys="id",
+        effective_col="seen",
+    )
+    assert _scd_rows(t) == [
+        (1, "a", 10, 20, False),
+        (1, "b", 20, None, True),
+        (2, "x", 15, None, True),
+    ]
+
+
+def test_scd2_change_closes_current_row(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.merge_scd2(_scd_df(spark, [(1, "a", 10)]), "id", "seen")
+    t.merge_scd2(_scd_df(spark, [(1, "b", 30)]), "id", "seen")
+    assert _scd_rows(t) == [
+        (1, "a", 10, 30, False),
+        (1, "b", 30, None, True),
+    ]
+
+
+def test_scd2_identical_state_is_noop_compression(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.merge_scd2(_scd_df(spark, [(1, "a", 10)]), "id", "seen")
+    t.merge_scd2(_scd_df(spark, [(1, "a", 30)]), "id", "seen")
+    # same state observed again: no new interval
+    assert _scd_rows(t) == [(1, "a", 10, None, True)]
+
+
+def test_scd2_batch_chains_multiple_changes(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.merge_scd2(_scd_df(spark, [(1, "a", 10)]), "id", "seen")
+    t.merge_scd2(
+        _scd_df(spark, [(1, "a", 15), (1, "b", 20), (1, "b", 25), (1, "c", 30)]),
+        "id",
+        "seen",
+    )
+    assert _scd_rows(t) == [
+        (1, "a", 10, 20, False),  # the seen=15 'a' compressed away
+        (1, "b", 20, 30, False),  # the seen=25 'b' compressed away
+        (1, "c", 30, None, True),
+    ]
+
+
+def test_scd2_stale_observation_dropped(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.merge_scd2(_scd_df(spark, [(1, "b", 20)]), "id", "seen")
+    t.merge_scd2(_scd_df(spark, [(1, "old", 5)]), "id", "seen")
+    assert _scd_rows(t) == [(1, "b", 20, None, True)]
+
+
+def test_scd2_untouched_keys_carry_through(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.merge_scd2(
+        _scd_df(spark, [(1, "a", 10), (2, "x", 10)]), "id", "seen"
+    )
+    t.merge_scd2(_scd_df(spark, [(1, "b", 20)]), "id", "seen")
+    assert _scd_rows(t) == [
+        (1, "a", 10, 20, False),
+        (1, "b", 20, None, True),
+        (2, "x", 10, None, True),
+    ]
+
+
+def test_scd2_track_cols_ignores_untracked_churn(spark, tmp_table):
+    df1 = spark.createDataFrame(
+        [(1, "a", "note0", 10)], "id long, state string, note string, seen long"
+    )
+    df2 = spark.createDataFrame(
+        [(1, "a", "note1", 20)], "id long, state string, note string, seen long"
+    )
+    t = LakeTable(spark, tmp_table)
+    t.merge_scd2(df1, "id", "seen", track_cols=["state"])
+    t.merge_scd2(df2, "id", "seen", track_cols=["state"])
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["__is_current"]  # untracked change: no split
+
+
+def test_scd2_duplicate_key_effective_rejected(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_scd2(
+            _scd_df(spark, [(1, "a", 10), (1, "b", 10)]), "id", "seen"
+        )
+    assert not t.exists()  # aborted before any commit
+
+
+def test_scd2_time_travel_sees_prior_history(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    v1 = t.merge_scd2(_scd_df(spark, [(1, "a", 10)]), "id", "seen")
+    t.merge_scd2(_scd_df(spark, [(1, "b", 20)]), "id", "seen")
+    old = t.read(version=v1).collect()
+    assert [(r["state"], r["__is_current"]) for r in old] == [("a", True)]
