@@ -92,3 +92,28 @@ def lsh_bucket(col: str, planes: list[list[float]], dialect: str) -> str:
             f"(case when {dot(a, p, dialect)} > 0 then {1 << j} else 0 end)"
         )
     return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def int8_maxabs(col: str, dialect: str) -> str:
+    """Per-vector symmetric-quantization scale base: max |x_i|, floored
+    at 1e-30 so the zero vector quantizes to zeros instead of NaN."""
+    a = to_double_array(col, dialect)
+    if dialect == "spark":
+        return f"greatest(array_max(transform({a}, x -> abs(x))), 1e-30d)"
+    return f"greatest(list_max(list_transform({a}, x -> abs(x))), 1e-30)"
+
+
+def int8_codes(col: str, maxabs: str, dialect: str) -> str:
+    """Symmetric int8 quantization codes: trunc(x * 127 / maxabs).
+
+    Truncation toward zero on BOTH dialects (Spark's non-ANSI
+    double->int CAST truncates; DuckDB's CAST rounds, so it goes
+    through trunc() explicitly) — codes are bit-identical, which makes
+    quantized scores exactly reproducible cross-engine."""
+    a = to_double_array(col, dialect)
+    if dialect == "spark":
+        return f"transform({a}, x -> cast(x * 127.0d / {maxabs} as int))"
+    return (
+        f"list_transform({a}, x -> "
+        f"CAST(trunc(x * 127.0 / {maxabs}) AS INTEGER))"
+    )

@@ -719,3 +719,96 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("approx_sqdist", 6).alias("approx_sqdist"),
         )
     )
+
+
+@register(
+    "int8_quantized_topk",
+    oracle=f"""
+    WITH prep AS (
+        SELECT vec_id,
+               {vx.int8_maxabs('embedding', 'duck')} AS ma,
+               {vx.int8_codes('embedding', vx.int8_maxabs('embedding', 'duck'), 'duck')} AS codes
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, ma AS q_ma, codes AS q_codes
+        FROM prep WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, p.vec_id,
+               CAST({vx.dot(vx.to_double_array('q_codes', 'duck'), vx.to_double_array('p.codes', 'duck'), 'duck')}
+                    AS BIGINT) AS int_dot,
+               q.q_ma, p.ma
+        FROM q JOIN prep p ON p.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, rank,
+           int_dot,
+           round(int_dot * (q_ma / 127.0) * (ma / 127.0), 6) AS approx_dot
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY int_dot * (q_ma / 127.0) * (ma / 127.0) DESC, vec_id ASC
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=(
+        "Scalar-quantized (int8) vector search: per-vector symmetric "
+        "quantization (codes = trunc(x*127/max|x|), 4x smaller than "
+        "float32), integer dot products, dequantized by the two scale "
+        "factors for ranking. THE memory-bound trick of large-scale "
+        "vector search — at 100 TB the quantized corpus is what fits "
+        "in cluster RAM/SSD cache, with exact float rerank reserved "
+        "for the shortlist (compose with cosine_topk_bruteforce per "
+        "candidate set, as ann_lsh_topk does). Codes are bit-identical "
+        "cross-engine (truncation pinned on both sides), integer dots "
+        "are exact in a double fold (<2^53), so ranks hash-match "
+        "without tolerance. Recall vs the exact baseline is asserted "
+        "in pytest (test_llm_ops)."
+    ),
+    tags=("embeddings", "simsearch"),
+)
+def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ma = vx.int8_maxabs("embedding", "spark")
+    prep = emb.select(
+        "vec_id",
+        F.expr(ma).alias("ma"),
+        F.expr(vx.int8_codes("embedding", ma, "spark")).alias("codes"),
+    )
+    q = prep.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ma").alias("q_ma"),
+        F.col("codes").alias("q_codes"),
+    )
+    idot = F.expr(
+        vx.dot(
+            vx.to_double_array("q_codes", "spark"),
+            vx.to_double_array("codes", "spark"),
+            "spark",
+        )
+    ).cast("long")
+    scored = (
+        F.broadcast(q)
+        .join(prep, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            idot.alias("int_dot"),
+            "q_ma",
+            "ma",
+        )
+    )
+    approx = F.col("int_dot") * (F.col("q_ma") / 127.0) * (F.col("ma") / 127.0)
+    w = W.partitionBy("query_id").orderBy(approx.desc(), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "rank",
+            "int_dot",
+            F.round(approx, 6).alias("approx_dot"),
+        )
+    )

@@ -272,3 +272,44 @@ def test_incremental_lsh_dedup_matches_one_shot(spark, sf_dir, tmp_path) -> None
     parts = {u.partition.get("band")
              for u in idx._read_manifest(idx.latest_version())}
     assert len(parts) == N_BANDS
+
+
+def test_int8_quantized_topk_recall_vs_exact_dot(spark, sf_dir) -> None:
+    """int8 scalar quantization is far gentler than PQ (64 codes vs 4):
+    its dequantized top-10 should recover nearly all of the exact
+    float dot-product top-10."""
+    import duckdb
+    import os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.embeddings import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    con = duckdb.connect()
+    pq_path = os.path.join(sf_dir, "embeddings.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq_path}')"
+    )
+    exact = con.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.emb, v.emb) DESC,
+                                v.vec_id ASC) AS rk
+            FROM e q JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """).fetchall()
+    truth = set(map(tuple, exact))
+
+    got = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["int8_quantized_topk"].builder(spark, sf_dir).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"int8 recall@{TOP_K} too low: {recall:.2f}"
