@@ -318,3 +318,38 @@ def test_expectations_empty_batch_metrics_are_zero(spark):
     )
     assert clean.count() == 0
     assert [r.n_violations for r in metrics.collect()] == [0]
+
+
+def test_expectations_observed_single_pass_metrics(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.quality import (
+        apply_expectations_observed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, None), (4, 200)], "id long, v long"
+    )
+    clean, obs = apply_expectations_observed(
+        df,
+        {
+            "v_nonneg": ("v >= 0", "drop"),
+            "v_small": ("v < 100", "warn"),
+        },
+    )
+    rows = clean.collect()  # the ONE action; metrics ride along
+    assert sorted(r.id for r in rows) == [1, 4]  # -5 and NULL dropped
+    got = obs.get
+    assert got["v_nonneg_violations"] == 2
+    assert got["v_small_violations"] == 2  # 200 and NULL
+
+
+def test_expectations_observed_fail_still_aborts(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.quality import (
+        apply_expectations_observed,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, -1)], "id long, v long")
+    clean, _obs = apply_expectations_observed(
+        df, {"v_nonneg": ("v >= 0", "fail")}
+    )
+    with pytest.raises(Exception, match="EXPECTATION_FAILED"):
+        clean.collect()
