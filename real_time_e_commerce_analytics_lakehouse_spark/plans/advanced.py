@@ -347,3 +347,109 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("seen").over(w).isNull().alias("is_current"),
         F.col("o_orderkey").alias("opened_by"),
     )
+
+
+@register(
+    "scd2_dimension_lookup",
+    oracle="""
+    WITH obs AS (
+        SELECT o_custkey, o_orderstatus AS state,
+               CAST(o_orderdate AS DATE) AS seen, o_orderkey
+        FROM orders
+    ),
+    comp AS (
+        SELECT o_custkey, state, seen, o_orderkey FROM (
+            SELECT obs.*,
+                   lag(state) OVER (
+                       PARTITION BY o_custkey ORDER BY seen, o_orderkey
+                   ) AS prev
+            FROM obs
+        ) WHERE prev IS NULL OR state <> prev
+    ),
+    iv AS (
+        SELECT o_custkey, state, seen AS valid_from,
+               lead(seen) OVER (
+                   PARTITION BY o_custkey ORDER BY seen, o_orderkey
+               ) AS valid_to
+        FROM comp
+    ),
+    li AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+               CAST(l.l_shipdate AS DATE) AS ship_date
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT li.l_orderkey, li.l_linenumber, li.o_custkey, li.ship_date,
+           iv.state AS status_at_ship, iv.valid_from
+    FROM li JOIN iv
+      ON li.o_custkey = iv.o_custkey
+     AND li.ship_date >= iv.valid_from
+     AND (iv.valid_to IS NULL OR li.ship_date < iv.valid_to)
+    """,
+    doc=(
+        "SCD2 point-in-time dimension lookup (how a fact table consumes "
+        "a merge_scd2 history): each lineitem resolves the order-status "
+        "interval active at its ship date via an equi-join on the "
+        "dimension key plus the half-open interval predicate "
+        "[valid_from, valid_to). The key equi-join is the blocking "
+        "condition — Spark shuffles on o_custkey and evaluates the "
+        "interval residual within the key group, never a cross "
+        "product; per-key interval counts are small (a dimension's "
+        "change history), so the residual is cheap at any scale. "
+        "Intervals partition the timeline from each customer's first "
+        "order onward and ship dates are >= their order's date, so "
+        "every lineitem matches exactly one interval (row count == "
+        "lineitem count — an auditable invariant)."
+    ),
+    tags=("join", "scd", "window"),
+)
+def scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    obs = orders.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("state"),
+        F.col("o_orderdate").cast("date").alias("seen"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_custkey").orderBy("seen", "o_orderkey")
+    comp = (
+        obs.withColumn("__prev", F.lag("state").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("state") != F.col("__prev")))
+        .drop("__prev")
+    )
+    iv = comp.select(
+        F.col("o_custkey").alias("iv_custkey"),
+        "state",
+        F.col("seen").alias("valid_from"),
+        F.lead("seen").over(w).alias("valid_to"),
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
+    )
+    return (
+        li.join(
+            iv,
+            (F.col("o_custkey") == F.col("iv_custkey"))
+            & (F.col("ship_date") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ship_date") < F.col("valid_to"))),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "ship_date",
+            F.col("state").alias("status_at_ship"),
+            "valid_from",
+        )
+    )

@@ -451,3 +451,62 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(
     matched_left = {p_ for p_, _ in got_pairs}
     null_left = {r.p_id for r in rows if r.c_id is None}
     assert null_left and not (null_left & matched_left)
+
+
+def test_streaming_cdc_into_scd2_dimension(spark, tmp_path):
+    """DLT 'APPLY CHANGES ... STORED AS SCD TYPE 2' shape: a file stream
+    of observed entity states folds into an SCD2 history table via
+    foreachBatch + LakeTable.merge_scd2, across two availableNow drains
+    (each drain = one merge batch; chaining/compression must hold across
+    restarts because state lives in the table, not the stream)."""
+    import json as _json
+
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_batch("b1.jsonl", [
+        {"id": 1, "state": "bronze", "seen": 10},
+        {"id": 1, "state": "silver", "seen": 20},
+        {"id": 2, "state": "bronze", "seen": 15},
+    ])
+
+    def drain():
+        stream = (
+            spark.readStream.schema("id long, state string, seen long")
+            .json(str(src))
+        )
+        run_available_now(
+            stream, ckpt, lambda b, _e: dim.merge_scd2(b, "id", "seen")
+        )
+
+    drain()
+    write_batch("b2.jsonl", [
+        {"id": 1, "state": "silver", "seen": 30},   # unchanged -> compressed
+        {"id": 2, "state": "gold", "seen": 40},     # change -> close + open
+        {"id": 3, "state": "bronze", "seen": 35},   # new key
+    ])
+    drain()
+
+    rows = sorted(
+        (r["id"], r["state"], r["__start_at"], r["__end_at"], r["__is_current"])
+        for r in dim.read().collect()
+    )
+    assert rows == [
+        (1, "bronze", 10, 20, False),
+        (1, "silver", 20, None, True),
+        (2, "bronze", 15, 40, False),
+        (2, "gold", 40, None, True),
+        (3, "bronze", 35, None, True),
+    ]
