@@ -361,3 +361,67 @@ def cross_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@register(
+    "temperature_resample_sources",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS source_chars
+        FROM documents GROUP BY source
+    ),
+    floor_size AS (SELECT min(source_chars) AS min_chars FROM sizes),
+    rates AS (
+        SELECT s.source, s.source_chars,
+               CAST(floor(sqrt(CAST(f.min_chars AS DOUBLE)
+                               / s.source_chars) * 10000) AS BIGINT)
+                   AS keep_threshold
+        FROM sizes s CROSS JOIN floor_size f
+    )
+    SELECT d.doc_id, d.source, r.source_chars, r.keep_threshold,
+           CAST({tx.hash_bucket('d.doc_id', 10000, 'duck')} AS BIGINT) AS bucket
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {tx.hash_bucket('d.doc_id', 10000, 'duck')} < r.keep_threshold
+    """,
+    doc=(
+        "Temperature-based source mixing (the alpha-sampling recipe of "
+        "multi-source pre-training corpora — Pile/Dolma-style): each "
+        "source's keep rate is (min_size/size)^(1-alpha) with alpha=0.5, "
+        "so over-represented sources are down-sampled toward the "
+        "smallest one instead of dominating the mix; size is character "
+        "mass, not doc count (mixing budgets are token budgets). "
+        "Membership is the md5 hash bucket of the doc id — the same "
+        "deterministic cross-engine device as "
+        "stratified_sample_documents, so the sample is reproducible "
+        "forever (rand() is neither). Plan: tiny per-source aggregate, "
+        "single-row min, broadcast the rates back onto the corpus, "
+        "row-local hash filter — one shuffle on source (map-side "
+        "combined), then a pure map at any scale."
+    ),
+    tags=("documents", "curation"),
+)
+def temperature_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("source_chars")
+    )
+    floor_size = sizes.agg(F.min("source_chars").alias("min_chars"))
+    rates = sizes.crossJoin(F.broadcast(floor_size)).select(
+        "source",
+        "source_chars",
+        F.floor(
+            F.sqrt(F.col("min_chars").cast("double") / F.col("source_chars"))
+            * 10000
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    bucket = F.expr(tx.hash_bucket("doc_id", 10000, "spark")).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("keep_threshold"))
+        .select(
+            "doc_id", "source", "source_chars", "keep_threshold", "bucket"
+        )
+    )

@@ -527,3 +527,85 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_7d_revenue"
         ),
     )
+
+
+@register(
+    "daily_revenue_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT order_date,
+               CAST(day_rev AS DOUBLE) AS x,
+               CAST(sum(day_rev) OVER w AS DOUBLE) AS s,
+               CAST(sum(day_rev * day_rev) OVER w AS DOUBLE) AS ss,
+               CAST(count(day_rev) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY order_date
+                     RANGE BETWEEN INTERVAL 27 DAY PRECEDING AND CURRENT ROW)
+    )
+    SELECT order_date,
+           round(x, 2) AS day_revenue,
+           n AS n_window,
+           round(z, 4) AS zscore,
+           coalesce(abs(z) > 2, FALSE) AS is_anomaly
+    FROM (
+        SELECT *,
+               CASE WHEN sqrt(greatest(ss / n - (s / n) * (s / n), 0)) > 0
+                    THEN (x - s / n)
+                         / sqrt(greatest(ss / n - (s / n) * (s / n), 0))
+               END AS z
+        FROM framed
+    )
+    """,
+    doc=(
+        "Rolling z-score anomaly detection over daily revenue: each "
+        "day scored against the trailing 28-day mean/stddev (RANGE "
+        "frame, so missing days shrink the window rather than "
+        "stretching it), |z| > 2 flagged. Cross-engine exactness: the "
+        "windowed sum and sum-of-squares accumulate DECIMAL (exact, "
+        "order-independent; the 18,6 x 18,6 product stays inside "
+        "decimal38), and every double step after that — mean, "
+        "population variance via E[X^2]-E[X]^2 clamped at 0, sqrt, "
+        "ratio — is the same IEEE expression tree on identical inputs "
+        "on both engines, so even the boolean flag hash-matches. The "
+        "window runs over the ~2.4k-row daily pre-agg, not the fact "
+        "table (the 100 TB-safe shape shared with trailing_7d_revenue)."
+    ),
+    tags=("window", "events"),
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev")
+    )
+    w = (
+        W.orderBy(F.datediff("order_date", F.lit("1995-01-01")))
+        .rangeBetween(-27, 0)
+    )
+    framed = daily.select(
+        "order_date",
+        F.col("day_rev").cast("double").alias("x"),
+        F.sum("day_rev").over(w).cast("double").alias("s"),
+        F.sum(F.col("day_rev") * F.col("day_rev")).over(w)
+        .cast("double")
+        .alias("ss"),
+        F.count("day_rev").over(w).cast("long").alias("n"),
+    )
+    var = F.greatest(
+        F.col("ss") / F.col("n")
+        - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("x") - F.col("s") / F.col("n")) / std)
+    return framed.select(
+        "order_date",
+        F.round("x", 2).alias("day_revenue"),
+        F.col("n").alias("n_window"),
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
+    )
