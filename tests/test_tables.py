@@ -1738,3 +1738,47 @@ def test_scd2_time_travel_sees_prior_history(spark, tmp_table):
     t.merge_scd2(_scd_df(spark, [(1, "b", 20)]), "id", "seen")
     old = t.read(version=v1).collect()
     assert [(r["state"], r["__is_current"]) for r in old] == [("a", True)]
+
+
+# ----------------------------------------------------------------- catalog
+
+
+def test_catalog_sql_over_laketables(spark, tmp_path):
+    from real_time_e_commerce_analytics_lakehouse_spark.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    orders_t = LakeTable(spark, str(tmp_path / "orders_cat"))
+    orders_t.overwrite(
+        spark.createDataFrame(
+            [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 75.0)],
+            "o_id long, cust long, amount double",
+        )
+    )
+    cust_t = LakeTable(spark, str(tmp_path / "cust_cat"))
+    cust_t.overwrite(
+        spark.createDataFrame([(10, "alice"), (20, "bo")], "cust long, name string")
+    )
+    cat.register("orders_cat")
+    cat.register("cust_cat")
+    rows = cat.sql("""
+        SELECT c.name, CAST(sum(o.amount) AS DOUBLE) AS total
+        FROM orders_cat o JOIN cust_cat c USING (cust)
+        GROUP BY c.name ORDER BY c.name
+    """).collect()
+    assert [(r.name, r.total) for r in rows] == [("alice", 150.0), ("bo", 75.0)]
+
+
+def test_catalog_sql_sees_new_commits_and_pinned_reads(spark, tmp_path):
+    from real_time_e_commerce_analytics_lakehouse_spark.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = LakeTable(spark, str(tmp_path / "tt"))
+    t.overwrite(spark.createDataFrame([(1,)], "id long"))
+    cat.register("tt")
+    pinned = cat.sql("SELECT count(*) AS n FROM tt", refresh=False)
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    # default: re-resolved to latest snapshot
+    assert cat.sql("SELECT count(*) AS n FROM tt").collect()[0].n == 2
+    # refresh=False after an explicit register kept the old binding for
+    # the ALREADY-BUILT frame (snapshot pinning semantics)
+    assert pinned.collect()[0].n == 1
