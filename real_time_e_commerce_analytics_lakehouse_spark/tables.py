@@ -119,15 +119,25 @@ class _Unit:
     # unit holds many clustered files, and file-level pruning keeps only
     # the files whose range intersects the predicate
     file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # Bloom filters {physical col: hex bitmap} (unit level) and
+    # {filename: {physical col: hex}} (file level) — point-lookup
+    # skipping for high-cardinality keys where min/max ranges are
+    # useless (Delta's BLOOMFILTER INDEX analog)
+    bloom: dict[str, str] = field(default_factory=dict)
+    file_bloom: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "partition": self.partition,
             "partition_types": self.partition_types,
             "stats": self.stats,
             "file_stats": self.file_stats,
         }
+        if self.bloom:
+            d["bloom"] = self.bloom
+            d["file_bloom"] = self.file_bloom
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "_Unit":
@@ -137,6 +147,8 @@ class _Unit:
             partition_types=dict(d.get("partition_types", {})),
             stats=dict(d.get("stats", {})),
             file_stats=dict(d.get("file_stats", {})),
+            bloom=dict(d.get("bloom", {})),
+            file_bloom=dict(d.get("file_bloom", {})),
         )
 
 
@@ -159,6 +171,9 @@ class LakeTable:
         cluster_by: Sequence[str] = (),
         cluster_zorder: bool = False,
         cluster_target_files: int | None = None,
+        bloom_cols: Sequence[str] = (),
+        bloom_bits: int = 2048,
+        bloom_hashes: int = 4,
     ):
         """`stats_cols`: columns whose per-unit [min, max] are recorded
         in the manifest at write time (harvested from the parquet
@@ -204,6 +219,17 @@ class LakeTable:
         # append/overwrite (unique monotonically-increasing BIGINTs from
         # a manifest-tracked high-water mark; gaps allowed, as in Delta)
         self.identity = identity
+        # bloom_cols: Delta BLOOMFILTER INDEX analog — per-file Bloom
+        # filters for point-lookup skipping on high-cardinality keys
+        # where [min,max] ranges prune nothing (random ids span every
+        # file's range). Harvested by one column-pruned job over the
+        # just-written (OS-cached) unit per write; probed via
+        # read(bloom_eq={col: value}). bloom_bits sizes the filter —
+        # false-positive rate ~ (1 - e^(-k*n/m))^k, so size m to ~10x
+        # the expected distinct keys per FILE at the target scale.
+        self.bloom_cols = list(bloom_cols)
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
 
     # ------------------------------------------------------------------ log
 
@@ -396,6 +422,112 @@ class LakeTable:
                     unit[c] = list(v)
         return unit, per_file
 
+    def _bloom_hash_cols(self, col: str) -> list:
+        """The k position expressions for one column (shared by harvest
+        and probe so bits always line up): pmod(xxhash64(col, i), m)."""
+        return [
+            F.pmod(
+                F.xxhash64(F.col(col), F.lit(i)), F.lit(self.bloom_bits)
+            ).alias(f"__h{i}")
+            for i in range(self.bloom_hashes)
+        ]
+
+    def _harvest_bloom(
+        self, abs_dir: str
+    ) -> tuple[dict[str, str], dict[str, dict[str, str]]]:
+        """Per-file Bloom bitmaps for `bloom_cols`, computed by ONE
+        column-pruned aggregate job per column over the unit just
+        written (the files are OS-cache-hot; the collect is bounded by
+        files x bloom_bits distinct positions). Returns (unit_bloom,
+        per_file_bloom), hex-encoded, keyed by PHYSICAL column name
+        (stable across renames, like the files themselves)."""
+        if not self.bloom_cols:
+            return {}, {}
+        cm, _dropped = self._colmap()
+        df = self.spark.read.parquet(abs_dir)
+        unit: dict[str, int] = {}
+        per_file: dict[str, dict[str, str]] = {}
+        for logical in self.bloom_cols:
+            phys = cm.get(logical, logical)
+            if phys not in df.columns:
+                continue  # partition col (not in files) or absent: no index
+            rows = (
+                df.select(
+                    F.col("_metadata.file_path").alias("__f"),
+                    F.explode(F.array(*self._bloom_hash_cols(phys))).alias(
+                        "pos"
+                    ),
+                )
+                .groupBy("__f")
+                .agg(F.collect_set("pos").alias("ps"))
+                .collect()
+            )
+            for r in rows:
+                bits = 0
+                for p in r["ps"]:
+                    bits |= 1 << int(p)
+                fn = os.path.basename(r["__f"])
+                per_file.setdefault(fn, {})[phys] = format(bits, "x")
+                unit[phys] = unit.get(phys, 0) | bits
+        return {c: format(b, "x") for c, b in unit.items()}, per_file
+
+    def _bloom_positions(self, col: str, value: object) -> tuple[str, list[int]]:
+        """(physical column, k probe positions) for a literal value —
+        computed by a 1-row local job through the SAME expressions as
+        the harvest, with the literal cast to the column's type (the
+        hash is type-sensitive)."""
+        cm, _dropped = self._colmap()
+        phys = cm.get(col, col)
+        dtype = None
+        v = self.latest_version()
+        if v is not None:
+            units = self._read_manifest(v)
+            if units:
+                schema = self._read_units_raw(units[:1]).schema
+                if phys in schema.names:
+                    dtype = schema[phys].dataType
+        probe = self.spark.range(1).select(
+            F.lit(value).cast(dtype).alias(phys)
+            if dtype is not None
+            else F.lit(value).alias(phys)
+        )
+        row = probe.select(*self._bloom_hash_cols(phys)).collect()[0]
+        return phys, [int(row[f"__h{i}"]) for i in range(self.bloom_hashes)]
+
+    def _bloom_prune(
+        self, units: list[_Unit], bloom_eq: dict[str, object]
+    ) -> tuple[list[_Unit], dict[str, list[str]]]:
+        """Point-lookup skipping: drop units/files whose Bloom filter
+        proves the probed value absent (any of the k bits unset). Units
+        or files without a recorded filter are conservatively kept."""
+        probes = [self._bloom_positions(c, v) for c, v in bloom_eq.items()]
+
+        def _may_contain(bloom: dict[str, str]) -> bool:
+            for phys, positions in probes:
+                h = bloom.get(phys)
+                if h is None:
+                    continue
+                bits = int(h, 16)
+                if any(not (bits >> p) & 1 for p in positions):
+                    return False
+            return True
+
+        pruned: list[_Unit] = []
+        file_subsets: dict[str, list[str]] = {}
+        for u in units:
+            if u.bloom and not _may_contain(u.bloom):
+                continue
+            if u.file_bloom:
+                keep = [
+                    fn for fn, fb in u.file_bloom.items() if _may_contain(fb)
+                ]
+                if not keep:
+                    continue
+                if len(keep) < len(u.file_bloom):
+                    file_subsets[u.path] = keep
+            pruned.append(u)
+        return pruned, file_subsets
+
     def _identity_high(self, version: int | None = None) -> int:
         """Highest identity value ever assigned (manifest-tracked
         high-water mark; 0 before any assignment)."""
@@ -548,11 +680,14 @@ class LakeTable:
         if not self.partition_by:
             df.write.mode("errorifexists").parquet(dirname)
             ustats, fstats = self._harvest_stats(dirname)
+            ubloom, fbloom = self._harvest_bloom(dirname)
             return [
                 _Unit(
                     path=os.path.relpath(dirname, self.path),
                     stats=ustats,
                     file_stats=fstats,
+                    bloom=ubloom,
+                    file_bloom=fbloom,
                 )
             ]
         df.write.mode("errorifexists").partitionBy(*self.partition_by).parquet(dirname)
@@ -571,6 +706,7 @@ class LakeTable:
                         k, v = seg.split("=", 1)
                         partition[k] = v
                 ustats, fstats = self._harvest_stats(root)
+                ubloom, fbloom = self._harvest_bloom(root)
                 units.append(
                     _Unit(
                         path=os.path.relpath(root, self.path),
@@ -578,6 +714,8 @@ class LakeTable:
                         partition_types=ptypes,
                         stats=ustats,
                         file_stats=fstats,
+                        bloom=ubloom,
+                        file_bloom=fbloom,
                     )
                 )
         return units
@@ -821,6 +959,7 @@ class LakeTable:
         partitions: dict[str, Sequence[object]] | None = None,
         stats_where: dict[str, tuple] | None = None,
         timestamp: str | datetime | None = None,
+        bloom_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Snapshot read (S5). `version` = VERSION AS OF time travel;
         `timestamp` = TIMESTAMP AS OF (resolved via
@@ -858,6 +997,27 @@ class LakeTable:
             if not pruned:
                 return self._read_units(units, colmap=self._colmap(v)).limit(0)
             units = pruned
+        if bloom_eq:
+            # `bloom_eq` = {col: value} point-lookup skipping via the
+            # per-file Bloom filters (needs bloom_cols at write time);
+            # combine with a .filter for the exact row predicate. File
+            # subsets from stats and bloom pruning INTERSECT.
+            pruned, bloom_subsets = self._bloom_prune(units, bloom_eq)
+            merged = []
+            for u in pruned:
+                keep = bloom_subsets.get(u.path)
+                prev = file_subsets.get(u.path)
+                if keep is not None and prev is not None:
+                    inter = [f for f in prev if f in set(keep)]
+                    if not inter:
+                        continue  # no file survives both filters
+                    file_subsets[u.path] = inter
+                elif keep is not None:
+                    file_subsets[u.path] = keep
+                merged.append(u)
+            if not merged:
+                return self._read_units(units, colmap=self._colmap(v)).limit(0)
+            units = merged
         if partitions:
             units = self._partition_select(units, partitions)
             if not units:

@@ -1782,3 +1782,65 @@ def test_catalog_sql_sees_new_commits_and_pinned_reads(spark, tmp_path):
     # refresh=False after an explicit register kept the old binding for
     # the ALREADY-BUILT frame (snapshot pinning semantics)
     assert pinned.collect()[0].n == 1
+
+
+# ------------------------------------------------------------- bloom index
+
+
+def test_bloom_index_prunes_units_and_keeps_all_hits(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, bloom_cols=["k"], bloom_bits=4096)
+    # 4 units of disjoint high-cardinality keys (ranges overlap in
+    # min/max terms would still be useless for random ids; here they are
+    # disjoint so the test can assert exact pruning counts)
+    for base in (0, 1000, 2000, 3000):
+        t.append(
+            spark.createDataFrame(
+                [(base + i, f"v{base + i}") for i in range(50)],
+                "k long, v string",
+            )
+        )
+    units = t._read_manifest(t.latest_version())
+    assert all(u.bloom for u in units)
+    # a key present in exactly one unit: bloom must keep that unit and
+    # (with high probability at 4096 bits / 50 keys) drop most others
+    pruned, _subs = t._bloom_prune(units, {"k": 2025})
+    kept_paths = {u.path for u in pruned}
+    assert len(pruned) < len(units)
+    rows = t.read(bloom_eq={"k": 2025}).filter(F.col("k") == 2025).collect()
+    assert [(r.k, r.v) for r in rows] == [(2025, "v2025")]
+    # no-false-negative property: every present key must survive pruning
+    for probe in (0, 1049, 2049, 3000):
+        got = t.read(bloom_eq={"k": probe}).filter(F.col("k") == probe).count()
+        assert got == 1, f"bloom dropped present key {probe}"
+    assert kept_paths  # sanity
+
+
+def test_bloom_index_absent_key_reads_nothing(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, bloom_cols=["k"], bloom_bits=4096)
+    t.append(spark.createDataFrame([(i, i) for i in range(100)], "k long, x long"))
+    t.append(
+        spark.createDataFrame([(1000 + i, i) for i in range(100)], "k long, x long")
+    )
+    units = t._read_manifest(t.latest_version())
+    pruned, _ = t._bloom_prune(units, {"k": 555_555})
+    # absent key: with 4096 bits / 100 keys the filter should prove
+    # absence in both units (fp rate ~ (1-e^-0.1)^4 ~ 1e-4)
+    assert pruned == []
+    assert t.read(bloom_eq={"k": 555_555}).count() == 0
+
+
+def test_bloom_index_survives_column_rename(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, bloom_cols=["k"], bloom_bits=4096)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.rename_column("k", "key_id")
+    t2 = LakeTable(spark, tmp_table, bloom_cols=["key_id"], bloom_bits=4096)
+    t2.append(spark.createDataFrame([(3, "c"), (4, "d")], "key_id long, v string"))
+    # probe by the LOGICAL name resolves to the stable physical column
+    # for both pre- and post-rename units
+    for probe, v in ((1, "a"), (4, "d")):
+        rows = (
+            t2.read(bloom_eq={"key_id": probe})
+            .filter(F.col("key_id") == probe)
+            .collect()
+        )
+        assert [(r.key_id, r.v) for r in rows] == [(probe, v)]
