@@ -46,11 +46,21 @@ class LakeCatalog:
         self._tables: dict[str, LakeTable] = {}
 
     def register(
-        self, name: str, path: str | None = None, **table_kwargs
+        self,
+        name: str,
+        path: str | None = None,
+        version: int | None = None,
+        timestamp: str | None = None,
+        **table_kwargs,
     ) -> LakeTable:
         """Mount `name` as a temp view over the LakeTable at `path`
         (default: <root>/<name>). Re-registering rebinds the view to
-        the table's current snapshot."""
+        the table's current snapshot. `version`/`timestamp` pin the
+        view to a time-travel snapshot (VERSION/TIMESTAMP AS OF as a
+        named view — `cat.register("orders_y", "orders path",
+        version=3)` makes yesterday's orders SQL-addressable next to
+        today's); pinned views are excluded from refresh()/sql()'s
+        latest-snapshot re-resolution."""
         if path is None:
             if self.root is None:
                 raise ValueError(
@@ -60,8 +70,13 @@ class LakeCatalog:
         t = self._tables.get(name)
         if t is None or t.path != path:
             t = LakeTable(self.spark, path, **table_kwargs)
+        pinned = version is not None or timestamp is not None
+        if pinned:
+            t.read(version=version, timestamp=timestamp).createOrReplaceTempView(name)
+            self._tables.pop(name, None)  # not refresh-tracked
+        else:
             self._tables[name] = t
-        t.read().createOrReplaceTempView(name)
+            t.read().createOrReplaceTempView(name)
         return t
 
     def table(self, name: str) -> LakeTable:

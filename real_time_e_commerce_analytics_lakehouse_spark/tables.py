@@ -1948,6 +1948,32 @@ class LakeTable:
 
     # ------------------------------------------------------- delete / update
 
+    def count_rows(self, version: int | None = None) -> int:
+        """SELECT COUNT(*) answered from METADATA only — parquet footer
+        row counts of the snapshot's units minus active deletion-vector
+        tombstones — no Spark job, no data scan (what Delta's
+        metadata-only count optimization gives the reference). Sound
+        because units are immutable, every active DV tombstone
+        references exactly one live row of an active unit (rewriting
+        commits materialize deletions and clear their DVs), and a row
+        is never tombstoned twice (a deleted row is invisible to later
+        DELETEs). O(files) footer reads on the driver; at cluster scale
+        the same sum comes straight off the manifest's recorded stats."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no table at {self.path}")
+        import pyarrow.parquet as pq
+
+        total = sum(self._unit_nrows(u) for u in self._read_manifest(v))
+        for d in self._read_dv(v):
+            abs_d = os.path.join(self.path, d)
+            total -= sum(
+                pq.ParquetFile(os.path.join(abs_d, f)).metadata.num_rows
+                for f in os.listdir(abs_d)
+                if f.endswith(".parquet")
+            )
+        return total
+
     def _unit_nrows(self, u: _Unit) -> int:
         """Row count of a unit from parquet footers — no Spark job."""
         import pyarrow.parquet as pq

@@ -1844,3 +1844,32 @@ def test_bloom_index_survives_column_rename(spark, tmp_table):
             .collect()
         )
         assert [(r.key_id, r.v) for r in rows] == [(probe, v)]
+
+
+def test_count_rows_metadata_only(spark, tmp_table):
+    t = LakeTable(spark, tmp_table)
+    t.overwrite(spark.createDataFrame([(i,) for i in range(100)], "id long"))
+    t.append(spark.createDataFrame([(100 + i,) for i in range(20)], "id long"))
+    assert t.count_rows() == 120 == t.read().count()
+    v2 = t.latest_version()
+    t.delete(F.col("id") < 10, mode="mor")  # tombstones, no rewrite
+    assert t.count_rows() == 110 == t.read().count()
+    assert t.count_rows(version=v2) == 120  # time travel count
+    t.compact()  # materializes the deletes, clears DVs
+    assert t.count_rows() == 110 == t.read().count()
+
+
+def test_catalog_time_travel_view(spark, tmp_path):
+    from real_time_e_commerce_analytics_lakehouse_spark.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = LakeTable(spark, str(tmp_path / "tv"))
+    v1 = t.overwrite(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    cat.register("tv")
+    cat.register("tv_v1", path=str(tmp_path / "tv"), version=v1)
+    got = cat.sql("""
+        SELECT (SELECT count(*) FROM tv) AS now_n,
+               (SELECT count(*) FROM tv_v1) AS then_n
+    """).collect()[0]
+    assert (got.now_n, got.then_n) == (2, 1)
