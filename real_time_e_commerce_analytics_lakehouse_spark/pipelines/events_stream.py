@@ -41,8 +41,14 @@ class EventsStreamPipeline:
         self.spark = spark
         self.lake_root = lake_root
         self.watermark = watermark
+        # stats on the merge key: merge_insert_only key-range prunes its
+        # anti-join against the batch's own [min, max] — with monotonic
+        # event ids the probe touches only recent units, not table history
         self.table = LakeTable(
-            spark, os.path.join(lake_root, "facts", "events"), partition_by=["event_date"]
+            spark,
+            os.path.join(lake_root, "facts", "events"),
+            partition_by=["event_date"],
+            stats_cols=["event_id"],
         )
 
     def ingest(self, stream: DataFrame) -> None:

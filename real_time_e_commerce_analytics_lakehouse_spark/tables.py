@@ -2214,7 +2214,18 @@ class LakeTable:
         self, source: DataFrame, ks: list[str], current: list[_Unit]
     ) -> DataFrame:
         """Source rows whose key is absent from the (partition-pruned)
-        target — hint-free anti-join so AQE sizes the strategy."""
+        target — hint-free anti-join so AQE sizes the strategy.
+
+        When the key columns carry manifest stats (stats_cols), the
+        target side is additionally KEY-RANGE pruned against the
+        batch's own [min, max] (one tiny agg on the source): a unit
+        whose recorded key range cannot intersect the batch is never
+        read. For the append-mostly stream-ingest case — monotonically
+        growing keys like event ids — every historical unit falls
+        outside the new batch's range, so the anti-join probes a
+        handful of recent units instead of the whole table regardless
+        of table age (the complement to partition pruning, which needs
+        a partition column; this needs only stats on the key)."""
         if self.partition_by:
             src_parts = self._source_partitions(source)
             target_units = [u for u in current if self._unit_key(u) in src_parts]
@@ -2222,9 +2233,37 @@ class LakeTable:
             target_units = current
         if not target_units:
             return source
+        file_subsets: dict[str, list[str]] = {}
+        stat_keys = [
+            k for k in ks if any(k in u.stats for u in target_units)
+        ]
+        if stat_keys:
+            bounds = source.agg(
+                *[F.min(k).alias(f"__lo_{k}") for k in stat_keys],
+                *[F.max(k).alias(f"__hi_{k}") for k in stat_keys],
+            ).collect()[0]
+            sw: dict[str, tuple] = {}
+            for k in stat_keys:
+                lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+                sample = next(u.stats[k][0] for u in target_units if k in u.stats)
+                # footer stats are int/float/str; only prune when the
+                # batch bounds are directly comparable with them
+                if (
+                    lo is not None
+                    and isinstance(lo, (int, float, str))
+                    and not isinstance(lo, bool)
+                    and type(lo) is type(sample)
+                ):
+                    sw[k] = (lo, hi)
+            if sw:
+                target_units, file_subsets = self._stats_prune(target_units, sw)
+                if not target_units:
+                    return source  # whole batch provably fresh
         existing = (
             self._read_units(
-                target_units, dv_paths=self._read_dv(self.latest_version())
+                target_units,
+                file_subsets=file_subsets,
+                dv_paths=self._read_dv(self.latest_version()),
             )
             .select(*ks)
             .dropDuplicates(ks)

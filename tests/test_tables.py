@@ -1873,3 +1873,42 @@ def test_catalog_time_travel_view(spark, tmp_path):
                (SELECT count(*) FROM tv_v1) AS then_n
     """).collect()[0]
     assert (got.now_n, got.then_n) == (2, 1)
+
+
+def test_insert_only_merge_key_range_prunes_target_read(spark, tmp_table):
+    """Monotonic-key stream ingest: a new batch whose key range lies
+    beyond every existing unit must anti-join against NOTHING (the
+    manifest key stats prove freshness), and replays must still no-op."""
+    t = LakeTable(spark, tmp_table, stats_cols=["id"])
+    for base in (0, 100, 200):
+        t.merge_insert_only(
+            spark.createDataFrame(
+                [(base + i, "x") for i in range(100)], "id long, v string"
+            ),
+            keys="id",
+        )
+    read_calls = []
+    orig = t._read_units
+
+    def spying(units, *a, **kw):
+        read_calls.append(list(units))
+        return orig(units, *a, **kw)
+
+    t._read_units = spying
+    # disjoint new range: stats prune every target unit -> no target read
+    t.merge_insert_only(
+        spark.createDataFrame([(300 + i, "y") for i in range(50)], "id long, v string"),
+        keys="id",
+    )
+    assert read_calls == []  # anti-join side never built
+    # overlapping replay: target read happens, nothing re-inserted
+    read_calls.clear()
+    t.merge_insert_only(
+        spark.createDataFrame([(300 + i, "y") for i in range(50)], "id long, v string"),
+        keys="id",
+    )
+    assert any(read_calls)  # overlap forced a real anti-join probe
+    # and pruning kept it to the overlapping unit only
+    assert all(len(units) == 1 for units in read_calls)
+    t._read_units = orig
+    assert t.read().count() == 350
