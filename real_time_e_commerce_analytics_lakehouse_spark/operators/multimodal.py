@@ -259,6 +259,137 @@ def parse_wav_headers(
     return df.mapInPandas(kernel, schema=f"{id_col} long, {WAV_HEADER_SCHEMA}")
 
 
+def synthesize_mp4(
+    timescale: int, duration_ticks: int, width: int, height: int
+) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) container: ftyp box + moov box
+    nesting a version-0 mvhd (timescale, duration) and one trak/tkhd
+    (track id, 16.16 fixed-point width/height). Real box framing
+    ([size][type][payload], sizes include the 8-byte header), so any
+    parser that walks standard MP4 boxes reads it. Media data (mdat) is
+    absent on purpose — this is the header-only corpus a metadata
+    catalog reads."""
+    ftyp = b"isom" + struct.pack(">I", 512) + b"isommp41"
+    ftyp = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation / modification time
+        + struct.pack(">II", timescale, duration_ticks)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    tkhd = (
+        b"\x00\x00\x00\x07"  # version 0 + flags (enabled|in-movie|in-preview)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track_ID
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", duration_ticks)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHH", 0, 0, 0)  # layer, group, volume
+        + b"\x00" * 2
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    )
+    tkhd = struct.pack(">I", 8 + len(tkhd)) + b"tkhd" + tkhd
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    return ftyp + moov
+
+
+def parse_mp4_header(
+    b: bytes,
+) -> tuple[str, int, int, int, int] | None:
+    """Decode (brand, timescale, duration_ms, width, height) from an
+    ISO-BMFF byte stream by the standard box walk: top-level boxes to
+    ftyp/moov, then moov's children to mvhd and trak/tkhd. Handles any
+    box order and skips unknown boxes by their declared size, so real
+    MP4 files (with mdat, udta, free, ...) parse too. Duration is
+    integer milliseconds (floor — engine-portable exact arithmetic).
+    None for non-BMFF/truncated payloads."""
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            if size < 8 or i + size > end:
+                return
+            yield buf[i + 4 : i + 8], i + 8, i + size
+            i += size
+
+    try:
+        brand = timescale = duration = width = height = None
+        for btype, p0, p1 in walk(b, 0, len(b)):
+            if btype == b"ftyp":
+                brand = b[p0 : p0 + 4].decode("ascii", "replace")
+            elif btype == b"moov":
+                for ctype, c0, c1 in walk(b, p0, p1):
+                    if ctype == b"mvhd" and b[c0] == 0:  # version 0: 32-bit
+                        timescale, duration = struct.unpack(
+                            ">II", b[c0 + 12 : c0 + 20]
+                        )
+                    elif ctype == b"trak":
+                        for gtype, g0, _g1 in walk(b, c0, c1):
+                            if gtype == b"tkhd" and b[g0] == 0:
+                                w16, h16 = struct.unpack(
+                                    ">II", b[g0 + 76 : g0 + 84]
+                                )
+                                width, height = w16 >> 16, h16 >> 16
+        if brand is None or timescale is None or not timescale:
+            return None
+        return (
+            brand,
+            timescale,
+            (duration * 1000) // timescale,
+            width if width is not None else 0,
+            height if height is not None else 0,
+        )
+    except (struct.error, IndexError):
+        return None
+
+
+MP4_HEADER_SCHEMA = (
+    "brand string, timescale int, duration_ms long, width int, height int"
+)
+
+
+def parse_mp4_headers(
+    df: DataFrame, id_col: str = "id", binary_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched video-container metadata decode (sibling of
+    parse_image_headers / parse_wav_headers): NULLs for unparseable
+    payloads. At 100 TB this is the catalog pass over video blobs —
+    box walk only, no codec, partition-parallel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_mp4_header(bytes(x)) for x in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "brand": [p[0] if p else None for p in parsed],
+                    "timescale": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int64"
+                    ),
+                    "width": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[4] if p else None for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=f"{id_col} long, {MP4_HEADER_SCHEMA}")
+
+
 @dataclass
 class ImageMeta:
     """Typed metadata accompanying an image payload column."""

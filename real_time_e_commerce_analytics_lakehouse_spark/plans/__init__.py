@@ -8,6 +8,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
 
 # importing the modules populates QUERIES
 from real_time_e_commerce_analytics_lakehouse_spark.plans import advanced as _advanced  # noqa: E402,F401
+from real_time_e_commerce_analytics_lakehouse_spark.plans import analytics as _analytics  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import core as _core  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import curation as _curation  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import documents as _documents  # noqa: E402,F401
@@ -53,7 +54,7 @@ GATE_ORDER = [
     "trailing_7d_revenue",
     # aggregate family
     "rollup_revenue",
-    "pivot_status_counts",
+    "copurchase_part_pairs",
     "price_percentiles",
     "customer_last_order_argmax",
     "customer_order_keys_array",
@@ -87,7 +88,7 @@ GATE_ORDER = [
     "ivf_kmeans_topk",
     "semantic_dedup_embeddings",
     # multimodal
-    "image_header_catalog",
+    "video_container_catalog",
     # events
     "tumbling_hourly_events",
 ]

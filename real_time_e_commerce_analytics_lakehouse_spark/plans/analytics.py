@@ -1,0 +1,341 @@
+"""Product/BI analytics shapes beyond the reference's three metric marts.
+
+The reference's gold tier stops at grouped sums over star joins
+(07_gold_metrics_revenue.py:56-65, 08_gold_metric_orders.py:43-66,
+09_gold_metrics_customers.py:43-59). These queries are the next
+analytics asks a user of that mart would make — basket affinity,
+customer RFM scoring, distribution histograms, regression/correlation —
+each expressed as one-or-two-shuffle DataFrame plans with hash-exact
+DuckDB oracles.
+
+Cross-engine exactness rules (see plans/registry.py): integer counts
+stay BIGINT; float sums accumulate DECIMAL then cast; every double-only
+step (ratios, sqrt) is the same IEEE expression tree on identical
+inputs, so even derived doubles hash-match without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    dec_avg,
+    dec_sum,
+    register,
+    table,
+)
+
+MIN_COPURCHASE_ORDERS = 2
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_orders AS (
+        SELECT l_partkey, count(*) AS part_n FROM op GROUP BY 1
+    ),
+    total AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_together
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE_ORDERS}
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_together AS BIGINT) AS n_together,
+           CAST(pa.part_n AS BIGINT) AS n_a,
+           CAST(pb.part_n AS BIGINT) AS n_b,
+           round(CAST(p.n_together AS DOUBLE) * t.n
+                 / (CAST(pa.part_n AS DOUBLE) * pb.part_n), 6) AS lift
+    FROM pairs p
+    JOIN part_orders pa ON pa.l_partkey = p.part_a
+    JOIN part_orders pb ON pb.l_partkey = p.part_b
+    CROSS JOIN total t
+    """,
+    doc=(
+        "Market-basket affinity: part pairs co-occurring in >= "
+        f"{MIN_COPURCHASE_ORDERS} orders, with per-pair lift. The "
+        "self-join blocks on l_orderkey (baskets are bounded — 7 lines "
+        "in TPC-H, tens in retail — so per-order pair fan-out is "
+        "quadratic in a SMALL constant, never in table size); pair "
+        "counting and the two support joins shuffle on part keys. Lift "
+        "divides exact BIGINT counts in IEEE doubles, so it "
+        "hash-matches without tolerance. At 100 TB the same plan holds: "
+        "the only growth axis is #distinct pairs, handled by the "
+        "HAVING-style support threshold pushed before the support joins."
+    ),
+    tags=("analytics", "join", "agg"),
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    part_orders = op.groupBy("l_partkey").agg(F.count("*").alias("part_n"))
+    total = op.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )  # 1-row frame, broadcast below
+    a = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
+    )
+    pa = part_orders.select(
+        F.col("l_partkey").alias("part_a"), F.col("part_n").alias("n_a")
+    )
+    pb = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("part_n").alias("n_b")
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_together").cast("double")
+                * F.col("n")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def _reg_sql() -> str:
+    """Shared CTE text: exact decimal moment sums per l_returnflag, cast
+    to double before any division (identical IEEE tree both engines)."""
+    return """
+    WITH moments AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+                   AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(24,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    """
+
+
+@register(
+    "price_quantity_regression",
+    oracle=_reg_sql()
+    + """
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS intercept,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS pearson_r
+    FROM moments
+    """,
+    doc=(
+        "Per-group OLS (extendedprice on quantity) + Pearson r from the "
+        "five moment sums — ONE partial-aggregated shuffle over the fact "
+        "table, no ML library, no second pass. Moments accumulate exact "
+        "DECIMAL (order-independent), then slope/intercept/r are pure "
+        "double arithmetic on identical inputs, so both engines emit "
+        "bit-identical statistics. The normal-equations form is the 100 "
+        "TB shape for regression: map-side combine does almost all the "
+        "work, the reducer sees one row per group."
+    ),
+    tags=("analytics", "agg"),
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(24,6)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(r, 6).alias("pearson_r"),
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS c_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order_date,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary_dec
+        FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, last_order_date,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(round(monetary_dec, 2) AS DOUBLE) AS monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order_date, c_custkey)
+                AS INTEGER) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY n_orders, c_custkey)
+                AS INTEGER) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_dec, c_custkey)
+                AS INTEGER) AS m_score
+    FROM base
+    """,
+    doc=(
+        "RFM customer scoring: recency/frequency/monetary per customer, "
+        "each quartiled with ntile(4). Orderings carry the c_custkey "
+        "tie-break so quartile assignment is total-order deterministic "
+        "(registry convention), and monetary quartiles rank the exact "
+        "DECIMAL sum, not the rounded double. The three global ntiles "
+        "run over the customer-grain aggregate (|customers|, not "
+        "|orders|); at 100 TB swap ntile for a percent_rank cut or "
+        "approx-quantile boundaries — documented trade, same output "
+        "contract."
+    ),
+    tags=("analytics", "window", "agg"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+            "monetary_dec"
+        ),
+    )
+    return base.select(
+        "c_custkey",
+        "last_order_date",
+        "n_orders",
+        F.round("monetary_dec", 2).cast("double").alias("monetary"),
+        F.ntile(4)
+        .over(W.orderBy("last_order_date", "c_custkey"))
+        .alias("r_score"),
+        F.ntile(4).over(W.orderBy("n_orders", "c_custkey")).alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy("monetary_dec", "c_custkey"))
+        .alias("m_score"),
+    )
+
+
+BUCKET_WIDTH = 25_000
+
+
+@register(
+    "order_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / {BUCKET_WIDTH}) * {BUCKET_WIDTH}
+                AS DOUBLE) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_sum('o_totalprice')} AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Equi-width distribution histogram of order values "
+        f"(${BUCKET_WIDTH:,} buckets) — the floor-div bucket id is "
+        "computed identically in both engines (width_bucket is not "
+        "portable), so bucket membership is exact. One partial-agg "
+        "shuffle whose reducer cardinality is #buckets, independent of "
+        "table size: the canonical 100 TB profile query."
+    ),
+    tags=("analytics", "agg"),
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / BUCKET_WIDTH)
+    return (
+        orders.groupBy(
+            bucket.cast("long").alias("bucket"),
+            (bucket * BUCKET_WIDTH).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(dec_sum("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "weekday_order_profile",
+    oracle=f"""
+    SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER)
+               AS weekday,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_avg('o_totalprice', 4)} AS avg_value,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+    doc=(
+        "Day-of-week seasonality profile. Weekday is pinned to the ISO "
+        "convention shifted to 0=Monday on both engines (Spark weekday() "
+        "vs DuckDB isodow()-1 — the two engines' default dayofweek "
+        "disagree, a classic cross-engine trap). Constant-cardinality "
+        "reducer (7 rows) after a partial agg."
+    ),
+    tags=("analytics", "agg"),
+)
+def weekday_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.weekday(F.col("o_orderdate")).alias("weekday"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(dec_avg("o_totalprice", 4)).alias("avg_value"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

@@ -507,6 +507,70 @@ def audio_header_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_wav_headers(payloads, id_col="doc_id", binary_col="payload")
 
 
+_MP4_TIMESCALE_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END)"
+)
+
+
+@register(
+    "video_container_catalog",
+    oracle=f"""
+    SELECT doc_id,
+           'isom' AS brand,
+           CAST({_MP4_TIMESCALE_SQL} AS INTEGER) AS timescale,
+           CAST(((n_chars * 37 + 11) * 1000) // {_MP4_TIMESCALE_SQL}
+                AS BIGINT) AS duration_ms,
+           CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+           CAST(n_chars % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc=(
+        "Video sibling of image/audio_header_catalog: synthesize real "
+        "ISO-BMFF (MP4) containers — ftyp box, moov nesting a v0 mvhd "
+        "(timescale by doc_id%3, tick duration from n_chars) and a "
+        "trak/tkhd with 16.16 fixed-point dimensions — then box-walk "
+        "them back (operators/multimodal.parse_mp4_headers, stdlib "
+        "struct only). Duration lands as integer milliseconds (floor), "
+        "recomputed arithmetically by the oracle, so any framing/offset/"
+        "endianness bug in either codec direction hash-mismatches. "
+        "Frame decode stays stubbed (no codec libs); this is the "
+        "catalog pass a 100 TB video corpus runs first. Two Arrow "
+        "stages, row-local, zero shuffle."
+    ),
+    tags=("documents", "multimodal"),
+)
+def video_container_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        parse_mp4_headers,
+        synthesize_mp4,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scales = [600, 1000, 90000]
+
+    def make_payload(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_mp4(
+                            scales[int(d) % 3],
+                            int(n) * 37 + 11,
+                            int(n) % 640 + 1,
+                            int(n) % 480 + 1,
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(make_payload, schema="doc_id long, payload binary")
+    return parse_mp4_headers(payloads, id_col="doc_id", binary_col="payload")
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals + duplicate-cluster resolution
 # ---------------------------------------------------------------------------

@@ -819,3 +819,106 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(approx, 6).alias("approx_dot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix search: coarse-rank on a prefix of the dimensions,
+# exact-rerank the survivors (Kusupati et al. 2022, "Matryoshka
+# Representation Learning": prefixes of an MRL-trained embedding are
+# themselves usable embeddings).
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIM = 16
+MRL_COARSE_K = 50
+
+
+def _prefix_dot(a: str, b: str, dialect: str) -> str:
+    if dialect == "spark":
+        pa = f"cast(slice({a}, 1, {MRL_PREFIX_DIM}) as array<double>)"
+        pb = f"cast(slice({b}, 1, {MRL_PREFIX_DIM}) as array<double>)"
+    else:
+        pa = f"CAST({a}[1:{MRL_PREFIX_DIM}] AS DOUBLE[])"
+        pb = f"CAST({b}[1:{MRL_PREFIX_DIM}] AS DOUBLE[])"
+    return vx.dot(pa, pb, dialect)
+
+
+@register(
+    "matryoshka_prefix_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    e AS (SELECT vec_id, embedding AS e_emb FROM embeddings),
+    coarse AS (
+        SELECT q.query_id, e.vec_id, q.q_emb, e.e_emb,
+               {_prefix_dot('q.q_emb', 'e.e_emb', 'duck')} AS pscore
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id, q_emb, e_emb FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY pscore DESC, vec_id ASC
+            ) AS prn FROM coarse
+        ) WHERE prn <= {MRL_COARSE_K}
+    )
+    SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+    FROM (
+        SELECT query_id, vec_id, {_cos('duck')} AS sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_cos('duck')} DESC, vec_id ASC) AS rank
+        FROM cand
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=(
+        f"Matryoshka two-stage ANN: coarse-rank every vector by the dot "
+        f"product of the FIRST {MRL_PREFIX_DIM} of {DIM} dimensions "
+        f"(prefixes of MRL-trained embeddings are valid low-d "
+        f"embeddings), keep {MRL_COARSE_K} candidates per query, then "
+        f"exact full-dimension cosine rerank to top-{TOP_K}. The coarse "
+        f"pass touches {MRL_PREFIX_DIM}/{DIM} = 1/4 of the vector bytes "
+        "— at 100 TB the prefix is stored as its own column so the "
+        "coarse scan reads a quarter of the data (columnar pruning does "
+        "the rest), and the exact rerank touches only |q| x "
+        f"{MRL_COARSE_K} rows. Both stages are sequential JVM folds, "
+        "bit-identical to the oracle; rankings carry vec_id "
+        "tie-breakers, so the result is hash-exact with no tolerance."
+    ),
+    tags=("embeddings", "simsearch"),
+)
+def matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
+    coarse = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "q_emb",
+            "e_emb",
+            F.expr(_prefix_dot("q_emb", "e_emb", "spark")).alias("pscore"),
+        )
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("pscore"), F.asc("vec_id"))
+    cand = (
+        coarse.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= MRL_COARSE_K)
+        .drop("prn", "pscore")
+    )
+    sim = F.expr(_cos("spark"))
+    wr = W.partitionBy("query_id").orderBy(sim.desc(), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
