@@ -339,3 +339,141 @@ def weekday_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph: the iterative-algorithm shape
+# (Brin & Page 1998), run for a FIXED number of synchronous iterations so
+# the computation is a finite join/agg DAG both engines can evaluate.
+# ---------------------------------------------------------------------------
+
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+
+
+def _pr_sql() -> str:
+    """Chained-CTE PageRank: it0 = uniform, each iteration = one
+    edges ⋈ ranks join + per-dst decimal-exact contribution sum."""
+    base = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE_ORDERS}
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (
+        SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n FROM deg),
+    it0 AS (
+        SELECT node, deg, CAST(1 AS DOUBLE) / nn.n AS r
+        FROM deg CROSS JOIN nn
+    )"""
+    for k in range(1, PR_ITERATIONS + 1):
+        base += f""",
+    c{k} AS (
+        SELECT e.dst AS node,
+               sum(CAST(p.r / p.deg AS DECIMAL(18,12))) AS contrib
+        FROM edges e JOIN it{k - 1} p ON p.node = e.src
+        GROUP BY 1
+    ),
+    it{k} AS (
+        SELECT d.node, d.deg,
+               CAST({1 - PR_DAMPING} AS DOUBLE) / nn.n
+               + CAST({PR_DAMPING} AS DOUBLE)
+                 * CAST(c{k}.contrib AS DOUBLE) AS r
+        FROM deg d
+        JOIN c{k} ON c{k}.node = d.node
+        CROSS JOIN nn
+    )"""
+    return base + f"""
+    SELECT node AS part_key, CAST(deg AS BIGINT) AS degree,
+           round(r, 9) AS pagerank
+    FROM it{PR_ITERATIONS}
+    """
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=_pr_sql(),
+    doc=(
+        f"PageRank ({PR_ITERATIONS} synchronous iterations, damping "
+        f"{PR_DAMPING}) over the undirected co-purchase part graph — "
+        "the iterative-algorithm pattern (label propagation, k-means, "
+        "embedding refinement) as a fixed join+agg chain. Each "
+        "iteration is ONE shuffle: edges ⋈ ranks on src, contributions "
+        "re-grouped on dst. Cross-engine exactness for an iterative "
+        "double computation: each r/deg contribution is cast to "
+        "DECIMAL(18,12) (double->decimal casts agree — doubles are "
+        "binary, never half-way in decimal), the per-node sum is exact "
+        "and order-independent, and the damping step is the same IEEE "
+        "tree on identical inputs — so after three rounds the doubles "
+        "are still bit-identical and the result hash-matches. At 100 TB "
+        "the ranks frame is |nodes| (<< |edges|); co-partitioning edges "
+        "by src across iterations reuses the shuffle, and every node "
+        "has degree >= 1 by construction so no dangling-mass term."
+    ),
+    tags=("analytics", "graph", "join", "agg"),
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # the graph is reused 3x; materialize it once instead of recomputing
+    # the distinct+self-join chain per iteration
+    edges = edges.persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    nn = deg.select(F.count("*").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("r") / F.col("deg")).cast("decimal(18,12)")
+                ).alias("contrib")
+            )
+        )
+        ranks = (
+            deg.join(contrib, "node")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(1 - PR_DAMPING) / F.col("n")
+                    + F.lit(PR_DAMPING) * F.col("contrib").cast("double")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"),
+        F.col("deg").alias("degree"),
+        F.round("r", 9).alias("pagerank"),
+    )

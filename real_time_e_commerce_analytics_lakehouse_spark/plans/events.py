@@ -434,3 +434,41 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("users"))
     )
+
+
+@register(
+    "weekly_uniques_hll_rollup",
+    oracle=None,  # DataSketches HLL binaries are engine-specific; rows-only
+    doc=(
+        "Mergeable-sketch rollup — the 100 TB incremental-uniques story: "
+        "per-day HLL sketches of active users (hll_sketch_agg, Apache "
+        "DataSketches) are UNION-merged up to weekly estimates "
+        "(hll_union_agg + hll_sketch_estimate) without rescanning the "
+        "events. At scale the daily sketches are a few KB each and live "
+        "in the daily mart, so week/month/quarter uniques are "
+        "sketch-algebra over tiny state instead of a second pass over "
+        "the fact table — countDistinct cannot do this (distinct sets "
+        "don't merge; sketches do). No oracle: sketch binaries are "
+        "engine-specific by construction; pytest asserts (a) the "
+        "estimate is within 5% of exact and (b) merged-daily == "
+        "direct-weekly exactly (same sketch algebra)."
+    ),
+    tags=("events", "agg", "approx"),
+)
+def weekly_uniques_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy(
+            F.date_trunc("week", "day").cast("date").alias("week_start"),
+            "event_type",
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .alias("approx_uniques"),
+            F.count("*").alias("n_days_merged"),
+        )
+    )

@@ -353,3 +353,44 @@ def test_expectations_observed_fail_still_aborts(spark):
     )
     with pytest.raises(Exception, match="EXPECTATION_FAILED"):
         clean.collect()
+
+
+def test_hll_rollup_accuracy_and_merge_identity(spark, sf_dir):
+    """(a) merged weekly HLL estimates land within 5% of exact weekly
+    uniques; (b) union-of-daily-sketches == direct weekly sketch EXACTLY
+    (sketch algebra: union is lossless over HLL registers), which is the
+    property that makes per-day sketch state sufficient for any coarser
+    rollup."""
+    from pyspark.sql import functions as F
+
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+
+    got = {
+        (r.week_start, r.event_type): r.approx_uniques
+        for r in QUERIES["weekly_uniques_hll_rollup"].builder(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        (r.week_start, r.event_type): r.exact
+        for r in ev.groupBy(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+    direct = {
+        (r.week_start, r.event_type): r.approx_uniques
+        for r in ev.groupBy(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start"),
+            "event_type",
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_uniques"))
+        .collect()
+    }
+    assert got == direct
