@@ -440,34 +440,45 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # the graph is reused 3x; materialize it once instead of recomputing
-    # the distinct+self-join chain per iteration
+    # edges feed deg, nn, the annotated graph AND the initial ranks —
+    # cache them so the distinct+self-join chain runs once
     edges = edges.persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
     nn = deg.select(F.count("*").alias("n"))
+    # annotate each edge ONCE with its destination's degree and the node
+    # count, so an iteration is exactly one join + one groupBy (no
+    # per-round deg/n rejoin); the graph is reused 3x -> materialize it
+    graph = (
+        edges.join(
+            deg.select(
+                F.col("node").alias("dst"), F.col("deg").alias("dst_deg")
+            ),
+            "dst",
+        )
+        .crossJoin(F.broadcast(nn))
+        .persist()
+    )
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(PR_ITERATIONS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .groupBy(F.col("dst").alias("node"))
+        ranks = (
+            graph.join(ranks, graph["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("next_node"))
             .agg(
                 F.sum(
                     (F.col("r") / F.col("deg")).cast("decimal(18,12)")
-                ).alias("contrib")
+                ).alias("contrib"),
+                F.max("dst_deg").alias("next_deg"),  # constant per dst
+                F.max("n").alias("next_n"),
             )
-        )
-        ranks = (
-            deg.join(contrib, "node")
-            .crossJoin(F.broadcast(nn))
             .select(
-                "node",
-                "deg",
+                F.col("next_node").alias("node"),
+                F.col("next_deg").alias("deg"),
                 (
-                    F.lit(1 - PR_DAMPING) / F.col("n")
+                    F.lit(1 - PR_DAMPING) / F.col("next_n")
                     + F.lit(PR_DAMPING) * F.col("contrib").cast("double")
                 ).alias("r"),
             )
