@@ -72,6 +72,7 @@ MIN_COPURCHASE_ORDERS = 2
         "HAVING-style support threshold pushed before the support joins."
     ),
     tags=("analytics", "join", "agg"),
+    bench=True,
 )
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -423,6 +424,7 @@ def _pr_sql() -> str:
         "has degree >= 1 by construction so no dangling-mass term."
     ),
     tags=("analytics", "graph", "join", "agg"),
+    bench=True,
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")

@@ -29,6 +29,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
     EVENTS_CTE,
     dec_avg,
     dec_sum,
+    fan_out,
     register,
     table,
 )
@@ -71,7 +72,9 @@ _AVG_TOTALPRICE = dec_avg("o_totalprice")
     bench=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # 8 decimal aggregates rooted on the scan: rebalance if the file's
+    # row-group layout would serialize them (fan_out docstring)
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -163,7 +166,7 @@ def revenue_by_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fact_orders_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     items = li.groupBy("l_orderkey").agg(
         F.count("*").alias("item_count"),
         F.expr(dec_sum("l_extendedprice")).alias("total_item_value"),

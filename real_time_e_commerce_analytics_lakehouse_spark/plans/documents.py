@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
-from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import fan_out, register, table
 
 N_MINHASH = 8  # signature length
 N_BANDS = 4  # LSH bands (2 rows per band)
@@ -45,7 +45,9 @@ def _sig_select(dialect: str) -> str:
 
 
 def _spark_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # tokenizing/shingling/hashing is the CPU bulk of every consumer;
+    # rebalance single-row-group scans so it uses all cores (fan_out doc)
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return docs.withColumn("t", F.expr(tx.tokens("text", "spark")))
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import vecexpr as vx
-from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import fan_out, register, table
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -66,7 +66,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    e = emb.select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
+    e = fan_out(emb).select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
     scored = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
@@ -776,7 +776,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embeddings", "simsearch"),
 )
 def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
     ma = vx.int8_maxabs("embedding", "spark")
     prep = emb.select(
         "vec_id",
@@ -892,7 +892,7 @@ def matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    e = emb.select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
+    e = fan_out(emb).select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
     coarse = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
