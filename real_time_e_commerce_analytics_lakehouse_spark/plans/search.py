@@ -1,0 +1,215 @@
+"""Full-text-search primitives over the `documents` table: the inverted
+index a search tier builds from the curated corpus, and BM25 ranking
+(Robertson & Sparck Jones / Okapi BM25) against a keyword query.
+
+Scale design: both are one-shuffle-on-token plans. The inverted index
+is the canonical 100 TB "build a search index with Spark" job — explode
+to (token, doc) postings, group on the token blocking key, serialize
+bounded posting heads. BM25 scores only the docs containing a query
+term (an inner join against a tiny term list — the scan never ranks the
+full corpus), with corpus statistics (N, avgdl) reduced once and
+broadcast.
+
+Cross-engine exactness: tf/df/dl/N are exact integers; avgdl and every
+BM25 factor is the same IEEE double expression tree on identical inputs
+(ln() is the one libm call — both engines' logs are correctly rounded
+for these magnitudes); per-term scores are recombined in FIXED written
+order (one conditional aggregate per query term), never via an
+order-dependent float sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    fan_out,
+    register,
+    table,
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("window", "merge", "scan")
+BM25_TOP_K = 20
+POSTINGS_CAP = 50  # serialized posting-list head per token
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tx.tokens('text', 'duck')}) AS t
+        FROM documents
+    ),
+    tf AS (
+        SELECT t, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT t AS token,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(CASE WHEN rn <= {POSTINGS_CAP}
+                           THEN doc_id || ':' || tf END, ','
+                      ORDER BY doc_id) AS postings_head
+    FROM (
+        SELECT t, doc_id, tf,
+               row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+        FROM tf
+    )
+    GROUP BY t
+    """,
+    doc=(
+        "Inverted-index build: token -> document frequency, total term "
+        "frequency, and the first "
+        f"{POSTINGS_CAP} postings (doc_id:tf, doc-ordered) serialized "
+        "to a string — bounded output per token, and the driver's "
+        "pandas hash cannot hold list cells anyway (same serialization "
+        "stance as customer_order_keys_array). ONE shuffle on the token "
+        "blocking key after a row-local explode; at 100 TB this is "
+        "exactly the index-build job, with postings written as arrays "
+        "instead of capped strings. Posting order carries the doc_id "
+        "tie-break so serialization is deterministic."
+    ),
+    tags=("documents", "text", "search"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("t")
+    )
+    tf = toks.groupBy("t", "doc_id").agg(F.count("*").alias("tf"))
+    per_tok = tf.groupBy(F.col("t").alias("token")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    1,
+                    POSTINGS_CAP,
+                ),
+                lambda s: F.concat_ws(":", s.doc_id, s.tf),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+    return per_tok
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf_factor = (
+        f"(tf * ({BM25_K1} + 1)) / (tf + {BM25_K1} * "
+        f"(1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    )
+    idf = "ln((n_corpus - df + 0.5) / (df + 0.5) + 1)"
+    score_cols = ", ".join(
+        f"sum(CASE WHEN t = '{t}' THEN score END) AS s{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    total = " + ".join(f"coalesce(s{i}, 0)" for i in range(len(BM25_TERMS)))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tx.tokens('text', 'duck')}) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_corpus,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE t IN ({terms}) GROUP BY 1, 2
+    ),
+    df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.t,
+               {idf} * {tf_factor} AS score
+        FROM tf
+        JOIN df ON df.t = tf.t
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    per_doc AS (
+        SELECT doc_id, {score_cols} FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, rank, round(bm25, 6) AS bm25
+    FROM (
+        SELECT doc_id, {total} AS bm25,
+               row_number() OVER (ORDER BY {total} DESC, doc_id ASC) AS rank
+        FROM per_doc
+    )
+    WHERE rank <= {BM25_TOP_K}
+    """
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=_bm25_sql(),
+    doc=(
+        f"Okapi BM25 top-{BM25_TOP_K} for the keyword query "
+        f"{BM25_TERMS} (k1={BM25_K1}, b={BM25_B}). Only docs containing "
+        "a query term are scored (term filter pushed before the tf "
+        "aggregation); corpus stats (N, avgdl) are a 1-row broadcast; "
+        "per-term scores recombine as fixed-order conditional "
+        "aggregates, so no order-dependent float sum exists anywhere — "
+        "the ranking hash-matches exactly. The global top-k window runs "
+        "over |matching docs|; at 100 TB swap it for "
+        "TakeOrderedAndProject (orderBy+limit) — same contract."
+    ),
+    tags=("documents", "text", "search"),
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_corpus"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tf_factor = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "t", (idf * tf_factor).alias("score"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("t") == t, F.col("score"))).alias(f"s{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    total = None
+    for i in range(len(BM25_TERMS)):
+        term = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+        total = term if total is None else total + term
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        per_doc.select("doc_id", total.alias("bm25"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", "rank", F.round("bm25", 6).alias("bm25"))
+    )
