@@ -9,6 +9,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
 # importing the modules populates QUERIES
 from real_time_e_commerce_analytics_lakehouse_spark.plans import advanced as _advanced  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import analytics as _analytics  # noqa: E402,F401
+from real_time_e_commerce_analytics_lakehouse_spark.plans import bpe as _bpe  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import core as _core  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import curation as _curation  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import documents as _documents  # noqa: E402,F401

@@ -490,3 +490,50 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("degree"),
         F.round("r", 9).alias("pagerank"),
     )
+
+
+BLOOM_BRANDS = ("Brand#11", "Brand#23", "Brand#42")
+
+
+@register(
+    "bloom_pruned_brand_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {dec_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN {BLOOM_BRANDS}
+    GROUP BY 1
+    """,
+    doc=(
+        "Revenue for three brands via an EXPLICIT bloom runtime filter "
+        "(operators/bloomjoin): the filtered part side's keys build an "
+        "m-bit bitmap (one bounded aggregate), every lineitem row checks "
+        "its k bits with JVM expressions BEFORE the join shuffle, and "
+        "the join itself removes the ~0.6% false positives — so the "
+        "oracle is the PLAIN join (the bloom changes the plan, never "
+        "the answer; no false negatives by construction). At 100 TB "
+        "this is sideways information passing: only the ~2% of fact "
+        "rows matching the dim filter enter the shuffle. The "
+        "pruning-actually-prunes property is pinned in pytest "
+        "(test_operators.test_bloom_join)."
+    ),
+    tags=("analytics", "join", "agg", "scale"),
+)
+def bloom_pruned_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.bloomjoin import (
+        bloom_join,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*BLOOM_BRANDS)
+    )
+    joined = bloom_join(li, part, "l_partkey", "p_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.expr(dec_sum("l_extendedprice * (1 - l_discount)")).alias(
+            "revenue"
+        ),
+    )

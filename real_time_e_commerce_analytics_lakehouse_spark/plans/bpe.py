@@ -1,0 +1,108 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+first N byte-pair merges from the corpus, hash-exact across engines.
+
+The classic algorithm is sequential (merge symbols left-to-right, pick
+the most frequent adjacent pair, repeat), which engines usually punt to
+Python. The trick that keeps it in pure SQL/DataFrame expressions on
+BOTH engines: represent each word's symbol sequence as a DOUBLE-SPACED
+string (`' a  b  c '` — single space at the ends, double between
+symbols). Then standard left-to-right non-overlapping `replace()` of
+`' l  r '` with `' lr '` implements exactly BPE's merge pass —
+consecutive occurrences keep their shared delimiter, and `"a a a"`
+merges to `"(aa) a"` just like the reference algorithm (verified on
+Spark and DuckDB; both scan forward and never rescan replaced output).
+
+Per merge round: one pair-count aggregate over the DISTINCT-WORD table
+(weighted by word frequency — the standard optimization that makes BPE
+training corpus-size-independent: the shuffle is |vocab|, not |tokens|)
++ a 1-row argmax broadcast + a row-local replace. N rounds = N such
+stages chained; everything is built-in string/array expressions, no
+Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
+
+BPE_ROUNDS = 3
+
+
+def _bpe_sql(d: str) -> str:
+    if d == "spark":
+        spaced = "regexp_replace(word, '(.)', ' $1 ')"
+        toks = f"explode({tx.tokens('text', 'spark')})"
+        def pairs(src: str) -> str:
+            return f"""
+        SELECT l, r, sum(wn) AS cnt FROM (
+            SELECT wn, p.l AS l, p.r AS r FROM (
+                SELECT wn, explode(case when size(a) >= 2 then
+                    transform(sequence(1, size(a) - 1),
+                              i -> struct(element_at(a, i) AS l,
+                                          element_at(a, i + 1) AS r))
+                    else array() end) AS p
+                FROM (SELECT wn, split(trim(s), '  ') AS a FROM {src})
+            )
+        ) GROUP BY l, r"""
+    else:
+        spaced = r"regexp_replace(word, '(.)', ' \1 ', 'g')"
+        toks = f"unnest({tx.tokens('text', 'duck')})"
+        def pairs(src: str) -> str:
+            return f"""
+        SELECT p.l AS l, p.r AS r, sum(wn) AS cnt FROM (
+            SELECT wn, unnest(list_transform(range(1, len(a)),
+                              i -> {{'l': a[i], 'r': a[i + 1]}})) AS p
+            FROM (SELECT wn, string_split(trim(s), '  ') AS a FROM {src})
+        ) GROUP BY p.l, p.r"""
+
+    sql = f"""
+    WITH words0 AS (
+        SELECT word, count(*) AS wn, {spaced} AS s
+        FROM (SELECT {toks} AS word FROM documents)
+        GROUP BY word
+    )"""
+    for k in range(1, BPE_ROUNDS + 1):
+        prev = f"words{k - 1}"
+        sql += f""",
+    pairs{k} AS ({pairs(prev)}),
+    m{k} AS (
+        SELECT l, r, cnt FROM pairs{k}
+        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ),
+    words{k} AS (
+        SELECT word, wn,
+               replace(s, ' ' || l || '  ' || r || ' ',
+                          ' ' || l || r || ' ') AS s
+        FROM {prev} CROSS JOIN m{k}
+    )"""
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS rank, l AS lhs, r AS rhs, l || r AS merged, "
+        f"CAST(cnt AS BIGINT) AS n_pairs FROM m{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return sql + "\n    " + finals
+
+
+@register(
+    "bpe_learned_merges",
+    oracle=_bpe_sql("duck"),
+    doc=(
+        f"BPE tokenizer training: the first {BPE_ROUNDS} learned merges "
+        "(rank, symbol pair, merged token, weighted pair count) over "
+        "the corpus vocabulary, ties broken lexicographically. "
+        "Double-spaced symbol strings make plain replace() an exact "
+        "BPE merge pass (module docstring); per round the engine runs "
+        "one |vocab|-sized pair-count shuffle, a 1-row argmax "
+        "broadcast, and a row-local merge — the distributed shape that "
+        "trains on a 100 TB corpus by shuffling only distinct words. "
+        "Hash-exact: pair counts are integers and the string algebra "
+        "is deterministic, so both engines learn the identical merge "
+        "table."
+    ),
+    tags=("documents", "text"),
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bpe_sql("spark"))

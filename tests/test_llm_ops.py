@@ -386,3 +386,49 @@ def test_matryoshka_recall_vs_exact_cosine(spark, sf_dir) -> None:
     assert recall >= 3 * chance, (
         f"matryoshka recall@10 {recall:.2f} not above 3x chance {chance:.2f}"
     )
+
+
+def test_bpe_merges_match_reference_python(spark, sf_dir):
+    """The SQL double-space trick must implement REAL BPE, not just be
+    self-consistent across the two SQL engines: re-derive the merge
+    table with a straightforward Python reference implementation
+    (Sennrich et al. 2016, word-frequency weighted, lexicographic
+    tie-break) and require identical (pair, count) per rank."""
+    from collections import Counter
+
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.bpe import BPE_ROUNDS
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+
+    docs = [r.text for r in table(spark, sf_dir, "documents").collect()]
+    words = Counter()
+    for t in docs:
+        for w in t.strip().lower().split():
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+
+    expected = []
+    for _ in range(BPE_ROUNDS):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((l, r, l + r, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = sorted(
+        (r.rank, r.lhs, r.rhs, r.merged, r.n_pairs)
+        for r in QUERIES["bpe_learned_merges"].builder(spark, sf_dir).collect()
+    )
+    want = [(k + 1, *e) for k, e in enumerate(expected)]
+    assert got == want, (got, want)

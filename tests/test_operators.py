@@ -394,3 +394,38 @@ def test_hll_rollup_accuracy_and_merge_identity(spark, sf_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_bloom_join_exact_and_actually_prunes(spark, sf_dir):
+    """bloom_join == plain join exactly (no false negatives), and the
+    bloom filter really cuts the probe side before the shuffle."""
+    from pyspark.sql import functions as F
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.bloomjoin import (
+        bloom_join,
+        bloom_prune,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.p_partkey)
+        for r in bloom_join(li, part, "l_partkey", "p_partkey")
+        .select("l_orderkey", "l_linenumber", "p_partkey")
+        .collect()
+    )
+    want = sorted(
+        (r.l_orderkey, r.l_linenumber, r.p_partkey)
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_linenumber", "p_partkey")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+    # pruning power: the filter must reject the vast majority of probe
+    # rows (build side is ~0.5% of part keys; FP rate ~0.6%)
+    total = li.count()
+    kept = bloom_prune(li, part, "l_partkey", "p_partkey").count()
+    assert kept < total * 0.1, (kept, total)
+    # and keep at least every true match
+    assert kept >= len(want)
