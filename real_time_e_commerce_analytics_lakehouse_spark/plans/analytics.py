@@ -537,3 +537,99 @@ def bloom_pruned_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+HIST_BIN_W = 25_000
+HIST_BINS = 24  # values clamp into the last bin
+
+
+@register(
+    "weekly_histogram_percentiles",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               least(CAST(floor(o_totalprice / {HIST_BIN_W}) AS INTEGER),
+                     {HIST_BINS - 1}) AS bin,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    weekly AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS week_start,
+               bin, sum(cnt) AS cnt
+        FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT week_start, bin, cnt,
+               sum(cnt) OVER (PARTITION BY week_start ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY week_start) AS total
+        FROM weekly
+    )
+    SELECT week_start,
+           CAST(max(total) AS BIGINT) AS n_orders,
+           CAST((min(CASE WHEN 2 * cum >= total THEN bin END) + 1)
+                * {HIST_BIN_W} AS DOUBLE) AS p50_upper,
+           CAST((min(CASE WHEN 20 * cum >= 19 * total THEN bin END) + 1)
+                * {HIST_BIN_W} AS DOUBLE) AS p95_upper
+    FROM cum
+    GROUP BY week_start
+    """,
+    doc=(
+        "Mergeable-histogram percentile rollup — the quantile sibling "
+        "of weekly_uniques_hll_rollup: per-day equi-width bin counts "
+        "(a long-form histogram IS a mergeable sketch: merging = "
+        "summing counts per bin) roll up to weekly p50/p95 bounds "
+        "without a second pass over the orders — at 100 TB the daily "
+        "histograms live in the daily mart and any coarser percentile "
+        "is sketch algebra over #bins rows. Percentile selection uses "
+        "pure integer comparisons (2*cum >= total, 20*cum >= "
+        "19*total), so unlike approx_percentile the result is exactly "
+        "reproducible cross-engine — hash-exact, no tolerance."
+    ),
+    tags=("analytics", "agg", "approx", "window"),
+)
+def weekly_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.least(
+            F.floor(F.col("o_totalprice") / HIST_BIN_W).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week_start"),
+        "bin",
+    ).agg(F.sum("cnt").alias("cnt"))
+    wcum = W.partitionBy("week_start").orderBy("bin")
+    wall = W.partitionBy("week_start")
+    cum = weekly.select(
+        "week_start",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return cum.groupBy("week_start").agg(
+        F.max("total").alias("n_orders"),
+        (
+            (
+                F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("bin")))
+                + 1
+            )
+            * HIST_BIN_W
+        )
+        .cast("double")
+        .alias("p50_upper"),
+        (
+            (
+                F.min(
+                    F.when(
+                        20 * F.col("cum") >= 19 * F.col("total"), F.col("bin")
+                    )
+                )
+                + 1
+            )
+            * HIST_BIN_W
+        )
+        .cast("double")
+        .alias("p95_upper"),
+    )
