@@ -57,7 +57,7 @@ GATE_ORDER = [
     # aggregate family
     "rollup_revenue",
     "copurchase_part_pairs",
-    "price_percentiles",
+    "weekly_histogram_percentiles",
     "customer_last_order_argmax",
     "customer_order_keys_array",
     "salted_revenue_by_status",
@@ -65,7 +65,7 @@ GATE_ORDER = [
     "except_inactive_customers",
     # decision-support subquery shapes
     "big_basket_orders",
-    "customer_order_histogram",
+    "bloom_pruned_brand_revenue",
     "q2_cheapest_supplier_per_part",
     "q9_profit_by_nation_year",
     "q22_idle_rich_customers",
@@ -76,11 +76,11 @@ GATE_ORDER = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
-    "simhash_fingerprints",
+    "bm25_keyword_search",
     "neardup_clusters",
     "cross_doc_duplicate_spans",
     "doc_token_stats",
-    "doc_langid",
+    "bpe_learned_merges",
     "doc_unigram_logprob",
     # curation
     "benchmark_contamination",
