@@ -1,0 +1,108 @@
+"""Incrementally-maintained full-text search index on the table layer.
+
+Ties the search primitives (plans/search.py) to the LakeTable
+incremental story: the inverted index is a TABLE the engine maintains
+batch-by-batch, not a one-shot job —
+
+- `postings` LakeTable: (token, doc_id, tf), merged per ingest batch on
+  the composite key (re-ingesting a doc replaces its postings —
+  idempotent under replay, the same contract as the silver tier);
+- `doclen` LakeTable: (doc_id, dl), merged the same way; corpus stats
+  (N, avgdl) derive from it with a metadata-cheap aggregate.
+
+`bm25_from_index` then answers keyword queries from the INDEX alone —
+the documents table is never rescanned at query time, which is the
+point of an index at 100 TB: query cost is |matching postings|, while
+ingest cost is |batch|. Exactness: scoring reuses the BM25 expression
+contract of plans/search.py (integer tf/df/dl, fixed-order per-term
+recombination), so index-served scores equal corpus-scan scores
+bit-for-bit — pinned in tests/test_search_index.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
+from real_time_e_commerce_analytics_lakehouse_spark.plans.search import (
+    BM25_B,
+    BM25_K1,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+
+class SearchIndex:
+    """Inverted index + document-length table, incrementally merged."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.postings = LakeTable(spark, os.path.join(root, "postings"))
+        self.doclen = LakeTable(spark, os.path.join(root, "doclen"))
+
+    def ingest(self, docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> None:
+        """Tokenize a batch and merge its postings. Upsert on
+        (doc_id, token) + delete-unmatched scoped to the batch's docs
+        would be the full re-ingest story; the driver corpus is
+        append-only, so composite-key upsert suffices and replays are
+        no-ops (merge guard contract)."""
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(tx.tokens(text_col, "spark"))).alias("token"),
+        )
+        tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        if not self.postings.exists():
+            self.postings.overwrite(tf)
+            self.doclen.overwrite(dl)
+            return
+        self.postings.merge_upsert(tf, keys=["doc_id", "token"])
+        self.doclen.merge_upsert(dl, keys=["doc_id"])
+
+    def bm25(self, terms: tuple[str, ...], top_k: int = 20) -> DataFrame:
+        """BM25 top-k from the index tables only (no corpus scan)."""
+        tf = self.postings.read().filter(F.col("token").isin(*terms))
+        dl = self.doclen.read()
+        stats = dl.agg(
+            F.count("*").cast("double").alias("n_corpus"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        df_ = tf.groupBy("token").agg(
+            F.count("*").cast("double").alias("df")
+        )
+        idf = F.log(
+            (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        tf_factor = (F.col("tf").cast("double") * (BM25_K1 + 1)) / (
+            F.col("tf").cast("double")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        scored = (
+            tf.join(F.broadcast(df_), "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", "token", (idf * tf_factor).alias("score"))
+        )
+        per_doc = scored.groupBy("doc_id").agg(
+            *[
+                F.sum(F.when(F.col("token") == t, F.col("score"))).alias(
+                    f"s{i}"
+                )
+                for i, t in enumerate(terms)
+            ]
+        )
+        total = None
+        for i in range(len(terms)):
+            term = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+            total = term if total is None else total + term
+        w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        return (
+            per_doc.select("doc_id", total.alias("bm25"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= top_k)
+            .select("doc_id", "rank", F.round("bm25", 6).alias("bm25"))
+        )
