@@ -102,6 +102,7 @@ def _bpe_sql(d: str) -> str:
         "table."
     ),
     tags=("documents", "text"),
+    bench=True,
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")

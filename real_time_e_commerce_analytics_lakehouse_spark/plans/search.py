@@ -164,6 +164,7 @@ def _bm25_sql() -> str:
         "TakeOrderedAndProject (orderBy+limit) — same contract."
     ),
     tags=("documents", "text", "search"),
+    bench=True,
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

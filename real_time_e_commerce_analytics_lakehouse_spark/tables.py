@@ -103,6 +103,42 @@ def _unescape_hive(raw: str) -> str:
     return raw if raw == _HIVE_NULL else unquote(raw)
 
 
+def partition_transform(col: str, transform: str, n: int | None = None) -> tuple[str, str]:
+    """Iceberg-style HIDDEN PARTITIONING sugar over generated columns:
+    returns (partition_column_name, generating SQL expr) for the
+    standard transforms — `days`/`months`/`years` of a timestamp,
+    `bucket(n)` of any key, `truncate(n)` of a string. Use as:
+
+        name, expr = partition_transform("ts", "days")
+        t = LakeTable(spark, path, partition_by=[name],
+                      generated={name: expr})
+
+    Writers never supply the partition column (it is GENERATED ALWAYS
+    AS — computed when absent, validated when supplied), readers never
+    see surprise semantics, and partition pruning works on the derived
+    value (`read(partitions={name: [...]})`) exactly as Iceberg prunes
+    on transform values. The bucket transform uses xxhash64, the
+    engine's deterministic surrogate-hash convention."""
+    if transform == "days":
+        return f"__p_days_{col}", f"CAST({col} AS DATE)"
+    if transform == "months":
+        return f"__p_months_{col}", f"date_format({col}, 'yyyy-MM')"
+    if transform == "years":
+        return f"__p_years_{col}", f"year({col})"
+    if transform == "bucket":
+        if not n or n <= 0:
+            raise ValueError("bucket transform requires n > 0")
+        return f"__p_bucket{n}_{col}", f"pmod(xxhash64({col}), {n})"
+    if transform == "truncate":
+        if not n or n <= 0:
+            raise ValueError("truncate transform requires n > 0")
+        return f"__p_trunc{n}_{col}", f"substring(CAST({col} AS STRING), 1, {n})"
+    raise ValueError(
+        f"unknown partition transform {transform!r} "
+        "(supported: days, months, years, bucket, truncate)"
+    )
+
+
 @dataclass
 class _Unit:
     """One immutable data unit (a parquet directory) plus its partition

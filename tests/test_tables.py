@@ -1912,3 +1912,53 @@ def test_insert_only_merge_key_range_prunes_target_read(spark, tmp_table):
     assert all(len(units) == 1 for units in read_calls)
     t._read_units = orig
     assert t.read().count() == 350
+
+
+# ------------------------------------------- hidden partitioning (Iceberg transforms)
+
+
+def test_partition_transform_hidden_partitioning(spark, tmp_path):
+    """Iceberg-style transforms as sugar over generated columns: writers
+    never supply the partition column, pruning works on the transform
+    value, and bucket/days derivations are deterministic."""
+    import pytest as _pytest
+
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import (
+        LakeTable,
+        partition_transform,
+    )
+
+    name, expr = partition_transform("ts", "days")
+    t = LakeTable(
+        spark, str(tmp_path / "days"), partition_by=[name],
+        generated={name: expr},
+    )
+    df = spark.sql(
+        "SELECT id, timestamp_micros(cast(id * 43200000000 as bigint)) AS ts "
+        "FROM range(10)"
+    )
+    t.overwrite(df)
+    # 10 half-day points -> 5 distinct dates; pruning reads exactly one
+    got = t.read(partitions={name: ["1970-01-02"]})
+    assert sorted(r.id for r in got.collect()) == [2, 3]
+    # hidden col is restored on read but writers never provided it
+    assert name in t.read().columns
+
+    bname, bexpr = partition_transform("id", "bucket", 4)
+    b = LakeTable(
+        spark, str(tmp_path / "bucket"), partition_by=[bname],
+        generated={bname: bexpr},
+    )
+    b.overwrite(spark.range(100).selectExpr("id"))
+    buckets = {r[bname] for r in b.read().select(bname).distinct().collect()}
+    assert buckets == {"0", "1", "2", "3"} or buckets == {0, 1, 2, 3}
+    # same key always lands in the same bucket (deterministic hash)
+    one = b.read().filter("id = 7").select(bname).collect()[0][0]
+    b.append(spark.range(7, 8).selectExpr("id"))
+    two = [r[0] for r in b.read().filter("id = 7").select(bname).collect()]
+    assert set(two) == {one}
+
+    with _pytest.raises(ValueError):
+        partition_transform("x", "bucket")
+    with _pytest.raises(ValueError):
+        partition_transform("x", "hourly")
