@@ -429,3 +429,34 @@ def test_bloom_join_exact_and_actually_prunes(spark, sf_dir):
     assert kept < total * 0.1, (kept, total)
     # and keep at least every true match
     assert kept >= len(want)
+
+
+def test_hll_audience_overlap_accuracy(spark, sf_dir):
+    """Sketch-algebra intersections must track exact pairwise overlap:
+    within 10% of exact (three estimates compound) or 50 users."""
+    from pyspark.sql import functions as F
+
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+
+    got = {
+        (r.type_a, r.type_b): r.overlap_estimate
+        for r in QUERIES["audience_overlap_hll"].builder(spark, sf_dir).collect()
+    }
+    assert got, "no event-type pairs"
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    a = ev.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ev.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = {
+        (r.type_a, r.type_b): r.n
+        for r in a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(0.10 * exact[k], 50), (
+            k, est, exact[k],
+        )
