@@ -214,3 +214,39 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("doc_id", "rank", F.round("bm25", 6).alias("bm25"))
     )
+
+
+TOPK_SKETCH_K = 10
+
+
+@register(
+    "trending_tokens_sketch",
+    oracle=None,  # DataSketches frequent-items binary state; rows-only
+    doc=(
+        f"Heavy hitters via the approx_top_k frequent-items sketch "
+        f"(DataSketches): top-{TOPK_SKETCH_K} corpus tokens with "
+        "approximate counts, serialized token:count per rank. The "
+        "sketch is CONSTANT-MEMORY and mergeable — at 100 TB this "
+        "replaces the exact two-shuffle top-k (full token groupBy + "
+        "global sort) with one pass and a bounded accumulator per "
+        "partition. No oracle (sketch state is engine-specific); "
+        "pytest proves the guarantee that matters: with vocabulary "
+        "far below sketch capacity the counts are EXACT, so the "
+        "result must equal the exact frequency table."
+    ),
+    tags=("documents", "text", "search", "approx"),
+)
+def trending_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.expr(tx.tokens("text", "spark"))).alias("t")
+    )
+    toks.createOrReplaceTempView("__toks")
+    return spark.sql(f"""
+        SELECT posexplode(hits) AS (rank0, hit)
+        FROM (SELECT approx_top_k(t, {TOPK_SKETCH_K}) AS hits FROM __toks)
+    """).select(
+        (F.col("rank0") + 1).cast("long").alias("rank"),
+        F.col("hit.item").alias("token"),
+        F.col("hit.count").cast("long").alias("approx_count"),
+    )

@@ -460,3 +460,36 @@ def test_hll_audience_overlap_accuracy(spark, sf_dir):
         assert abs(est - exact[k]) <= max(0.10 * exact[k], 50), (
             k, est, exact[k],
         )
+
+
+def test_trending_tokens_sketch_exact_below_capacity(spark, sf_dir):
+    """Frequent-items sketches are exact while distinct items fit the
+    sketch; the corpus vocabulary (~31) is far below capacity, so the
+    sketch top-k must EQUAL the exact frequency table (counts and
+    membership; order can tie-break differently at equal counts)."""
+    from pyspark.sql import functions as F
+
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.search import TOPK_SKETCH_K
+
+    got = {
+        r.token: r.approx_count
+        for r in QUERIES["trending_tokens_sketch"].builder(spark, sf_dir).collect()
+    }
+    exact = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .limit(TOPK_SKETCH_K * 2)
+        .collect()
+    )
+    exact_counts = {r.t: r["count"] for r in exact}
+    kth = sorted(exact_counts.values(), reverse=True)[TOPK_SKETCH_K - 1]
+    assert len(got) == TOPK_SKETCH_K
+    for tok, cnt in got.items():
+        assert exact_counts[tok] == cnt, (tok, cnt, exact_counts.get(tok))
+        # every sketch hit belongs to the exact top set (ties allowed)
+        assert cnt >= kth
