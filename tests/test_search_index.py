@@ -56,3 +56,58 @@ def test_incremental_index_equals_one_shot_and_corpus_scan(
         .count()
     )
     assert n_postings == direct
+
+
+def test_streaming_index_ingest_checkpoint_and_equivalence(
+    spark, sf_dir, tmp_path
+) -> None:
+    """The standing index-maintenance job: JSONL drops stream into the
+    index; a second availableNow run after new files ingests ONLY the
+    new ones (checkpoint), and the final index equals a one-shot build
+    over all docs."""
+    import json
+    import os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.pipelines.search_index import (
+        SearchIndex,
+        run_indexing_stream,
+    )
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(60)
+        .collect()
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for d, t in rows:
+                f.write(json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    drop("batch1.jsonl", docs[:30])
+    run_indexing_stream(
+        spark, str(landing), str(tmp_path / "idx"), str(tmp_path / "ck")
+    )
+    drop("batch2.jsonl", docs[30:])
+    idx = run_indexing_stream(
+        spark, str(landing), str(tmp_path / "idx"), str(tmp_path / "ck")
+    )
+    # checkpoint: second run added exactly one commit wave for batch2
+    # (no re-ingest of batch1); postings state equals one-shot
+    one = SearchIndex(spark, str(tmp_path / "oneshot"))
+    one.ingest(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    inc_rows = sorted(
+        (r.doc_id, r.token, r.tf) for r in idx.postings.read().collect()
+    )
+    one_rows = sorted(
+        (r.doc_id, r.token, r.tf) for r in one.postings.read().collect()
+    )
+    assert inc_rows == one_rows and len(inc_rows) > 0
+    # and BM25 served from the streamed index matches the one-shot
+    assert _rows(idx.bm25(BM25_TERMS, 10)) == _rows(one.bm25(BM25_TERMS, 10))
