@@ -250,3 +250,49 @@ def trending_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hit.item").alias("token"),
         F.col("hit.count").cast("long").alias("approx_count"),
     )
+
+
+PHRASE = ("window", "merge")  # the exact-adjacency phrase query
+
+
+@register(
+    "phrase_search_bigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {tx.tokens('text', 'duck')} AS a FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(a)),
+                i -> a[i] = '{PHRASE[0]}' AND a[i + 1] = '{PHRASE[1]}'))
+                AS BIGINT) AS n_occurrences
+    FROM toks
+    WHERE len(list_filter(range(1, len(a)),
+              i -> a[i] = '{PHRASE[0]}' AND a[i + 1] = '{PHRASE[1]}')) > 0
+    """,
+    doc=(
+        f"Exact-phrase search: documents containing the adjacent bigram "
+        f"{PHRASE!r} with occurrence counts — the positional-match "
+        "semantics a phrase query needs beyond bag-of-words BM25. "
+        "Row-local array-lambda scan (position filter over the token "
+        "array), zero shuffle; at 100 TB the same predicate runs over "
+        "the POSITIONAL posting lists of the two terms (intersect "
+        "positions where pos_b = pos_a + 1) so only docs containing "
+        "both terms are touched — the plan here is the verify kernel "
+        "of that pipeline."
+    ),
+    tags=("documents", "text", "search"),
+)
+def phrase_search_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    occ = (
+        f"size(filter(sequence(1, size(a) - 1), "
+        f"i -> element_at(a, i) = '{PHRASE[0]}' "
+        f"and element_at(a, i + 1) = '{PHRASE[1]}'))"
+    )
+    toks = docs.select(
+        "doc_id", F.expr(tx.tokens("text", "spark")).alias("a")
+    ).filter(F.expr("size(a) >= 2"))
+    return (
+        toks.select("doc_id", F.expr(occ).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )

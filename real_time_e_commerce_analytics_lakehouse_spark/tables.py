@@ -1701,6 +1701,26 @@ class LakeTable:
             return None
         return self.overwrite(df)
 
+    def maybe_compact(
+        self,
+        max_units: int = 16,
+        **compact_kwargs,
+    ) -> int | None:
+        """Auto-compaction (Delta `autoCompact` parity): run compact()
+        only when the snapshot has accumulated more than `max_units`
+        data units — the policy hook a streaming-append sink calls
+        after each commit so small files never pile up, without paying
+        a rewrite on every trigger. The decision is manifest-only (no
+        data scan). Returns the new version when compaction ran, else
+        None. Extra kwargs pass through to compact() (cluster/zorder
+        maintenance rides the same trigger)."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        if len(self._read_manifest(v)) <= max_units:
+            return None
+        return self.compact(**compact_kwargs)
+
     def compact(
         self,
         cluster_by: Sequence[str] = (),

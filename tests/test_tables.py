@@ -1962,3 +1962,22 @@ def test_partition_transform_hidden_partitioning(spark, tmp_path):
         partition_transform("x", "bucket")
     with _pytest.raises(ValueError):
         partition_transform("x", "hourly")
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Auto-compaction fires only past the unit threshold, is
+    manifest-only when it declines, and preserves content when it runs."""
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "ac"))
+    for i in range(5):
+        t.append(spark.range(i * 10, i * 10 + 10).selectExpr("id"))
+    assert t.maybe_compact(max_units=16) is None  # below threshold
+    for i in range(5, 20):
+        t.append(spark.range(i * 10, i * 10 + 10).selectExpr("id"))
+    v = t.maybe_compact(max_units=16)
+    assert v is not None
+    assert len(t._read_manifest(t.latest_version())) == 1
+    assert t.read().count() == 200
+    # idempotent: immediately after compaction it declines again
+    assert t.maybe_compact(max_units=16) is None
