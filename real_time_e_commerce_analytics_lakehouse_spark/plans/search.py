@@ -296,3 +296,132 @@ def phrase_search_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.expr(occ).cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+RRF_K = 60
+RRF_TOP_K = 10
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=_bm25_sql().replace(
+        f"""
+    SELECT doc_id, rank, round(bm25, 6) AS bm25
+    FROM (
+        SELECT doc_id, {' + '.join(f'coalesce(s{i}, 0)' for i in range(len(BM25_TERMS)))} AS bm25,
+               row_number() OVER (ORDER BY {' + '.join(f'coalesce(s{i}, 0)' for i in range(len(BM25_TERMS)))} DESC, doc_id ASC) AS rank
+        FROM per_doc
+    )
+    WHERE rank <= {BM25_TOP_K}
+    """,
+        f"""
+    , ranked AS (
+        SELECT p.doc_id,
+               row_number() OVER (
+                   ORDER BY {' + '.join(f'coalesce(s{i}, 0)' for i in range(len(BM25_TERMS)))} DESC,
+                            p.doc_id ASC) AS r_bm25,
+               row_number() OVER (
+                   ORDER BY dl.dl DESC, p.doc_id ASC) AS r_len
+        FROM per_doc p JOIN dl ON dl.doc_id = p.doc_id
+    )
+    SELECT doc_id, rank,
+           CAST(r_bm25 AS BIGINT) AS r_bm25,
+           CAST(r_len AS BIGINT) AS r_len,
+           round(rrf, 9) AS rrf_score
+    FROM (
+        SELECT doc_id, r_bm25, r_len,
+               1.0 / ({RRF_K} + r_bm25) + 1.0 / ({RRF_K} + r_len) AS rrf,
+               row_number() OVER (
+                   ORDER BY 1.0 / ({RRF_K} + r_bm25)
+                            + 1.0 / ({RRF_K} + r_len) DESC,
+                            doc_id ASC) AS rank
+        FROM ranked
+    )
+    WHERE rank <= {RRF_TOP_K}
+    """,
+    ),
+    doc=(
+        "Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+        "2009): fuse the BM25 relevance ranking with a second signal's "
+        "ranking (document length here; in production, the "
+        "embedding-cosine ranking) as sum(1/(k+rank)). Rank fusion is "
+        "the standard way to combine lexical + vector retrieval "
+        "without score calibration — and because it consumes INTEGER "
+        "ranks, the fused score is bit-identical cross-engine even "
+        "though the underlying BM25 scores are floats: hash-exact "
+        "with no tolerance. Plan shape: the two rankings are windows "
+        "over the |matching docs| frame, then one more tiny sort."
+    ),
+    tags=("documents", "text", "search"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_corpus"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tf_factor = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "t", (idf * tf_factor).alias("score"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("t") == t, F.col("score"))).alias(f"s{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    total = None
+    for i in range(len(BM25_TERMS)):
+        term = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+        total = term if total is None else total + term
+    ranked = (
+        per_doc.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(total.desc(), F.asc("doc_id")))
+            .cast("long")
+            .alias("r_bm25"),
+            F.row_number()
+            .over(W.orderBy(F.desc("dl"), F.asc("doc_id")))
+            .cast("long")
+            .alias("r_len"),
+        )
+    )
+    rrf = (
+        F.lit(1.0) / (RRF_K + F.col("r_bm25"))
+        + F.lit(1.0) / (RRF_K + F.col("r_len"))
+    )
+    w = W.orderBy(rrf.desc(), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select(
+            "doc_id",
+            "rank",
+            "r_bm25",
+            "r_len",
+            F.round(rrf, 9).alias("rrf_score"),
+        )
+    )
