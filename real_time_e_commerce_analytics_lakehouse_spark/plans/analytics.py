@@ -633,3 +633,121 @@ def weekly_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p95_upper"),
     )
+
+
+@register(
+    "repeat_purchase_intervals",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_repeats,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap_days) AS BIGINT) AS total_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+    doc=(
+        "Repeat-purchase behavior: per-customer inter-order gaps via a "
+        "lag window (full tie-break on o_orderkey), aggregated to "
+        "min/max/total gap days — the reorder-cadence profile behind "
+        "replenishment and churn models. One customer-key shuffle "
+        "shared by the window and the aggregate (same partitioning); "
+        "all-integer day arithmetic, hash-exact."
+    ),
+    tags=("analytics", "window", "agg"),
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("gap_days").alias("n_repeats"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.sum("gap_days").cast("long").alias("total_gap_days"),
+    )
+
+
+@register(
+    "clv_cohort_revenue",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(date_trunc('month', CAST(o_orderdate AS DATE)))
+                   AS cohort_month
+        FROM orders GROUP BY 1
+    ),
+    facts AS (
+        SELECT f.cohort_month,
+               date_diff('month', f.cohort_month,
+                         date_trunc('month', CAST(o.o_orderdate AS DATE)))
+                   AS months_since,
+               o.o_totalprice
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST(months_since AS BIGINT) AS months_since,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_sum('o_totalprice')} AS revenue
+    FROM facts
+    WHERE months_since <= 11
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Customer-lifetime-value decomposition: revenue by acquisition "
+        "cohort x months-since-acquisition (first year) — the CLV "
+        "triangle that funds acquisition-spend decisions, the revenue "
+        "sibling of weekly_cohort_retention. Two customer-key shuffles "
+        "(first-order month, then the cohort join — AQE broadcasts the "
+        "|customers| side when it fits) + one cohort-cell aggregate; "
+        "month arithmetic pinned via date_trunc/months_between floor "
+        "identically on both engines."
+    ),
+    tags=("analytics", "agg", "join"),
+)
+def clv_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.to_date("o_orderdate"))).alias(
+            "cohort_month"
+        )
+    )
+    facts = orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        F.floor(
+            F.months_between(
+                F.date_trunc("month", F.to_date("o_orderdate")),
+                F.col("cohort_month"),
+            )
+        )
+        .cast("long")
+        .alias("months_since"),
+        "o_totalprice",
+    )
+    return (
+        facts.filter(F.col("months_since") <= 11)
+        .groupBy(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            "months_since",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(dec_sum("o_totalprice")).alias("revenue"),
+        )
+    )
