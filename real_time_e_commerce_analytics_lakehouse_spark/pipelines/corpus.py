@@ -231,3 +231,46 @@ def curate(
             after_decontamination=after_decon,
         )
     return curated, report
+
+
+def prepare_training_assets(
+    spark,
+    docs: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curate_kwargs,
+):
+    """The full LLM-data turn, curation through training-ready assets:
+
+      curate() -> curated-docs LakeTable (versioned, vacuumable)
+               -> BPE merge table trained on the CURATED corpus
+                  (training the tokenizer on pre-dedup text overweights
+                  boilerplate — the curated corpus is the right input)
+               -> full-text search index over the curated docs
+                  (contamination forensics / data exploration)
+
+    Returns (curated LakeTable, merges DataFrame, SearchIndex, report).
+    All three assets derive from ONE curated frame; at 100 TB each is
+    an independent downstream job over the written curated table.
+    """
+    import os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.pipelines.search_index import (
+        SearchIndex,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.bpe import (
+        learn_bpe_merges,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    curated_df, report = curate(
+        docs, text_col=text_col, id_col=id_col, **curate_kwargs
+    )
+    curated = LakeTable(spark, os.path.join(root, "curated"))
+    curated.overwrite(curated_df)
+    base = curated.read()
+    merges = learn_bpe_merges(base, text_col=text_col)
+    index = SearchIndex(spark, os.path.join(root, "index"))
+    index.ingest(base, id_col=id_col, text_col=text_col)
+    return curated, merges, index, report

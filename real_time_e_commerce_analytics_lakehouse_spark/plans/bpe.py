@@ -23,6 +23,7 @@ Python, no UDF.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
@@ -30,7 +31,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import regist
 BPE_ROUNDS = 3
 
 
-def _bpe_sql(d: str) -> str:
+def _bpe_sql(d: str, source: str = "documents") -> str:
     if d == "spark":
         spaced = "regexp_replace(word, '(.)', ' $1 ')"
         toks = f"explode({tx.tokens('text', 'spark')})"
@@ -60,7 +61,7 @@ def _bpe_sql(d: str) -> str:
     sql = f"""
     WITH words0 AS (
         SELECT word, count(*) AS wn, {spaced} AS s
-        FROM (SELECT {toks} AS word FROM documents)
+        FROM (SELECT {toks} AS word FROM {source})
         GROUP BY word
     )"""
     for k in range(1, BPE_ROUNDS + 1):
@@ -107,3 +108,14 @@ def _bpe_sql(d: str) -> str:
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_bpe_sql("spark"))
+
+
+def learn_bpe_merges(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train the first BPE_ROUNDS merges on an arbitrary document frame
+    (the reusable form of the gate query — e.g. the corpus pipeline
+    trains on the CURATED corpus, not the raw one)."""
+    spark = docs.sparkSession
+    docs.select(F.col(text_col).alias("text")).createOrReplaceTempView(
+        "__bpe_docs"
+    )
+    return spark.sql(_bpe_sql("spark", source="__bpe_docs"))

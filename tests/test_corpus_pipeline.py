@@ -162,3 +162,30 @@ def test_curation_semantic_dedup_stage(spark, sf_dir):
     ids = {r.doc_id for r in curated.select("doc_id").collect()}
     assert 18 not in ids and 0 in ids
     assert report.after_semantic == report.after_neardup - 1
+
+
+def test_prepare_training_assets_end_to_end(spark, sf_dir, tmp_path):
+    """Curation -> curated LakeTable + tokenizer merges + search index,
+    all derived from the curated corpus (not the raw one)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.pipelines.corpus import (
+        prepare_training_assets,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.bpe import BPE_ROUNDS
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    curated, merges, index, report = prepare_training_assets(
+        spark, docs, str(tmp_path / "assets")
+    )
+    n_curated = curated.read().count()
+    assert 0 < n_curated < report.input_docs  # curation dropped something
+    # tokenizer trained: BPE_ROUNDS ranked merges with positive counts
+    m = sorted((r.rank, r.merged, r.n_pairs) for r in merges.collect())
+    assert [r for r, _, _ in m] == list(range(1, BPE_ROUNDS + 1))
+    assert all(n > 0 for _, _, n in m)
+    # index covers exactly the curated docs
+    assert index.doclen.read().count() == n_curated
+    hits = index.bm25(("window", "merge"), 5).collect()
+    assert len(hits) == 5
+    curated_ids = {r.doc_id for r in curated.read().select("doc_id").collect()}
+    assert all(h.doc_id in curated_ids for h in hits)
