@@ -16,6 +16,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import documents as _d
 from real_time_e_commerce_analytics_lakehouse_spark.plans import embeddings as _embeddings  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import events as _events  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import extras as _extras  # noqa: E402,F401
+from real_time_e_commerce_analytics_lakehouse_spark.plans import ml as _ml  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import more as _more  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import scale as _scale  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import search as _search  # noqa: E402,F401

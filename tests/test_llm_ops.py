@@ -432,3 +432,19 @@ def test_bpe_merges_match_reference_python(spark, sf_dir):
     )
     want = [(k + 1, *e) for k, e in enumerate(expected)]
     assert got == want, (got, want)
+
+
+def test_logreg_gd_learns_signal(spark, sf_dir):
+    """The GD trajectory must actually LEARN: the token-count weight
+    (the feature the label is built from) grows positive and
+    monotonically across rounds, and the bias moves toward the class
+    prior rather than away."""
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+
+    rows = {
+        r.round: r
+        for r in QUERIES["logreg_quality_gd"].builder(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    w = [rows[k].w_tokens for k in (1, 2, 3)]
+    assert w[0] > 0 and w[0] < w[1] < w[2], w
