@@ -82,7 +82,7 @@ GATE_ORDER = [
     "cross_doc_duplicate_spans",
     "doc_token_stats",
     "bpe_learned_merges",
-    "doc_unigram_logprob",
+    "logreg_quality_gd",
     # curation
     "benchmark_contamination",
     "pack_documents_into_shards",

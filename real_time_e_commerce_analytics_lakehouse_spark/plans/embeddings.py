@@ -988,3 +988,95 @@ def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("cosine_sim"),
         )
     )
+
+
+KNN_K = 10
+
+
+@register(
+    "knn_label_classifier",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    e AS (SELECT vec_id, label, embedding AS e_emb FROM embeddings),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.vec_id, e.label,
+               {_cos('duck')} AS sim
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    nn AS (
+        SELECT query_id, true_label, label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, count(*) AS n_votes
+        FROM nn GROUP BY 1, 2, 3
+    )
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY n_votes DESC, label ASC) AS pick
+        FROM votes
+    ) WHERE pick = 1
+    """,
+    doc=(
+        f"k-NN classification in the engine: each query vector's label "
+        f"predicted by majority vote of its {KNN_K} nearest neighbors "
+        "(cosine), ties broken toward the smaller label — inference as "
+        "a join/window/agg DAG, no model artifact at all. The plan is "
+        "the cosine_topk plan plus a per-query vote aggregate; at "
+        "100 TB the neighbor stage swaps to the IVF/LSH candidate "
+        "path unchanged. Hash-exact: similarities are sequential JVM "
+        "folds, all rankings carry full tie-breakers, votes are "
+        "integers."
+    ),
+    tags=("embeddings", "simsearch", "ml"),
+)
+def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    e = fan_out(emb).select(
+        "vec_id", "label", F.col("embedding").alias("e_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "true_label", "vec_id", "label",
+            F.expr(_cos("spark")).alias("sim"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    nn = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_K)
+    )
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+        )
+    )
