@@ -15,15 +15,24 @@ Three tiers, by what this container can honestly run:
   without pixel decode). Differential-tested: Spark synthesizes real
   byte streams, parses them back, and the DuckDB oracle recomputes the
   expected fields arithmetically — a parser bug hash-mismatches.
-- PIXEL decode / video frame-sample — needs imaging libs absent here;
-  stubbed behind NotImplementedError with the plumbing real and
-  exercised by `deterministic_fake_decode`.
+- PIXEL CODEC (`encode_png_rgb`/`decode_png_rgb`,
+  `encode_bmp_rgb`/`decode_bmp_rgb`, `decode_pixel_stats`): REAL pixel
+  decode for the two raster formats the standard library can carry end
+  to end — PNG via zlib inflate + reversal of all five PNG row filters,
+  BMP via BI_RGB bottom-up BGR unpacking — plus exact integer channel
+  stats and a 2x block-mean thumbnail. Differentially tested the same
+  way as the header tier (synthesized formula pixels, arithmetic
+  oracle).
+- Entropy-coded pixel decode (JPEG/GIF) / video frame-sample — needs
+  codec libs absent here; stubbed behind NotImplementedError with the
+  plumbing real and exercised by `deterministic_fake_decode`.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -390,6 +399,273 @@ def parse_mp4_headers(
     return df.mapInPandas(kernel, schema=f"{id_col} long, {MP4_HEADER_SCHEMA}")
 
 
+# ---------------------------------------------------------------------------
+# Pixel codec (real, stdlib-only): PNG (zlib inflate + filter reversal)
+# and BMP (BI_RGB 24-bit bottom-up). These are the two raster formats
+# whose full pixel pipeline needs nothing beyond the standard library,
+# so the engine can run an honest decode→stats→thumbnail pass with no
+# imaging dependency. JPEG/GIF pixel decode stays behind the documented
+# stub (entropy coders need codec libs).
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_rgb(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode an RGB raster (rows of (r,g,b)) into a REAL PNG: IHDR,
+    zlib-compressed IDAT with per-row filters cycling through ALL five
+    PNG filter types (None/Sub/Up/Average/Paeth), correct CRCs, IEND.
+    Exercising every filter type means the decoder's unfilter pass is
+    fully covered by any round-trip."""
+    h, w = len(pixels), len(pixels[0])
+    raw = [bytes(v for px in row for v in px) for row in pixels]
+    bpp, out = 3, bytearray()
+    prior = bytes(w * 3)
+    for y, row in enumerate(raw):
+        ft = y % 5
+        out.append(ft)
+        for i, x in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                out.append(x)
+            elif ft == 1:
+                out.append((x - left) & 0xFF)
+            elif ft == 2:
+                out.append((x - up) & 0xFF)
+            elif ft == 3:
+                out.append((x - (left + up) // 2) & 0xFF)
+            else:
+                out.append((x - _paeth(left, up, ul)) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Decode an 8-bit RGB PNG to rows of (r,g,b): chunk walk → IDAT
+    concat → zlib inflate → reverse the per-row filter (all five types).
+    Returns None for non-PNG / unsupported layouts / corrupt streams
+    (palette, interlace, and non-8-bit depths are out of scope here)."""
+    try:
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, w = 8, None
+        idat = bytearray()
+        while i + 8 <= len(b):
+            clen = struct.unpack(">I", b[i : i + 4])[0]
+            ctype = b[i + 4 : i + 8]
+            payload = b[i + 8 : i + 8 + clen]
+            if ctype == b"IHDR":
+                w, h = struct.unpack(">II", payload[:8])
+                depth, color, _comp, _filt, interlace = payload[8:13]
+                if depth != 8 or color != 2 or interlace != 0:
+                    return None
+            elif ctype == b"IDAT":
+                idat += payload
+            elif ctype == b"IEND":
+                break
+            i += 12 + clen
+        if w is None:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride, bpp = w * 3, 3
+        if len(raw) != h * (stride + 1):
+            return None
+        rows: list[bytes] = []
+        prior = bytes(stride)
+        for y in range(h):
+            base = y * (stride + 1)
+            ft, filt = raw[base], raw[base + 1 : base + 1 + stride]
+            cur = bytearray(stride)
+            for i2 in range(stride):
+                left = cur[i2 - bpp] if i2 >= bpp else 0
+                up = prior[i2]
+                ul = prior[i2 - bpp] if i2 >= bpp else 0
+                if ft == 0:
+                    v = filt[i2]
+                elif ft == 1:
+                    v = filt[i2] + left
+                elif ft == 2:
+                    v = filt[i2] + up
+                elif ft == 3:
+                    v = filt[i2] + (left + up) // 2
+                elif ft == 4:
+                    v = filt[i2] + _paeth(left, up, ul)
+                else:
+                    return None
+                cur[i2] = v & 0xFF
+            prior = bytes(cur)
+            rows.append(prior)
+        return [
+            [tuple(row[x * 3 : x * 3 + 3]) for x in range(w)] for row in rows
+        ]
+    except (struct.error, IndexError, zlib.error):
+        return None
+
+
+def encode_bmp_rgb(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode an RGB raster as a 24-bit BI_RGB BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to
+    4-byte boundaries — the layout every BMP reader expects."""
+    h, w = len(pixels), len(pixels[0])
+    pad = (-(w * 3)) % 4
+    body = bytearray()
+    for row in reversed(pixels):
+        for r, g, bl in row:
+            body += bytes((bl, g, r))
+        body += bytes(pad)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    off = 14 + 40
+    return b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + bytes(body)
+
+
+def decode_bmp_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Decode a 24-bit uncompressed BMP to rows of (r,g,b), honoring the
+    pixel-array offset, bottom-up vs top-down row order (negative
+    height), BGR order, and row padding. None for other BMP variants."""
+    try:
+        if b[:2] != b"BM":
+            return None
+        off = struct.unpack("<I", b[10:14])[0]
+        _, w, h_signed = struct.unpack("<Iii", b[14:26])
+        planes, depth = struct.unpack("<HH", b[26:30])
+        comp = struct.unpack("<I", b[30:34])[0]
+        if planes != 1 or depth != 24 or comp != 0 or w <= 0:
+            return None
+        h, bottom_up = abs(h_signed), h_signed > 0
+        stride = w * 3 + ((-(w * 3)) % 4)
+        if off + stride * h > len(b):
+            return None
+        rows = []
+        for yy in range(h):
+            src = h - 1 - yy if bottom_up else yy
+            base = off + src * stride
+            rows.append(
+                [
+                    (b[base + x * 3 + 2], b[base + x * 3 + 1], b[base + x * 3])
+                    for x in range(w)
+                ]
+            )
+        return rows
+    except (struct.error, IndexError):
+        return None
+
+
+def decode_raster(b: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Sniff-and-decode: PNG or BMP pixel raster, else None."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_rgb(b)
+    if b[:2] == b"BM":
+        return decode_bmp_rgb(b)
+    return None
+
+
+def raster_stats(px: list[list[tuple[int, int, int]]]) -> tuple[int, ...]:
+    """Exact integer statistics of a decoded raster: (width, height,
+    n_pixels, sum_r, sum_g, sum_b, thumb_sum_r) where thumb_sum_r is the
+    red-channel sum of the 2x block-mean (floor) downsampled thumbnail —
+    the resize kernel every multimodal pipeline runs, in integer
+    arithmetic both engines agree on."""
+    h, w = len(px), len(px[0])
+    sums = [0, 0, 0]
+    for row in px:
+        for p in row:
+            sums[0] += p[0]
+            sums[1] += p[1]
+            sums[2] += p[2]
+    thumb = 0
+    for by in range(h // 2):
+        for bx in range(w // 2):
+            thumb += (
+                px[2 * by][2 * bx][0]
+                + px[2 * by][2 * bx + 1][0]
+                + px[2 * by + 1][2 * bx][0]
+                + px[2 * by + 1][2 * bx + 1][0]
+            ) // 4
+    return w, h, w * h, sums[0], sums[1], sums[2], thumb
+
+
+PIXEL_STATS_SCHEMA = (
+    "format string, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, thumb_sum_r long"
+)
+
+
+def decode_pixel_stats(
+    df: DataFrame, id_col: str = "id", binary_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL pixel decode over a binary column: inflate +
+    unfilter PNGs / unpack BMPs and emit exact per-image channel sums
+    plus the 2x-thumbnail sum (see raster_stats). Unparseable payloads
+    become NULL rows — corrupt files are data, not exceptions. This is
+    the working pixel tier: partition-parallel, no driver involvement,
+    no imaging libraries."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: list(pdf[id_col]),
+                "format": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+                "thumb_sum_r": [],
+            }
+            for x in pdf[binary_col]:
+                b = bytes(x)
+                px = decode_raster(b)
+                if px is None:
+                    for k in ("format", "width", "height", "n_pixels",
+                              "sum_r", "sum_g", "sum_b", "thumb_sum_r"):
+                        out[k].append(None)
+                    continue
+                w, h, n, sr, sg, sb, th = raster_stats(px)
+                out["format"].append("png" if b[:1] == b"\x89" else "bmp")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["thumb_sum_r"].append(th)
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "format": out["format"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                    "sum_r": pd.array(out["sum_r"], dtype="Int64"),
+                    "sum_g": pd.array(out["sum_g"], dtype="Int64"),
+                    "sum_b": pd.array(out["sum_b"], dtype="Int64"),
+                    "thumb_sum_r": pd.array(out["thumb_sum_r"], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=f"{id_col} long, {PIXEL_STATS_SCHEMA}")
+
+
 @dataclass
 class ImageMeta:
     """Typed metadata accompanying an image payload column."""
@@ -407,29 +683,51 @@ IMAGE_FEATURE_SCHEMA = (
 def decode_images(df: DataFrame, id_col: str = "id", binary_col: str = "payload") -> DataFrame:
     """Decode image bytes -> (width, height, channels, mean luma).
 
-    STUB: real decode needs an imaging library (Pillow/opencv), absent in
-    this environment. The mapInPandas plumbing below is the production
-    shape — swap `_decode_stub` for the real kernel.
-    """
+    REAL for PNG and BMP (decode_raster: zlib inflate + filter reversal /
+    BI_RGB unpack); mean luma is Rec.601 (0.299R+0.587G+0.114B) averaged
+    over pixels. Entropy-coded formats (JPEG/GIF) decode to NULL rows —
+    their pixel pipelines need codec libraries absent here (see
+    _entropy_decode_stub for the documented extension point)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            widths, heights, chans, lumas = [], [], [], []
+            for x in pdf[binary_col]:
+                px = decode_raster(bytes(x))
+                if px is None:
+                    widths.append(None)
+                    heights.append(None)
+                    chans.append(None)
+                    lumas.append(None)
+                    continue
+                h, w = len(px), len(px[0])
+                luma = sum(
+                    0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2]
+                    for row in px
+                    for p in row
+                )
+                widths.append(w)
+                heights.append(h)
+                chans.append(3)
+                lumas.append(luma / (w * h))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    **_decode_stub(pdf[binary_col]),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_channels": pd.array(chans, dtype="Int32"),
+                    "mean_luma": pd.array(lumas, dtype="float64"),
                 }
             )
 
     return df.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA.replace("id ", f"{id_col} "))
 
 
-def _decode_stub(payload: pd.Series) -> dict:
+def _entropy_decode_stub(payload: pd.Series) -> dict:
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; the mapInPandas plumbing (schema, batching, "
-        "partition-parallelism) is exercised via "
-        "deterministic_fake_decode in tests"
+        "JPEG/GIF pixel decode requires codec libraries not present in "
+        "this environment; PNG/BMP decode is real (decode_raster), and "
+        "the mapInPandas plumbing is shared"
     )
 
 

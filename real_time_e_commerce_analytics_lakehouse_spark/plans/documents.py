@@ -573,6 +573,111 @@ def video_container_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_mp4_headers(payloads, id_col="doc_id", binary_col="payload")
 
 
+# Pixel formula shared by the Spark synthesizer and the DuckDB oracle:
+# p(x, y, c) = (seed + 3x + 7y + 11c) % 256 with seed = doc_id % 251.
+# The oracle enumerates pixels with bounded range() joins (w <= 18,
+# h <= 14 by construction) and recomputes the channel sums and the
+# 2x block-mean thumbnail sum in exact integer arithmetic.
+_PX = "((doc_id % 251) + 3*x.x + 7*y.y + {c}) % 256"
+_PXB = "((doc_id % 251) + 6*bx.bx + 14*by.by + {dx} + {dy}) % 256"
+
+
+@register(
+    "image_pixel_stats",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+               2 * (4 + doc_id % 6) AS w,
+               2 * (3 + doc_id % 5) AS h
+        FROM documents
+    ),
+    chan AS (
+        SELECT i.doc_id, i.format, i.w, i.h,
+               CAST(SUM({_PX.format(c=0)}) AS BIGINT)  AS sum_r,
+               CAST(SUM({_PX.format(c=11)}) AS BIGINT) AS sum_g,
+               CAST(SUM({_PX.format(c=22)}) AS BIGINT) AS sum_b
+        FROM imgs i
+        JOIN range(0, 18) x(x) ON x.x < i.w
+        JOIN range(0, 14) y(y) ON y.y < i.h
+        GROUP BY ALL
+    ),
+    thumb AS (
+        SELECT i.doc_id,
+               CAST(SUM(({_PXB.format(dx=0, dy=0)} + {_PXB.format(dx=3, dy=0)}
+                       + {_PXB.format(dx=0, dy=7)} + {_PXB.format(dx=3, dy=7)}
+                        ) // 4) AS BIGINT) AS thumb_sum_r
+        FROM imgs i
+        JOIN range(0, 9) bx(bx) ON bx.bx < i.w // 2
+        JOIN range(0, 7) by(by) ON by.by < i.h // 2
+        GROUP BY ALL
+    )
+    SELECT c.doc_id, c.format,
+           CAST(c.w AS INTEGER) AS width, CAST(c.h AS INTEGER) AS height,
+           CAST(c.w * c.h AS BIGINT) AS n_pixels,
+           c.sum_r, c.sum_g, c.sum_b, t.thumb_sum_r
+    FROM chan c JOIN thumb t USING (doc_id)
+    """,
+    doc=(
+        "WORKING pixel decode (de-stubs the pixel tier as far as stdlib "
+        "allows): per doc, synthesize a real compressed image — PNG "
+        "(zlib-deflated IDAT, per-row filters cycling through ALL five "
+        "PNG filter types) for even doc_ids, 24-bit bottom-up BGR BMP "
+        "for odd — from the formula pixel p(x,y,c)=(seed+3x+7y+11c)%256, "
+        "then DECODE the bytes back (inflate + filter reversal / BI_RGB "
+        "unpack, operators/multimodal.decode_pixel_stats) and emit exact "
+        "integer channel sums plus the 2x block-mean-floor thumbnail "
+        "sum. The oracle recomputes every value arithmetically from the "
+        "formula, so a single wrong byte anywhere in the codec path — "
+        "CRC framing, inflate, Sub/Up/Average/Paeth reversal, stride "
+        "padding, BGR order, row flip, the resize kernel — "
+        "hash-mismatches. Two Arrow stages, row-local, zero shuffle; at "
+        "100 TB this is the decode->stats->thumbnail pass of a "
+        "multimodal ingest, partition-parallel with no imaging libs."
+    ),
+    tags=("documents", "multimodal"),
+)
+def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_pixel_stats,
+        encode_bmp_rgb,
+        encode_png_rgb,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payload(batches):
+        import pandas as pd
+
+        def pixels(seed, w, h):
+            return [
+                [
+                    (
+                        (seed + 3 * x + 7 * y) % 256,
+                        (seed + 3 * x + 7 * y + 11) % 256,
+                        (seed + 3 * x + 7 * y + 22) % 256,
+                    )
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = pixels(d % 251, 2 * (4 + d % 6), 2 * (3 + d % 5))
+                payloads.append(
+                    encode_png_rgb(px) if d % 2 == 0 else encode_bmp_rgb(px)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = fan_out(docs).mapInPandas(
+        make_payload, schema="doc_id long, payload binary"
+    )
+    return decode_pixel_stats(payloads, id_col="doc_id", binary_col="payload")
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals + duplicate-cluster resolution
 # ---------------------------------------------------------------------------

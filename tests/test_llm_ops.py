@@ -35,12 +35,46 @@ def test_multimodal_fake_decode_schema_and_determinism(spark) -> None:
     assert out1[0].width == 12 and out1[0].n_channels == 3
 
 
-def test_real_decode_is_stubbed(spark) -> None:
-    with pytest.raises(Exception) as exc_info:
-        decode_images(_payload_df(spark), id_col="id").collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def test_real_pixel_decode_png_bmp_and_corrupt_rows(spark) -> None:
+    """decode_images is REAL for PNG/BMP: a solid-color 4x2 raster decodes
+    to its exact dimensions and Rec.601 luma; non-raster payloads (and
+    entropy-coded formats) surface as NULL rows, not exceptions."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        encode_png_rgb,
     )
+
+    px = [[(10, 20, 30)] * 4 for _ in range(2)]
+    rows = [(1, encode_png_rgb(px)), (2, encode_bmp_rgb(px)), (3, b"not an image")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in decode_images(df, id_col="id").collect()}
+    expected_luma = 0.299 * 10 + 0.587 * 20 + 0.114 * 30
+    for i in (1, 2):
+        assert (out[i].width, out[i].height, out[i].n_channels) == (4, 2, 3)
+        assert out[i].mean_luma == pytest.approx(expected_luma)
+    assert out[3].width is None and out[3].mean_luma is None
+
+
+def test_pixel_codec_filter_coverage_and_truncation() -> None:
+    """The PNG encoder cycles all five filter types; a 6-row image hence
+    covers None/Sub/Up/Average/Paeth plus a repeat — round-trip equality
+    proves every unfilter branch. Truncated streams decode to None."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        decode_png_rgb,
+        encode_bmp_rgb,
+        encode_png_rgb,
+    )
+
+    px = [
+        [((x * 31 + y * 57) % 256, (x * 5 + y) % 256, (x + y * 13) % 256) for x in range(7)]
+        for y in range(6)
+    ]
+    png, bmp = encode_png_rgb(px), encode_bmp_rgb(px)
+    assert decode_png_rgb(png) == px
+    assert decode_bmp_rgb(bmp) == px
+    assert decode_png_rgb(png[:-20]) is None  # truncated IDAT/IEND
+    assert decode_bmp_rgb(bmp[: len(bmp) // 2]) is None
 
 
 def test_exact_duplicates_always_lsh_candidates(spark, sf_dir) -> None:
