@@ -18,6 +18,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import events as _even
 from real_time_e_commerce_analytics_lakehouse_spark.plans import extras as _extras  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import ml as _ml  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import more as _more  # noqa: E402,F401
+from real_time_e_commerce_analytics_lakehouse_spark.plans import profiling as _profiling  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import scale as _scale  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import search as _search  # noqa: E402,F401
 from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  # noqa: E402,F401
