@@ -105,3 +105,94 @@ def _gd_sql(d: str) -> str:
 def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_gd_sql("spark"))
+
+
+def _nb_sql(d: str) -> str:
+    """Multinomial Naive Bayes, trained and applied in one DAG.
+
+    Training IS counting: class priors (docs per lang), token-class
+    occurrence counts, class token totals, vocabulary size — four
+    aggregates over one tokenized scan. Inference: per (doc, candidate
+    class), sum token-count-weighted Laplace-smoothed log-likelihoods
+    plus the prior, argmax per doc.
+
+    Exactness: every transcendental output (ln of an identical exact
+    double ratio on both engines) is rounded to 6 decimals and cast to
+    DECIMAL before the count multiply and the sum, so the score is an
+    exact decimal — parallel reduction order cannot perturb it, and the
+    argmax carries a full tie-break. 6 (not 9) decimals on purpose:
+    libm last-ulp differences land within 1e-9 of a half-way boundary
+    often enough to flip a 9-digit round (observed), while the 5e-7
+    boundary width at 6 digits makes a flip ~1e-8 per distinct value."""
+    toks_expr = tx.tokens("text", d)
+    unnest = "explode" if d == "spark" else "unnest"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {unnest}(({toks_expr})) AS token FROM documents
+    ),
+    doc_tok AS (
+        SELECT doc_id, lang AS true_lang, token, count(*) AS n
+        FROM toks GROUP BY doc_id, lang, token
+    ),
+    cls AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM documents),
+    cls_tot AS (SELECT lang, count(*) AS tot FROM toks GROUP BY lang),
+    vocab AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM toks),
+    cls_tok AS (
+        SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+    ),
+    model AS (
+        SELECT c.lang,
+               CAST(round(ln(CAST(c.n_docs AS DOUBLE) / t.n_all), 6)
+                    AS DECIMAL(18,6)) AS logprior,
+               ct.tot
+        FROM cls c CROSS JOIN total t JOIN cls_tot ct ON c.lang = ct.lang
+    ),
+    scored AS (
+        SELECT dt.doc_id, dt.true_lang, m.lang AS cand,
+               m.logprior
+               + sum(dt.n * CAST(round(ln((coalesce(ctk.cnt, 0) + 1.0)
+                                          / (m.tot + v.v)), 6)
+                                 AS DECIMAL(18,6))) AS score
+        FROM doc_tok dt
+        CROSS JOIN model m
+        CROSS JOIN vocab v
+        LEFT JOIN cls_tok ctk ON ctk.lang = m.lang AND ctk.token = dt.token
+        GROUP BY dt.doc_id, dt.true_lang, m.lang, m.logprior
+    ),
+    ranked AS (
+        SELECT doc_id, true_lang, cand, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rk
+        FROM scored
+    )
+    SELECT doc_id, true_lang, cand AS pred_lang,
+           CAST(score AS DOUBLE) AS log_score
+    FROM ranked WHERE rk = 1
+    """
+
+
+@register(
+    "nb_lang_classifier",
+    oracle=_nb_sql("duck"),
+    doc=(
+        "Multinomial Naive Bayes trained AND applied in the engine "
+        "(companion to logreg_quality_gd's iterative training: NB "
+        "training is closed-form counting, the other canonical "
+        "distributed-ML shape). Model = four aggregates over one "
+        "tokenized scan (priors, token-class counts, class totals, "
+        "vocabulary); inference joins each doc's token counts to the "
+        "per-class likelihood table on the TOKEN blocking key, "
+        "decimal-sums Laplace-smoothed log-likelihoods per (doc, "
+        "class), and argmaxes with a full tie-break. Transcendentals "
+        "are rounded to 6 decimals and decimal-cast pre-sum, so scores "
+        "are exact decimals and the gate comparison is hash-exact. On "
+        "the synthetic corpus (text independent of the lang label) the "
+        "learned model collapses toward the priors — the machinery, "
+        "not the model quality, is what is verified."
+    ),
+    tags=("documents", "ml", "agg"),
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_nb_sql("spark"))

@@ -564,3 +564,152 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "doc_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tx.tokens('text', 'duck')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    weighted AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM weighted
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+           CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+    doc=(
+        "Keyword extraction: top-3 TF-IDF terms per document (the "
+        "standard corpus-side keyword/tag assignment before embedding "
+        "reranking). Ranking happens on the RAW tfidf double — both "
+        "engines compute it from identical exact inputs, so the sort "
+        "key is bit-identical and the per-doc ranking deterministic "
+        "(term as full tie-break); rounding only touches the emitted "
+        "value. One term-keyed shuffle (df), one doc-keyed window."
+    ),
+    tags=("documents", "text", "window"),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    weighted = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        weighted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "token_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({tx.tokens('text', 'duck')}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+    top AS (
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term) AS rk
+        FROM vocab
+        ORDER BY n DESC, term LIMIT 100
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+               CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        FROM top
+    ),
+    moments AS (
+        SELECT CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_terms,
+           (m * sxy - sx * sy) / (m * sxx - sx * sx) AS zipf_slope
+    FROM moments
+    """,
+    doc=(
+        "Corpus diagnostic: the Zipf log-log slope of the top-100 token "
+        "frequencies — OLS on (ln rank, ln count) via five moment sums. "
+        "A natural-language corpus sits near slope -1; a synthetic or "
+        "template-heavy corpus flattens, which makes this a one-number "
+        "drift/quality monitor over a 100 TB crawl. Exactness: the "
+        "per-point logs are rounded and decimal-cast so the moment "
+        "sums are exact; the closed-form slope is then identical IEEE "
+        "arithmetic on both engines, emitted unrounded."
+    ),
+    tags=("documents", "text", "agg"),
+)
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("n"))
+    top = (
+        vocab.orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))),
+        )
+    )
+    pts = top.select(
+        F.round(F.log(F.col("rk").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    return m.select(
+        F.col("m").cast("long").alias("n_terms"),
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )
