@@ -1,0 +1,378 @@
+"""LakeTable as a native Spark format via the Spark 4 Python DataSource
+API: ``spark.read.format("laketable").option("version", 3).load(path)``.
+
+This makes the engine's table layer consumable by ANY Spark job without
+importing the engine — the reader walks the manifest on the driver,
+prunes data units/files with the same metadata the JVM path uses
+(partition values, per-unit AND per-file [min,max] stats), and streams
+Arrow record batches from the parquet files on executors. Supported
+through the format: snapshot + ``version`` time travel, Hive-escaped /
+NULL partition values, column mapping (logical renames over stable
+physical names), additive schema evolution (missing columns read NULL),
+and merge-on-read deletion vectors (tombstoned rows filtered by file +
+row index during the scan).
+
+Filter pushdown (Spark 4.1 ``pushFilters``): comparison/equality/IN/
+IS NULL predicates on partition columns prune whole units; range
+predicates on stats columns prune units and then files inside surviving
+units. All filters are returned as "still needs Spark" — pruning is a
+strict subset operation, so double-application is safe and exactness is
+never at risk.
+
+The JVM scan path (``LakeTable.read``) remains the performance path —
+whole-stage codegen, vectorized reader, DV anti-join in the plan. This
+source is the interop path: at 100 TB its per-FILE input partitions
+parallelize across executors like any file source, with batch-level
+Arrow transfer (no per-row Python serde).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any, Iterator
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+# mirrored from tables.py (this module stays importable on executors
+# without pulling the Spark-session-coupled table layer)
+_LOG_DIR = "_log"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_hive(raw: str) -> str:
+    return raw if raw == _HIVE_NULL else unquote(raw)
+
+
+def _parse_partition_value(raw: str, spark_type: str) -> Any:
+    """Typed python value of a manifest partition string (None for the
+    Hive NULL sentinel)."""
+    if raw == _HIVE_NULL:
+        return None
+    raw = _unescape_hive(raw)
+    t = spark_type.lower()
+    if t in ("int", "bigint", "long", "smallint", "tinyint"):
+        return int(raw)
+    if t in ("double", "float"):
+        return float(raw)
+    if t == "date":
+        return date.fromisoformat(raw)
+    if t.startswith("timestamp"):
+        return datetime.fromisoformat(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def _arrow_ddl(t) -> str:
+    """Spark DDL type name for an arrow type (file-schema inference)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_ddl(t.value_type)}>"
+    raise ValueError(f"unsupported parquet type for laketable source: {t}")
+
+
+class _Snapshot:
+    """Manifest state at one version, parsed without a SparkSession."""
+
+    def __init__(self, path: str, version: int | None):
+        log = os.path.join(path, _LOG_DIR)
+        versions = sorted(
+            int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+        )
+        if not versions:
+            raise ValueError(f"{path} is not a LakeTable (empty log)")
+        self.version = version if version is not None else versions[-1]
+        if self.version not in versions:
+            raise ValueError(f"version {self.version} not in {path}")
+        with open(os.path.join(log, f"{self.version:08d}.json")) as f:
+            doc = json.load(f)
+        self.root = path
+        self.units: list[dict] = doc["units"]
+        self.dv: list[str] = list(doc.get("dv", []))
+        self.colmap: dict[str, str] = dict(doc.get("column_map", {}))
+        self.dropped: list[str] = list(doc.get("column_dropped", []))
+        self.ptypes: dict[str, str] = {}
+        for u in self.units:
+            self.ptypes.update(u.get("partition_types", {}))
+
+    def unit_files(self, unit: dict) -> list[str]:
+        base = os.path.join(self.root, unit["path"])
+        out = []
+        for dirpath, _dirs, files in os.walk(base):
+            out.extend(
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return sorted(out)
+
+    def file_schema_ddl(self) -> str:
+        """Merged DDL across units (first file per unit; later units win
+        a name collision — additive evolution), with column mapping
+        applied (physical -> logical, dropped removed) and partition
+        columns appended."""
+        import pyarrow.parquet as pq
+
+        fields: dict[str, str] = {}
+        for u in self.units:
+            files = self.unit_files(u)
+            if not files:
+                continue
+            for f_ in pq.read_schema(files[0]):
+                fields[f_.name] = _arrow_ddl(f_.type)
+        inv = {p: l for l, p in self.colmap.items()}
+        cols = [
+            f"`{inv.get(name, name)}` {ddl}"
+            for name, ddl in fields.items()
+            if name not in self.dropped
+        ]
+        cols += [f"`{c}` {t}" for c, t in self.ptypes.items()]
+        return ", ".join(cols)
+
+    def tombstones(self) -> dict[str, set]:
+        """{absolute file path: {row indices}} from the active deletion
+        vectors (merge-on-read)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, set] = {}
+        for rel in self.dv:
+            base = os.path.join(self.root, rel)
+            for dirpath, _dirs, files in os.walk(base):
+                for f in files:
+                    if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                        continue
+                    t = pq.read_table(os.path.join(dirpath, f), columns=["fp", "ri"])
+                    for fp, ri in zip(
+                        t.column("fp").to_pylist(), t.column("ri").to_pylist()
+                    ):
+                        p = unquote(urlparse(fp).path)
+                        out.setdefault(p, set()).add(ri)
+        return out
+
+
+@dataclass
+class _FileSlice(InputPartition):
+    """One parquet file plus its unit's partition values and the
+    tombstoned row indices inside it. Picklable by construction."""
+
+    file: str
+    partition: tuple  # ((col, raw_manifest_string), ...)
+    tomb: tuple  # sorted tombstoned row indices
+
+
+def _range_may_match(lo: Any, hi: Any, flt: Filter) -> bool:
+    """Conservative [lo, hi] intersection test for one filter; True on
+    any doubt (incomparable types, unsupported shape)."""
+    try:
+        if isinstance(flt, EqualTo):
+            return not (flt.value < lo or flt.value > hi)
+        if isinstance(flt, In):
+            return any(not (v < lo or v > hi) for v in flt.value)
+        if isinstance(flt, GreaterThan):
+            return hi > flt.value
+        if isinstance(flt, GreaterThanOrEqual):
+            return hi >= flt.value
+        if isinstance(flt, LessThan):
+            return lo < flt.value
+        if isinstance(flt, LessThanOrEqual):
+            return lo <= flt.value
+    except TypeError:
+        return True
+    return True
+
+
+def _value_matches(v: Any, flt: Filter) -> bool:
+    """Exact single-value predicate test (partition pruning). NULL
+    partition values only satisfy IsNull."""
+    if isinstance(flt, IsNull):
+        return v is None
+    if v is None:
+        return False
+    if isinstance(flt, IsNotNull):
+        return True
+    try:
+        if isinstance(flt, EqualTo):
+            return v == flt.value
+        if isinstance(flt, In):
+            return v in flt.value
+        if isinstance(flt, GreaterThan):
+            return v > flt.value
+        if isinstance(flt, GreaterThanOrEqual):
+            return v >= flt.value
+        if isinstance(flt, LessThan):
+            return v < flt.value
+        if isinstance(flt, LessThanOrEqual):
+            return v <= flt.value
+    except TypeError:
+        return True
+    return True
+
+
+class LakeTableReader(DataSourceReader):
+    def __init__(self, path: str, version: int | None, schema: StructType):
+        self.snap = _Snapshot(path, version)
+        self.schema = schema
+        self.filters: list[Filter] = []
+
+    # -------------------------------------------------------------- plan
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Record single-column predicates for unit/file pruning; report
+        EVERY filter as still-needed (pruning is subset-only, so Spark
+        re-applying them is correct and cheap)."""
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if attr is not None and len(attr) == 1:
+                self.filters.append(flt)
+            yield flt
+
+    def _unit_survives(self, unit: dict) -> bool:
+        part = unit.get("partition", {})
+        ptypes = unit.get("partition_types", {})
+        stats = unit.get("stats", {})
+        for flt in self.filters:
+            col = flt.attribute[0]
+            if col in part:
+                v = _parse_partition_value(part[col], ptypes.get(col, "string"))
+                if not _value_matches(v, flt):
+                    return False
+            phys = self.snap.colmap.get(col, col)
+            if phys in stats:
+                lo, hi = stats[phys]
+                if lo is not None and not _range_may_match(lo, hi, flt):
+                    return False
+        return True
+
+    def _file_survives(self, unit: dict, fname: str) -> bool:
+        fstats = unit.get("file_stats", {}).get(fname, {})
+        for flt in self.filters:
+            phys = self.snap.colmap.get(flt.attribute[0], flt.attribute[0])
+            if phys in fstats:
+                lo, hi = fstats[phys]
+                if lo is not None and not _range_may_match(lo, hi, flt):
+                    return False
+        return True
+
+    def partitions(self) -> list[InputPartition]:
+        tomb = self.snap.tombstones()
+        out: list[InputPartition] = []
+        for u in self.snap.units:
+            if not self._unit_survives(u):
+                continue
+            pvals = tuple(sorted(u.get("partition", {}).items()))
+            for f in self.snap.unit_files(u):
+                if not self._file_survives(u, os.path.basename(f)):
+                    continue
+                ris = tuple(sorted(tomb.get(os.path.abspath(f), ())))
+                out.append(_FileSlice(file=f, partition=pvals, tomb=ris))
+        return out
+
+    # -------------------------------------------------------------- scan
+    def read(self, partition: _FileSlice) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        t = pq.read_table(partition.file)
+        if partition.tomb:
+            mask = pa.array(
+                [i not in set(partition.tomb) for i in range(t.num_rows)]
+            )
+            t = t.filter(mask)
+        n = t.num_rows
+        part = dict(partition.partition)
+        inv = {p: l for l, p in self.snap.colmap.items()}
+        logical_file_cols = {
+            inv.get(c, c): c for c in t.column_names if c not in self.snap.dropped
+        }
+        arrays, names = [], []
+        for field in self.schema.fields:
+            pa_type = to_arrow_type(field.dataType)
+            if field.name in part or (
+                field.name in self.snap.ptypes and field.name not in logical_file_cols
+            ):
+                v = _parse_partition_value(
+                    part.get(field.name, _HIVE_NULL),
+                    self.snap.ptypes.get(field.name, "string"),
+                )
+                arrays.append(pa.array([v] * n, type=pa_type))
+            elif field.name in logical_file_cols:
+                col = t.column(logical_file_cols[field.name])
+                if col.type != pa_type:
+                    col = col.cast(pa_type)
+                arrays.append(col.combine_chunks())
+            else:
+                # additive evolution: column absent from this older file
+                arrays.append(pa.nulls(n, type=pa_type))
+            names.append(field.name)
+        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+
+
+def register(spark) -> None:
+    """Register the format and enable Python filter pushdown (an SQL
+    conf, so it can be pinned on any caller-provided session)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakeTableDataSource)
+
+
+class LakeTableDataSource(DataSource):
+    """``spark.read.format("laketable")`` — register with
+    ``sources.pyds.register(spark)`` (or ``spark.dataSource.register``
+    with ``spark.sql.python.filterPushdown.enabled`` set)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "laketable"
+
+    def _target(self) -> tuple[str, int | None]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("laketable source requires .load(<table path>)")
+        v = self.options.get("version")
+        return path, (int(v) if v is not None else None)
+
+    def schema(self) -> str:
+        path, version = self._target()
+        return _Snapshot(path, version).file_schema_ddl()
+
+    def reader(self, schema: StructType) -> LakeTableReader:
+        path, version = self._target()
+        return LakeTableReader(path, version, schema)

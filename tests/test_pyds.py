@@ -1,0 +1,84 @@
+"""LakeTable as a Spark Python DataSource (`format("laketable")`):
+interop parity with the JVM read path — snapshot/time travel, partition
+restore, column mapping, merge-on-read deletes, and metadata pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources import pyds
+from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import LakeTableReader
+from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_format_read_matches_jvm_snapshot(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")], "id long, v string, p string"
+    )
+    t.overwrite(df)
+    got = spark.read.format("laketable").load(t.path)
+    assert sorted(got.columns) == ["id", "p", "v"]
+    assert _rows(got.select("id", "v", "p")) == _rows(t.read().select("id", "v", "p"))
+
+
+def test_format_time_travel_and_evolution(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    v1 = t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "id long, v string, w double"))
+    old = spark.read.format("laketable").option("version", v1).load(t.path)
+    assert _rows(old) == [(1, "a")]
+    cur = spark.read.format("laketable").load(t.path)
+    # additive evolution: the old file reads NULL for the new column
+    assert _rows(cur.select("id", "w")) == [(1, None), (2, 9.5)]
+
+
+def test_format_sees_mor_deletes_and_column_rename(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+    )
+    t.delete(F.col("id") % 3 == 0, mode="mor")
+    t.rename_column("v", "label")
+    got = spark.read.format("laketable").load(t.path)
+    assert _rows(got) == _rows(t.read())
+    assert set(got.columns) == {"id", "label"}
+    assert sorted(r.id for r in got.collect()) == [1, 2, 4, 5, 7, 8]
+
+
+def test_reader_prunes_partitions_and_files(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"], stats_cols=["id"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "x" if i < 50 else "y") for i in range(100)], "id long, p string"
+        )
+    )
+    schema = spark.read.format("laketable").load(t.path).schema
+    base = LakeTableReader(t.path, None, schema)
+    all_parts = base.partitions()
+
+    pruned = LakeTableReader(t.path, None, schema)
+    leftover = list(pruned.pushFilters([EqualTo(("p",), "x")]))
+    assert len(leftover) == 1  # every filter reported back to Spark
+    kept = pruned.partitions()
+    assert 0 < len(kept) < len(all_parts)
+
+    stats = LakeTableReader(t.path, None, schema)
+    list(stats.pushFilters([GreaterThan(("id",), 1_000_000)]))
+    assert len(stats.partitions()) == 0  # stats range excludes everything
+
+    # pruning + full query agree with the JVM path
+    got = spark.read.format("laketable").load(t.path).where("p = 'x' AND id >= 40")
+    assert sorted(r.id for r in got.collect()) == list(range(40, 50))
