@@ -82,3 +82,40 @@ def test_reader_prunes_partitions_and_files(spark, tmp_path):
     # pruning + full query agree with the JVM path
     got = spark.read.format("laketable").load(t.path).where("p = 'x' AND id >= 40")
     assert sorted(r.id for r in got.collect()) == list(range(40, 50))
+
+
+def test_stream_reader_versions_as_offsets(spark, tmp_path):
+    """readStream.format('laketable'): manifest versions are the stream
+    offsets — batch 1 drains the existing snapshot, appended commits
+    arrive incrementally, and a checkpoint restart re-reads nothing."""
+    import time
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, p string")
+    )
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("laketable")
+            .load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        time.sleep(0.2)
+
+    drain()
+    got = lambda: sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got() == [(1, "x"), (2, "y")]
+
+    t.append(spark.createDataFrame([(3, "x")], "id long, p string"))
+    drain()
+    assert got() == [(1, "x"), (2, "y"), (3, "x")]
+
+    drain()  # no new commits: restart must deliver zero duplicate rows
+    assert got() == [(1, "x"), (2, "y"), (3, "x")]
