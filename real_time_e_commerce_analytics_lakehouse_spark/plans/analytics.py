@@ -751,3 +751,91 @@ def clv_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dec_sum("o_totalprice")).alias("revenue"),
         )
     )
+
+
+BFS_ROUNDS = 3
+
+
+def _bfs_sql() -> str:
+    """Chained-CTE BFS over the co-purchase graph: d_{k+1} = min(d_k,
+    1 + d_k of any in-neighbor). Pure integer arithmetic — hash-exact."""
+    sql = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE_ORDERS}
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    d0 AS (SELECT min(src) AS node, 0 AS dist FROM edges)"""
+    for k in range(1, BFS_ROUNDS + 1):
+        sql += f""",
+    d{k} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM d{k - 1} d JOIN edges e ON e.src = d.node
+        ) frontier GROUP BY node
+    )"""
+    return sql + f"""
+    SELECT node AS part, CAST(dist AS BIGINT) AS hops
+    FROM d{BFS_ROUNDS}
+    """
+
+
+@register(
+    "copurchase_bfs_distances",
+    oracle=_bfs_sql(),
+    doc=(
+        f"Breadth-first shortest hop distances ({BFS_ROUNDS} synchronous "
+        "rounds) from the lowest-id part over the co-purchase graph — "
+        "the graph-traversal sibling of copurchase_pagerank (value "
+        "iteration) and neardup_clusters (pointer jumping): frontier "
+        "expansion as a bounded join/agg chain, the recursive-CTE "
+        "workload expressed Spark-native. Each round is ONE shuffle "
+        "(frontier ⋈ edges on src, re-min on node); the frontier frame "
+        "is <= |reached nodes|, never |edges|, and the edge list is "
+        "persisted once and co-partitioned by src across rounds. All "
+        "integer arithmetic: hash-exact with no float contract at all."
+    ),
+    tags=("analytics", "graph", "join", "agg"),
+)
+def copurchase_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    dist = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    for _ in range(BFS_ROUNDS):
+        hop = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").alias("part"), F.col("dist").cast("long").alias("hops")
+    )

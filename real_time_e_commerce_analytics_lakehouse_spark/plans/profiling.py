@@ -344,3 +344,56 @@ def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("day_rev", 2).alias("day_revenue"),
         ewma.alias("ewma_halving"),
     )
+
+
+@register(
+    "trailing_7d_median_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS day_rev
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT order_date, day_rev,
+               list_sort(list(day_rev) OVER (ORDER BY order_date
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS win
+        FROM daily
+    )
+    SELECT order_date, round(day_rev, 2) AS day_revenue,
+           CAST(len(win) AS BIGINT) AS n_days,
+           win[(len(win) + 1) // 2] AS trailing_median
+    FROM framed
+    """,
+    doc=(
+        "Exact moving median over a trailing 8-row window (robust "
+        "smoothing — the outlier-resistant sibling of the EWMA): "
+        "collect the frame, sort it, take the lower middle element "
+        "(1-based position (n+1) div 2 — a pinned integer convention, "
+        "NOT an averaged even-n median, so the value is always one of "
+        "the input doubles and cross-engine exact with no arithmetic "
+        "contract). Window medians have no incremental aggregate form; "
+        "the O(w log w) per-row sort is the honest cost, bounded by the "
+        "frame width. Emitted unrounded (the value is an exact daily "
+        "decimal sum cast once to double)."
+    ),
+    tags=("window", "timeseries"),
+)
+def trailing_7d_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_rev")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-7, 0)
+    win = F.sort_array(F.collect_list("day_rev").over(w))
+    return daily.select(
+        "order_date",
+        F.round("day_rev", 2).alias("day_revenue"),
+        F.size(win).cast("long").alias("n_days"),
+        F.element_at(win, ((F.size(win) + 1) / 2).cast("int")).alias(
+            "trailing_median"
+        ),
+    )
