@@ -37,6 +37,7 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -49,6 +50,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -410,6 +412,129 @@ class LakeTableStreamReader(DataSourceStreamReader):
         pass  # manifests are immutable; nothing to clean up
 
 
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class LakeTableWriter(DataSourceArrowWriter):
+    """``df.write.format("laketable").mode(...).save(path)``: each task
+    streams its Arrow batches into one parquet file inside a staged
+    ``data/<uuid>`` unit dir; ``commit`` then publishes the unit with
+    the same exclusive-create manifest protocol the engine uses, so a
+    racing writer errors instead of clobbering (and a failed job leaves
+    only an unreferenced staging dir for vacuum). Append carries the
+    previous snapshot's units and deletion vectors by reference.
+
+    Scope: unpartitioned tables without column mapping — the engine API
+    (`LakeTable`) remains the full-featured writer (partition layouts,
+    stats harvesting, constraints, identity, clustering); this is the
+    interop path for plain Spark jobs producing simple tables."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool):
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+        self.unit_rel = os.path.join("data", uuid_hex())
+        log = os.path.join(path, _LOG_DIR)
+        if os.path.isdir(log) and any(
+            f.endswith(".json") for f in os.listdir(log)
+        ):
+            snap = _Snapshot(path, None)
+            if snap.ptypes:
+                raise ValueError(
+                    "laketable writer supports unpartitioned tables only; "
+                    "use the LakeTable API for partitioned writes"
+                )
+            if snap.colmap or snap.dropped:
+                raise ValueError(
+                    "laketable writer does not support column-mapped "
+                    "tables; use the LakeTable API"
+                )
+            self.base_version = snap.version
+            self.carry_units = [] if overwrite else list(snap.units)
+            self.carry_dv = [] if overwrite else list(snap.dv)
+        else:
+            self.base_version = 0
+            self.carry_units = []
+            self.carry_dv = []
+
+    # executors ------------------------------------------------------------
+    def write(self, iterator) -> _WrittenFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _WrittenFile(filename="", n_rows=0)
+        out_dir = os.path.join(self.path, self.unit_rel)
+        os.makedirs(out_dir, exist_ok=True)
+        fname = f"part-{uuid_hex()}.parquet"
+        t = pa.Table.from_batches(batches)
+        pq.write_table(t, os.path.join(out_dir, fname))
+        return _WrittenFile(filename=fname, n_rows=t.num_rows)
+
+    # driver ---------------------------------------------------------------
+    def commit(self, messages) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        n_rows = sum(m.n_rows for m in messages if m)
+        out_dir = os.path.join(self.path, self.unit_rel)
+        if n_rows == 0:
+            # an empty relation is still a valid snapshot: one 0-row file
+            os.makedirs(out_dir, exist_ok=True)
+            empty = pa.table(
+                {
+                    f.name: pa.nulls(0, type=to_arrow_type(f.dataType))
+                    for f in self.schema.fields
+                }
+            )
+            pq.write_table(empty, os.path.join(out_dir, "part-empty.parquet"))
+        unit = {
+            "path": self.unit_rel,
+            "partition": {},
+            "partition_types": {},
+            "stats": {},
+            "file_stats": {},
+        }
+        doc = {
+            "version": self.base_version + 1,
+            "operation": "pyds-overwrite" if self.overwrite else "pyds-append",
+            "partition_by": [],
+            "units": self.carry_units + [unit],
+            "dv": self.carry_dv,
+        }
+        log = os.path.join(self.path, _LOG_DIR)
+        os.makedirs(log, exist_ok=True)
+        target = os.path.join(log, f"{self.base_version + 1:08d}.json")
+        tmp = target + f".tmp-{uuid_hex()}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        try:
+            os.link(tmp, target)  # atomic-exclusive: racing writer errors
+        except FileExistsError:
+            raise RuntimeError(
+                f"version {self.base_version + 1} already committed by "
+                "another writer (optimistic concurrency)"
+            ) from None
+        finally:
+            os.remove(tmp)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.unit_rel), ignore_errors=True)
+
+
+def uuid_hex() -> str:
+    import uuid
+
+    return uuid.uuid4().hex
+
+
 def register(spark) -> None:
     """Register the format and enable Python filter pushdown (an SQL
     conf, so it can be pinned on any caller-provided session)."""
@@ -444,3 +569,7 @@ class LakeTableDataSource(DataSource):
     def streamReader(self, schema: StructType) -> LakeTableStreamReader:
         path, _version = self._target()
         return LakeTableStreamReader(path, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> LakeTableWriter:
+        path, _version = self._target()
+        return LakeTableWriter(path, schema, overwrite)

@@ -119,3 +119,33 @@ def test_stream_reader_versions_as_offsets(spark, tmp_path):
 
     drain()  # no new commits: restart must deliver zero duplicate rows
     assert got() == [(1, "x"), (2, "y"), (3, "x")]
+
+
+def test_writer_roundtrips_through_engine_api(spark, tmp_path):
+    """df.write.format('laketable'): the written manifest is readable by
+    BOTH the format reader and the full LakeTable API (time travel,
+    append carrying prior units by reference)."""
+    p = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df1.write.format("laketable").mode("overwrite").save(p)
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    df2.write.format("laketable").mode("append").save(p)
+
+    t = LakeTable(spark, p)
+    assert t.latest_version() == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "b")]
+    assert _rows(spark.read.format("laketable").load(p)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # engine API writes compose onto the format-written table
+    t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert _rows(spark.read.format("laketable").load(p))[-1] == (4, "d")
+
+
+def test_writer_refuses_partitioned_tables(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(spark.createDataFrame([(1, "x")], "id long, p string"))
+    df = spark.createDataFrame([(2, "y")], "id long, p string")
+    with pytest.raises(Exception, match="unpartitioned|LakeTable API"):
+        df.write.format("laketable").mode("append").save(t.path)
