@@ -19,17 +19,21 @@ def sample(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_roundtrip(spark, sample, tmp_path, fmt):
     path = str(tmp_path / fmt)
     writer = sample.write.mode("overwrite").format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)
+    if fmt == "xml":  # built-in since Spark 4 (SPARK-44751)
+        writer = writer.option("rowTag", "row")
     writer.save(path)
 
     reader = spark.read.format(fmt).schema(sample.schema)
     if fmt == "csv":
         reader = reader.option("header", True)
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row")
     back = reader.load(path)
 
     a = sorted(tuple(r) for r in sample.collect())

@@ -482,3 +482,25 @@ def test_logreg_gd_learns_signal(spark, sf_dir):
     assert set(rows) == {1, 2, 3}
     w = [rows[k].w_tokens for k in (1, 2, 3)]
     assert w[0] > 0 and w[0] < w[1] < w[2], w
+
+
+def test_chunk_udtf_matches_jvm_chunker(spark, sf_dir) -> None:
+    """The Python UDTF spelling of the sliding chunker (LATERAL table
+    function) agrees row-for-row with the JVM expression pipeline the
+    engine ships as the production path."""
+    from real_time_e_commerce_analytics_lakehouse_spark.functions.udtfs import (
+        chunk_tokens_udtf,
+    )
+
+    spark.udtf.register("chunk_tokens", chunk_tokens_udtf)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40).createOrReplaceTempView(
+        "docs_u"
+    )
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_index, c.token_start, c.chunk_tokens, "
+        "c.chunk_text FROM docs_u d, LATERAL chunk_tokens(d.text, 40, 20) c"
+    )
+    jvm = QUERIES["chunk_documents_sliding"].builder(spark, sf_dir)
+    ids = {r.doc_id for r in via_udtf.select("doc_id").distinct().collect()}
+    jvm = jvm.where(F.col("doc_id").isin(list(ids)))
+    assert sorted(map(tuple, via_udtf.collect())) == sorted(map(tuple, jvm.collect()))
