@@ -43,7 +43,6 @@ GATE_ORDER = [
     "timestamp_parse_roundtrip",
     "valid_domain_filter",
     "dedup_latest",
-    "dedup_latest_composite",
     "modal_event_type",
     "surrogate_dim_customer",
     # join family
@@ -53,23 +52,24 @@ GATE_ORDER = [
     "promo_window_shipments",
     "fuzzy_customer_pairs",
     # window family
-    "top3_orders_per_customer",
+    "customer_order_streaks",
     "sessionize_events",
-    "trailing_7d_revenue",
+    "daily_revenue_ewma",
+    "trailing_7d_median_revenue",
+    "daily_revenue_interpolated",
     # aggregate family
     "rollup_revenue",
     "copurchase_part_pairs",
-    "weekly_histogram_percentiles",
+    "profile_orders_columns",
     "customer_last_order_argmax",
     "customer_order_keys_array",
-    "salted_revenue_by_status",
+    "copurchase_bfs_distances",
     # set ops
     "except_inactive_customers",
     # decision-support subquery shapes
     "big_basket_orders",
     "bloom_pruned_brand_revenue",
     "q2_cheapest_supplier_per_part",
-    "q9_profit_by_nation_year",
     "q22_idle_rich_customers",
     # SCD Type 2 (LakeTable.merge_scd2's interval-construction shape)
     "scd2_order_status_history",
@@ -77,22 +77,22 @@ GATE_ORDER = [
     "docs_exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
     "bm25_keyword_search",
     "neardup_clusters",
-    "cross_doc_duplicate_spans",
+    "doc_top_terms",
+    "token_zipf_slope",
     "doc_token_stats",
     "bpe_learned_merges",
     "logreg_quality_gd",
+    "nb_lang_classifier",
     # curation
     "benchmark_contamination",
-    "pack_documents_into_shards",
     # embeddings / similarity search
     "cosine_topk_bruteforce",
     "ivf_kmeans_topk",
     "semantic_dedup_embeddings",
     # multimodal
-    "video_container_catalog",
+    "image_pixel_stats",
     # events
     "tumbling_hourly_events",
 ]
