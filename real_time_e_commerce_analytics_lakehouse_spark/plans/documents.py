@@ -636,6 +636,7 @@ _PXB = "((doc_id % 251) + 6*bx.bx + 14*by.by + {dx} + {dy}) % 256"
         "multimodal ingest, partition-parallel with no imaging libs."
     ),
     tags=("documents", "multimodal"),
+    bench=True,
 )
 def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (

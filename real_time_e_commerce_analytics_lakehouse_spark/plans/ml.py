@@ -192,6 +192,7 @@ def _nb_sql(d: str) -> str:
         "not the model quality, is what is verified."
     ),
     tags=("documents", "ml", "agg"),
+    bench=True,
 )
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")

@@ -109,3 +109,57 @@ def surrogate_dim_customer_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     return dense_row_ids(customer, "c_custkey", out="customer_sk").select(
         "customer_sk", "c_custkey", "c_name", "c_mktsegment"
     )
+
+
+@register(
+    "laketable_format_roundtrip",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_sum("o_totalprice")} AS revenue
+    FROM orders
+    WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "End-to-end roundtrip through the `laketable` Spark format "
+        "(sources/pyds.py, Spark 4 Python DataSource API): HIGH-priority "
+        "orders land via df.write.format('laketable') (Arrow task "
+        "files + exclusive-create manifest commit), MEDIUM-priority "
+        "orders via a second APPEND commit, and the aggregate reads the "
+        "two-version table back through spark.read.format('laketable'). "
+        "A wrong byte anywhere in the format path — manifest layout, "
+        "Arrow write, schema inference, snapshot assembly — changes the "
+        "oracle-checked result. The staging dir lives under the system "
+        "temp dir, rebuilt per run (the write IS the operator under "
+        "test)."
+    ),
+    tags=("table", "formats", "agg"),
+)
+def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import pyds
+
+    pyds.register(spark)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"laketable_fmt_{abs(hash(os.path.abspath(sf_dir)))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.where(F.col("o_orderpriority") == "2-HIGH").write.format(
+        "laketable"
+    ).mode("overwrite").save(path)
+    orders.where(F.col("o_orderpriority") == "3-MEDIUM").write.format(
+        "laketable"
+    ).mode("append").save(path)
+    back = spark.read.format("laketable").load(path)
+    return back.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(dec_sum("o_totalprice")).alias("revenue"),
+    )

@@ -366,9 +366,13 @@ class LakeTableStreamReader(DataSourceStreamReader):
     offsets the semantics coincide — one batch drains everything up to
     the version observed at start."""
 
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType, max_versions: int | None = None):
         self.path = path
         self.schema = schema
+        # maxFilesPerTrigger analog at commit granularity: each batch
+        # advances at most this many manifest versions, so a long
+        # backlog drains in bounded micro-batches
+        self.max_versions = max_versions
 
     def _version(self) -> int:
         log = os.path.join(self.path, _LOG_DIR)
@@ -380,8 +384,19 @@ class LakeTableStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": 0}
 
+    # Highest end-offset Spark committed THIS run, or None before the
+    # first commit. The clamp only engages once known: on a checkpoint
+    # restart the true committed offset lives in the checkpoint (not
+    # visible here), and clamping below it would regress offsets and
+    # re-deliver data — so the first post-(re)start batch is unbounded
+    # and every subsequent one is rate-limited.
+    _committed: int | None = None
+
     def latestOffset(self) -> dict:
-        return {"version": self._version()}
+        v = self._version()
+        if self.max_versions is not None and self._committed is not None:
+            v = min(v, self._committed + self.max_versions)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         if end["version"] <= start["version"]:
@@ -409,7 +424,9 @@ class LakeTableStreamReader(DataSourceStreamReader):
         yield from LakeTableReader.read(reader, partition)
 
     def commit(self, end: dict) -> None:
-        pass  # manifests are immutable; nothing to clean up
+        # manifests are immutable — nothing to clean up; track the
+        # committed offset so rate limiting advances batch by batch
+        self._committed = end["version"]
 
 
 @dataclass
@@ -568,7 +585,10 @@ class LakeTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> LakeTableStreamReader:
         path, _version = self._target()
-        return LakeTableStreamReader(path, schema)
+        mv = self.options.get("maxversionspertrigger")
+        return LakeTableStreamReader(
+            path, schema, int(mv) if mv is not None else None
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> LakeTableWriter:
         path, _version = self._target()

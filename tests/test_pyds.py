@@ -149,3 +149,29 @@ def test_writer_refuses_partitioned_tables(spark, tmp_path):
     df = spark.createDataFrame([(2, "y")], "id long, p string")
     with pytest.raises(Exception, match="unpartitioned|LakeTable API"):
         df.write.format("laketable").mode("append").save(t.path)
+
+
+def test_stream_rate_limit_bounds_batches(spark, tmp_path):
+    """maxVersionsPerTrigger: after the first commit, each batch
+    advances at most N manifest versions (bounded backlog drain); the
+    clamp never engages before a commit is observed, so a checkpoint
+    restart cannot regress offsets."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableStreamReader,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,)], "id long"))  # v1
+    for i in range(2, 5):  # v2..v4
+        t.append(spark.createDataFrame([(i,)], "id long"))
+
+    schema = spark.read.format("laketable").load(t.path).schema
+    r = LakeTableStreamReader(t.path, schema, max_versions=1)
+    assert r.latestOffset() == {"version": 4}  # pre-commit: unbounded
+    r.commit({"version": 1})
+    assert r.latestOffset() == {"version": 2}  # clamped to +1
+    parts = r.partitions({"version": 1}, {"version": 2})
+    rows = [row for p in parts for b in r.read(p) for row in b.to_pylist()]
+    assert [x["id"] for x in rows] == [2]  # exactly the v2 commit
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 3}
