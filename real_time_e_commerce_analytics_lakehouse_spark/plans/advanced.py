@@ -453,3 +453,68 @@ def scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
         )
     )
+
+
+@register(
+    "customer_entity_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT ka AS a, kb AS b FROM pairs
+        UNION ALL
+        SELECT kb, ka FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON r.v = e.b
+    ),
+    comp AS (SELECT v, min(r) AS entity_id FROM reach GROUP BY v)
+    SELECT comp.entity_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(min(c.c_custkey) AS BIGINT) AS canonical_custkey,
+           min(c.c_name) AS canonical_name
+    FROM comp JOIN customer c ON c.c_custkey = comp.v
+    GROUP BY comp.entity_id
+    """,
+    doc=(
+        "End-to-end entity resolution (blocking -> pairwise match -> "
+        "transitive clustering -> canonicalization): nation-blocked "
+        "Levenshtein<=1 name pairs (fuzzy_customer_pairs' verify join) "
+        "feed distributed connected components (operators/graph.py "
+        "pointer jumping), and each entity cluster elects a canonical "
+        "record (min custkey / min name). Pairwise match alone "
+        "mis-handles A~B, B~C chains — the clustering step is what "
+        "makes the output an ENTITY table. Oracle = recursive-CTE "
+        "closure over the same pairs (unique fixpoint, hash-exact). At "
+        "100 TB the block key tightens (q-gram/LSH) but the three-stage "
+        "shape is identical."
+    ),
+    tags=("join", "text", "dedup", "graph"),
+)
+def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = fuzzy_customer_pairs(spark, sf_dir).select("custkey_a", "custkey_b")
+    comp = connected_components(
+        pairs, src="custkey_a", dst="custkey_b",
+        vertex_col="c_custkey", component_col="entity_id",
+    )
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        comp.join(customer, "c_custkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.min("c_custkey").cast("long").alias("canonical_custkey"),
+            F.min("c_name").alias("canonical_name"),
+        )
+    )

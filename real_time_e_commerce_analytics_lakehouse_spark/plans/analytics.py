@@ -839,3 +839,86 @@ def copurchase_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("part"), F.col("dist").cast("long").alias("hops")
     )
+
+
+def _forecast_sql(d: str) -> str:
+    """Trend + weekday-seasonality forecast as one SQL template per
+    dialect; every sum is decimal-exact and the closed-form arithmetic
+    is the same IEEE expression tree, so the 7 forecast doubles are
+    bit-identical cross-engine (emitted unrounded)."""
+    if d == "spark":
+        series = "SELECT explode(sequence(1, 7)) AS step"
+        wday = "weekday({x})"
+        nextd = "date_add(dmax, step)"
+        ddiff = "datediff(d, d0)"
+    else:
+        series = "SELECT unnest(generate_series(1, 7)) AS step"
+        wday = "(isodow({x}) - 1)"
+        nextd = "dmax + CAST(step AS INTEGER)"
+        ddiff = "(d - d0)"
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS dmax FROM daily),
+    idx AS (
+        SELECT d, y, {ddiff} AS i, {wday.format(x='d')} AS w
+        FROM daily CROSS JOIN bounds
+    ),
+    g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(i) AS DOUBLE) AS si,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(i * y) AS DOUBLE) AS siy,
+               CAST(sum(CAST(i AS BIGINT) * i) AS DOUBLE) AS sii
+        FROM idx
+    ),
+    fit AS (
+        SELECT n, si, sy,
+               (n * siy - si * sy) / (n * sii - si * si) AS slope
+        FROM g
+    ),
+    wd AS (
+        SELECT w, CAST(sum(y) AS DOUBLE) AS syw,
+               CAST(count(*) AS DOUBLE) AS cw
+        FROM idx GROUP BY w
+    ),
+    future AS (
+        SELECT step, {nextd} AS fdate
+        FROM ({series}) s CROSS JOIN bounds
+    )
+    SELECT f.fdate AS forecast_date,
+           CAST({wday.format(x='f.fdate')} AS INTEGER) AS weekday,
+           (fit.sy - fit.slope * fit.si) / fit.n
+               + fit.slope * (g2.imax + f.step)
+               + (wd.syw / wd.cw - fit.sy / fit.n) AS forecast_revenue
+    FROM future f
+    CROSS JOIN fit
+    CROSS JOIN (SELECT max(i) AS imax FROM idx) g2
+    JOIN wd ON wd.w = {wday.format(x='f.fdate')}
+    """
+
+
+@register(
+    "forecast_next_week_revenue",
+    oracle=_forecast_sql("duck"),
+    doc=(
+        "In-engine forecasting: next-7-day revenue = closed-form OLS "
+        "linear trend over the daily series plus an additive "
+        "day-of-week seasonal deviation (weekday mean minus grand "
+        "mean) — the decomposition a capacity-planning dashboard runs. "
+        "Training is five decimal-exact moment sums + a 7-row weekday "
+        "aggregate (two constant-size reducers after partial aggs); "
+        "the forecast itself is a 7-row cross join. Weekday pinned to "
+        "0=Monday on both engines (Spark weekday() vs DuckDB "
+        "isodow()-1). Forecast doubles are bit-identical — exact "
+        "decimal moments through one shared IEEE expression tree — "
+        "and emitted unrounded."
+    ),
+    tags=("analytics", "timeseries", "ml", "agg"),
+)
+def forecast_next_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_forecast_sql("spark"))

@@ -31,7 +31,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import regist
 BPE_ROUNDS = 3
 
 
-def _bpe_sql(d: str, source: str = "documents") -> str:
+def _bpe_chain(d: str, source: str = "documents") -> str:
     if d == "spark":
         spaced = "regexp_replace(word, '(.)', ' $1 ')"
         toks = f"explode({tx.tokens('text', 'spark')})"
@@ -78,12 +78,44 @@ def _bpe_sql(d: str, source: str = "documents") -> str:
                           ' ' || l || r || ' ') AS s
         FROM {prev} CROSS JOIN m{k}
     )"""
+    return sql
+
+
+def _bpe_sql(d: str, source: str = "documents") -> str:
     finals = "\n    UNION ALL\n    ".join(
         f"SELECT {k} AS rank, l AS lhs, r AS rhs, l || r AS merged, "
         f"CAST(cnt AS BIGINT) AS n_pairs FROM m{k}"
         for k in range(1, BPE_ROUNDS + 1)
     )
-    return sql + "\n    " + finals
+    return _bpe_chain(d, source) + "\n    " + finals
+
+
+def _bpe_encode_sql(d: str, source: str = "documents") -> str:
+    """Apply the learned merge table to the corpus itself: every doc's
+    words join the (already-merged) vocabulary encodings on the WORD
+    blocking key, then aggregate per doc — training and application in
+    one DAG, the tokenizer never leaving the engine."""
+    if d == "spark":
+        toks = f"explode({tx.tokens('text', 'spark')})"
+        nsym = "size(split(trim(s), '  '))"
+    else:
+        toks = f"unnest({tx.tokens('text', 'duck')})"
+        nsym = "len(string_split(trim(s), '  '))"
+    return f"""{_bpe_chain(d, source)},
+    doc_words AS (
+        SELECT doc_id, {toks} AS word FROM {source}
+    ),
+    enc AS (
+        SELECT word, {nsym} AS n_sym, length(word) AS n_chars
+        FROM words{BPE_ROUNDS}
+    )
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(enc.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(enc.n_sym) AS BIGINT) AS n_bpe_symbols
+    FROM doc_words dw JOIN enc ON dw.word = enc.word
+    GROUP BY dw.doc_id
+    """
 
 
 @register(
@@ -119,3 +151,25 @@ def learn_bpe_merges(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "__bpe_docs"
     )
     return spark.sql(_bpe_sql("spark", source="__bpe_docs"))
+
+
+@register(
+    "bpe_encode_documents",
+    oracle=_bpe_encode_sql("duck"),
+    doc=(
+        f"BPE tokenizer APPLICATION (the other half of "
+        f"bpe_learned_merges): encode every document with the "
+        f"{BPE_ROUNDS}-merge table learned in the same DAG and emit "
+        "per-doc word/char/symbol counts — n_bpe_symbols < n_chars "
+        "exactly where learned merges fire, the compression a tokenizer "
+        "exists to deliver. Encoding joins doc words to the merged "
+        "VOCABULARY on the word blocking key (each distinct word is "
+        "encoded once, reused corpus-wide — the same |vocab|-not-|tokens| "
+        "scaling as training), then one doc-keyed aggregate. Integer "
+        "counts: hash-exact."
+    ),
+    tags=("documents", "text"),
+)
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bpe_encode_sql("spark"))
