@@ -517,3 +517,102 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_estimate"
         ),
     )
+
+
+@register(
+    "session_turn_transcripts",
+    oracle=f"""
+    {EVENTS_CTE},
+    lagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM ev
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM lagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               list(event_type ORDER BY ts, event_id) AS seq
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST(len(list_filter(range(2, len(seq) + 1),
+                                i -> seq[i] <> seq[i - 1])) + 1 AS BIGINT)
+               AS n_turns,
+           array_to_string(seq, '>') AS transcript
+    FROM sessions
+    WHERE len(seq) >= 3
+    """,
+    doc=(
+        "Conversation/trajectory assembly from event logs (the "
+        "'build sequence-training examples from behavioral data' stage "
+        "of an LLM data pipeline): sessionize, serialize each session's "
+        "event types into an ordered transcript, and count TURNS "
+        "(runs of consecutive identical types collapse into one turn — "
+        "the role-alternation view of the sequence). One user_id "
+        "shuffle shared by the session windows and the per-session "
+        "aggregate; the ordered collect carries a full (ts, event_id) "
+        "tie-break so the serialized transcripts are deterministic and "
+        "hash-exact cross-engine."
+    ),
+    tags=("events", "window", "text"),
+)
+def session_turn_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > SESSION_GAP_US
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long"),
+        )
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("seq")
+    )
+    n = F.size("seq")
+    n_turns = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), n),
+                lambda i: F.element_at("seq", i)
+                != F.element_at("seq", (i - 1).cast("int")),
+            )
+        )
+        + 1
+    )
+    return sessions.where(n >= 3).select(
+        "user_id",
+        "session_id",
+        n.cast("long").alias("n_events"),
+        n_turns.cast("long").alias("n_turns"),
+        F.array_join("seq", ">").alias("transcript"),
+    )

@@ -397,3 +397,68 @@ def trailing_7d_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_median"
         ),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer cu
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = cu.c_nationkey))
+                AS BIGINT)
+    """,
+    doc=(
+        "Referential-integrity audit (the data-quality companion to the "
+        "column profiler): orphan counts for the three load-bearing "
+        "foreign keys, each an anti-join (no EXISTS subquery per row — "
+        "Spark plans LeftAnti, shuffling on the key once; the parent "
+        "side of nation/customer broadcasts). Informational PK/FK "
+        "constraints are metadata in every warehouse; this is the query "
+        "that actually VERIFIES them at 100 TB, run after each load."
+    ),
+    tags=("profiling", "join", "agg"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        orphans = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(fk).alias("fk"),
+                F.col("n_child_rows").cast("long"),
+                F.col("n_orphans").cast("long"),
+            )
+        )
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(
+            audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey")
+        )
+        .unionByName(
+            audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
