@@ -64,6 +64,15 @@ def _unescape_hive(raw: str) -> str:
     return raw if raw == _HIVE_NULL else unquote(raw)
 
 
+def _fs_path(path: str) -> str:
+    """Normalize a table location to a filesystem path: the SQL surface
+    (CREATE TABLE ... USING laketable) hands the reader a `file:` URI,
+    the DataFrame surface a plain path."""
+    if path.startswith("file:"):
+        return unquote(urlparse(path).path)
+    return path
+
+
 def _parse_partition_value(raw: str, spark_type: str) -> Any:
     """Typed python value of a manifest partition string (None for the
     Hive NULL sentinel)."""
@@ -569,11 +578,11 @@ class LakeTableDataSource(DataSource):
         return "laketable"
 
     def _target(self) -> tuple[str, int | None]:
-        path = self.options.get("path")
+        path = self.options.get("path") or self.options.get("table_path")
         if not path:
             raise ValueError("laketable source requires .load(<table path>)")
         v = self.options.get("version")
-        return path, (int(v) if v is not None else None)
+        return _fs_path(path), (int(v) if v is not None else None)
 
     def schema(self) -> str:
         path, version = self._target()
