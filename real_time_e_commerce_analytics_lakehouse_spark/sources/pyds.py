@@ -442,6 +442,7 @@ class LakeTableStreamReader(DataSourceStreamReader):
 class _WrittenFile(WriterCommitMessage):
     filename: str
     n_rows: int
+    combos: tuple = ()  # partition dir-segment tuples this task wrote
 
 
 class LakeTableWriter(DataSourceArrowWriter):
@@ -453,25 +454,40 @@ class LakeTableWriter(DataSourceArrowWriter):
     only an unreferenced staging dir for vacuum). Append carries the
     previous snapshot's units and deletion vectors by reference.
 
-    Scope: unpartitioned tables without column mapping — the engine API
-    (`LakeTable`) remains the full-featured writer (partition layouts,
-    stats harvesting, constraints, identity, clustering); this is the
-    interop path for plain Spark jobs producing simple tables."""
+    Partitioned writes: pass ``.option("partition_by", "col[,col2]")``
+    (or append to an already-partitioned table, whose layout is
+    inferred) — each task splits its batches by partition value and
+    writes Hive ``col=value`` subdirs inside the staged unit; commit
+    publishes ONE unit per partition combination, matching the engine's
+    layout (partition columns live in the directory name, not the
+    files). Partition values must be plain (no characters needing Hive
+    escaping) — richer values go through the LakeTable API, which also
+    remains the writer for column mapping, stats harvesting,
+    constraints, identity, and clustering."""
 
-    def __init__(self, path: str, schema: StructType, overwrite: bool):
+    def __init__(
+        self, path: str, schema: StructType, overwrite: bool,
+        partition_by: list[str] | None = None,
+    ):
         self.path = path
         self.schema = schema
         self.overwrite = overwrite
         self.unit_rel = os.path.join("data", uuid_hex())
+        self.partition_by = list(partition_by or [])
         log = os.path.join(path, _LOG_DIR)
         if os.path.isdir(log) and any(
             f.endswith(".json") for f in os.listdir(log)
         ):
             snap = _Snapshot(path, None)
-            if snap.ptypes:
+            existing = sorted(snap.ptypes)
+            if not self.partition_by and existing:
+                self.partition_by = existing  # inherit the table's layout
+            if sorted(self.partition_by) != existing and not (
+                overwrite and not existing
+            ):
                 raise ValueError(
-                    "laketable writer supports unpartitioned tables only; "
-                    "use the LakeTable API for partitioned writes"
+                    f"partition_by {self.partition_by} does not match the "
+                    f"table's partition layout {existing}"
                 )
             if snap.colmap or snap.dropped:
                 raise ValueError(
@@ -485,6 +501,30 @@ class LakeTableWriter(DataSourceArrowWriter):
             self.base_version = 0
             self.carry_units = []
             self.carry_dv = []
+        missing = [c for c in self.partition_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition columns {missing} absent from schema")
+        self.ptype_ddl = {
+            f.name: f.dataType.simpleString()
+            for f in self.schema.fields
+            if f.name in self.partition_by
+        }
+
+    @staticmethod
+    def _pdir(col: str, v) -> str:
+        """Hive `col=value` segment; plain values only (the engine
+        escapes, this interop writer rejects instead)."""
+        from urllib.parse import quote
+
+        if v is None:
+            return f"{col}={_HIVE_NULL}"
+        s = str(v)
+        if quote(s, safe="") != s:
+            raise ValueError(
+                f"partition value {s!r} needs Hive escaping; "
+                "use the LakeTable API for such layouts"
+            )
+        return f"{col}={s}"
 
     # executors ------------------------------------------------------------
     def write(self, iterator) -> _WrittenFile:
@@ -493,13 +533,33 @@ class LakeTableWriter(DataSourceArrowWriter):
 
         batches = [b for b in iterator if b.num_rows]
         if not batches:
-            return _WrittenFile(filename="", n_rows=0)
-        out_dir = os.path.join(self.path, self.unit_rel)
-        os.makedirs(out_dir, exist_ok=True)
-        fname = f"part-{uuid_hex()}.parquet"
+            return _WrittenFile(filename="", n_rows=0, combos=())
         t = pa.Table.from_batches(batches)
-        pq.write_table(t, os.path.join(out_dir, fname))
-        return _WrittenFile(filename=fname, n_rows=t.num_rows)
+        if not self.partition_by:
+            out_dir = os.path.join(self.path, self.unit_rel)
+            os.makedirs(out_dir, exist_ok=True)
+            fname = f"part-{uuid_hex()}.parquet"
+            pq.write_table(t, os.path.join(out_dir, fname))
+            return _WrittenFile(filename=fname, n_rows=t.num_rows, combos=())
+        keys = t.select(self.partition_by).to_pylist()
+        combos: dict[tuple, list[int]] = {}
+        for i, row in enumerate(keys):
+            combos.setdefault(
+                tuple((c, row[c]) for c in self.partition_by), []
+            ).append(i)
+        data = t.drop_columns(self.partition_by)
+        written = []
+        for combo, idx in combos.items():
+            segs = [self._pdir(c, v) for c, v in combo]
+            out_dir = os.path.join(self.path, self.unit_rel, *segs)
+            os.makedirs(out_dir, exist_ok=True)
+            fname = f"part-{uuid_hex()}.parquet"
+            pq.write_table(
+                data.take(pa.array(idx, type=pa.int64())),
+                os.path.join(out_dir, fname),
+            )
+            written.append(tuple(segs))
+        return _WrittenFile(filename="", n_rows=t.num_rows, combos=tuple(written))
 
     # driver ---------------------------------------------------------------
     def commit(self, messages) -> None:
@@ -508,6 +568,29 @@ class LakeTableWriter(DataSourceArrowWriter):
         from pyspark.sql.pandas.types import to_arrow_type
 
         n_rows = sum(m.n_rows for m in messages if m)
+        if self.partition_by:
+            all_combos = sorted(
+                {c for m in messages if m for c in m.combos}
+            )
+            new_units = [
+                {
+                    "path": os.path.join(self.unit_rel, *segs),
+                    "partition": {
+                        s.split("=", 1)[0]: s.split("=", 1)[1] for s in segs
+                    },
+                    "partition_types": dict(self.ptype_ddl),
+                    "stats": {},
+                    "file_stats": {},
+                }
+                for segs in all_combos
+            ]
+            if not new_units and self.overwrite:
+                raise ValueError(
+                    "empty overwrite of a partitioned table is not "
+                    "supported through the format; use the LakeTable API"
+                )
+            self._publish(self.carry_units + new_units)
+            return
         out_dir = os.path.join(self.path, self.unit_rel)
         if n_rows == 0:
             # an empty relation is still a valid snapshot: one 0-row file
@@ -533,6 +616,22 @@ class LakeTableWriter(DataSourceArrowWriter):
             "units": self.carry_units + [unit],
             "dv": self.carry_dv,
         }
+        self._write_manifest(doc)
+
+    def _publish(self, units: list[dict]) -> None:
+        self._write_manifest(
+            {
+                "version": self.base_version + 1,
+                "operation": (
+                    "pyds-overwrite" if self.overwrite else "pyds-append"
+                ),
+                "partition_by": list(self.partition_by),
+                "units": units,
+                "dv": self.carry_dv,
+            }
+        )
+
+    def _write_manifest(self, doc: dict) -> None:
         log = os.path.join(self.path, _LOG_DIR)
         os.makedirs(log, exist_ok=True)
         target = os.path.join(log, f"{self.base_version + 1:08d}.json")
@@ -601,4 +700,8 @@ class LakeTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> LakeTableWriter:
         path, _version = self._target()
-        return LakeTableWriter(path, schema, overwrite)
+        pb = self.options.get("partition_by")
+        return LakeTableWriter(
+            path, schema, overwrite,
+            partition_by=[c.strip() for c in pb.split(",")] if pb else None,
+        )

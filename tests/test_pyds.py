@@ -143,12 +143,38 @@ def test_writer_roundtrips_through_engine_api(spark, tmp_path):
     assert _rows(spark.read.format("laketable").load(p))[-1] == (4, "d")
 
 
-def test_writer_refuses_partitioned_tables(spark, tmp_path):
-    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
-    t.overwrite(spark.createDataFrame([(1, "x")], "id long, p string"))
-    df = spark.createDataFrame([(2, "y")], "id long, p string")
-    with pytest.raises(Exception, match="unpartitioned|LakeTable API"):
-        df.write.format("laketable").mode("append").save(t.path)
+def test_writer_partitioned_layout(spark, tmp_path):
+    """Partitioned format writes: option('partition_by') splits tasks'
+    batches into Hive col=value subdirs, one unit per combination;
+    appends to a partitioned table inherit its layout, and a mismatched
+    explicit layout is rejected."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id long, p string"
+    )
+    df.write.format("laketable").option("partition_by", "p").mode(
+        "overwrite"
+    ).save(p)
+    # append WITHOUT the option: layout inherited from the manifest
+    spark.createDataFrame([(4, "z")], "id long, p string").write.format(
+        "laketable"
+    ).mode("append").save(p)
+
+    t = LakeTable(spark, p, partition_by=["p"])
+    assert _rows(t.read().select("id", "p")) == [
+        (1, "x"), (2, "y"), (3, "x"), (4, "z")
+    ]
+    # manifest-level partition pruning works on the format-written table
+    assert sorted(r.id for r in t.read(partitions={"p": ["x"]}).collect()) == [1, 3]
+    # and the format reader prunes via pushFilters on the same metadata
+    got = spark.read.format("laketable").load(p).where("p = 'z'")
+    assert [r.id for r in got.collect()] == [4]
+
+    bad = spark.createDataFrame([(5, "w")], "id long, p string")
+    with pytest.raises(Exception, match="partition layout|does not match"):
+        bad.write.format("laketable").option("partition_by", "id").mode(
+            "append"
+        ).save(p)
 
 
 def test_stream_rate_limit_bounds_batches(spark, tmp_path):
