@@ -50,13 +50,13 @@ GATE_ORDER = [
     "customers_without_orders",
     "asof_last_click_before_purchase",
     "promo_window_shipments",
-    "fuzzy_customer_pairs",
+    "customer_entity_clusters",
     # window family
     "customer_order_streaks",
-    "sessionize_events",
+    "session_turn_transcripts",
     "daily_revenue_ewma",
     "trailing_7d_median_revenue",
-    "daily_revenue_interpolated",
+    "forecast_next_week_revenue",
     # aggregate family
     "rollup_revenue",
     "copurchase_part_pairs",
@@ -65,7 +65,7 @@ GATE_ORDER = [
     "customer_order_keys_array",
     "copurchase_bfs_distances",
     # set ops
-    "except_inactive_customers",
+    "laketable_format_roundtrip",
     # decision-support subquery shapes
     "big_basket_orders",
     "bloom_pruned_brand_revenue",
