@@ -922,3 +922,53 @@ def _forecast_sql(d: str) -> str:
 def forecast_next_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_forecast_sql("spark"))
+
+
+@register(
+    "revenue_share_within_nation",
+    oracle="""
+    WITH per AS (
+        SELECT c.c_nationkey, o.o_orderstatus,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey, o_orderstatus,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           CAST(rev AS DOUBLE)
+               / CAST(sum(rev) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               AS share_of_nation
+    FROM per
+    """,
+    doc=(
+        "Ratio-to-report window (share-of-parent): each (nation, "
+        "status) cell's revenue as a fraction of its nation's total — "
+        "the percent-of-total shape every BI layer ships as "
+        "RATIO_TO_REPORT. One key shuffle for the cell aggregate; the "
+        "window total reuses the same partitioning (no second "
+        "exchange). Both numerator and denominator are exact decimal "
+        "sums cast once to double, so the single division is "
+        "bit-identical cross-engine and emitted unrounded."
+    ),
+    tags=("analytics", "window", "agg"),
+)
+def revenue_share_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    per = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    return per.select(
+        "c_nationkey",
+        "o_orderstatus",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("share_of_nation"),
+    )

@@ -197,3 +197,64 @@ def _nb_sql(d: str) -> str:
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_nb_sql("spark"))
+
+
+def _als_sql() -> str:
+    """Rank-1 alternating least squares on the customer x part quantity
+    matrix — valid in both dialects. Ratings are integer-valued (exact
+    in any summation order); each alternation's products are decimal-cast
+    pre-sum (the pagerank/logreg discipline), so the factors stay
+    bit-identical across engines through all three half-steps."""
+    return """
+    WITH r AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS p,
+               CAST(sum(l.l_quantity) AS DOUBLE) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    ),
+    u1 AS (
+        SELECT c, CAST(sum(r) AS DOUBLE) / count(*) AS u
+        FROM r GROUP BY c
+    ),
+    v1 AS (
+        SELECT p,
+               CAST(sum(CAST(r.r * u1.u AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(sum(CAST(u1.u * u1.u AS DECIMAL(28,9))) AS DOUBLE) AS v
+        FROM r JOIN u1 ON r.c = u1.c
+        GROUP BY p
+    ),
+    u2 AS (
+        SELECT c,
+               CAST(sum(CAST(r.r * v1.v AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(sum(CAST(v1.v * v1.v AS DECIMAL(28,9))) AS DOUBLE) AS u
+        FROM r JOIN v1 ON r.p = v1.p
+        GROUP BY c
+    )
+    SELECT 'customer' AS entity, c AS entity_id, u AS factor FROM u2
+    UNION ALL
+    SELECT 'part' AS entity, p AS entity_id, v AS factor FROM v1
+    """
+
+
+@register(
+    "rank1_mf_factors",
+    oracle=_als_sql(),
+    doc=(
+        "Recommender-style matrix factorization IN the engine: rank-1 "
+        "alternating least squares on the customer x part purchase-"
+        "quantity matrix (u <- Rv/||v||^2, v <- R'u/||u||^2, three "
+        "half-steps from v=1), emitting both factor vectors. Each "
+        "alternation is ONE shuffle: ratings join the broadcast-or-"
+        "shuffled factor frame on its key and re-aggregate on the other "
+        "key — the exact communication pattern distributed ALS runs at "
+        "100 TB (factors are |users|+|items|, tiny next to ratings). "
+        "Integer-valued ratings sum exactly in any order; alternation "
+        "products are decimal-cast pre-sum, so the learned factors are "
+        "bit-identical cross-engine and emitted unrounded."
+    ),
+    tags=("ml", "join", "agg", "analytics"),
+)
+def rank1_mf_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_als_sql())

@@ -248,3 +248,31 @@ def test_asof_join_forward_model(spark, lefts, rights):
                 best = (rt, v)
         model[i] = best[1] if best else None
     assert got == model
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_pixel_codec_roundtrip_property(w: int, h: int, seed: int) -> None:
+    """PNG and BMP codecs round-trip ANY raster (random dims + pixels):
+    encode→decode is the identity, covering every PNG filter type (rows
+    cycle through all five) and BMP stride padding at every width."""
+    import random
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        decode_png_rgb,
+        encode_bmp_rgb,
+        encode_png_rgb,
+    )
+
+    rng = random.Random(seed)
+    px = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    assert decode_png_rgb(encode_png_rgb(px)) == px
+    assert decode_bmp_rgb(encode_bmp_rgb(px)) == px

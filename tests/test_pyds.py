@@ -201,3 +201,24 @@ def test_stream_rate_limit_bounds_batches(spark, tmp_path):
     assert [x["id"] for x in rows] == [2]  # exactly the v2 commit
     r.commit({"version": 2})
     assert r.latestOffset() == {"version": 3}
+
+
+def test_writer_conflicts_with_engine_commit(spark, tmp_path):
+    """Optimistic concurrency across surfaces: a format write whose base
+    snapshot was invalidated by an engine commit must error on publish
+    (exclusive manifest create), never clobber the winner."""
+    from pyspark.sql.types import StructType
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableWriter,
+        _WrittenFile,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    schema = spark.read.format("laketable").load(t.path).schema
+    w = LakeTableWriter(t.path, schema, overwrite=False)  # base = v1
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))  # v2 wins
+    with pytest.raises(RuntimeError, match="already committed"):
+        w.commit([_WrittenFile(filename="", n_rows=0)])
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]  # winner intact
