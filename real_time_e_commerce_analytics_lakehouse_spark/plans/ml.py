@@ -29,7 +29,7 @@ GD_LR = 1.0
 
 
 def _features_sql(d: str) -> str:
-    """(y, x1, x2, x3) per doc: label = the length-based quality gate,
+    """(y, lang, x1, x2, x3) per doc: y = the length-based quality gate,
     features = scaled token count, punctuation ratio, stopword ratio
     (the doc_quality_scores family, recomputed inline)."""
     toks = tx.tokens("text", d)
@@ -39,6 +39,7 @@ def _features_sql(d: str) -> str:
     return f"""
     SELECT CAST(CASE WHEN {n_t} >= 5 AND length(text) >= 30
                 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+           lang,
            CAST({n_t} AS DOUBLE) / 100 AS x1,
            CAST({punct} AS DOUBLE) / length(text) AS x2,
            CAST({stop} AS DOUBLE) / {n_t} AS x3
@@ -258,3 +259,120 @@ def rank1_mf_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_als_sql())
+
+
+ADA_ROUNDS = 2
+# fixed candidate grid per feature (data-independent, so the stump
+# search space is identical on both engines with no quantile step)
+ADA_GRID = {
+    "x1": (0.05, 0.10, 0.20, 0.40, 0.80),
+    "x2": (0.01, 0.02, 0.04, 0.08, 0.16),
+    "x3": (0.10, 0.20, 0.30, 0.40, 0.50),
+}
+
+
+def _ada_sql(d: str) -> str:
+    """AdaBoost with depth-1 stumps, unrolled to ADA_ROUNDS rounds.
+
+    Exactness discipline: weighted errors are decimal-exact sums of
+    per-row weight terms; alpha = 0.5*ln((1-e)/e) and the weight update
+    exp(-alpha*y*h) are the same IEEE tree on identical exact inputs;
+    updated weights are re-quantized — round(w, 12) then decimal-cast —
+    before the next round's sums, so reduction order never perturbs the
+    chosen stump. Ties in the stump search break on (feature,
+    threshold, polarity); the error is clamped to [1e-10, 1-1e-10]
+    before ln (a perfect stump otherwise divides by zero — standard
+    AdaBoost epsilon, same constant both engines)."""
+    feats = _features_sql(d)
+    cands = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, CAST({t} AS DOUBLE) AS thr, {pol} AS pol"
+        for f, ts in ADA_GRID.items()
+        for t in ts
+        for pol in (1, -1)
+    )
+    sql = f"""
+    WITH feats0 AS ({feats}),
+    rows0 AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE -1.0 END AS y,
+               x1, x2, x3
+        FROM feats0
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rows0),
+    w1 AS (
+        SELECT y, x1, x2, x3,
+               CAST(round(1.0 / n.n, 12) AS DECIMAL(18,12)) AS w
+        FROM rows0 CROSS JOIN n
+    ),
+    cand AS ({cands})"""
+    for k in range(1, ADA_ROUNDS + 1):
+        sql += f""",
+    err{k} AS (
+        SELECT c.feat, c.thr, c.pol,
+               sum(CASE WHEN (CASE c.feat WHEN 'x1' THEN r.x1
+                              WHEN 'x2' THEN r.x2 ELSE r.x3 END
+                         > c.thr)
+                        = (r.y * c.pol > 0)
+                   THEN CAST(0 AS DECIMAL(18,12)) ELSE r.w END) AS e
+        FROM w{k} r CROSS JOIN cand c
+        GROUP BY c.feat, c.thr, c.pol
+    ),
+    best{k} AS (
+        SELECT feat, thr, pol, e,
+               0.5 * ln((1 - greatest(1e-10, least(1 - 1e-10,
+                                      CAST(e AS DOUBLE))))
+                        / greatest(1e-10, least(1 - 1e-10,
+                                   CAST(e AS DOUBLE)))) AS alpha
+        FROM err{k}
+        ORDER BY e ASC, feat ASC, thr ASC, pol ASC LIMIT 1
+    ),
+    upd{k} AS (
+        SELECT r.y, r.x1, r.x2, r.x3,
+               CAST(r.w AS DOUBLE) * exp(-b.alpha * r.y * (CASE WHEN
+                   (CASE b.feat WHEN 'x1' THEN r.x1
+                    WHEN 'x2' THEN r.x2 ELSE r.x3 END > b.thr)
+                   THEN b.pol ELSE -b.pol END)) AS wraw
+        FROM w{k} r CROSS JOIN best{k} b
+    ),
+    z{k} AS (
+        SELECT CAST(sum(CAST(round(wraw, 12) AS DECIMAL(18,12)))
+                    AS DOUBLE) AS z
+        FROM upd{k}
+    ),
+    w{k + 1} AS (
+        SELECT y, x1, x2, x3,
+               CAST(round(wraw / zz.z, 12) AS DECIMAL(18,12)) AS w
+        FROM upd{k} CROSS JOIN z{k} zz
+    )"""
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS round, feat, thr, pol, "
+        f"CAST(e AS DOUBLE) AS weighted_err, alpha FROM best{k}"
+        for k in range(1, ADA_ROUNDS + 1)
+    )
+    return sql + "\n    " + finals
+
+
+@register(
+    "adaboost_quality_stumps",
+    oracle=_ada_sql("duck"),
+    doc=(
+        f"Boosting IN the engine: {ADA_ROUNDS} AdaBoost rounds of "
+        "depth-1 decision stumps predicting the 'en' language label "
+        "from the quality features (fixed data-independent threshold "
+        "grid x both polarities = 30 candidate stumps — the label is "
+        "NOT linearly separable here, so the rounds show real "
+        "reweighting: round 2 selects a different stump), emitting "
+        "each round's chosen stump, "
+        "weighted error, and alpha. Per round: ONE candidate x rows "
+        "fan-out aggregated back per candidate (partial aggregation "
+        "does the work — the reducer sees 30 sums), a 1-row argmin "
+        "broadcast, a row-local weight update, and a 1-row normalizer "
+        "— the distributed boosting shape. Decimal-exact weighted "
+        "errors, re-quantized weights between rounds, ln/exp on "
+        "identical exact inputs: the two-round trajectory is "
+        "bit-identical cross-engine."
+    ),
+    tags=("documents", "ml", "agg"),
+)
+def adaboost_quality_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ada_sql("spark"))
