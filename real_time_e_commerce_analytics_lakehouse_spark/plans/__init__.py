@@ -49,7 +49,7 @@ GATE_ORDER = [
     "customers_with_orders",
     "customers_without_orders",
     "asof_last_click_before_purchase",
-    "promo_window_shipments",
+    "adaboost_quality_stumps",
     "customer_entity_clusters",
     # window family
     "customer_order_streaks",
@@ -61,7 +61,7 @@ GATE_ORDER = [
     "rollup_revenue",
     "copurchase_part_pairs",
     "profile_orders_columns",
-    "customer_last_order_argmax",
+    "rank1_mf_factors",
     "customer_order_keys_array",
     "copurchase_bfs_distances",
     # set ops
