@@ -935,3 +935,61 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import QUERIES as _Q
+
+_LSH_EVAL_ORACLE = f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_Q['ngram_jaccard_pairs'].oracle}) tt
+    ),
+    cand AS (
+        SELECT doc_a, doc_b FROM ({_Q['lsh_candidate_pairs'].oracle}) cc
+    ),
+    h AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)),
+    t AS (SELECT count(*) AS n FROM truth),
+    c AS (SELECT count(*) AS n FROM cand)
+    SELECT CAST(t.n AS BIGINT) AS n_truth,
+           CAST(c.n AS BIGINT) AS n_candidates,
+           CAST(h.n AS BIGINT) AS n_hits,
+           CAST(h.n AS DOUBLE) / t.n AS recall,
+           CAST(h.n AS DOUBLE) / c.n AS precision_of_candidates
+    FROM t CROSS JOIN c CROSS JOIN h
+"""
+
+
+@register(
+    "lsh_recall_eval",
+    oracle=_LSH_EVAL_ORACLE,
+    doc=(
+        "Pipeline quality measured IN the engine (measure, don't "
+        "guess): recall and precision of the MinHash-LSH candidate "
+        "generator against the exact n-gram-Jaccard ground truth, as "
+        "one scalar row — the evaluation job a 100 TB dedup pipeline "
+        "runs on a sampled slice before trusting LSH to replace the "
+        "quadratic exact join. Both pair sets come from the SAME "
+        "registered operators (banding vs shingle-blocked exact), so "
+        "this also pins their contract against each other; ratios of "
+        "exact integer counts are bit-identical cross-engine."
+    ),
+    tags=("documents", "dedup", "agg"),
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    h = truth.join(cand, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_hits"))
+    t = truth.agg(F.count("*").alias("n_truth"))
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            F.col("n_truth").cast("long"),
+            F.col("n_candidates").cast("long"),
+            F.col("n_hits").cast("long"),
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "precision_of_candidates"
+            ),
+        )
+    )
