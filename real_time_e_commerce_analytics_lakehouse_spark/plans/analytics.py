@@ -972,3 +972,214 @@ def revenue_share_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev").over(w).cast("double")
         ).alias("share_of_nation"),
     )
+
+
+@register(
+    "order_priority_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority AS cur,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders
+    ),
+    trans AS (
+        SELECT prev, cur, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    )
+    SELECT prev AS from_priority, cur AS to_priority,
+           CAST(n AS BIGINT) AS n_transitions,
+           CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE)
+               AS transition_prob
+    FROM trans
+    """,
+    doc=(
+        "First-order Markov transition matrix over each customer's "
+        "order-priority sequence (the behavioral sequence-model "
+        "statistic: what follows what): lag over one customer shuffle, "
+        "count per (prev, cur), row-normalize with a ratio-to-report "
+        "window on the count aggregate's own partitioning. Integer "
+        "counts; probabilities are single divisions of exact integers "
+        "— bit-identical, emitted unrounded. 5x5 output regardless of "
+        "corpus size (constant reducer after partial aggregation)."
+    ),
+    tags=("analytics", "window", "agg", "timeseries"),
+)
+def order_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev")
+    return trans.select(
+        F.col("prev").alias("from_priority"),
+        F.col("cur").alias("to_priority"),
+        F.col("n").cast("long").alias("n_transitions"),
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "transition_prob"
+        ),
+    )
+
+
+@register(
+    "repeat_order_conversion_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(o_orderdate) AS first_dt
+        FROM orders GROUP BY o_custkey
+    ),
+    second AS (
+        SELECT o.o_custkey,
+               min(o.o_orderdate) AS second_dt
+        FROM orders o JOIN firsts f
+          ON o.o_custkey = f.o_custkey AND o.o_orderdate > f.first_dt
+        GROUP BY o.o_custkey
+    ),
+    base AS (SELECT CAST(count(*) AS DOUBLE) AS n_customers FROM firsts),
+    gaps AS (
+        SELECT f.o_custkey,
+               CAST(CAST(s.second_dt AS DATE) - CAST(f.first_dt AS DATE)
+                    AS BIGINT) AS gap_days
+        FROM firsts f JOIN second s ON f.o_custkey = s.o_custkey
+    ),
+    weeks AS (SELECT unnest(generate_series(1, 12)) AS week)
+    SELECT CAST(week AS INTEGER) AS week,
+           CAST((SELECT count(*) FROM gaps
+                 WHERE gap_days <= week * 7) AS BIGINT) AS n_converted,
+           CAST((SELECT count(*) FROM gaps WHERE gap_days <= week * 7)
+                AS DOUBLE) / b.n_customers AS conversion_frac
+    FROM weeks CROSS JOIN base b
+    """,
+    doc=(
+        "Repeat-purchase conversion curve (the retention/survival view "
+        "marketing runs): for every customer's first order, the "
+        "cumulative fraction who placed a SECOND order within w weeks, "
+        "w = 1..12. Two customer-keyed aggregates (first date, second "
+        "date via a self-join bounded below by the first) and a 12-row "
+        "curve — the heavy work is two shuffles on o_custkey sharing "
+        "one partitioning. Exact integer day gaps; fractions are "
+        "single divisions of exact counts, bit-identical cross-engine."
+    ),
+    tags=("analytics", "timeseries", "agg"),
+)
+def repeat_order_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    second = (
+        orders.join(firsts, "o_custkey")
+        .where(F.col("o_orderdate") > F.col("first_dt"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("second_dt"))
+    )
+    gaps = firsts.join(second, "o_custkey").select(
+        F.datediff(
+            F.col("second_dt").cast("date"), F.col("first_dt").cast("date")
+        ).cast("long").alias("gap_days")
+    )
+    base = firsts.agg(F.count("*").cast("double").alias("n_customers"))
+    weeks = spark.range(1, 13).select(F.col("id").cast("int").alias("week"))
+    counts = (
+        weeks.crossJoin(gaps)
+        .where(F.col("gap_days") <= F.col("week") * 7)
+        .groupBy("week")
+        .agg(F.count("*").alias("n_converted"))
+    )
+    return (
+        weeks.join(counts, "week", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "week",
+            F.coalesce("n_converted", F.lit(0)).cast("long").alias("n_converted"),
+            (
+                F.coalesce("n_converted", F.lit(0)).cast("double")
+                / F.col("n_customers")
+            ).alias("conversion_frac"),
+        )
+    )
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_n AS (SELECT l_partkey, count(*) AS n_orders FROM op GROUP BY 1),
+    n_baskets AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS nb FROM op),
+    pairs AS (
+        SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               count(*) AS n_together
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE_ORDERS}
+    )
+    SELECT p.antecedent, p.consequent,
+           CAST(p.n_together AS BIGINT) AS n_together,
+           CAST(p.n_together AS DOUBLE) / ia.n_orders AS confidence,
+           (CAST(p.n_together AS DOUBLE) / nb.nb)
+               / ((ia.n_orders / nb.nb) * (ic.n_orders / nb.nb)) AS lift
+    FROM pairs p
+    JOIN item_n ia ON ia.l_partkey = p.antecedent
+    JOIN item_n ic ON ic.l_partkey = p.consequent
+    CROSS JOIN n_baskets nb
+    """,
+    doc=(
+        "DIRECTED association rules (A => B) over the basket matrix: "
+        "confidence = P(B|A) and lift from exact basket counts — the "
+        "asymmetric complement of copurchase_part_pairs' symmetric "
+        "affinity. One basket-blocked self-join (pair fan-out bounded "
+        "by basket size, never |parts|^2), per-item counts broadcast "
+        "back onto the pairs. All ratios divide exact integers in one "
+        "shared IEEE expression order — bit-identical, unrounded."
+    ),
+    tags=("analytics", "join", "agg"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    nb = op.agg(F.countDistinct("l_orderkey").cast("double").alias("nb"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("antecedent"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("consequent"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_together"))
+        .where(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
+    )
+    ia = item_n.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_orders").alias("n_a")
+    )
+    ic = item_n.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_orders").alias("n_c")
+    )
+    return (
+        pairs.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_together").cast("long").alias("n_together"),
+            (F.col("n_together").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_together").cast("double") / F.col("nb"))
+                / (
+                    (F.col("n_a") / F.col("nb"))
+                    * (F.col("n_c") / F.col("nb"))
+                )
+            ).alias("lift"),
+        )
+    )
