@@ -425,3 +425,89 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rrf, 9).alias("rrf_score"),
         )
     )
+
+
+from real_time_e_commerce_analytics_lakehouse_spark.functions import vecexpr as vx
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import QUERIES as _Q
+
+RERANK_TOP_K = 10
+
+_RERANK_ORACLE = f"""
+    WITH hits AS (
+        SELECT doc_id, rank AS bm25_rank, bm25
+        FROM ({_Q['bm25_keyword_search'].oracle}) h
+    ),
+    qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT h.doc_id, h.bm25_rank, h.bm25,
+               {vx.cosine(vx.to_double_array('e.embedding', 'duck'),
+                          vx.to_double_array('qv.q_emb', 'duck'), 'duck')}
+                   AS sim
+        FROM hits h
+        JOIN embeddings e ON e.vec_id = h.doc_id
+        CROSS JOIN qv
+    ),
+    ranked AS (
+        SELECT doc_id, bm25_rank, bm25, sim,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS final_rank
+        FROM cand
+    )
+    SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank, bm25,
+           round(sim, 6) AS cosine_sim,
+           CAST(final_rank AS BIGINT) AS final_rank
+    FROM ranked WHERE final_rank <= {RERANK_TOP_K}
+"""
+
+
+@register(
+    "retrieve_then_rerank",
+    oracle=_RERANK_ORACLE,
+    doc=(
+        f"The retrieve-then-rerank cascade every RAG stack runs: BM25 "
+        f"retrieves the lexical top-{BM25_TOP_K} (stage reused from "
+        "bm25_keyword_search — cheap, inverted-index-friendly), then an "
+        "embedding cosine against the query vector reranks ONLY those "
+        f"candidates to the final top-{RERANK_TOP_K}. The expensive "
+        "vector math runs on |candidates| rows, never the corpus — the "
+        "cascade's whole point at 100 TB — and candidates join "
+        "embeddings on the id key with the 1-row query vector "
+        "broadcast. Complements hybrid_rrf_search (score fusion) with "
+        "the sequential-cascade shape; both stages' contracts are "
+        "pinned by their own gate queries. Cosines are sequential "
+        "folds — bit-identical, ranked on the raw double."
+    ),
+    tags=("documents", "search", "embeddings", "join"),
+)
+def retrieve_then_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hits = bm25_keyword_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank"), "bm25"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sim = F.expr(
+        vx.cosine(
+            vx.to_double_array("e_emb", "spark"),
+            vx.to_double_array("q_emb", "spark"),
+            "spark",
+        )
+    )
+    cand = (
+        hits.join(emb.select("vec_id", F.col("embedding").alias("e_emb")),
+                  hits["doc_id"] == F.col("vec_id"))
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", "bm25_rank", "bm25", sim.alias("sim"))
+    )
+    w = W.orderBy(F.desc("sim"), F.asc("doc_id"))
+    return (
+        cand.withColumn("final_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("final_rank") <= RERANK_TOP_K)
+        .select(
+            "doc_id",
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            "bm25",
+            F.round("sim", 6).alias("cosine_sim"),
+            "final_rank",
+        )
+    )
