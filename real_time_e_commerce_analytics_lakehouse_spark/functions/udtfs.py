@@ -37,3 +37,25 @@ class chunk_tokens_udtf:
         for i, s in enumerate(range(0, max(n, 1), stride)):
             piece = toks[s : s + window]
             yield i, s + 1, len(piece), " ".join(piece)
+
+
+def geometric_mean_udaf():
+    """Vectorized user-defined AGGREGATE (pandas_udf GROUPED_AGG): the
+    geometric mean, which has no single built-in aggregate. Arrow ships
+    each group's column as one pandas Series — a numpy reduction, not a
+    per-row Python call. Equivalence with the JVM spelling
+    exp(avg(ln(x))) is pinned in tests; the JVM expression remains the
+    production path (this demonstrates the escape hatch for aggregates
+    with no expression form)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import
+    # annotations` stringifies the type hints this module-wide, which
+    # defeats pandas_udf's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    return geo_mean

@@ -504,3 +504,31 @@ def test_chunk_udtf_matches_jvm_chunker(spark, sf_dir) -> None:
     ids = {r.doc_id for r in via_udtf.select("doc_id").distinct().collect()}
     jvm = jvm.where(F.col("doc_id").isin(list(ids)))
     assert sorted(map(tuple, via_udtf.collect())) == sorted(map(tuple, jvm.collect()))
+
+
+def test_grouped_agg_pandas_udaf_matches_jvm(spark, sf_dir) -> None:
+    """pandas_udf GROUPED_AGG (vectorized UDAF): geometric mean per
+    order status agrees with the JVM exp(avg(ln(x))) spelling to float
+    tolerance — the UDF-surface escape hatch for aggregates without an
+    expression form."""
+    from real_time_e_commerce_analytics_lakehouse_spark.functions.udtfs import (
+        geometric_mean_udaf,
+    )
+
+    geo = geometric_mean_udaf()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    via_udaf = {
+        r.o_orderstatus: r.gm
+        for r in orders.groupBy("o_orderstatus")
+        .agg(geo("o_totalprice").alias("gm"))
+        .collect()
+    }
+    via_jvm = {
+        r.o_orderstatus: r.gm
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.exp(F.avg(F.log("o_totalprice"))).alias("gm"))
+        .collect()
+    }
+    assert via_udaf.keys() == via_jvm.keys()
+    for k in via_jvm:
+        assert abs(via_udaf[k] - via_jvm[k]) / via_jvm[k] < 1e-9
