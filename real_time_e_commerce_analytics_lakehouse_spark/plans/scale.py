@@ -137,6 +137,7 @@ def surrogate_dim_customer_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("table", "formats", "agg"),
 )
 def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
     import shutil
     import tempfile
@@ -144,10 +145,10 @@ def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.sources import pyds
 
     pyds.register(spark)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"laketable_fmt_{abs(hash(os.path.abspath(sf_dir)))}",
-    )
+    # md5, not hash(): str hashing is per-process randomized, which
+    # would leak one staging dir per run instead of reusing this one
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"laketable_fmt_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
