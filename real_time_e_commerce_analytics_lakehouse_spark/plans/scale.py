@@ -145,9 +145,14 @@ def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.sources import pyds
 
     pyds.register(spark)
-    # md5, not hash(): str hashing is per-process randomized, which
-    # would leak one staging dir per run instead of reusing this one
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # md5 of (sf_dir, pid): stable within a process (repeat builds
+    # reuse one dir) but disjoint across processes — two concurrent
+    # harnesses (e.g. the plan audit and the correctness gate) must not
+    # race on one staging table. hash() would also differ per process
+    # but is randomized even across runs of the same process image.
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"laketable_fmt_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     orders = table(spark, sf_dir, "orders").select(
