@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    EVENTS_CTE,
     dec_avg,
     dec_sum,
     register,
@@ -1181,5 +1182,189 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (F.col("n_c") / F.col("nb"))
                 )
             ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "duplicate_invoice_screen",
+    oracle="""
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           CAST(a.o_totalprice AS DECIMAL(18,2)) AS amount_a,
+           CAST(b.o_totalprice AS DECIMAL(18,2)) AS amount_b,
+           CAST(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)
+                AS BIGINT) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND floor(a.o_totalprice / 10000) = floor(b.o_totalprice / 10000)
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)) <= 30
+    """,
+    doc=(
+        "Duplicate-transaction screening (the billing/fraud dedup "
+        "shape): order pairs from the same customer with SIMILAR "
+        "amounts (same 10k-unit bucket) within 30 days — candidates a "
+        "review queue would inspect. The equi-join keys (custkey, "
+        "amount bucket) are the blocking key; the date-window predicate "
+        "is a residual filter on an already-tiny block, so the plan is "
+        "one hash join, never a range cross product. floor() of "
+        "identical doubles and integer day gaps: hash-exact."
+    ),
+    tags=("analytics", "join", "dedup"),
+)
+def duplicate_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("o_totalprice").alias("price_a"),
+        F.floor(F.col("o_totalprice") / 10000).alias("bucket_a"),
+        F.col("o_orderdate").cast("date").alias("date_a"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("o_totalprice").alias("price_b"),
+        F.floor(F.col("o_totalprice") / 10000).alias("bucket_b"),
+        F.col("o_orderdate").cast("date").alias("date_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("ck_b"))
+            & (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("orderkey_a") < F.col("orderkey_b")),
+        )
+        .where(F.abs(F.datediff("date_b", "date_a")) <= 30)
+        .select(
+            "o_custkey",
+            "orderkey_a",
+            "orderkey_b",
+            F.col("price_a").cast("decimal(18,2)").alias("amount_a"),
+            F.col("price_b").cast("decimal(18,2)").alias("amount_b"),
+            F.datediff("date_b", "date_a").cast("long").alias("days_apart"),
+        )
+    )
+
+
+@register(
+    "pareto_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(rev) AS total, count(*) AS n_cust FROM per_cust),
+    ranked AS (
+        SELECT o_custkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+        FROM per_cust
+    )
+    SELECT CAST(min(CASE WHEN cum_rev * 10 >= total * 8 THEN rk END)
+                AS BIGINT) AS customers_to_80pct,
+           CAST(max(t.n_cust) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum_rev * 10 >= total * 8 THEN rk END)
+                AS DOUBLE) / max(t.n_cust) AS top_frac_for_80pct
+    FROM ranked CROSS JOIN tot t
+    """,
+    doc=(
+        "Pareto revenue concentration: how many of the highest-revenue "
+        "customers account for 80% of total revenue (the 80/20 "
+        "diagnostic). Exact decimal cumulative sums over a total-order "
+        "window with a full tie-break; the 80% crossing is the INTEGER "
+        "comparison cum_rev*10 >= total*8 — exact decimal arithmetic "
+        "with no float threshold to straddle. Single-reducer window by "
+        "nature (it IS a global ranking) over the per-customer "
+        "aggregate, which is |customers|, not |orders|."
+    ),
+    tags=("analytics", "window", "agg"),
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = per_cust.agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n_cust")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "rev",
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+        F.row_number().over(w).alias("rk"),
+    )
+    crossing = F.min(
+        F.when(F.col("cum_rev") * 10 >= F.col("total") * 8, F.col("rk"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            crossing.cast("long").alias("customers_to_80pct"),
+            F.max("n_cust").cast("long").alias("n_customers"),
+            (crossing.cast("double") / F.max("n_cust")).alias(
+                "top_frac_for_80pct"
+            ),
+        )
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle=f"""
+    {EVENTS_CTE},
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               count(DISTINCT user_id) AS dau
+        FROM ev GROUP BY 1
+    ),
+    weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+               count(DISTINCT user_id) AS wau
+        FROM ev GROUP BY 1
+    )
+    SELECT d.d AS day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM daily d
+    JOIN weekly w ON CAST(date_trunc('week', CAST(d.d AS TIMESTAMP)) AS DATE) = w.wk
+    """,
+    doc=(
+        "DAU/WAU stickiness (the product-engagement ratio): daily and "
+        "ISO-week distinct active users over the events stream, joined "
+        "on the day's week. Two countDistinct shuffles on the "
+        "time-bucket keys (each mergeable to HLL sketches at 100 TB — "
+        "see weekly_uniques_hll_rollup for exactly that upgrade path); "
+        "stickiness divides exact integers, bit-identical unrounded. "
+        "date_trunc('week') is ISO-Monday in both engines."
+    ),
+    tags=("events", "analytics", "agg"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts", "user_id")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        daily.join(
+            weekly,
+            F.date_trunc("week", F.col("day").cast("timestamp")).cast("date")
+            == F.col("wk"),
+        )
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
