@@ -1368,3 +1368,100 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+SPATIAL_R2 = 400  # neighbor radius^2 = 20^2 (grid cell = radius, 3x3 covers)
+
+
+@register(
+    "spatial_neighbor_pairs",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST((c_custkey * c_custkey * 13 + c_custkey * 7) % 1000
+                    AS BIGINT) AS x,
+               CAST((c_custkey * c_custkey * 29 + c_custkey * 3) % 1000
+                    AS BIGINT) AS y
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_custkey, x, y, x // 20 AS cx, y // 20 AS cy FROM pts
+    ),
+    shifted AS (
+        SELECT c.c_custkey, c.x, c.y,
+               c.cx + dx.d AS cx, c.cy + dy.d AS cy
+        FROM cells c
+        JOIN (VALUES (-1), (0), (1)) dx(d) ON true
+        JOIN (VALUES (-1), (0), (1)) dy(d) ON true
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM shifted a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+    WHERE a.c_custkey < b.c_custkey
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {SPATIAL_R2}
+    """,
+    doc=(
+        "Grid-blocked spatial neighbor join (the geospatial join shape: "
+        "geohash/S2-style binning): points land in radius-sized grid "
+        "cells, each point probes its 3x3 cell neighborhood (a 9-way "
+        "shifted replication of one side), the join runs on the CELL "
+        "equi-key, and the exact distance predicate filters residually "
+        "— never an all-pairs cross product; cost is density-bounded "
+        "per cell exactly like the LSH-band and shingle blocks "
+        "elsewhere in the engine. Coordinates derive deterministically "
+        "from keys via a quadratic hash (the testdata carries no geo "
+        "columns; a linear map would lattice the points apart); "
+        "all-integer "
+        "squared distances, hash-exact."
+    ),
+    tags=("analytics", "join", "spatial"),
+)
+def spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        "c_custkey",
+        (
+            (F.col("c_custkey") * F.col("c_custkey") * 13
+             + F.col("c_custkey") * 7) % 1000
+        ).cast("long").alias("x"),
+        (
+            (F.col("c_custkey") * F.col("c_custkey") * 29
+             + F.col("c_custkey") * 3) % 1000
+        ).cast("long").alias("y"),
+    ).withColumn("cx", F.floor(F.col("x") / 20)).withColumn(
+        "cy", F.floor(F.col("y") / 20)
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    shifted = (
+        pts.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("jcx"),
+            (F.col("cy") + F.col("dy")).alias("jcy"),
+        )
+    )
+    right = pts.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        shifted.join(right, ["jcx", "jcy"])
+        .where(
+            (F.col("custkey_a") < F.col("custkey_b"))
+            & (dist2 <= SPATIAL_R2)
+        )
+        .select(
+            "custkey_a", "custkey_b", dist2.cast("long").alias("dist2")
+        )
+    )

@@ -222,3 +222,16 @@ def test_writer_conflicts_with_engine_commit(spark, tmp_path):
     with pytest.raises(RuntimeError, match="already committed"):
         w.commit([_WrittenFile(filename="", n_rows=0)])
     assert sorted(r.id for r in t.read().collect()) == [1, 2]  # winner intact
+
+
+def test_format_reads_compacted_and_clustered_tables(spark, tmp_path):
+    """Maintenance ops don't break the interop path: after appends and
+    compact() the format reader sees the identical snapshot the engine
+    does (units rewritten into clustered multi-file layouts included)."""
+    t = LakeTable(spark, str(tmp_path / "t"), stats_cols=["id"])
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id long, v string"))
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(50, 100)], "id long, v string"))
+    t.compact(cluster_by=["id"], target_files=4)
+    got = spark.read.format("laketable").load(t.path)
+    assert _rows(got) == _rows(t.read())
+    assert got.count() == 100
