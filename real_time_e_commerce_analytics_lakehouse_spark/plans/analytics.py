@@ -1465,3 +1465,63 @@ def spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_a", "custkey_b", dist2.cast("long").alias("dist2")
         )
     )
+
+
+@register(
+    "supplier_hhi_by_part",
+    oracle="""
+    WITH vol AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT l_partkey, sum(rev) AS total, count(*) AS n_suppliers
+        FROM vol GROUP BY 1
+    )
+    SELECT v.l_partkey,
+           CAST(max(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(round(
+               (CAST(v.rev AS DOUBLE) / CAST(t.total AS DOUBLE))
+               * (CAST(v.rev AS DOUBLE) / CAST(t.total AS DOUBLE)), 12)
+               AS DECIMAL(18,12))) AS DOUBLE) AS hhi
+    FROM vol v JOIN tot t ON v.l_partkey = t.l_partkey
+    GROUP BY v.l_partkey
+    HAVING count(*) >= 3
+    """,
+    doc=(
+        "Supplier concentration per part: the Herfindahl-Hirschman "
+        "index (sum of squared revenue shares) over each part's "
+        "suppliers — the supply-chain-risk metric procurement runs "
+        "(HHI -> 1 means a single-supplier dependency). Two aggregates "
+        "sharing one partkey partitioning plus a same-key join. "
+        "Each share is an exact-decimal over exact-decimal double "
+        "division (identical both engines); squared shares are rounded "
+        "to 12 decimals and decimal-summed, so the HHI is order-"
+        "independent and hash-exact. Parts with fewer than 3 suppliers "
+        "are dropped as trivially concentrated."
+    ),
+    tags=("analytics", "agg", "join"),
+)
+def supplier_hhi_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = vol.groupBy("l_partkey").agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    return (
+        vol.join(tot, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.sum(F.round(share * share, 12).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("hhi"),
+            F.count("*").alias("__n"),
+        )
+        .where(F.col("__n") >= 3)
+        .drop("__n")
+    )
