@@ -462,3 +462,54 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 32 AS bucket
+        FROM orders
+    ),
+    per AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(sum(n) AS DOUBLE) / count(*) AS avg_rows,
+           CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*))
+               AS skew_factor
+    FROM per
+    """,
+    doc=(
+        "Shuffle-skew diagnosis (the query an engineer runs BEFORE "
+        "picking a join/agg key at 100 TB): rows per hash bucket of the "
+        "candidate key, reduced to min/max/avg and the skew factor "
+        "(max over mean — values near 1 mean the key partitions "
+        "evenly; a hot key shows up immediately). The bucket hash is "
+        "md5-prefix mod 32 so both engines compute identical buckets "
+        "(Spark's hash() and DuckDB's hash() are different functions); "
+        "in production the same report runs with pmod(hash(key), "
+        "shuffle_partitions) to mirror the real partitioner. One "
+        "constant-width aggregate: 32 groups regardless of scale."
+    ),
+    tags=("profiling", "agg", "scale"),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 32
+    )
+    per = orders.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_rows"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count("*"))
+        ).alias("skew_factor"),
+    )
