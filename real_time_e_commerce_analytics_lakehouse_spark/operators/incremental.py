@@ -64,11 +64,23 @@ def incremental_agg_refresh(
     The merge is an outer combine of the old aggregate with the signed
     delta: both sides are small (|groups|), so this is never the
     bottleneck; the only fact-sized work is the delta groupBy, bounded
-    by the churn read_cdf reconstructs (cost ∝ touched units)."""
-    latest = source.latest_version()
+    by the churn read_cdf reconstructs (cost ∝ touched units).
+
+    The returned version comes from the CDF rows THEMSELVES
+    (max _commit_version), not a separate latest_version() probe — a
+    commit landing between two metadata reads would otherwise be folded
+    in now AND re-applied on the next refresh (double counting). A
+    data-neutral trailing commit (compaction) yields no rows, so its
+    version is reported as unapplied and harmlessly re-diffed (to zero
+    rows) next time."""
     cdf = source.read_cdf(since_version, keys=keys)
     if cdf is None:
         return None
+    cdf = cdf.persist()
+    applied = cdf.agg(F.max("_commit_version")).first()[0]
+    if applied is None:
+        cdf.unpersist()
+        return None  # only data-neutral commits in range: nothing to fold
     gcols = list(group_cols)
     delta = signed_delta(cdf, gcols, sum_cols)
     if agg_table.exists():
@@ -98,4 +110,5 @@ def incremental_agg_refresh(
             ).cast("long").alias("n_rows"),
         )
     agg_table.overwrite(combined.where(F.col("n_rows") > 0))
-    return latest
+    cdf.unpersist()
+    return int(applied)

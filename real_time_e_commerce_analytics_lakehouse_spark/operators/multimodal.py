@@ -483,7 +483,7 @@ def decode_png_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
             elif ctype == b"IEND":
                 break
             i += 12 + clen
-        if w is None:
+        if w is None or w <= 0 or h <= 0:
             return None
         raw = zlib.decompress(bytes(idat))
         stride, bpp = w * 3, 3
@@ -548,7 +548,7 @@ def decode_bmp_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
         _, w, h_signed = struct.unpack("<Iii", b[14:26])
         planes, depth = struct.unpack("<HH", b[26:30])
         comp = struct.unpack("<I", b[30:34])[0]
-        if planes != 1 or depth != 24 or comp != 0 or w <= 0:
+        if planes != 1 or depth != 24 or comp != 0 or w <= 0 or h_signed == 0:
             return None
         h, bottom_up = abs(h_signed), h_signed > 0
         stride = w * 3 + ((-(w * 3)) % 4)

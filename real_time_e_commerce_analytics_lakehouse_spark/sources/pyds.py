@@ -204,11 +204,18 @@ class _Snapshot:
 @dataclass
 class _FileSlice(InputPartition):
     """One parquet file plus its unit's partition values and the
-    tombstoned row indices inside it. Picklable by construction."""
+    tombstoned row indices inside it. Picklable by construction.
+
+    `meta` (streaming only): the batch's OWN decode metadata —
+    ((colmap items), (dropped cols), (ptypes items)) — resolved once on
+    the driver at planning time, so executors neither re-parse the
+    manifest log per partition nor decode an already-planned batch with
+    metadata from a commit that landed after planning (e.g. a rename)."""
 
     file: str
     partition: tuple  # ((col, raw_manifest_string), ...)
     tomb: tuple  # sorted tombstoned row indices
+    meta: tuple = ()
 
 
 def _range_may_match(lo: Any, hi: Any, flt: Filter) -> bool:
@@ -265,14 +272,29 @@ class LakeTableReader(DataSourceReader):
         self.schema = schema
         self.filters: list[Filter] = []
 
+    # filter types _value_matches/_range_may_match understand; anything
+    # else (EqualNullSafe, StringContains, Not, ...) must NOT reach the
+    # pruners — _value_matches would treat it as a non-match on NULL
+    # partitions and wrongly prune live data
+    _PRUNABLE = (
+        EqualTo, In, GreaterThan, GreaterThanOrEqual,
+        LessThan, LessThanOrEqual, IsNull, IsNotNull,
+    )
+
     # -------------------------------------------------------------- plan
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Record single-column predicates for unit/file pruning; report
         EVERY filter as still-needed (pruning is subset-only, so Spark
-        re-applying them is correct and cheap)."""
+        re-applying them is correct and cheap). Only known-semantics
+        filter types are collected — an unrecognized type must never
+        influence pruning."""
         for flt in filters:
             attr = getattr(flt, "attribute", None)
-            if attr is not None and len(attr) == 1:
+            if (
+                isinstance(flt, self._PRUNABLE)
+                and attr is not None
+                and len(attr) == 1
+            ):
                 self.filters.append(flt)
             yield flt
 
@@ -325,10 +347,8 @@ class LakeTableReader(DataSourceReader):
 
         t = pq.read_table(partition.file)
         if partition.tomb:
-            mask = pa.array(
-                [i not in set(partition.tomb) for i in range(t.num_rows)]
-            )
-            t = t.filter(mask)
+            ts = set(partition.tomb)
+            t = t.filter(pa.array([i not in ts for i in range(t.num_rows)]))
         n = t.num_rows
         part = dict(partition.partition)
         inv = {p: l for l, p in self.snap.colmap.items()}
@@ -414,20 +434,35 @@ class LakeTableStreamReader(DataSourceStreamReader):
         seen: set[str] = set()
         if start["version"] > 0:
             seen = {u["path"] for u in _Snapshot(self.path, start["version"]).units}
+        # the batch's decode metadata rides in every slice (see
+        # _FileSlice.meta) — resolved here, on the driver, exactly once
+        meta = (
+            tuple(sorted(new.colmap.items())),
+            tuple(new.dropped),
+            tuple(sorted(new.ptypes.items())),
+        )
         out: list[InputPartition] = []
         for u in new.units:
             if u["path"] in seen:
                 continue
             pvals = tuple(sorted(u.get("partition", {}).items()))
             for f in new.unit_files(u):
-                out.append(_FileSlice(file=f, partition=pvals, tomb=()))
+                out.append(
+                    _FileSlice(file=f, partition=pvals, tomb=(), meta=meta)
+                )
         return out
 
     def read(self, partition: _FileSlice) -> Iterator:
-        # identical scan kernel to the batch reader (no tombstones:
-        # the change feed carries appended rows)
+        # identical scan kernel to the batch reader (no tombstones: the
+        # change feed carries appended rows). Decode metadata comes from
+        # the slice itself — no manifest access on the executor.
+        from types import SimpleNamespace
+
+        cm, dropped, ptypes = partition.meta
         reader = LakeTableReader.__new__(LakeTableReader)
-        reader.snap = _Snapshot(self.path, None)
+        reader.snap = SimpleNamespace(
+            colmap=dict(cm), dropped=list(dropped), ptypes=dict(ptypes)
+        )
         reader.schema = self.schema
         reader.filters = []
         yield from LakeTableReader.read(reader, partition)

@@ -532,3 +532,27 @@ def test_grouped_agg_pandas_udaf_matches_jvm(spark, sf_dir) -> None:
     assert via_udaf.keys() == via_jvm.keys()
     for k in via_jvm:
         assert abs(via_udaf[k] - via_jvm[k]) / via_jvm[k] < 1e-9
+
+
+def test_degenerate_rasters_are_data_not_exceptions(spark) -> None:
+    """A crafted BMP with biHeight=0 (passes every header guard) and a
+    0-width PNG must surface as NULL rows, not kill the task
+    (regression: raster_stats indexed px[0] on an empty raster)."""
+    import struct
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_pixel_stats,
+        encode_bmp_rgb,
+        encode_png_rgb,
+    )
+
+    zero_h = bytearray(encode_bmp_rgb([[(1, 2, 3)]]))
+    zero_h[22:26] = struct.pack("<i", 0)  # biHeight = 0
+    rows = [
+        (1, bytes(zero_h)),
+        (2, encode_png_rgb([[(9, 9, 9)]])),  # healthy 1x1 control
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in decode_pixel_stats(df, id_col="id").collect()}
+    assert out[1].width is None and out[1].sum_r is None
+    assert (out[2].width, out[2].height, out[2].sum_r) == (1, 1, 9)

@@ -235,3 +235,24 @@ def test_format_reads_compacted_and_clustered_tables(spark, tmp_path):
     got = spark.read.format("laketable").load(t.path)
     assert _rows(got) == _rows(t.read())
     assert got.count() == 100
+
+
+def test_unknown_filter_types_never_prune(spark, tmp_path):
+    """Pruning collects only known-semantics filter types: an
+    EqualNullSafe(col, None) pushed against a NULL partition must NOT
+    prune the unit holding the matching rows (regression: it previously
+    pattern-matched as a non-IsNull filter and dropped live data)."""
+    from pyspark.sql.datasource import EqualNullSafe
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame([(1, None), (2, "x")], "id long, p string")
+    )
+    schema = spark.read.format("laketable").load(t.path).schema
+    r = LakeTableReader(t.path, None, schema)
+    leftover = list(r.pushFilters([EqualNullSafe(("p",), None)]))
+    assert len(leftover) == 1
+    assert len(r.partitions()) == len(LakeTableReader(t.path, None, schema).partitions())
+    # end-to-end: the null-safe predicate still finds its row
+    got = spark.read.format("laketable").load(t.path).where("p <=> NULL")
+    assert [row.id for row in got.collect()] == [1]
