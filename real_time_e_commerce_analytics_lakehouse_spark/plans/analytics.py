@@ -1525,3 +1525,74 @@ def supplier_hhi_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__n") >= 3)
         .drop("__n")
     )
+
+
+def _decompose_sql(d: str) -> str:
+    """Trend + seasonality + residual decomposition sharing the
+    forecast's fitted components (same CTE algebra, per-day output)."""
+    if d == "spark":
+        wday = "weekday({x})"
+        ddiff = "datediff(d, d0)"
+    else:
+        wday = "(isodow({x}) - 1)"
+        ddiff = "(d - d0)"
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+        SELECT d, y, {ddiff} AS i, {wday.format(x='d')} AS w
+        FROM daily CROSS JOIN bounds
+    ),
+    g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(i) AS DOUBLE) AS si,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(i * y) AS DOUBLE) AS siy,
+               CAST(sum(CAST(i AS BIGINT) * i) AS DOUBLE) AS sii
+        FROM idx
+    ),
+    fit AS (
+        SELECT n, si, sy,
+               (n * siy - si * sy) / (n * sii - si * si) AS slope
+        FROM g
+    ),
+    wd AS (
+        SELECT w, CAST(sum(y) AS DOUBLE) AS syw,
+               CAST(count(*) AS DOUBLE) AS cw
+        FROM idx GROUP BY w
+    )
+    SELECT i.d AS day,
+           CAST(i.y AS DOUBLE) AS observed,
+           (fit.sy - fit.slope * fit.si) / fit.n + fit.slope * i.i AS trend,
+           wd.syw / wd.cw - fit.sy / fit.n AS seasonal,
+           CAST(i.y AS DOUBLE)
+               - ((fit.sy - fit.slope * fit.si) / fit.n + fit.slope * i.i)
+               - (wd.syw / wd.cw - fit.sy / fit.n) AS residual
+    FROM idx i CROSS JOIN fit JOIN wd ON wd.w = i.w
+    """
+
+
+@register(
+    "daily_revenue_decomposition",
+    oracle=_decompose_sql("duck"),
+    doc=(
+        "Classical time-series decomposition: observed = linear trend "
+        "+ weekday seasonal + residual, per day — the anomaly-hunting "
+        "view behind forecast_next_week_revenue (a residual spike is a "
+        "day the trend+seasonality model cannot explain, a cleaner "
+        "signal than the raw z-score in daily_revenue_anomalies). Same "
+        "fitted components as the forecast query: five decimal-exact "
+        "moment sums + the 7-row weekday aggregate, then one row-local "
+        "arithmetic pass over the daily series. Every emitted double "
+        "is the same IEEE expression tree on exact inputs — "
+        "bit-identical, unrounded."
+    ),
+    tags=("analytics", "timeseries", "agg"),
+)
+def daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_decompose_sql("spark"))
