@@ -112,3 +112,73 @@ def incremental_agg_refresh(
     agg_table.overwrite(combined.where(F.col("n_rows") > 0))
     cdf.unpersist()
     return int(applied)
+
+
+def incremental_minmax_refresh(
+    agg_table: LakeTable,
+    source: LakeTable,
+    since_version: int | None,
+    group_cols: Sequence[str],
+    value_col: str,
+    keys: str | Sequence[str] | None = None,
+) -> int | None:
+    """MIN/MAX maintenance (the non-invertible tier of the IVM
+    hierarchy): inserts fold incrementally — new_min = least(old, batch
+    min) is pure monoid algebra — but a DELETE can remove the current
+    extremum, which no delta can repair. Groups whose CDF slice
+    contains deletes/update-preimages are therefore marked DIRTY and
+    recomputed from the source AT THE APPLIED VERSION (a group-scoped
+    semi-join rescan: cost ∝ dirty groups' rows, not table size);
+    clean groups fold the insert delta only. Dirty groups with no
+    surviving rows disappear, as a recompute would. Folding is
+    idempotent (least/greatest of re-seen values), so replays cannot
+    corrupt the aggregate. Target schema: group_cols + min_v + max_v."""
+    cdf = source.read_cdf(since_version, keys=keys)
+    if cdf is None:
+        return None
+    cdf = cdf.persist()
+    applied = cdf.agg(F.max("_commit_version")).first()[0]
+    if applied is None:
+        cdf.unpersist()
+        return None
+    gcols = list(group_cols)
+    adds = (
+        cdf.where(F.col("_change_type").isin("insert", "update_postimage"))
+        .groupBy(*gcols)
+        .agg(
+            F.min(value_col).alias("a_min"), F.max(value_col).alias("a_max")
+        )
+    )
+    dirty = (
+        cdf.where(F.col("_change_type").isin("delete", "update_preimage"))
+        .select(*gcols)
+        .distinct()
+        .persist()
+    )
+    old = agg_table.read() if agg_table.exists() else None
+    if old is None:
+        folded = adds.select(
+            *gcols, F.col("a_min").alias("min_v"), F.col("a_max").alias("max_v")
+        )
+    else:
+        j = old.join(adds, gcols, "full_outer")
+        folded = j.select(
+            *gcols,
+            F.least(
+                F.coalesce("min_v", "a_min"), F.coalesce("a_min", "min_v")
+            ).alias("min_v"),
+            F.greatest(
+                F.coalesce("max_v", "a_max"), F.coalesce("a_max", "max_v")
+            ).alias("max_v"),
+        )
+    clean = folded.join(dirty, gcols, "left_anti")
+    recomputed = (
+        source.read(version=int(applied))
+        .join(dirty, gcols, "left_semi")
+        .groupBy(*gcols)
+        .agg(F.min(value_col).alias("min_v"), F.max(value_col).alias("max_v"))
+    )
+    agg_table.overwrite(clean.unionByName(recomputed))
+    cdf.unpersist()
+    dirty.unpersist()
+    return int(applied)

@@ -78,3 +78,66 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_path):
         agg, src, seen, group_cols=["status"], sum_cols=["amount"], keys="id"
     ) is None
     assert agg.latest_version() == before
+
+
+def _full_minmax(src, version=None):
+    return (
+        src.read(version=version)
+        .groupBy("status")
+        .agg(F.min("amount").alias("min_v"), F.max("amount").alias("max_v"))
+    )
+
+
+def test_incremental_minmax_matches_full_recompute(spark, tmp_path):
+    """MIN/MAX maintenance: inserts fold; a delete of the current
+    extremum forces a group-scoped recompute; emptied groups vanish."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incremental import (
+        incremental_minmax_refresh,
+    )
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    agg = LakeTable(spark, str(tmp_path / "agg"))
+    seen = None
+
+    def refresh():
+        nonlocal seen
+        v = incremental_minmax_refresh(
+            agg, src, seen, group_cols=["status"], value_col="amount",
+            keys="id",
+        )
+        seen = v if v is not None else seen
+        assert _rows(agg.read()) == _rows(_full_minmax(src))
+
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "A", 90.0), (3, "B", 5.0)],
+            "id long, status string, amount double",
+        )
+    )
+    refresh()
+
+    # pure inserts: fold path (new max for A, new group C)
+    src.append(
+        spark.createDataFrame(
+            [(4, "A", 99.0), (5, "C", 1.0)], "id long, status string, amount double"
+        )
+    )
+    refresh()
+
+    # delete the CURRENT max of A: the fold cannot repair this — the
+    # dirty-group recompute must restore max 90
+    src.delete(F.col("id") == 4)
+    refresh()
+    got = {r.status: (r.min_v, r.max_v) for r in agg.read().collect()}
+    assert got["A"] == (10.0, 90.0)
+
+    # update moves a row OUT of B into A (preimage dirties B)
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(3, "A", 2.0)], "id long, status string, amount double"
+        ),
+        keys="id",
+    )
+    refresh()
+    assert "B" not in {r.status for r in agg.read().collect()}
+    assert {r.status: r.min_v for r in agg.read().collect()}["A"] == 2.0
