@@ -182,3 +182,77 @@ def incremental_minmax_refresh(
     cdf.unpersist()
     dirty.unpersist()
     return int(applied)
+
+
+def incremental_distinct_refresh(
+    agg_table: LakeTable,
+    source: LakeTable,
+    since_version: int | None,
+    group_cols: Sequence[str],
+    value_col: str,
+    keys: str | Sequence[str] | None = None,
+) -> int | None:
+    """Approximate COUNT(DISTINCT) maintenance — the third IVM tier:
+    per-group DataSketches HLL sketches stored IN the aggregate table
+    (binary column). Inserts merge monoidally (hll_union of the old
+    sketch with the batch's sketch — sketches exist precisely because
+    distinct sets merge and exact sets don't); deletes cannot be
+    subtracted from a sketch, so dirty groups (any delete/preimage)
+    rebuild their sketch from the source pinned at the applied version,
+    group-scoped like the MIN/MAX tier. Exposes n_distinct_est
+    alongside the sketch so consumers read the estimate without
+    touching sketch functions. Replay-safe: re-merging already-seen
+    values does not change an HLL. Target schema: group_cols + sketch
+    binary + n_distinct_est bigint."""
+    cdf = source.read_cdf(since_version, keys=keys)
+    if cdf is None:
+        return None
+    cdf = cdf.persist()
+    applied = cdf.agg(F.max("_commit_version")).first()[0]
+    if applied is None:
+        cdf.unpersist()
+        return None
+    gcols = list(group_cols)
+    adds = (
+        cdf.where(F.col("_change_type").isin("insert", "update_postimage"))
+        .groupBy(*gcols)
+        .agg(F.expr(f"hll_sketch_agg({value_col})").alias("a_sk"))
+    )
+    dirty = (
+        cdf.where(F.col("_change_type").isin("delete", "update_preimage"))
+        .select(*gcols)
+        .distinct()
+        .persist()
+    )
+    old = agg_table.read() if agg_table.exists() else None
+    if old is None:
+        folded = adds.select(*gcols, F.col("a_sk").alias("sketch"))
+    else:
+        j = old.join(adds, gcols, "full_outer")
+        folded = j.select(
+            *gcols,
+            F.when(
+                F.col("sketch").isNull(), F.col("a_sk")
+            )
+            .when(F.col("a_sk").isNull(), F.col("sketch"))
+            .otherwise(F.expr("hll_union(sketch, a_sk)"))
+            .alias("sketch"),
+        )
+    clean = folded.join(dirty, gcols, "left_anti")
+    recomputed = (
+        source.read(version=int(applied))
+        .join(dirty, gcols, "left_semi")
+        .groupBy(*gcols)
+        .agg(F.expr(f"hll_sketch_agg({value_col})").alias("sketch"))
+    )
+    out = clean.unionByName(recomputed).select(
+        *gcols,
+        "sketch",
+        F.expr("hll_sketch_estimate(sketch)").cast("long").alias(
+            "n_distinct_est"
+        ),
+    )
+    agg_table.overwrite(out)
+    cdf.unpersist()
+    dirty.unpersist()
+    return int(applied)

@@ -141,3 +141,53 @@ def test_incremental_minmax_matches_full_recompute(spark, tmp_path):
     refresh()
     assert "B" not in {r.status for r in agg.read().collect()}
     assert {r.status: r.min_v for r in agg.read().collect()}["A"] == 2.0
+
+
+def test_incremental_distinct_sketches_match_exact(spark, tmp_path):
+    """HLL-sketch DISTINCT maintenance: merged estimates equal the exact
+    distinct counts while cardinalities sit far below sketch capacity;
+    a delete dirties its group and the rebuilt sketch forgets the
+    removed value."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incremental import (
+        incremental_distinct_refresh,
+    )
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    agg = LakeTable(spark, str(tmp_path / "agg"))
+    seen = None
+
+    def refresh():
+        nonlocal seen
+        v = incremental_distinct_refresh(
+            agg, src, seen, group_cols=["status"], value_col="uid", keys="id"
+        )
+        seen = v if v is not None else seen
+        exact = {
+            r.status: r.n
+            for r in src.read()
+            .groupBy("status")
+            .agg(F.countDistinct("uid").alias("n"))
+            .collect()
+        }
+        got = {r.status: r.n_distinct_est for r in agg.read().collect()}
+        assert got == exact  # exact while |distinct| << sketch capacity
+
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "A", 10), (2, "A", 11), (3, "A", 10), (4, "B", 20)],
+            "id long, status string, uid long",
+        )
+    )
+    refresh()
+
+    # insert fold: new uid in A, duplicate uid is a no-op for the sketch
+    src.append(
+        spark.createDataFrame(
+            [(5, "A", 12), (6, "A", 11)], "id long, status string, uid long"
+        )
+    )
+    refresh()
+
+    # delete the only row holding uid 12: the rebuilt sketch must forget it
+    src.delete(F.col("id") == 5)
+    refresh()
