@@ -1596,3 +1596,87 @@ def _decompose_sql(d: str) -> str:
 def daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_decompose_sql("spark"))
+
+
+@register(
+    "fulfillment_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                    AS BIGINT) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(days, 0.50), 6) AS p50_days,
+           round(quantile_cont(days, 0.90), 6) AS p90_days,
+           round(quantile_cont(days, 0.99), 6) AS p99_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Fulfillment-latency SLA percentiles per order priority (order "
+        "date -> line ship date): the operational p50/p90/p99 every "
+        "logistics dashboard shows. Latencies are exact integer day "
+        "gaps; Spark percentile() and DuckDB quantile_cont share the "
+        "sort-and-interpolate definition (same contract as "
+        "price_percentiles). Five constant groups after a partial agg; "
+        "the 100 TB path swaps in approx_percentile's t-digest."
+    ),
+    tags=("analytics", "agg", "stats"),
+)
+def fulfillment_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.expr("percentile(days, 0.50)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.90)"), 6).alias("p90_days"),
+        F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99_days"),
+    )
+
+
+@register(
+    "return_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS return_rate
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc=(
+        "Return-rate KPI per brand (the quality/merchandising metric a "
+        "commerce team watches weekly): share of line items with "
+        "returnflag 'R'. Broadcast dim join + one brand-keyed "
+        "aggregate; the rate divides exact integers — bit-identical, "
+        "unrounded."
+    ),
+    tags=("analytics", "agg", "join"),
+)
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    returned = F.sum(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            returned.cast("long").alias("n_returned"),
+            (returned.cast("double") / F.count("*")).alias("return_rate"),
+        )
+    )
