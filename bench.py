@@ -53,26 +53,54 @@ from real_time_e_commerce_analytics_lakehouse_spark.session import get_spark
 REGRESSION_RATIO = 1.25
 
 
+def _recover_from_tail(doc: dict) -> dict | None:
+    """Salvage a round whose JSON line outgrew the driver's tail capture
+    (BENCH_r03: "parsed": null, "tail" starts mid-object). The steady
+    per-query map sits before the "cold_run" key; calibration appears
+    once. Truncated leading key parses under a garbled name and is
+    simply never matched against a real query."""
+    tail = doc.get("tail")
+    if not isinstance(tail, str):
+        return None
+    head = tail.split('"cold_run"')[0]
+    queries = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"(\w+)":\s*([0-9.]+)', head)
+    }
+    if not queries:
+        return None
+    out: dict = {"queries": queries}
+    cal = re.search(r'"spark_hash_120m":\s*([0-9.]+)', tail)
+    if cal:
+        out["calibration"] = {"spark_hash_120m": float(cal.group(1))}
+    return out
+
+
 def _latest_recorded() -> tuple[str, dict] | None:
-    """Newest BENCH_r{N}.json in the repo root, by round number."""
+    """Newest parseable BENCH_r{N}.json in the repo root, by round
+    number (falls back to tail recovery, then to earlier rounds)."""
     here = Path(__file__).resolve().parent
     cands = []
     for p in glob.glob(str(here / "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             cands.append((int(m.group(1)), p))
-    if not cands:
-        return None
-    _, path = max(cands)
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
-    # the driver wraps bench.py's JSON line under "parsed"
-    if "parsed" in doc and isinstance(doc["parsed"], dict):
-        doc = doc["parsed"]
-    return os.path.basename(path), doc
+    for _, path in sorted(cands, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps bench.py's JSON line under "parsed"
+        if "parsed" in doc and isinstance(doc["parsed"], dict):
+            doc = doc["parsed"]
+        elif "parsed" in doc:
+            recovered = _recover_from_tail(doc)
+            if recovered is None:
+                continue
+            doc = recovered
+        return os.path.basename(path), doc
+    return None
 
 
 def main() -> None:
@@ -178,6 +206,26 @@ def main() -> None:
             ),
         }
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only a bounded stdout tail: BENCH_r03 outgrew
+    # it and landed as "parsed": null (VERDICT r3 wrong #1). Keep the
+    # stdout line COMPACT — total + steady per-query map + regressions +
+    # calibration — and write the full payload (cold runs, table layer,
+    # prev-round comparison) to BENCH_DETAIL.json alongside this script.
+    detail = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_run": cold,
+        "table_layer": {"mart_build": mart_secs, **mart_stats},
+        "calibration": calibration,
+        "prev": prev_info,
+        "regressions": regressions,
+        "sf": sf_val,
+    }
+    with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {
@@ -185,13 +233,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "cold_run": cold,
-                "table_layer": {"mart_build": mart_secs, **mart_stats},
                 "calibration": calibration,
-                "prev": prev_info,
                 "regressions": regressions,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "prev_ratio_calibrated": prev_info.get("ratio_calibrated"),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

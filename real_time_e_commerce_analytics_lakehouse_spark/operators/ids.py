@@ -30,8 +30,16 @@ def dense_row_ids(
     order_col: str,
     out: str = "row_id",
     n_buckets: int = 64,
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Dense 1..N ids in `order_col` order, computed distributed."""
+    """Dense 1..N ids in `(order_col, *tiebreak)` order, distributed.
+
+    `order_col` must be numeric (castable to double) — it drives the
+    range bucketing. `tiebreak` columns break ties WITHIN equal
+    `order_col` values; equal values always land in the same bucket
+    (equal-width bucketing on the value), so the within-bucket tiebreak
+    is globally correct. The composite ordering must be unique.
+    """
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:  # empty input
         return df.withColumn(out, F.lit(None).cast("long"))
@@ -55,7 +63,9 @@ def dense_row_ids(
     omap = F.create_map(
         *[x for i in range(n_buckets) for x in (F.lit(i), F.lit(offsets[i]))]
     )
-    w = W.partitionBy("__bucket").orderBy(F.col(order_col).asc())
+    w = W.partitionBy("__bucket").orderBy(
+        F.col(order_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
     return (
         bucketed.withColumn(
             out, (F.row_number().over(w) + omap[F.col("__bucket")]).cast("long")

