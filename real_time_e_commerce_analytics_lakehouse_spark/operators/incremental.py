@@ -27,6 +27,19 @@ from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
 
+
+def _nullsafe_cond(cols: Sequence[str]):
+    """Null-safe equi-join condition over frames aliased L/R: a NULL
+    group key is one group (as GROUP BY treats it), so the merge joins
+    with eqNullSafe — plain `=` would leave the old NULL row and the
+    delta NULL row both surviving a full_outer (ADVICE r3 #1)."""
+    cond = None
+    for c in cols:
+        e = F.col(f"L.{c}").eqNullSafe(F.col(f"R.{c}"))
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def _sign():
     # built lazily: Column construction needs an active SparkContext
     return F.when(
@@ -94,9 +107,14 @@ def incremental_agg_refresh(
             F.col("d_rows").alias("n_rows"),
         )
     else:
-        joined = old.join(delta, gcols, "full_outer")
+        joined = old.alias("L").join(
+            delta.alias("R"), _nullsafe_cond(gcols), "full_outer"
+        )
         combined = joined.select(
-            *gcols,
+            *[
+                F.coalesce(F.col(f"L.{c}"), F.col(f"R.{c}")).alias(c)
+                for c in gcols
+            ],
             *[
                 (
                     F.coalesce(F.col(f"sum_{c}"), F.lit(0))
@@ -161,9 +179,14 @@ def incremental_minmax_refresh(
             *gcols, F.col("a_min").alias("min_v"), F.col("a_max").alias("max_v")
         )
     else:
-        j = old.join(adds, gcols, "full_outer")
+        j = old.alias("L").join(
+            adds.alias("R"), _nullsafe_cond(gcols), "full_outer"
+        )
         folded = j.select(
-            *gcols,
+            *[
+                F.coalesce(F.col(f"L.{c}"), F.col(f"R.{c}")).alias(c)
+                for c in gcols
+            ],
             F.least(
                 F.coalesce("min_v", "a_min"), F.coalesce("a_min", "min_v")
             ).alias("min_v"),
@@ -171,10 +194,13 @@ def incremental_minmax_refresh(
                 F.coalesce("max_v", "a_max"), F.coalesce("a_max", "max_v")
             ).alias("max_v"),
         )
-    clean = folded.join(dirty, gcols, "left_anti")
+    clean = folded.alias("L").join(
+        dirty.alias("R"), _nullsafe_cond(gcols), "left_anti"
+    )
     recomputed = (
         source.read(version=int(applied))
-        .join(dirty, gcols, "left_semi")
+        .alias("L")
+        .join(dirty.alias("R"), _nullsafe_cond(gcols), "left_semi")
         .groupBy(*gcols)
         .agg(F.min(value_col).alias("min_v"), F.max(value_col).alias("max_v"))
     )
@@ -228,9 +254,14 @@ def incremental_distinct_refresh(
     if old is None:
         folded = adds.select(*gcols, F.col("a_sk").alias("sketch"))
     else:
-        j = old.join(adds, gcols, "full_outer")
+        j = old.alias("L").join(
+            adds.alias("R"), _nullsafe_cond(gcols), "full_outer"
+        )
         folded = j.select(
-            *gcols,
+            *[
+                F.coalesce(F.col(f"L.{c}"), F.col(f"R.{c}")).alias(c)
+                for c in gcols
+            ],
             F.when(
                 F.col("sketch").isNull(), F.col("a_sk")
             )
@@ -238,10 +269,13 @@ def incremental_distinct_refresh(
             .otherwise(F.expr("hll_union(sketch, a_sk)"))
             .alias("sketch"),
         )
-    clean = folded.join(dirty, gcols, "left_anti")
+    clean = folded.alias("L").join(
+        dirty.alias("R"), _nullsafe_cond(gcols), "left_anti"
+    )
     recomputed = (
         source.read(version=int(applied))
-        .join(dirty, gcols, "left_semi")
+        .alias("L")
+        .join(dirty.alias("R"), _nullsafe_cond(gcols), "left_semi")
         .groupBy(*gcols)
         .agg(F.expr(f"hll_sketch_agg({value_col})").alias("sketch"))
     )

@@ -142,6 +142,10 @@ class _Snapshot:
         self.dv: list[str] = list(doc.get("dv", []))
         self.colmap: dict[str, str] = dict(doc.get("column_map", {}))
         self.dropped: list[str] = list(doc.get("column_dropped", []))
+        # declared layout, from the manifest document — NOT inferred
+        # from unit partition_types (a partitioned table with zero data
+        # units would read as unpartitioned, ADVICE r3 #4)
+        self.partition_by: list[str] = list(doc.get("partition_by", []))
         self.ptypes: dict[str, str] = {}
         for u in self.units:
             self.ptypes.update(u.get("partition_types", {}))
@@ -431,9 +435,35 @@ class LakeTableStreamReader(DataSourceStreamReader):
         if end["version"] <= start["version"]:
             return []
         new = _Snapshot(self.path, end["version"])
+        prev: _Snapshot | None = None
         seen: set[str] = set()
         if start["version"] > 0:
-            seen = {u["path"] for u in _Snapshot(self.path, start["version"]).units}
+            prev = _Snapshot(self.path, start["version"])
+            seen = {u["path"] for u in prev.units}
+        # merge-on-read deletion vectors (ADVICE r3 #2): tombstones are
+        # resolved at planning time, as the batch reader does, and
+        # applied to the units NEW in this batch (never delivered, so
+        # filtering is exact). A DV that tombstones rows of a unit
+        # already streamed in an earlier batch is a RETRACTION — a
+        # microbatch stream cannot un-deliver rows — so that case
+        # raises instead of silently re-delivering or dropping late.
+        tomb = new.tombstones() if new.dv else {}
+        if tomb and prev is not None and set(new.dv) != set(prev.dv):
+            prev_tomb = prev.tombstones()
+            for u in prev.units:
+                if u["path"] not in seen:
+                    continue
+                for f in prev.unit_files(u):
+                    p = os.path.abspath(f)
+                    if tomb.get(p, set()) != prev_tomb.get(p, set()):
+                        raise ValueError(
+                            "laketable stream: deletion vector tombstones "
+                            f"rows of already-streamed file {p} — "
+                            "merge-on-read deletes of delivered rows "
+                            "cannot be retracted from a stream; restage "
+                            "via read_changes or rewrite (purge) the "
+                            "deletes before streaming"
+                        )
         # the batch's decode metadata rides in every slice (see
         # _FileSlice.meta) — resolved here, on the driver, exactly once
         meta = (
@@ -447,15 +477,17 @@ class LakeTableStreamReader(DataSourceStreamReader):
                 continue
             pvals = tuple(sorted(u.get("partition", {}).items()))
             for f in new.unit_files(u):
+                ris = tuple(sorted(tomb.get(os.path.abspath(f), ())))
                 out.append(
-                    _FileSlice(file=f, partition=pvals, tomb=(), meta=meta)
+                    _FileSlice(file=f, partition=pvals, tomb=ris, meta=meta)
                 )
         return out
 
     def read(self, partition: _FileSlice) -> Iterator:
-        # identical scan kernel to the batch reader (no tombstones: the
-        # change feed carries appended rows). Decode metadata comes from
-        # the slice itself — no manifest access on the executor.
+        # identical scan kernel to the batch reader, INCLUDING the
+        # slice's tombstones (planning resolved active DVs for new
+        # units). Decode metadata comes from the slice itself — no
+        # manifest access on the executor.
         from types import SimpleNamespace
 
         cm, dropped, ptypes = partition.meta
@@ -514,9 +546,10 @@ class LakeTableWriter(DataSourceArrowWriter):
             f.endswith(".json") for f in os.listdir(log)
         ):
             snap = _Snapshot(path, None)
-            existing = sorted(snap.ptypes)
+            existing = sorted(snap.partition_by)
             if not self.partition_by and existing:
-                self.partition_by = existing  # inherit the table's layout
+                # inherit the table's declared layout (manifest order)
+                self.partition_by = list(snap.partition_by)
             if sorted(self.partition_by) != existing and not (
                 overwrite and not existing
             ):
@@ -711,6 +744,8 @@ class LakeTableDataSource(DataSource):
     def name(cls) -> str:
         return "laketable"
 
+    _pinned: int | None = None
+
     def _target(self) -> tuple[str, int | None]:
         path = self.options.get("path") or self.options.get("table_path")
         if not path:
@@ -718,13 +753,32 @@ class LakeTableDataSource(DataSource):
         v = self.options.get("version")
         return _fs_path(path), (int(v) if v is not None else None)
 
+    def _pin(self, path: str, version: int | None) -> int:
+        """Resolve `latest` exactly once per DataSource instance, so
+        schema() and reader() see the SAME snapshot — a commit landing
+        between schema inference and scan planning must not make the
+        scan read columns Spark never compiled (ADVICE r3 #3)."""
+        if version is not None:
+            return version
+        if self._pinned is None:
+            log = os.path.join(path, _LOG_DIR)
+            vs = sorted(
+                int(f.split(".")[0])
+                for f in os.listdir(log)
+                if f.endswith(".json")
+            )
+            if not vs:
+                raise ValueError(f"{path} is not a LakeTable (empty log)")
+            self._pinned = vs[-1]
+        return self._pinned
+
     def schema(self) -> str:
         path, version = self._target()
-        return _Snapshot(path, version).file_schema_ddl()
+        return _Snapshot(path, self._pin(path, version)).file_schema_ddl()
 
     def reader(self, schema: StructType) -> LakeTableReader:
         path, version = self._target()
-        return LakeTableReader(path, version, schema)
+        return LakeTableReader(path, self._pin(path, version), schema)
 
     def streamReader(self, schema: StructType) -> LakeTableStreamReader:
         path, _version = self._target()

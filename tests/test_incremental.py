@@ -191,3 +191,70 @@ def test_incremental_distinct_sketches_match_exact(spark, tmp_path):
     # delete the only row holding uid 12: the rebuilt sketch must forget it
     src.delete(F.col("id") == 5)
     refresh()
+
+
+def test_incremental_agg_null_group_key(spark, tmp_path):
+    """ADVICE r3 #1: a NULL group key is ONE group (GROUP BY semantics).
+    The merge joins must be null-safe or the NULL group duplicates on
+    merge and survives deletion. Exercised across all three tiers."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incremental import (
+        incremental_distinct_refresh,
+        incremental_minmax_refresh,
+    )
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    agg = LakeTable(spark, str(tmp_path / "agg"))
+    mm = LakeTable(spark, str(tmp_path / "mm"))
+    dc = LakeTable(spark, str(tmp_path / "dc"))
+    seen = {"agg": None, "mm": None, "dc": None}
+
+    def _rows_ns(df):  # None-tolerant sort (NULL group key is expected)
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    def refresh():
+        for name, tbl, fn, kw in (
+            ("agg", agg, incremental_agg_refresh, {"sum_cols": ["amount"]}),
+            ("mm", mm, incremental_minmax_refresh, {"value_col": "amount"}),
+            ("dc", dc, incremental_distinct_refresh, {"value_col": "id"}),
+        ):
+            v = fn(tbl, src, seen[name], group_cols=["status"], keys="id", **kw)
+            seen[name] = v if v is not None else seen[name]
+        got = _rows_ns(agg.read())
+        want = _rows_ns(_full(src))
+        assert got == want, f"agg diverged: {got} != {want}"
+        got_mm = _rows_ns(mm.read())
+        want_mm = _rows_ns(_full_minmax(src))
+        assert got_mm == want_mm, f"minmax diverged: {got_mm} != {want_mm}"
+        # distinct tier: NULL group must appear exactly once
+        groups = [r.status for r in dc.read().collect()]
+        want_g = [r.status for r in src.read().select("status").distinct().collect()]
+        assert sorted(groups, key=str) == sorted(want_g, key=str)
+
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, None, 10.0), (2, "A", 20.0), (3, None, 5.0)],
+            "id long, status string, amount double",
+        )
+    )
+    refresh()
+
+    # second batch touches the NULL group again: a null-unsafe merge
+    # would now leave TWO NULL-keyed rows in the aggregate
+    src.append(
+        spark.createDataFrame(
+            [(4, None, 7.5)], "id long, status string, amount double"
+        )
+    )
+    refresh()
+    assert agg.read().where(F.col("status").isNull()).count() == 1
+
+    # delete one NULL-group row: minmax/distinct mark the NULL group
+    # dirty and must recompute (null-safe semi/anti joins)
+    src.delete(F.col("id") == 1)
+    refresh()
+
+    # empty the NULL group entirely: it must disappear everywhere
+    src.delete(F.col("status").isNull())
+    refresh()
+    assert agg.read().where(F.col("status").isNull()).count() == 0
+    assert mm.read().where(F.col("status").isNull()).count() == 0

@@ -256,3 +256,105 @@ def test_unknown_filter_types_never_prune(spark, tmp_path):
     # end-to-end: the null-safe predicate still finds its row
     got = spark.read.format("laketable").load(t.path).where("p <=> NULL")
     assert [row.id for row in got.collect()] == [1]
+
+
+def test_stream_applies_active_deletion_vectors(spark, tmp_path):
+    """ADVICE r3 #2: streamed slices must resolve tombstones — a table
+    with MoR deletes streams its SURVIVING rows, not the raw files; a
+    later MoR delete of already-streamed rows refuses (retraction)."""
+    import time
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    t.delete(F.col("id") % 3 == 0, mode="mor")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("laketable")
+            .load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        time.sleep(0.2)
+
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
+        1, 2, 4, 5, 7, 8,
+    ]
+
+    # new unit arriving WITH a pre-existing DV set: still streams fine
+    t.append(spark.createDataFrame([(20, "w")], "id long, v string"))
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
+        1, 2, 4, 5, 7, 8, 20,
+    ]
+
+    # MoR-delete a row that was already delivered: the stream must
+    # refuse (no silent re-delivery, no silent drop)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t.delete(F.col("id") == 1, mode="mor")
+    t.append(spark.createDataFrame([(30, "z")], "id long, v string"))
+    with pytest.raises(StreamingQueryException, match="already-streamed"):
+        q = (
+            spark.readStream.format("laketable")
+            .load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+
+def test_writer_respects_declared_layout_of_empty_table(spark, tmp_path):
+    """ADVICE r3 #4: appending unpartitioned data to a partitioned
+    table that currently has ZERO data units must fail layout
+    validation (layout comes from the manifest, not from aggregating
+    unit partition_types)."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(spark.createDataFrame([(1, "x")], "id long, p string"))
+    t.delete(F.col("id") == 1)  # copy-on-write: table now has no units
+
+    df = spark.createDataFrame([(2,)], "id long")
+    with pytest.raises(Exception, match="partition"):
+        df.write.format("laketable").mode("append").save(t.path)
+
+    # partitioned data with the declared layout still lands correctly
+    ok = spark.createDataFrame([(3, "y")], "id long, p string")
+    ok.write.format("laketable").mode("append").save(t.path)
+    assert [tuple(r) for r in t.read().select("id", "p").collect()] == [(3, "y")]
+
+
+def test_datasource_pins_one_snapshot_for_schema_and_scan(spark, tmp_path):
+    """ADVICE r3 #3: schema() and reader() resolve `latest` once — a
+    commit landing between schema inference and scan planning must not
+    move the scanned snapshot past the compiled schema."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableDataSource,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    ds = LakeTableDataSource(options={"path": t.path})
+    ddl = ds.schema()
+    # a concurrent commit lands between schema inference and planning
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "id long, v string, w double"))
+    from pyspark.sql.types import StructType
+
+    reader = ds.reader(StructType.fromDDL(ddl))
+    assert reader.snap.version == 1  # pinned, not the new latest
+    # and a FRESH load sees the new snapshot
+    ds2 = LakeTableDataSource(options={"path": t.path})
+    assert "w" in ds2.schema()
