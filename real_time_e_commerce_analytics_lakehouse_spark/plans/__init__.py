@@ -32,6 +32,13 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # curation, embeddings/ANN, multimodal, events). Everything after slot 50
 # is still verified by tests/test_queries_oracle.py with the identical
 # row-count + schema + value-hash comparison at sf0.001 and sf0.01.
+#
+# Round-4 rotation (VERDICT r3 next #4): 12 slots swapped toward
+# families the driver never checked — IVM mart maintenance, search
+# (RRF/rerank/index), ANN quantization (PQ/Matryoshka), LSH
+# self-evaluation, skew-safe scale twins — plus the freshly rewritten
+# rfm/pareto/neardup plans so the de-serialized spellings get a driver
+# row. Rotated-out queries remain CI-verified by the full oracle suite.
 GATE_ORDER = [
     # reference-parity core (notebooks 01-09 re-expressed)
     "revenue_by_nation_status",
@@ -49,48 +56,50 @@ GATE_ORDER = [
     "customers_with_orders",
     "customers_without_orders",
     "asof_last_click_before_purchase",
-    "adaboost_quality_stumps",
-    "customer_entity_clusters",
     # window family
     "customer_order_streaks",
-    "session_turn_transcripts",
-    "daily_revenue_ewma",
-    "trailing_7d_median_revenue",
-    "forecast_next_week_revenue",
+    "rfm_customer_segments",
+    "pareto_revenue_concentration",
     # aggregate family
     "rollup_revenue",
     "copurchase_part_pairs",
     "profile_orders_columns",
-    "rank1_mf_factors",
     "customer_order_keys_array",
-    "copurchase_bfs_distances",
-    # set ops
+    "salted_revenue_by_status",
+    # table layer: format interop + incremental view maintenance
     "laketable_format_roundtrip",
+    "incremental_mart_maintenance",
     # decision-support subquery shapes
-    "big_basket_orders",
     "bloom_pruned_brand_revenue",
-    "q2_cheapest_supplier_per_part",
     "q22_idle_rich_customers",
     # SCD Type 2 (LakeTable.merge_scd2's interval-construction shape)
     "scd2_order_status_history",
+    # ids at scale (no global-window reducer)
+    "surrogate_dim_customer_scalable",
     # documents: dedup + text analysis
     "docs_exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "bm25_keyword_search",
+    "lsh_recall_eval",
     "neardup_clusters",
-    "doc_top_terms",
-    "token_zipf_slope",
     "doc_token_stats",
     "bpe_learned_merges",
     "logreg_quality_gd",
     "nb_lang_classifier",
+    # search
+    "bm25_keyword_search",
+    "inverted_index_postings",
+    "hybrid_rrf_search",
+    "retrieve_then_rerank",
     # curation
     "benchmark_contamination",
-    # embeddings / similarity search
+    # embeddings / similarity search / quantized ANN
     "cosine_topk_bruteforce",
     "ivf_kmeans_topk",
     "semantic_dedup_embeddings",
+    "embedding_neardup_pairs",
+    "pq_adc_topk",
+    "matryoshka_prefix_topk",
     # multimodal
     "image_pixel_stats",
     # events

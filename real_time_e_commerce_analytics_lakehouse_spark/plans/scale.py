@@ -169,3 +169,84 @@ def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.expr(dec_sum("o_totalprice")).alias("revenue"),
     )
+
+
+@register(
+    "incremental_mart_maintenance",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Incremental view maintenance end-to-end (operators/"
+        "incremental.incremental_agg_refresh — Delta-CDF-fed exact IVM, "
+        "the engine's materialized-view tier): a LakeTable source takes "
+        "an initial load, an append batch deliberately written with "
+        "WRONG amounts, a corrective MERGE upsert (update_preimage/"
+        "postimage churn), and a copy-on-write DELETE; after each "
+        "commit the aggregate table folds ONLY the signed change rows "
+        "(cost ∝ churn, never table size). The returned mart must equal "
+        "the oracle's full recompute over the FINAL source state — any "
+        "double-count, missed retraction, or sign error diverges. "
+        "Staging tables live under the system temp dir, keyed by "
+        "(sf_dir, pid) like laketable_format_roundtrip."
+    ),
+    tags=("table", "incremental", "agg"),
+)
+def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incremental import (
+        incremental_agg_refresh,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"ivm_mart_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = LakeTable(spark, os.path.join(base, "src"))
+    agg = LakeTable(spark, os.path.join(base, "agg"))
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    evens = orders.where(F.col("o_orderkey") % 2 == 0)
+    odds = orders.where(F.col("o_orderkey") % 2 == 1)
+
+    def refresh(since: int | None) -> int:
+        v = incremental_agg_refresh(
+            agg,
+            src,
+            since,
+            group_cols=["o_orderstatus"],
+            sum_cols=["o_totalprice"],
+            keys="o_orderkey",
+        )
+        return v if v is not None else (since or 0)
+
+    src.overwrite(evens)
+    v = refresh(None)
+    # append the odd half with corrupted amounts, then correct it via
+    # MERGE: the refresh folds insert + update_preimage/postimage rows
+    src.append(odds.withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+    src.merge_upsert(odds, keys="o_orderkey")
+    v = refresh(v)
+    # copy-on-write delete: retractions must subtract out exactly
+    src.delete(F.col("o_orderkey") % 7 == 0)
+    refresh(v)
+
+    return agg.read().select(
+        "o_orderstatus",
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias("revenue"),
+        F.col("n_rows"),
+    )
