@@ -94,6 +94,7 @@ def curate(
             for j in range(8)
         ],
     ).persist()
+    cached_deps = [sig]  # leases ride on the returned frame (see below)
     bands = None
     for b in range(4):
         part = sig.select(
@@ -163,6 +164,7 @@ def curate(
             F.col(emb_cols[0]).alias(id_col)
         )
         deduped = deduped.join(sem_drop, id_col, "left_anti")
+        cached_deps.extend(getattr(flags, "_cached_deps", []))
     after_semantic = (
         deduped.count() if with_report and embeddings is not None else None
     )
@@ -230,6 +232,11 @@ def curate(
             after_semantic=after_semantic,
             after_decontamination=after_decon,
         )
+    # propagate cache leases (minhash signatures + any semantic-dedup
+    # frame) to the returned frame so the caller can
+    # operators.simsearch.release_cached(curated) after its action —
+    # no cached frames left behind in a long-lived session
+    curated._cached_deps = cached_deps
     return curated, report
 
 
@@ -264,11 +271,16 @@ def prepare_training_assets(
     )
     from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
 
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        release_cached,
+    )
+
     curated_df, report = curate(
         docs, text_col=text_col, id_col=id_col, **curate_kwargs
     )
     curated = LakeTable(spark, os.path.join(root, "curated"))
     curated.overwrite(curated_df)
+    release_cached(curated_df)  # the write was the consuming action
     base = curated.read()
     merges = learn_bpe_merges(base, text_col=text_col)
     index = SearchIndex(spark, os.path.join(root, "index"))

