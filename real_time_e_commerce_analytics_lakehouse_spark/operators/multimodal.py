@@ -23,14 +23,21 @@ Three tiers, by what this container can honestly run:
   stats and a 2x block-mean thumbnail. Differentially tested the same
   way as the header tier (synthesized formula pixels, arithmetic
   oracle).
-- Entropy-coded pixel decode (JPEG/GIF) / video frame-sample — needs
-  codec libs absent here; stubbed behind NotImplementedError with the
-  plumbing real and exercised by `deterministic_fake_decode`.
+- Baseline grayscale JPEG (ITU-T T.81) — REAL entropy-coded decode:
+  canonical Huffman, DC prediction, AC run-length, byte unstuffing,
+  dequantize, float IDCT with floor(x+0.5) rounding. The encoder
+  assembles conformant streams from quantized coefficient blocks, so
+  tests and oracles pick exactly-invertible coefficients (DC + 8k at
+  the (4,0)/(0,4)/(4,4) basis positions) and hash-check the raster.
+- GIF pixel decode (LZW) / color-JPEG chroma paths / video
+  frame-sample — stubbed behind NotImplementedError with the plumbing
+  real and exercised by `deterministic_fake_decode`.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -400,12 +407,11 @@ def parse_mp4_headers(
 
 
 # ---------------------------------------------------------------------------
-# Pixel codec (real, stdlib-only): PNG (zlib inflate + filter reversal)
-# and BMP (BI_RGB 24-bit bottom-up). These are the two raster formats
-# whose full pixel pipeline needs nothing beyond the standard library,
-# so the engine can run an honest decode→stats→thumbnail pass with no
-# imaging dependency. JPEG/GIF pixel decode stays behind the documented
-# stub (entropy coders need codec libs).
+# Pixel codecs (real, stdlib+numpy only): PNG (zlib inflate + filter
+# reversal), BMP (BI_RGB 24-bit bottom-up), and baseline grayscale JPEG
+# (Huffman + dequant + IDCT, below). The engine runs an honest
+# decode→stats→thumbnail pass with no imaging dependency; GIF pixels
+# and color-JPEG chroma stay behind the documented stub.
 # ---------------------------------------------------------------------------
 
 
@@ -569,28 +575,365 @@ def decode_bmp_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81), stdlib+numpy only (VERDICT r3 next #5):
+# a REAL grayscale baseline codec — canonical Huffman (Annex K tables),
+# zigzag, DC-differential + AC run-length entropy coding, byte
+# stuffing, dequantization, separable float IDCT, floor(x+0.5)
+# rounding. The encoder takes QUANTIZED COEFFICIENT blocks (not
+# pixels): JPEG is lossy through FDCT+quantization, but the
+# entropy-code -> decode -> IDCT path is deterministic, so tests and
+# oracles construct coefficients whose IDCT is exactly integer (DC plus
+# multiples of 8 at (4,0)/(0,4)/(4,4), each contributing +-F/8 per
+# sample) and verify the decoded raster hash-exactly. Color (3-comp
+# YCbCr) and progressive scans are out of scope -> None, like the other
+# decoders' unsupported layouts.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# ITU-T T.81 Annex K.3: standard luminance Huffman table specs
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray_coeffs(
+    blocks: list[list[int]], w: int, h: int
+) -> bytes:
+    """Assemble a real baseline grayscale JPEG from QUANTIZED coefficient
+    blocks (each 64 ints in natural row-major order; blocks in raster
+    order over ceil(h/8) x ceil(w/8)), quant table all-ones. Produces a
+    spec-conformant stream: SOI, DQT, SOF0, DHT x2, SOS, entropy-coded
+    data with DC prediction + byte stuffing, EOI."""
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for blk in blocks:
+        zz = [blk[_ZIGZAG[i]] for i in range(64)]
+        size, bits = _magnitude(zz[0] - pred)
+        pred = zz[0]
+        c, ln = dc_codes[size]
+        bw.put(c, ln)
+        if size:
+            bw.put(bits, size)
+        run = 0
+        for i in range(1, 64):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            size, bits = _magnitude(zz[i])
+            c, ln = ac_codes[(run << 4) | size]
+            bw.put(c, ln)
+            bw.put(bits, size)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]  # EOB
+            bw.put(c, ln)
+    body = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise IndexError("bitstream exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise IndexError("marker inside entropy data")
+                self.pos += 1  # skip the stuffed 0x00
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for canonical table specs."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise IndexError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 EXTEND: magnitude bits -> signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _idct_matrix():
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / (2.0**0.5)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+def decode_jpeg_gray(b: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Decode a baseline grayscale JPEG to rows of (v,v,v): marker walk
+    (APPn/COM skipped), DQT/DHT/SOF0/SOS parse, canonical Huffman
+    entropy decode with DC prediction and byte unstuffing, dequantize,
+    zigzag-inverse, separable float IDCT, level shift, floor(x+0.5)
+    rounding, clamp, crop to (w,h). None for progressive/color/
+    arithmetic/restart-interval streams (out of scope, like the other
+    decoders' unsupported layouts)."""
+    import numpy as np
+
+    try:
+        if b[:2] != b"\xff\xd8":
+            return None
+        i = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        w = h = None
+        comp_q = 0
+        dc_id = ac_id = 0
+        scan_start = None
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD9:
+                break
+            ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            payload = b[i + 4 : i + 2 + ln]
+            if marker == 0xDB:
+                j = 0
+                while j < len(payload):
+                    pq, tq = payload[j] >> 4, payload[j] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-typical
+                    qt[tq] = list(payload[j + 1 : j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(payload):
+                    tc, th = payload[j] >> 4, payload[j] & 0xF
+                    bits = list(payload[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(payload[j + 17 : j + 17 + nv])
+                    huff[(tc, th)] = _huff_decoder(bits, vals)
+                    j += 17 + nv
+            elif marker == 0xC0:
+                if payload[0] != 8 or payload[5] != 1:
+                    return None  # 8-bit single-component only
+                h, w = struct.unpack(">HH", payload[1:5])
+                if payload[7] != 0x11:
+                    return None  # no subsampling for 1 component
+                comp_q = payload[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
+            elif marker == 0xDD:
+                return None  # restart intervals unsupported
+            elif marker == 0xDA:
+                if payload[0] != 1:  # Ns: single-component scan only
+                    return None
+                dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+                scan_start = i + 2 + ln
+                break
+            i += 2 + ln
+        if w is None or scan_start is None or not w or not h:
+            return None
+        dc_tab, ac_tab = huff.get((0, dc_id)), huff.get((1, ac_id))
+        q = qt.get(comp_q)
+        if dc_tab is None or ac_tab is None or q is None:
+            return None
+
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        br = _BitReader(b[scan_start:])
+        a = _idct_matrix()
+        qnat = np.zeros(64)
+        for k in range(64):
+            qnat[_ZIGZAG[k]] = q[k]
+        qmat = qnat.reshape(8, 8)
+        img = np.zeros((bh * 8, bw * 8))
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64)
+                size = _read_symbol(br, dc_tab)
+                pred += _extend(br.bits(size), size)
+                coef[_ZIGZAG[0]] = pred
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    coef[_ZIGZAG[k]] = _extend(br.bits(size), size)
+                    k += 1
+                f = coef.reshape(8, 8) * qmat
+                # separable IDCT: samples = A^T . F . A
+                s = a.T @ f @ a
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = s
+        px = np.floor(img + 128.0 + 0.5)
+        px = np.clip(px, 0, 255).astype(int)
+        return [
+            [(int(px[y, x]),) * 3 for x in range(w)] for y in range(h)
+        ]
+    except (struct.error, IndexError):
+        return None
+
+
 def decode_raster(b: bytes) -> list[list[tuple[int, int, int]]] | None:
-    """Sniff-and-decode: PNG or BMP pixel raster, else None."""
+    """Sniff-and-decode: PNG, BMP, or baseline grayscale JPEG pixel
+    raster, else None."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_rgb(b)
     if b[:2] == b"BM":
         return decode_bmp_rgb(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(b)
     return None
 
 
 def raster_stats(px: list[list[tuple[int, int, int]]]) -> tuple[int, ...]:
     """Exact integer statistics of a decoded raster: (width, height,
-    n_pixels, sum_r, sum_g, sum_b, thumb_sum_r) where thumb_sum_r is the
-    red-channel sum of the 2x block-mean (floor) downsampled thumbnail —
-    the resize kernel every multimodal pipeline runs, in integer
-    arithmetic both engines agree on."""
+    n_pixels, sum_r, sum_g, sum_b, thumb_sum_r, max_v) where thumb_sum_r
+    is the red-channel sum of the 2x block-mean (floor) downsampled
+    thumbnail — the resize kernel every multimodal pipeline runs, in
+    integer arithmetic both engines agree on — and max_v is the maximum
+    value over all channels (an order statistic the JPEG AC terms reach
+    even though they cancel out of every aligned sum)."""
     h, w = len(px), len(px[0])
     sums = [0, 0, 0]
+    mx = 0
     for row in px:
         for p in row:
             sums[0] += p[0]
             sums[1] += p[1]
             sums[2] += p[2]
+            m = max(p)
+            if m > mx:
+                mx = m
     thumb = 0
     for by in range(h // 2):
         for bx in range(w // 2):
@@ -600,12 +943,12 @@ def raster_stats(px: list[list[tuple[int, int, int]]]) -> tuple[int, ...]:
                 + px[2 * by + 1][2 * bx][0]
                 + px[2 * by + 1][2 * bx + 1][0]
             ) // 4
-    return w, h, w * h, sums[0], sums[1], sums[2], thumb
+    return w, h, w * h, sums[0], sums[1], sums[2], thumb, mx
 
 
 PIXEL_STATS_SCHEMA = (
     "format string, width int, height int, n_pixels long, "
-    "sum_r long, sum_g long, sum_b long, thumb_sum_r long"
+    "sum_r long, sum_g long, sum_b long, thumb_sum_r long, max_v int"
 )
 
 
@@ -631,17 +974,24 @@ def decode_pixel_stats(
                 "sum_g": [],
                 "sum_b": [],
                 "thumb_sum_r": [],
+                "max_v": [],
             }
             for x in pdf[binary_col]:
                 b = bytes(x)
                 px = decode_raster(b)
                 if px is None:
                     for k in ("format", "width", "height", "n_pixels",
-                              "sum_r", "sum_g", "sum_b", "thumb_sum_r"):
+                              "sum_r", "sum_g", "sum_b", "thumb_sum_r",
+                              "max_v"):
                         out[k].append(None)
                     continue
-                w, h, n, sr, sg, sb, th = raster_stats(px)
-                out["format"].append("png" if b[:1] == b"\x89" else "bmp")
+                w, h, n, sr, sg, sb, th, mx = raster_stats(px)
+                fmt = (
+                    "png"
+                    if b[:1] == b"\x89"
+                    else ("jpeg" if b[:2] == b"\xff\xd8" else "bmp")
+                )
+                out["format"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(n)
@@ -649,6 +999,7 @@ def decode_pixel_stats(
                 out["sum_g"].append(sg)
                 out["sum_b"].append(sb)
                 out["thumb_sum_r"].append(th)
+                out["max_v"].append(mx)
             yield pd.DataFrame(
                 {
                     id_col: out[id_col],
@@ -660,6 +1011,7 @@ def decode_pixel_stats(
                     "sum_g": pd.array(out["sum_g"], dtype="Int64"),
                     "sum_b": pd.array(out["sum_b"], dtype="Int64"),
                     "thumb_sum_r": pd.array(out["thumb_sum_r"], dtype="Int64"),
+                    "max_v": pd.array(out["max_v"], dtype="Int32"),
                 }
             )
 
@@ -683,11 +1035,11 @@ IMAGE_FEATURE_SCHEMA = (
 def decode_images(df: DataFrame, id_col: str = "id", binary_col: str = "payload") -> DataFrame:
     """Decode image bytes -> (width, height, channels, mean luma).
 
-    REAL for PNG and BMP (decode_raster: zlib inflate + filter reversal /
-    BI_RGB unpack); mean luma is Rec.601 (0.299R+0.587G+0.114B) averaged
-    over pixels. Entropy-coded formats (JPEG/GIF) decode to NULL rows —
-    their pixel pipelines need codec libraries absent here (see
-    _entropy_decode_stub for the documented extension point)."""
+    REAL for PNG, BMP, and baseline grayscale JPEG (decode_raster: zlib
+    inflate + filter reversal / BI_RGB unpack / Huffman+IDCT); mean luma
+    is Rec.601 (0.299R+0.587G+0.114B) averaged over pixels. GIF and
+    color-JPEG pixels decode to NULL rows (see _entropy_decode_stub for
+    the documented extension point)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -725,9 +1077,10 @@ def decode_images(df: DataFrame, id_col: str = "id", binary_col: str = "payload"
 
 def _entropy_decode_stub(payload: pd.Series) -> dict:
     raise NotImplementedError(
-        "JPEG/GIF pixel decode requires codec libraries not present in "
-        "this environment; PNG/BMP decode is real (decode_raster), and "
-        "the mapInPandas plumbing is shared"
+        "GIF (LZW) and color-JPEG (chroma subsampling + YCbCr) pixel "
+        "decode is out of scope here; PNG/BMP/grayscale-baseline-JPEG "
+        "decode is real (decode_raster), and the mapInPandas plumbing "
+        "is shared"
     )
 
 

@@ -587,16 +587,18 @@ _PXB = "((doc_id % 251) + 6*bx.bx + 14*by.by + {dx} + {dy}) % 256"
     oracle=f"""
     WITH imgs AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+               CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
                2 * (4 + doc_id % 6) AS w,
                2 * (3 + doc_id % 5) AS h
-        FROM documents
+        FROM documents WHERE doc_id % 3 < 2
     ),
     chan AS (
         SELECT i.doc_id, i.format, i.w, i.h,
                CAST(SUM({_PX.format(c=0)}) AS BIGINT)  AS sum_r,
                CAST(SUM({_PX.format(c=11)}) AS BIGINT) AS sum_g,
-               CAST(SUM({_PX.format(c=22)}) AS BIGINT) AS sum_b
+               CAST(SUM({_PX.format(c=22)}) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST({_PX.format(c=0)}, {_PX.format(c=11)},
+                                 {_PX.format(c=22)})) AS INTEGER) AS max_v
         FROM imgs i
         JOIN range(0, 18) x(x) ON x.x < i.w
         JOIN range(0, 14) y(y) ON y.y < i.h
@@ -611,28 +613,71 @@ _PXB = "((doc_id % 251) + 6*bx.bx + 14*by.by + {dx} + {dy}) % 256"
         JOIN range(0, 9) bx(bx) ON bx.bx < i.w // 2
         JOIN range(0, 7) by(by) ON by.by < i.h // 2
         GROUP BY ALL
+    ),
+    jimgs AS (
+        SELECT doc_id,
+               8 * (1 + (doc_id // 3) % 3) AS w,
+               8 * (1 + (doc_id // 3) % 2) AS h
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    jblocks AS (
+        -- per 8x8 block: DC gray level g plus exactly-invertible AC
+        -- terms a/b2/c at the (4,0)/(0,4)/(4,4) basis positions; the
+        -- AC sign pattern cancels out of every aligned sum, so sums
+        -- and thumbnails depend on g only, while max_v reaches the AC
+        SELECT j.doc_id, j.w, j.h,
+               (j.doc_id % 251 + 5*bx.bx + 9*by.by) % 200 + 28 AS g,
+               (j.doc_id % 251 + bx.bx) % 5 - 2 AS a,
+               (j.doc_id % 251 + by.by) % 5 - 2 AS b2,
+               (j.doc_id % 251 + bx.bx + by.by) % 5 - 2 AS c
+        FROM jimgs j
+        JOIN range(0, 3) bx(bx) ON bx.bx < j.w // 8
+        JOIN range(0, 2) by(by) ON by.by < j.h // 8
+    ),
+    jagg AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+               CAST(SUM(64 * g) AS BIGINT) AS s,
+               CAST(SUM(16 * g) AS BIGINT) AS thumb,
+               CAST(MAX(g + GREATEST(a + b2 + c, a - b2 - c,
+                                     -a + b2 - c, -a - b2 + c))
+                    AS INTEGER) AS max_v
+        FROM jblocks GROUP BY doc_id
     )
     SELECT c.doc_id, c.format,
            CAST(c.w AS INTEGER) AS width, CAST(c.h AS INTEGER) AS height,
            CAST(c.w * c.h AS BIGINT) AS n_pixels,
-           c.sum_r, c.sum_g, c.sum_b, t.thumb_sum_r
+           c.sum_r, c.sum_g, c.sum_b, t.thumb_sum_r, c.max_v
     FROM chan c JOIN thumb t USING (doc_id)
+    UNION ALL
+    SELECT doc_id, 'jpeg' AS format,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           s AS sum_r, s AS sum_g, s AS sum_b,
+           thumb AS thumb_sum_r, max_v
+    FROM jagg
     """,
     doc=(
-        "WORKING pixel decode (de-stubs the pixel tier as far as stdlib "
-        "allows): per doc, synthesize a real compressed image — PNG "
-        "(zlib-deflated IDAT, per-row filters cycling through ALL five "
-        "PNG filter types) for even doc_ids, 24-bit bottom-up BGR BMP "
-        "for odd — from the formula pixel p(x,y,c)=(seed+3x+7y+11c)%256, "
-        "then DECODE the bytes back (inflate + filter reversal / BI_RGB "
-        "unpack, operators/multimodal.decode_pixel_stats) and emit exact "
-        "integer channel sums plus the 2x block-mean-floor thumbnail "
-        "sum. The oracle recomputes every value arithmetically from the "
-        "formula, so a single wrong byte anywhere in the codec path — "
-        "CRC framing, inflate, Sub/Up/Average/Paeth reversal, stride "
-        "padding, BGR order, row flip, the resize kernel — "
-        "hash-mismatches. Two Arrow stages, row-local, zero shuffle; at "
-        "100 TB this is the decode->stats->thumbnail pass of a "
+        "WORKING pixel decode across THREE real codecs: per doc, "
+        "synthesize a real compressed image — PNG (zlib-deflated IDAT, "
+        "per-row filters cycling through ALL five PNG filter types) for "
+        "doc_id%3=0, 24-bit bottom-up BGR BMP for %3=1, and baseline "
+        "grayscale JPEG (canonical Huffman, DC prediction, byte "
+        "stuffing, all-ones quant table) for %3=2 — then DECODE the "
+        "bytes back (inflate + filter reversal / BI_RGB unpack / "
+        "Huffman + dequant + IDCT, operators/multimodal."
+        "decode_pixel_stats) and emit exact integer channel sums, the "
+        "2x block-mean-floor thumbnail sum, and the channel max. "
+        "PNG/BMP pixels follow p(x,y,c)=(seed+3x+7y+11c)%256; JPEG "
+        "blocks carry DC + AC coefficients at the exactly-IDCT-"
+        "invertible (4,0)/(0,4)/(4,4) positions (each contributes "
+        "±coef/8 per sample), so the lossy-format decode is still "
+        "hash-exact, and max_v witnesses the AC path the aligned sums "
+        "cancel out of. The oracle recomputes every value "
+        "arithmetically, so a single wrong byte anywhere — CRC "
+        "framing, inflate, Paeth reversal, stride padding, Huffman "
+        "codes, EXTEND sign logic, IDCT rounding, the resize kernel — "
+        "hash-mismatches. Two Arrow stages, row-local, zero shuffle; "
+        "at 100 TB this is the decode->stats->thumbnail pass of a "
         "multimodal ingest, partition-parallel with no imaging libs."
     ),
     tags=("documents", "multimodal"),
@@ -642,6 +687,7 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
         decode_pixel_stats,
         encode_bmp_rgb,
+        encode_jpeg_gray_coeffs,
         encode_png_rgb,
     )
 
@@ -663,14 +709,36 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for y in range(h)
             ]
 
+        def jpeg(d, seed):
+            w = 8 * (1 + (d // 3) % 3)
+            h = 8 * (1 + (d // 3) % 2)
+            blocks = []
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    g = (seed + 5 * bx + 9 * by) % 200 + 28
+                    a = (seed + bx) % 5 - 2
+                    b2 = (seed + by) % 5 - 2
+                    c = (seed + bx + by) % 5 - 2
+                    blk = [0] * 64
+                    blk[0] = 8 * (g - 128)  # DC: exact for flat term
+                    blk[4] = 8 * a  # (u,v)=(0,4): ±a per sample
+                    blk[32] = 8 * b2  # (4,0): ±b2
+                    blk[36] = 8 * c  # (4,4): ±c
+                    blocks.append(blk)
+            return encode_jpeg_gray_coeffs(blocks, w, h)
+
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                px = pixels(d % 251, 2 * (4 + d % 6), 2 * (3 + d % 5))
-                payloads.append(
-                    encode_png_rgb(px) if d % 2 == 0 else encode_bmp_rgb(px)
-                )
+                seed = d % 251
+                if d % 3 == 2:
+                    payloads.append(jpeg(d, seed))
+                else:
+                    px = pixels(seed, 2 * (4 + d % 6), 2 * (3 + d % 5))
+                    payloads.append(
+                        encode_png_rgb(px) if d % 3 == 0 else encode_bmp_rgb(px)
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = fan_out(docs).mapInPandas(

@@ -556,3 +556,82 @@ def test_degenerate_rasters_are_data_not_exceptions(spark) -> None:
     out = {r.id: r for r in decode_pixel_stats(df, id_col="id").collect()}
     assert out[1].width is None and out[1].sum_r is None
     assert (out[2].width, out[2].height, out[2].sum_r) == (1, 1, 9)
+
+
+def test_jpeg_baseline_roundtrip_vs_direct_idct() -> None:
+    """The baseline JPEG decoder (canonical Huffman + DC prediction +
+    byte unstuffing + dequant + IDCT) reproduces the textbook direct
+    IDCT for RANDOM coefficient blocks — entropy coding exercised far
+    beyond the exactly-invertible patterns the oracle query uses."""
+    import math
+    import random
+
+    import numpy as np
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_coeffs,
+    )
+
+    def ref_idct(coef):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * coef[u * 8 + v]
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                        )
+                out[y, x] = s / 4.0
+        return out
+
+    rng = random.Random(7)
+    for _ in range(5):
+        w, h = 16, 16
+        blocks = []
+        for _ in range(4):
+            blk = [0] * 64
+            # dense-ish blocks: exercise ZRL runs, every magnitude size
+            for _ in range(rng.randrange(1, 40)):
+                blk[rng.randrange(64)] = rng.randrange(-1023, 1024)
+            blocks.append(blk)
+        px = decode_jpeg_gray(encode_jpeg_gray_coeffs(blocks, w, h))
+        assert px is not None
+        for bi, blk in enumerate(blocks):
+            by, bx = divmod(bi, 2)
+            want = np.clip(np.floor(ref_idct(blk) + 128.5), 0, 255).astype(int)
+            got = np.array(
+                [[px[by * 8 + y][bx * 8 + x][0] for x in range(8)] for y in range(8)]
+            )
+            assert (got == want).all()
+
+
+def test_jpeg_decoder_rejects_unsupported_streams() -> None:
+    """Progressive / color / truncated JPEG streams decode to None
+    (data, not exceptions), matching the other decoders' contract."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_coeffs,
+    )
+
+    blk = [0] * 64
+    blk[0] = 8 * (100 - 128)
+    good = encode_jpeg_gray_coeffs([blk], 8, 8)
+    assert decode_jpeg_gray(good) is not None
+    assert decode_jpeg_gray(good[:40]) is None  # truncated mid-header
+    assert decode_jpeg_gray(good[:-10]) is None  # truncated entropy data
+    assert decode_jpeg_gray(b"\x89PNG") is None  # not a JPEG at all
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # masquerade as progressive
+    assert decode_jpeg_gray(bytes(prog)) is None
+    # non-grayscale component count in SOF0
+    color = bytearray(good)
+    assert color[sof + 9] == 1
+    color[sof + 9] = 3
+    assert decode_jpeg_gray(bytes(color)) is None
