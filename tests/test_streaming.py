@@ -510,3 +510,82 @@ def test_streaming_cdc_into_scd2_dimension(spark, tmp_path):
         (2, "gold", 40, None, True),
         (3, "bronze", 35, None, True),
     ]
+
+
+def test_tws_plan_compiles_without_protobuf(spark, tmp_path):
+    """transformWithStateInPandas PLAN construction (analysis, schema,
+    state-spec registration) needs no protobuf — only the executor
+    worker protocol does. Pinning this keeps the env-skip scoped to
+    strictly the wire protocol, not the whole feature."""
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.tws import (
+        OUTPUT_SCHEMA,
+        user_profiles_tws,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+    ).selectExpr("user_id", "to_timestamp(ts) AS ts", "value").write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    df = user_profiles_tws(stream)
+    assert df.isStreaming
+    assert df.schema == spark.createDataFrame([], OUTPUT_SCHEMA).schema
+
+
+def test_tws_processor_logic_across_batches():
+    """ProfileProcessor semantics driven directly (no Spark): the
+    ValueState aggregate carries across micro-batches, the ListState
+    window trims to the last 3, and rows sort by ts within a batch —
+    the same contract the env-skipped end-to-end test asserts."""
+    import pandas as pd
+
+    from real_time_e_commerce_analytics_lakehouse_spark.streaming.tws import (
+        ProfileProcessor,
+    )
+
+    class _Value:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class _List(_Value):
+        def get(self):
+            return iter(self.v)
+
+        def put(self, rows):
+            self.v = rows
+
+    class _Handle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _Value())
+
+        def getListState(self, name, schema):
+            return self.states.setdefault(name, _List())
+
+    proc = ProfileProcessor()
+    proc.init(_Handle())
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        (out,) = list(proc.handleInputRows((1,), iter([pdf]), None))
+        r = out.iloc[0]
+        return int(r.n_events), float(r.sum_value), list(r.recent)
+
+    # batch 1: out-of-order rows sort by ts before entering the window
+    assert feed([(1, "t2", 5.0), (1, "t1", 10.0)]) == (2, 15.0, [10.0, 5.0])
+    # batch 2: aggregate carries; window keeps only the last 3
+    assert feed([(1, "t3", 1.0), (1, "t4", 2.0)]) == (4, 18.0, [5.0, 1.0, 2.0])
+    assert feed([(1, "t5", 9.0)]) == (5, 27.0, [1.0, 2.0, 9.0])
