@@ -29,9 +29,17 @@ Three tiers, by what this container can honestly run:
   assembles conformant streams from quantized coefficient blocks, so
   tests and oracles pick exactly-invertible coefficients (DC + 8k at
   the (4,0)/(0,4)/(4,4) basis positions) and hash-check the raster.
-- GIF pixel decode (LZW) / color-JPEG chroma paths / video
-  frame-sample — stubbed behind NotImplementedError with the plumbing
-  real and exercised by `deterministic_fake_decode`.
+- GIF pixel codec (`encode_gif_rgb`/`decode_gif_rgb`) — REAL LZW:
+  variable-width LSB-first codes with clear/EOI, KwKwK, 4096-entry
+  cap, interlace passes, global/local color tables. The encoder's bit
+  widths come from a pass that simulates the decoder, so the classic
+  GIF width-desync bug is impossible by construction.
+- Color-JPEG chroma paths — stubbed behind NotImplementedError with
+  the plumbing real and exercised by `deterministic_fake_decode`.
+- Video: real ISO-BMFF sample-table plumbing (`synthesize_mp4_media` /
+  `parse_mp4_sample_table` / `sample_video_frames`) — stsd/stts/stsc/
+  stsz/stco resolution to per-frame byte ranges in mdat, then per-frame
+  raster decode via the codecs above (JPEG frames).
 """
 
 from __future__ import annotations
@@ -408,10 +416,10 @@ def parse_mp4_headers(
 
 # ---------------------------------------------------------------------------
 # Pixel codecs (real, stdlib+numpy only): PNG (zlib inflate + filter
-# reversal), BMP (BI_RGB 24-bit bottom-up), and baseline grayscale JPEG
-# (Huffman + dequant + IDCT, below). The engine runs an honest
-# decode→stats→thumbnail pass with no imaging dependency; GIF pixels
-# and color-JPEG chroma stay behind the documented stub.
+# reversal), BMP (BI_RGB 24-bit bottom-up), GIF (LZW, below), and
+# baseline grayscale JPEG (Huffman + dequant + IDCT, below). The engine
+# runs an honest decode→stats→thumbnail pass with no imaging
+# dependency; only color-JPEG chroma stays behind the documented stub.
 # ---------------------------------------------------------------------------
 
 
@@ -903,13 +911,266 @@ def decode_jpeg_gray(b: bytes) -> list[list[tuple[int, int, int]]] | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# GIF pixel codec (LZW, GIF89a): the fourth real raster codec. The
+# encoder targets test corpora (palette <= 256 colors, the GIF model);
+# the decoder is a standard GIF reader: logical screen + global/local
+# color table, extension-block skip, variable-width LSB-first LZW with
+# clear/EOI codes, deferred table growth capped at 4096, and interlace
+# pass reordering. Bit-width synchronization is the classic GIF
+# footgun, so the encoder is two-pass: pass 1 computes the LZW code
+# sequence (pure dictionary semantics), pass 2 assigns each code's bit
+# width by SIMULATING THE DECODER — the two sides cannot desync by
+# construction.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_codes(indices: list[int], mcs: int) -> list[int]:
+    """Pass 1: LZW code sequence for GIF (clear first, clear on table
+    full at 4096, EOI last). Codes only — no bit widths."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << mcs)}
+    nxt = eoi + 1
+    codes = [clear]
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        codes.append(table[w])
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+        else:
+            codes.append(clear)
+            table = {(i,): i for i in range(1 << mcs)}
+            nxt = eoi + 1
+        w = (k,)
+    if w:
+        codes.append(table[w])
+    codes.append(eoi)
+    return codes
+
+
+def _lzw_pack(codes: list[int], mcs: int) -> bytes:
+    """Pass 2: pack codes LSB-first at the width a standard GIF decoder
+    would read each one — replaying the decoder's table-growth/bump
+    rules (grow after every post-first data code, bump when the table
+    reaches 2^size, cap 4096, reset on clear)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    size, nxt, first = mcs + 1, eoi + 1, True
+    for code in codes:
+        put(code, size)
+        if code == clear:
+            size, nxt, first = mcs + 1, eoi + 1, True
+        elif code == eoi:
+            break
+        elif first:
+            first = False
+        elif nxt < 4096:
+            nxt += 1
+            if nxt == (1 << size) and size < 12:
+                size += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> list[int] | None:
+    """GIF LZW decode: variable-width LSB-first codes, clear/EOI,
+    KwKwK case, growth capped at 4096. None on corrupt streams."""
+    if not 2 <= mcs <= 11:
+        return None
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = nbits = 0
+    base: list[tuple[int, ...] | None] = [
+        (i,) for i in range(1 << mcs)
+    ] + [None, None]
+    table = list(base)
+    size = mcs + 1
+    prev: int | None = None
+    out: list[int] = []
+    while True:
+        while nbits < size:
+            if pos >= len(data):
+                return None  # ran out before EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        if code == clear:
+            table, size, prev = list(base), mcs + 1, None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                return None
+            entry = table[code]
+        else:
+            prev_s = table[prev]
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+                new = prev_s + entry[:1]
+            elif code == len(table):
+                new = prev_s + prev_s[:1]
+                entry = new
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(new)
+                if len(table) == (1 << size) and size < 12:
+                    size += 1
+        out.extend(entry)
+        prev = code
+
+
+def encode_gif_rgb(
+    pixels: list[list[tuple[int, int, int]]], interlace: bool = False
+) -> bytes:
+    """Encode an RGB raster as a REAL GIF89a: logical screen descriptor,
+    global color table built from the raster's palette (<= 256 unique
+    colors — the GIF color model; richer rasters raise ValueError),
+    image descriptor (optionally interlaced), and genuine LZW-compressed
+    index data in 255-byte sub-blocks."""
+    h, w = len(pixels), len(pixels[0])
+    palette: dict[tuple[int, int, int], int] = {}
+    for row in pixels:
+        for p in row:
+            if p not in palette:
+                palette[p] = len(palette)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(palette)}")
+    gct_bits = max(1, (len(palette) - 1).bit_length())
+    mcs = max(2, gct_bits)
+    rows = list(range(h))
+    if interlace:
+        rows = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+    indices = [palette[p] for y in rows for p in pixels[y]]
+    body = _lzw_pack(_lzw_codes(indices, mcs), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (gct_bits - 1))  # GCT present, 2^gct_bits entries
+    out += b"\x00\x00"  # background index, aspect
+    colors = sorted(palette, key=palette.get)
+    for c in colors:
+        out += bytes(c)
+    out += b"\x00\x00\x00" * ((1 << gct_bits) - len(colors))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    out.append(mcs)
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator, trailer
+    return bytes(out)
+
+
+def decode_gif_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Decode the first image of a GIF87a/89a to rows of (r,g,b):
+    logical-screen + color-table parse, extension-block skip, sub-block
+    reassembly, LZW decompress, interlace reordering, palette lookup.
+    None for corrupt streams or images with no color table."""
+    try:
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        _sw, _sh = struct.unpack("<HH", b[6:10])
+        flags = b[10]
+        i = 13
+        gct: list[tuple[int, int, int]] | None = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = [
+                (b[i + 3 * k], b[i + 3 * k + 1], b[i + 3 * k + 2])
+                for k in range(n)
+            ]
+            i += 3 * n
+        while i < len(b):
+            block = b[i]
+            if block == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif block == 0x2C:  # image descriptor
+                _left, _top, w, h = struct.unpack("<HHHH", b[i + 1 : i + 9])
+                iflags = b[i + 9]
+                i += 10
+                pal = gct
+                if iflags & 0x80:  # local color table overrides
+                    n = 2 << (iflags & 0x07)
+                    pal = [
+                        (b[i + 3 * k], b[i + 3 * k + 1], b[i + 3 * k + 2])
+                        for k in range(n)
+                    ]
+                    i += 3 * n
+                if pal is None or w <= 0 or h <= 0:
+                    return None
+                mcs = b[i]
+                i += 1
+                data = bytearray()
+                while b[i] != 0:
+                    ln = b[i]
+                    data += b[i + 1 : i + 1 + ln]
+                    i += 1 + ln
+                idx = _lzw_decompress(bytes(data), mcs)
+                if idx is None or len(idx) < w * h:
+                    return None
+                if any(v >= len(pal) for v in idx[: w * h]):
+                    return None
+                flat = [pal[v] for v in idx[: w * h]]
+                grid = [flat[y * w : (y + 1) * w] for y in range(h)]
+                if iflags & 0x40:  # interlaced: undo pass ordering
+                    order = (
+                        list(range(0, h, 8))
+                        + list(range(4, h, 8))
+                        + list(range(2, h, 4))
+                        + list(range(1, h, 2))
+                    )
+                    deinter: list = [None] * h
+                    for src, dst in enumerate(order):
+                        deinter[dst] = grid[src]
+                    grid = deinter
+                return grid
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def decode_raster(b: bytes) -> list[list[tuple[int, int, int]]] | None:
-    """Sniff-and-decode: PNG, BMP, or baseline grayscale JPEG pixel
-    raster, else None."""
+    """Sniff-and-decode: PNG, BMP, GIF, or baseline grayscale JPEG
+    pixel raster, else None."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_rgb(b)
     if b[:2] == b"BM":
         return decode_bmp_rgb(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_rgb(b)
     if b[:2] == b"\xff\xd8":
         return decode_jpeg_gray(b)
     return None
@@ -986,11 +1247,14 @@ def decode_pixel_stats(
                         out[k].append(None)
                     continue
                 w, h, n, sr, sg, sb, th, mx = raster_stats(px)
-                fmt = (
-                    "png"
-                    if b[:1] == b"\x89"
-                    else ("jpeg" if b[:2] == b"\xff\xd8" else "bmp")
-                )
+                if b[:1] == b"\x89":
+                    fmt = "png"
+                elif b[:3] == b"GIF":
+                    fmt = "gif"
+                elif b[:2] == b"\xff\xd8":
+                    fmt = "jpeg"
+                else:
+                    fmt = "bmp"
                 out["format"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -1077,10 +1341,9 @@ def decode_images(df: DataFrame, id_col: str = "id", binary_col: str = "payload"
 
 def _entropy_decode_stub(payload: pd.Series) -> dict:
     raise NotImplementedError(
-        "GIF (LZW) and color-JPEG (chroma subsampling + YCbCr) pixel "
-        "decode is out of scope here; PNG/BMP/grayscale-baseline-JPEG "
-        "decode is real (decode_raster), and the mapInPandas plumbing "
-        "is shared"
+        "color-JPEG (chroma subsampling + YCbCr) pixel decode is out of "
+        "scope here; PNG/BMP/GIF/grayscale-baseline-JPEG decode is real "
+        "(decode_raster), and the mapInPandas plumbing is shared"
     )
 
 

@@ -587,10 +587,11 @@ _PXB = "((doc_id % 251) + 6*bx.bx + 14*by.by + {dx} + {dy}) % 256"
     oracle=f"""
     WITH imgs AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                               ELSE 'gif' END AS format,
                2 * (4 + doc_id % 6) AS w,
                2 * (3 + doc_id % 5) AS h
-        FROM documents WHERE doc_id % 3 < 2
+        FROM documents WHERE doc_id % 4 <> 2
     ),
     chan AS (
         SELECT i.doc_id, i.format, i.w, i.h,
@@ -618,7 +619,7 @@ _PXB = "((doc_id % 251) + 6*bx.bx + 14*by.by + {dx} + {dy}) % 256"
         SELECT doc_id,
                8 * (1 + (doc_id // 3) % 3) AS w,
                8 * (1 + (doc_id // 3) % 2) AS h
-        FROM documents WHERE doc_id % 3 = 2
+        FROM documents WHERE doc_id % 4 = 2
     ),
     jblocks AS (
         -- per 8x8 block: DC gray level g plus exactly-invertible AC
@@ -657,14 +658,17 @@ _PXB = "((doc_id % 251) + 6*bx.bx + 14*by.by + {dx} + {dy}) % 256"
     FROM jagg
     """,
     doc=(
-        "WORKING pixel decode across THREE real codecs: per doc, "
+        "WORKING pixel decode across FOUR real codecs: per doc, "
         "synthesize a real compressed image — PNG (zlib-deflated IDAT, "
         "per-row filters cycling through ALL five PNG filter types) for "
-        "doc_id%3=0, 24-bit bottom-up BGR BMP for %3=1, and baseline "
+        "doc_id%4=0, 24-bit bottom-up BGR BMP for %4=1, baseline "
         "grayscale JPEG (canonical Huffman, DC prediction, byte "
-        "stuffing, all-ones quant table) for %3=2 — then DECODE the "
+        "stuffing, all-ones quant table) for %4=2, and GIF89a (real "
+        "LZW: variable-width codes, clear/EOI, 4096-cap, interlace on "
+        "half the corpus) for %4=3 — then DECODE the "
         "bytes back (inflate + filter reversal / BI_RGB unpack / "
-        "Huffman + dequant + IDCT, operators/multimodal."
+        "Huffman + dequant + IDCT / LZW + palette + deinterlace, "
+        "operators/multimodal."
         "decode_pixel_stats) and emit exact integer channel sums, the "
         "2x block-mean-floor thumbnail sum, and the channel max. "
         "PNG/BMP pixels follow p(x,y,c)=(seed+3x+7y+11c)%256; JPEG "
@@ -687,6 +691,7 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
         decode_pixel_stats,
         encode_bmp_rgb,
+        encode_gif_rgb,
         encode_jpeg_gray_coeffs,
         encode_png_rgb,
     )
@@ -732,13 +737,18 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 seed = d % 251
-                if d % 3 == 2:
+                if d % 4 == 2:
                     payloads.append(jpeg(d, seed))
                 else:
                     px = pixels(seed, 2 * (4 + d % 6), 2 * (3 + d % 5))
-                    payloads.append(
-                        encode_png_rgb(px) if d % 3 == 0 else encode_bmp_rgb(px)
-                    )
+                    if d % 4 == 0:
+                        payloads.append(encode_png_rgb(px))
+                    elif d % 4 == 1:
+                        payloads.append(encode_bmp_rgb(px))
+                    else:  # gif: interlace half the corpus to cover both paths
+                        payloads.append(
+                            encode_gif_rgb(px, interlace=(d // 4) % 2 == 1)
+                        )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = fan_out(docs).mapInPandas(

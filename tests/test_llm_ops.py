@@ -77,6 +77,44 @@ def test_pixel_codec_filter_coverage_and_truncation() -> None:
     assert decode_bmp_rgb(bmp[: len(bmp) // 2]) is None
 
 
+def test_gif_lzw_table_reset_and_robustness(spark) -> None:
+    """A 200x120 raster over a full 256-color palette pushes the LZW
+    dictionary past 4096 entries, forcing 12-bit codes, a mid-stream
+    clear code, and table rebuild — round-trip equality proves the
+    reset path on BOTH sides. Truncated/garbage streams decode to
+    None, and the Spark decode surfaces them as NULL rows. GIF rows
+    flow through decode_pixel_stats with format='gif'."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_gif_rgb,
+        decode_pixel_stats,
+        encode_gif_rgb,
+    )
+
+    w, h = 200, 120
+    pal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+    px = [
+        [pal[(x * x + y * 3 + (x * y) // 7) % 256] for x in range(w)]
+        for y in range(h)
+    ]
+    gif = encode_gif_rgb(px)
+    assert decode_gif_rgb(gif) == px
+    assert decode_gif_rgb(gif[:40]) is None
+    assert decode_gif_rgb(b"GIF89a" + b"\x00" * 7) is None
+    # >256 colors is outside the GIF model — encoder refuses
+    rich = [[(x % 256, y % 256, (x + y) % 256) for x in range(64)] for y in range(32)]
+    with pytest.raises(ValueError):
+        encode_gif_rgb(rich)
+
+    small = [[pal[(x + 2 * y) % 16] for x in range(6)] for y in range(4)]
+    rows = [(1, encode_gif_rgb(small)), (2, gif[:40])]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in decode_pixel_stats(df, id_col="id").collect()}
+    assert out[1].format == "gif"
+    assert (out[1].width, out[1].height, out[1].n_pixels) == (6, 4, 24)
+    assert out[1].sum_r == sum(p[0] for row in small for p in row)
+    assert out[2].format is None and out[2].sum_r is None
+
+
 def test_exact_duplicates_always_lsh_candidates(spark, sf_dir) -> None:
     """An exact duplicate has Jaccard 1 => identical minhash signature =>
     identical band hashes => guaranteed candidate pair (deterministic,

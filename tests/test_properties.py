@@ -276,3 +276,36 @@ def test_pixel_codec_roundtrip_property(w: int, h: int, seed: int) -> None:
     ]
     assert decode_png_rgb(encode_png_rgb(px)) == px
     assert decode_bmp_rgb(encode_bmp_rgb(px)) == px
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ncolors=st.integers(min_value=1, max_value=256),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_codec_roundtrip_property(
+    w: int, h: int, ncolors: int, interlace: bool, seed: int
+) -> None:
+    """GIF LZW codec round-trips ANY paletted raster (random dims,
+    palette sizes from 1 to the full 256, both interlaced and
+    sequential row order): encode→decode is the identity, covering
+    variable code widths, the KwKwK case, and every GCT size field."""
+    import random
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif_rgb,
+    )
+
+    rng = random.Random(seed)
+    pal = list(
+        dict.fromkeys(
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(ncolors)
+        )
+    )
+    px = [[pal[rng.randrange(len(pal))] for _ in range(w)] for _ in range(h)]
+    assert decode_gif_rgb(encode_gif_rgb(px, interlace=interlace)) == px
