@@ -1371,8 +1371,341 @@ def deterministic_fake_decode(
     return df.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA.replace("id ", f"{id_col} "))
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling STUB: at scale this is mapInPandas producing
-    one row per sampled frame (explode in Python, Arrow out). Needs a
-    video lib; kept as the documented extension point."""
-    raise NotImplementedError("video decode libraries unavailable in this environment")
+# ---------------------------------------------------------------------------
+# Video frame sampling (real ISO-BMFF sample tables): the frame-sample
+# pass of a multimodal ingest. synthesize_mp4_media assembles a genuine
+# MP4 — ftyp, mdat carrying the frame payloads, moov with the full
+# trak/mdia/minf/stbl tree (stsd/stts/stsc/stsz/stco) — and
+# parse_mp4_sample_table resolves those tables back to absolute
+# (offset, size, decode-tick) triples per sample, including the real
+# stsc chunk-run expansion and within-chunk offset accumulation.
+# sample_video_frames then slices every Nth frame out of mdat and
+# decodes it with the raster codecs above (JPEG frames), one output row
+# per sampled frame. No video library: ISO-BMFF demux is pure struct
+# walking, and the frame payloads are images.
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def synthesize_mp4_media(
+    timescale: int,
+    frame_ticks: int,
+    width: int,
+    height: int,
+    frames: list[bytes],
+    samples_per_chunk: int = 3,
+) -> bytes:
+    """Assemble a REAL playable-layout MP4: ftyp, mdat containing the
+    concatenated frame payloads, and a moov whose stbl indexes them —
+    stsd (one 'jpeg' visual sample entry), stts (uniform frame_ticks),
+    stsc (chunk runs: samples_per_chunk per chunk, short last run),
+    stsz (exact per-sample sizes), stco (absolute chunk offsets into
+    this file). Any standard demuxer can locate every frame."""
+    n = len(frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat_payload = b"".join(frames)
+    mdat_off = len(ftyp) + 8  # first byte of mdat payload in the file
+    mdat = _box(b"mdat", mdat_payload)
+
+    # chunking: full runs of samples_per_chunk, one short tail run
+    chunks: list[list[int]] = [
+        list(range(i, min(i + samples_per_chunk, n)))
+        for i in range(0, n, samples_per_chunk)
+    ]
+    offsets, pos = [], mdat_off
+    for ch in chunks:
+        offsets.append(pos)
+        pos += sum(len(frames[s]) for s in ch)
+
+    stsd_entry = (
+        struct.pack(">I", 86 + 16)  # VisualSampleEntry size
+        + b"jpeg"
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + stsd_entry)
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, frame_ticks))
+    stsc_entries = [(1, samples_per_chunk, 1)]
+    if chunks and len(chunks[-1]) != samples_per_chunk:
+        stsc_entries.append((len(chunks), len(chunks[-1]), 1))
+    stsc = _box(
+        b"stsc",
+        b"\x00" * 4
+        + struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _box(
+        b"stco",
+        b"\x00" * 4
+        + struct.pack(">I", len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dur = n * frame_ticks
+    mdhd = _box(
+        b"mdhd",
+        b"\x00" * 4
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _box(
+        b"hdlr", b"\x00" * 4 + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">HHH", 0, 0, 0)
+        + b"\x00" * 2
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" * 4
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def parse_mp4_sample_table(
+    b: bytes,
+) -> tuple[str, int, list[tuple[int, int, int]]] | None:
+    """Resolve an ISO-BMFF sample table to (codec_fourcc, timescale,
+    [(abs_offset, size, decode_ticks), ...]) by the standard algorithm:
+    box-walk to moov/trak/mdia/minf/stbl, read stsd (codec), mdhd
+    (media timescale), stsz (sizes), stco/co64 (chunk offsets), expand
+    stsc chunk runs to a per-chunk sample count, accumulate per-sample
+    offsets within each chunk, and expand stts (count, delta) runs to
+    decode timestamps. None when any required table is absent — this is
+    the demux every frame-level video pass runs before touching codec
+    bytes."""
+
+    def children(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            if size < 8 or i + size > end:
+                return
+            yield buf[i + 4 : i + 8], i + 8, i + size
+            i += size
+
+    def find(buf: bytes, start: int, end: int, btype: bytes):
+        for t, p0, p1 in children(buf, start, end):
+            if t == btype:
+                return p0, p1
+        return None
+
+    try:
+        moov = find(b, 0, len(b), b"moov")
+        if moov is None:
+            return None
+        trak = find(b, *moov, b"trak")
+        if trak is None:
+            return None
+        mdia = find(b, *trak, b"mdia")
+        if mdia is None:
+            return None
+        mdhd = find(b, *mdia, b"mdhd")
+        timescale = 0
+        if mdhd is not None and b[mdhd[0]] == 0:
+            timescale = struct.unpack(">I", b[mdhd[0] + 12 : mdhd[0] + 16])[0]
+        minf = find(b, *mdia, b"minf")
+        if minf is None:
+            return None
+        stbl = find(b, *minf, b"stbl")
+        if stbl is None:
+            return None
+
+        codec = ""
+        stsd = find(b, *stbl, b"stsd")
+        if stsd is not None and stsd[1] - stsd[0] >= 16:
+            codec = b[stsd[0] + 12 : stsd[0] + 16].decode("ascii", "replace")
+
+        stsz = find(b, *stbl, b"stsz")
+        if stsz is None:
+            return None
+        p = stsz[0] + 4
+        uniform, count = struct.unpack(">II", b[p : p + 8])
+        sizes = (
+            [uniform] * count
+            if uniform
+            else list(
+                struct.unpack(
+                    f">{count}I", b[p + 8 : p + 8 + 4 * count]
+                )
+            )
+        )
+
+        stco = find(b, *stbl, b"stco")
+        if stco is not None:
+            p = stco[0] + 4
+            (nch,) = struct.unpack(">I", b[p : p + 4])
+            chunk_offsets = list(
+                struct.unpack(f">{nch}I", b[p + 4 : p + 4 + 4 * nch])
+            )
+        else:
+            co64 = find(b, *stbl, b"co64")
+            if co64 is None:
+                return None
+            p = co64[0] + 4
+            (nch,) = struct.unpack(">I", b[p : p + 4])
+            chunk_offsets = list(
+                struct.unpack(f">{nch}Q", b[p + 4 : p + 4 + 8 * nch])
+            )
+
+        stsc = find(b, *stbl, b"stsc")
+        if stsc is None:
+            return None
+        p = stsc[0] + 4
+        (nruns,) = struct.unpack(">I", b[p : p + 4])
+        runs = [
+            struct.unpack(">III", b[p + 4 + 12 * i : p + 16 + 12 * i])
+            for i in range(nruns)
+        ]
+        # expand runs -> samples per chunk (first_chunk is 1-based; a
+        # run applies until the next run's first_chunk)
+        per_chunk = []
+        for ri, (first, spc, _sdi) in enumerate(runs):
+            last = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offsets)
+            )
+            per_chunk.extend([spc] * (last - first + 1))
+        if len(per_chunk) != len(chunk_offsets):
+            return None
+
+        stts = find(b, *stbl, b"stts")
+        ticks: list[int] = []
+        if stts is not None:
+            p = stts[0] + 4
+            (ne,) = struct.unpack(">I", b[p : p + 4])
+            t = 0
+            for i in range(ne):
+                cnt, delta = struct.unpack(
+                    ">II", b[p + 4 + 8 * i : p + 12 + 8 * i]
+                )
+                for _ in range(cnt):
+                    ticks.append(t)
+                    t += delta
+        if len(ticks) < len(sizes):
+            ticks.extend([0] * (len(sizes) - len(ticks)))
+
+        samples: list[tuple[int, int, int]] = []
+        si = 0
+        for ci, spc in enumerate(per_chunk):
+            off = chunk_offsets[ci]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                samples.append((off, sizes[si], ticks[si]))
+                off += sizes[si]
+                si += 1
+        if si != len(sizes):
+            return None
+        return codec, timescale, samples
+    except (struct.error, IndexError):
+        return None
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "frame_index int, ts_ms long, n_bytes long, "
+    "width int, height int, sum_v long, max_v int"
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling over a binary MP4 column: demux the
+    sample table (parse_mp4_sample_table), slice every Nth frame's
+    bytes straight out of mdat, decode each frame with the raster
+    codecs (JPEG/PNG/BMP/GIF payloads), and emit ONE ROW PER SAMPLED
+    FRAME — (frame_index, decode-time ms, byte size, dimensions,
+    pixel-value sum, max) — the Python-side explode + Arrow-out shape
+    a 100 TB frame-extraction pass runs, partition-parallel with no
+    driver involvement. Payloads without a resolvable sample table
+    contribute no rows; frames whose bytes don't decode still emit
+    their demux row with NULL pixel stats (corrupt frames are data)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, tsms, nbytes = [], [], [], []
+            ws, hs, sums, maxs = [], [], [], []
+            for rid, x in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(x)
+                st = parse_mp4_sample_table(b)
+                if st is None:
+                    continue
+                _codec, timescale, samples = st
+                for i in range(0, len(samples), every_n):
+                    off, size, t = samples[i]
+                    raw = b[off : off + size]
+                    ids.append(rid)
+                    fidx.append(i)
+                    tsms.append(
+                        (t * 1000) // timescale if timescale else None
+                    )
+                    nbytes.append(size)
+                    px = decode_raster(raw) if len(raw) == size else None
+                    if px is None:
+                        ws.append(None)
+                        hs.append(None)
+                        sums.append(None)
+                        maxs.append(None)
+                    else:
+                        w, h, _n, sr, _sg, _sb, _th, mx = raster_stats(px)
+                        ws.append(w)
+                        hs.append(h)
+                        sums.append(sr)
+                        maxs.append(mx)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "frame_index": pd.array(fidx, dtype="Int32"),
+                    "ts_ms": pd.array(tsms, dtype="Int64"),
+                    "n_bytes": pd.array(nbytes, dtype="Int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "sum_v": pd.array(sums, dtype="Int64"),
+                    "max_v": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel, schema=f"{id_col} long, {FRAME_SAMPLE_SCHEMA}"
+    )

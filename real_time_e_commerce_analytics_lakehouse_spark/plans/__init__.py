@@ -39,6 +39,10 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # self-evaluation, skew-safe scale twins — plus the freshly rewritten
 # rfm/pareto/neardup plans so the de-serialized spellings get a driver
 # row. Rotated-out queries remain CI-verified by the full oracle suite.
+# Round-4 addition: video_frame_stats (MP4 demux + per-frame JPEG
+# decode) takes the slot vacated by valid_domain_filter (three rounds
+# driver-green; its predicate family stays covered by clean_conform_part
+# and the CI suite).
 GATE_ORDER = [
     # reference-parity core (notebooks 01-09 re-expressed)
     "revenue_by_nation_status",
@@ -48,7 +52,6 @@ GATE_ORDER = [
     "segment_consolidation",
     "clean_conform_part",
     "timestamp_parse_roundtrip",
-    "valid_domain_filter",
     "dedup_latest",
     "modal_event_type",
     "surrogate_dim_customer",
@@ -102,6 +105,7 @@ GATE_ORDER = [
     "matryoshka_prefix_topk",
     # multimodal
     "image_pixel_stats",
+    "video_frame_stats",
     # events
     "tumbling_hourly_events",
 ]

@@ -115,6 +115,44 @@ def test_gif_lzw_table_reset_and_robustness(spark) -> None:
     assert out[2].format is None and out[2].sum_r is None
 
 
+def test_video_frame_sampling_demux_and_robustness(spark) -> None:
+    """sample_video_frames is a real demux: every Nth frame's bytes are
+    sliced out of mdat by the resolved sample table and pixel-decoded.
+    A non-MP4 payload contributes zero rows (no sample table = no
+    frames); an MP4 whose frame bytes are garbage still emits its demux
+    rows (frame_index/ts/n_bytes from the table) with NULL pixel stats
+    — corrupt frames are data. stride striding: every_n=3 over 7
+    frames samples indices 0,3,6."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        encode_jpeg_gray_coeffs,
+        sample_video_frames,
+        synthesize_mp4_media,
+    )
+
+    def frame(g):
+        blk = [0] * 64
+        blk[0] = 8 * (g - 128)
+        return encode_jpeg_gray_coeffs([blk], 8, 8)
+
+    good = synthesize_mp4_media(1000, 40, 8, 8, [frame(40 + f) for f in range(7)])
+    junk_frames = synthesize_mp4_media(600, 25, 8, 8, [b"\xde\xad\xbe\xef" * 4] * 4)
+    rows = [(1, good), (2, b"not a video"), (3, junk_frames)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = sample_video_frames(df, every_n=3, id_col="id").collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+    assert 2 not in by_id
+    g1 = sorted(by_id[1], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in g1] == [0, 3, 6]
+    assert [r.ts_ms for r in g1] == [0, 120, 240]
+    assert all(r.width == 8 and r.height == 8 for r in g1)
+    assert [r.sum_v for r in g1] == [64 * 40, 64 * 43, 64 * 46]
+    g3 = sorted(by_id[3], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in g3] == [0, 3]
+    assert all(r.n_bytes == 16 and r.width is None and r.sum_v is None for r in g3)
+
+
 def test_exact_duplicates_always_lsh_candidates(spark, sf_dir) -> None:
     """An exact duplicate has Jaccard 1 => identical minhash signature =>
     identical band hashes => guaranteed candidate pair (deterministic,
