@@ -493,3 +493,51 @@ def test_trending_tokens_sketch_exact_below_capacity(spark, sf_dir):
         assert exact_counts[tok] == cnt, (tok, cnt, exact_counts.get(tok))
         # every sketch hit belongs to the exact top set (ties allowed)
         assert cnt >= kth
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketed layout pays the shuffle at write time, then never again:
+    joining orders x lineitem both bucketed into 4 on the order key
+    plans ZERO Exchange operators (and matches the plain-parquet join
+    row-for-row), while the same join over unbucketed parquet shuffles.
+    This is the repeated-join amortization a 100 TB gold refresh relies
+    on (operators/bucketing.py)."""
+    import uuid
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+
+    tag = uuid.uuid4().hex[:8]
+    to_name, tl_name = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    write_bucketed(orders, to_name, str(tmp_path / "o"), ["o_orderkey"], 4)
+    write_bucketed(lineitem, tl_name, str(tmp_path / "l"), ["o_orderkey"], 4)
+    try:
+        # force SMJ so the assertion is about Exchange, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, to_name, tl_name, ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+        plain = orders.join(lineitem, "o_orderkey")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+
+        assert joined.count() == plain.count()
+        a = joined.groupBy().sum("l_quantity").collect()[0][0]
+        b = plain.groupBy().sum("l_quantity").collect()[0][0]
+        assert a == b
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {to_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl_name}")
