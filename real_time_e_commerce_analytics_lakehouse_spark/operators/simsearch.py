@@ -126,6 +126,68 @@ def semantic_dedup_flags(
         .filter(F.col("__rn") == 1)
         .select(id_col, "cell_id", vec_col)
     )
+    return _semantic_flags(assigned, id_col, vec_col, tau)
+
+
+def adaptive_cells(n_rows: int, target_cell_rows: int, min_cells: int, max_cells: int) -> int:
+    """Power-of-two cell count sized so the expected cell holds about
+    target_cell_rows vectors: smallest 2^b >= ceil(n/target), clamped.
+    Pure integer arithmetic (no float log2) so an oracle SQL CASE chain
+    over the same thresholds lands on the identical count."""
+    need = (n_rows + target_cell_rows - 1) // target_cell_rows
+    cells = min_cells
+    while cells < need and cells < max_cells:
+        cells *= 2
+    return cells
+
+
+def semantic_dedup_flags_lsh(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_rows: int = 64,
+    min_cells: int = 16,
+    tau: float = 0.3,
+) -> DataFrame:
+    """SemDeDup with SIGN-LSH cells — the 100 TB tier of
+    semantic_dedup_flags. Two scale properties the centroid version
+    lacks:
+
+    1. Assignment is O(len(planes)) dot products PER ROW (a row-local
+       JVM expression — no centroid cross-join, no window), so the
+       assign stage stays linear no matter how many cells exist.
+    2. The cell count GROWS WITH THE CORPUS: the full plane bucket is
+       masked down to adaptive_cells(n) = smallest power of two giving
+       ~target_cell_rows vectors per cell, so within-cell pair work
+       stays ~n * target_cell_rows — linear in n — where any fixed
+       cell count degrades to n^2/k (the r4 soak measured exactly
+       that: 14.8x at 10x data for the fixed-16-cell spelling).
+
+    The one driver round-trip is a bounded count() to size the mask
+    (documented pattern, like the PQ codebook collect). Masking keeps
+    the bucket deterministic: cell = full_bucket % 2^b, identical in
+    any SQL dialect, so the oracle reproduces cells exactly."""
+    n = emb.count()
+    cells = adaptive_cells(n, target_cell_rows, min_cells, 1 << len(planes))
+    from real_time_e_commerce_analytics_lakehouse_spark.functions import vecexpr as vx
+
+    bucket = vx.lsh_bucket(vec_col, planes, "spark")
+    assigned = emb.select(
+        id_col,
+        F.expr(f"cast(({bucket}) % {cells}L as bigint)").alias("cell_id"),
+        vec_col,
+    )
+    return _semantic_flags(assigned, id_col, vec_col, tau)
+
+
+def _semantic_flags(
+    assigned: DataFrame, id_col: str, vec_col: str, tau: float
+) -> DataFrame:
+    """Shared SemDeDup tail: normalize once, score pairs within a cell,
+    keep the lowest-id member of every >=tau neighborhood."""
+    from real_time_e_commerce_analytics_lakehouse_spark.functions import vecexpr as vx
+
     # Pair-stage plan, two deliberate choices (both measured):
     # 1. normalize ONCE per vector so each of the O(sum cell^2) pair
     #    evaluations is a single fold instead of dot + 2 norms (an

@@ -62,6 +62,7 @@ def curate(
     cluster_resolve: bool = False,
     embeddings: DataFrame | None = None,
     semantic_tau: float = 0.3,
+    semantic_planes: list[list[float]] | None = None,
     benchmark: DataFrame | None = None,
     contamination_threshold: float = 0.5,
     scrub: bool = False,
@@ -153,13 +154,22 @@ def curate(
     if embeddings is not None:
         from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
             semantic_dedup_flags,
+            semantic_dedup_flags_lsh,
         )
 
         emb_cols = embeddings.columns
-        flags = semantic_dedup_flags(
-            embeddings, id_col=emb_cols[0], vec_col=emb_cols[1],
-            tau=semantic_tau,
-        )
+        if semantic_planes is not None:
+            # LSH tier: adaptive cell count, linear pair work — the
+            # production default once the corpus outgrows fixed cells
+            flags = semantic_dedup_flags_lsh(
+                embeddings, semantic_planes,
+                id_col=emb_cols[0], vec_col=emb_cols[1], tau=semantic_tau,
+            )
+        else:
+            flags = semantic_dedup_flags(
+                embeddings, id_col=emb_cols[0], vec_col=emb_cols[1],
+                tau=semantic_tau,
+            )
         sem_drop = flags.filter(F.col("kept") == 0).select(
             F.col(emb_cols[0]).alias(id_col)
         )

@@ -99,7 +99,7 @@ GATE_ORDER = [
     # embeddings / similarity search / quantized ANN
     "cosine_topk_bruteforce",
     "ivf_kmeans_topk",
-    "semantic_dedup_embeddings",
+    "semantic_dedup_lsh",
     "embedding_neardup_pairs",
     "pq_adc_topk",
     "matryoshka_prefix_topk",

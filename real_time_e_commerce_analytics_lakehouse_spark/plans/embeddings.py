@@ -485,34 +485,18 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.3  # within-cell cosine threshold for semantic dup
 
 
-def _semdedup_sql() -> str:
-    cos_c = vx.cosine(
-        vx.to_double_array("e.embedding", "duck"),
-        vx.to_double_array("c.c_emb", "duck"),
-        "duck",
-    )
+def _semdedup_tail_sql() -> str:
+    """Shared SemDeDup oracle tail over an `assigned` CTE
+    (vec_id, cell_id, embedding): mirror the engine exactly —
+    normalize each vector once (same per-element division), then pair
+    similarity is a plain dot with identical fold order, keeping the
+    two engines bit-identical."""
     emb_d = vx.to_double_array("embedding", "duck")
-    # mirror the engine exactly: normalize each vector once (same
-    # per-element division), then pair similarity is a plain dot —
-    # identical fold order keeps the two engines bit-identical
     unit = (
         f"list_transform({emb_d}, x -> x / sqrt(list_dot_product("
         f"{emb_d}, {emb_d})))"
     )
     return f"""
-    WITH centroids AS (
-        SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-        WHERE vec_id < {N_CELLS}
-    ),
-    assigned AS (
-        SELECT vec_id, cell_id, embedding FROM (
-            SELECT e.vec_id, c.cell_id, e.embedding,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {cos_c} DESC, c.cell_id ASC) AS rn
-            FROM embeddings e CROSS JOIN centroids c
-        ) WHERE rn = 1
-    ),
     normed AS (
         SELECT vec_id, cell_id, {unit} AS u FROM assigned
     ),
@@ -528,6 +512,64 @@ def _semdedup_sql() -> str:
     """
 
 
+def _semdedup_sql() -> str:
+    cos_c = vx.cosine(
+        vx.to_double_array("e.embedding", "duck"),
+        vx.to_double_array("c.c_emb", "duck"),
+        "duck",
+    )
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id, embedding FROM (
+            SELECT e.vec_id, c.cell_id, e.embedding,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_c} DESC, c.cell_id ASC) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    {_semdedup_tail_sql()}
+    """
+
+
+# LSH tier: 16 planes -> up to 65536 cells; the mask picks the power of
+# two giving ~SEMDEDUP_CELL_ROWS vectors per cell (integer arithmetic
+# mirrored by operators/simsearch.adaptive_cells).
+SEMDEDUP_PLANES = vx.hyperplanes(16, DIM, seed=77)
+SEMDEDUP_CELL_ROWS = 64
+
+
+def _semdedup_lsh_sql() -> str:
+    bucket = vx.lsh_bucket("embedding", SEMDEDUP_PLANES, "duck")
+    # smallest power of two >= ceil(n/target), clamped to [16, 65536] —
+    # a pure-integer CASE chain so both engines compute the same count
+    thresholds = " ".join(
+        f"WHEN need <= {c} THEN {c}" for c in [16, 32, 64, 128, 256, 512,
+                                               1024, 2048, 4096, 8192,
+                                               16384, 32768]
+    )
+    return f"""
+    WITH cellcount AS (
+        SELECT CASE {thresholds} ELSE 65536 END AS c FROM (
+            SELECT (count(*) + {SEMDEDUP_CELL_ROWS - 1}) // {SEMDEDUP_CELL_ROWS}
+                   AS need FROM embeddings
+        )
+    ),
+    assigned AS (
+        SELECT vec_id,
+               CAST(({bucket}) % (SELECT c FROM cellcount) AS BIGINT)
+                   AS cell_id,
+               embedding
+        FROM embeddings
+    ),
+    {_semdedup_tail_sql()}
+    """
+
+
 @register(
     "semantic_dedup_embeddings",
     oracle=_semdedup_sql(),
@@ -540,10 +582,13 @@ def _semdedup_sql() -> str:
         "is the blocking key: the pairwise join shuffles on cell_id and "
         "never scores cross-cell pairs, so cost is sum(cell^2), not "
         "corpus^2 — the property that makes semantic dedup feasible at "
-        "100 TB (cells from a trained quantizer, ivf_kmeans_topk)."
+        "100 TB (cells from a trained quantizer, ivf_kmeans_topk). "
+        "PARITY TIER: the fixed cell count means pair work grows "
+        "n^2/k as the corpus outgrows it (r4 soak: 14.8x at 10x data); "
+        "the production spelling is semantic_dedup_lsh, whose cell "
+        "count scales with the corpus."
     ),
     tags=("embeddings", "dedup"),
-    bench=True,
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
@@ -556,6 +601,41 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_flags(
         emb, id_col="vec_id", vec_col="embedding",
         n_cells=N_CELLS, tau=SEMDEDUP_TAU,
+    )
+
+
+@register(
+    "semantic_dedup_lsh",
+    oracle=_semdedup_lsh_sql(),
+    doc=(
+        "SemDeDup at the 100 TB tier (r4 soak closeout): same "
+        "keep-the-lowest-id-neighbor semantics as "
+        "semantic_dedup_embeddings, but cells come from sign-LSH "
+        "(16 deterministic hyperplanes) masked down to the smallest "
+        f"power of two giving ~{SEMDEDUP_CELL_ROWS} vectors per cell. "
+        "Two scale properties the centroid tier lacks: assignment is a "
+        "row-local JVM expression (16 dots per row, no centroid "
+        "cross-join, no window — linear regardless of cell count), and "
+        "the cell count GROWS with the corpus, holding within-cell "
+        "pair work at ~n*target instead of n^2/k (the fixed-16-cell "
+        "tier measured 14.8x at 10x data in the r4 soak; this one "
+        "scales the cell count 16->512 over the same decade). The one "
+        "driver round-trip is a bounded count() to size the mask; the "
+        "oracle reproduces it with a pure-integer CASE chain, so cells "
+        "— and every kept flag — stay bit-identical cross-engine."
+    ),
+    tags=("embeddings", "dedup"),
+    bench=True,
+)
+def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        semantic_dedup_flags_lsh,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_flags_lsh(
+        emb, SEMDEDUP_PLANES, id_col="vec_id", vec_col="embedding",
+        target_cell_rows=SEMDEDUP_CELL_ROWS, min_cells=16, tau=SEMDEDUP_TAU,
     )
 
 

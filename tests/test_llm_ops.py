@@ -711,3 +711,50 @@ def test_jpeg_decoder_rejects_unsupported_streams() -> None:
     assert color[sof + 9] == 1
     color[sof + 9] = 3
     assert decode_jpeg_gray(bytes(color)) is None
+
+
+def test_semantic_dedup_lsh_adaptive_cells_and_soundness(spark, sf_dir) -> None:
+    """The LSH SemDeDup tier: (1) adaptive_cells picks the smallest
+    power of two holding ~target rows per cell (pure integer — matches
+    the oracle's CASE chain by construction); (2) every DROPPED vector
+    really does have a lower-id neighbor at cosine >= tau (blocking can
+    only reduce recall, never create false drops) — checked against
+    exhaustive pairs over the full corpus."""
+    import math
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        adaptive_cells,
+        release_cached,
+        semantic_dedup_flags_lsh,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.embeddings import (
+        SEMDEDUP_PLANES,
+        SEMDEDUP_TAU,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
+
+    assert adaptive_cells(20, 64, 16, 65536) == 16
+    assert adaptive_cells(1024, 64, 16, 65536) == 16
+    assert adaptive_cells(1025, 64, 16, 65536) == 32
+    assert adaptive_cells(20000, 64, 16, 65536) == 512
+    assert adaptive_cells(10**9, 64, 16, 65536) == 65536  # clamp
+
+    emb = table(spark, sf_dir, "embeddings")
+    flags = semantic_dedup_flags_lsh(
+        emb, SEMDEDUP_PLANES, tau=SEMDEDUP_TAU
+    )
+    dropped = {r.vec_id for r in flags.filter("kept = 0").collect()}
+    release_cached(flags)
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    for vid in dropped:
+        assert any(
+            o < vid and cos(vecs[o], vecs[vid]) >= SEMDEDUP_TAU
+            for o in vecs
+        ), f"vec {vid} dropped without a qualifying lower-id neighbor"
