@@ -34,8 +34,13 @@ Three tiers, by what this container can honestly run:
   cap, interlace passes, global/local color tables. The encoder's bit
   widths come from a pass that simulates the decoder, so the classic
   GIF width-desync bug is impossible by construction.
-- Color-JPEG chroma paths — stubbed behind NotImplementedError with
-  the plumbing real and exercised by `deterministic_fake_decode`.
+- Baseline COLOR JPEG (`encode_jpeg_color_coeffs`/`decode_jpeg_color`)
+  — REAL 3-component YCbCr: interleaved-MCU scan (T.81 A.2.3 block
+  order), per-component DC predictors and table bindings, 4:4:4 and
+  4:2:0 chroma sampling with nearest-neighbor upsampling, BT.601
+  conversion on un-rounded float planes with one final floor(x+0.5).
+  No stubs remain in the image path; progressive/arithmetic/restart
+  streams decode to None (out-of-scope layouts, not errors).
 - Video: real ISO-BMFF sample-table plumbing (`synthesize_mp4_media` /
   `parse_mp4_sample_table` / `sample_video_frames`) — stsd/stts/stsc/
   stsz/stco resolution to per-frame byte ranges in mdat, then per-frame
@@ -419,7 +424,7 @@ def parse_mp4_headers(
 # reversal), BMP (BI_RGB 24-bit bottom-up), GIF (LZW, below), and
 # baseline grayscale JPEG (Huffman + dequant + IDCT, below). The engine
 # runs an honest decode→stats→thumbnail pass with no imaging
-# dependency; only color-JPEG chroma stays behind the documented stub.
+# dependency; progressive/arithmetic JPEG variants decode to None.
 # ---------------------------------------------------------------------------
 
 
@@ -675,6 +680,47 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _encode_block(
+    bw: "_BitWriter",
+    blk: list[int],
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Entropy-code one quantized 64-coefficient block (natural order):
+    zigzag, DC differential vs pred, AC run-length with ZRL/EOB.
+    Returns the new DC predictor."""
+    zz = [blk[_ZIGZAG[i]] for i in range(64)]
+    size, bits = _magnitude(zz[0] - pred)
+    pred = zz[0]
+    c, ln = dc_codes[size]
+    bw.put(c, ln)
+    if size:
+        bw.put(bits, size)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        c, ln = ac_codes[(run << 4) | size]
+        bw.put(c, ln)
+        bw.put(bits, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.put(c, ln)
+    return pred
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
 def encode_jpeg_gray_coeffs(
     blocks: list[list[int]], w: int, h: int
 ) -> bytes:
@@ -688,41 +734,74 @@ def encode_jpeg_gray_coeffs(
     bw = _BitWriter()
     pred = 0
     for blk in blocks:
-        zz = [blk[_ZIGZAG[i]] for i in range(64)]
-        size, bits = _magnitude(zz[0] - pred)
-        pred = zz[0]
-        c, ln = dc_codes[size]
-        bw.put(c, ln)
-        if size:
-            bw.put(bits, size)
-        run = 0
-        for i in range(1, 64):
-            if zz[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_codes[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            size, bits = _magnitude(zz[i])
-            c, ln = ac_codes[(run << 4) | size]
-            bw.put(c, ln)
-            bw.put(bits, size)
-            run = 0
-        if run:
-            c, ln = ac_codes[0x00]  # EOB
-            bw.put(c, ln)
+        pred = _encode_block(bw, blk, pred, dc_codes, ac_codes)
     body = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
+    seg = _jpeg_seg
     dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
     dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
         0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+
+
+def encode_jpeg_color_coeffs(
+    y_blocks: list[list[list[int]]],
+    cb_blocks: list[list[list[int]]],
+    cr_blocks: list[list[list[int]]],
+    w: int,
+    h: int,
+    subsample: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Assemble a real baseline COLOR (YCbCr) JPEG from quantized
+    coefficient block grids (indexed [block_row][block_col], each 64
+    ints natural order), quant table all-ones, luma Huffman tables for
+    every component. subsample=(2,2) is 4:2:0 (one chroma block per
+    2x2 luma blocks, MCU = 16x16, w and h multiples of 16);
+    (1,1) is 4:4:4 (MCU = 8x8, multiples of 8). The scan interleaves
+    MCUs per T.81 A.2.3 — per MCU: the Hi x Vi luma blocks row-major,
+    then Cb, then Cr — with an independent DC predictor per component."""
+    sh, sv = subsample
+    if sh not in (1, 2) or sh != sv:
+        raise ValueError("subsample must be (1,1) or (2,2)")
+    if w % (8 * sh) or h % (8 * sv):
+        raise ValueError(f"dimensions must be multiples of {8 * sh}")
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcw, mch = w // (8 * sh), h // (8 * sv)
+    for my in range(mch):
+        for mx in range(mcw):
+            for v in range(sv):
+                for hh in range(sh):
+                    preds[0] = _encode_block(
+                        bw, y_blocks[my * sv + v][mx * sh + hh],
+                        preds[0], dc_codes, ac_codes,
+                    )
+            preds[1] = _encode_block(
+                bw, cb_blocks[my][mx], preds[1], dc_codes, ac_codes
+            )
+            preds[2] = _encode_block(
+                bw, cr_blocks[my][mx], preds[2], dc_codes, ac_codes
+            )
+    body = bw.flush()
+
+    seg = _jpeg_seg
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    samp = (sh << 4) | sv
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, samp, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
 
 
@@ -794,6 +873,35 @@ def _idct_matrix():
         for x in range(8):
             a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
     return a
+
+
+def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, pred: int):
+    """Entropy-decode one block: DC differential + AC run-length.
+    Returns (64-coefficient natural-order numpy array, new predictor);
+    raises IndexError on corrupt streams (callers map to None)."""
+    import numpy as np
+
+    coef = np.zeros(64)
+    size = _read_symbol(br, dc_tab)
+    pred += _extend(br.bits(size), size)
+    coef[_ZIGZAG[0]] = pred
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise IndexError("invalid AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise IndexError("AC index overflow")
+        coef[_ZIGZAG[k]] = _extend(br.bits(size), size)
+        k += 1
+    return coef, pred
 
 
 def decode_jpeg_gray(b: bytes) -> list[list[tuple[int, int, int]]] | None:
@@ -878,26 +986,7 @@ def decode_jpeg_gray(b: bytes) -> list[list[tuple[int, int, int]]] | None:
         pred = 0
         for by in range(bh):
             for bx in range(bw):
-                coef = np.zeros(64)
-                size = _read_symbol(br, dc_tab)
-                pred += _extend(br.bits(size), size)
-                coef[_ZIGZAG[0]] = pred
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            return None
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    coef[_ZIGZAG[k]] = _extend(br.bits(size), size)
-                    k += 1
+                coef, pred = _decode_block(br, dc_tab, ac_tab, pred)
                 f = coef.reshape(8, 8) * qmat
                 # separable IDCT: samples = A^T . F . A
                 s = a.T @ f @ a
@@ -906,6 +995,153 @@ def decode_jpeg_gray(b: bytes) -> list[list[tuple[int, int, int]]] | None:
         px = np.clip(px, 0, 255).astype(int)
         return [
             [(int(px[y, x]),) * 3 for x in range(w)] for y in range(h)
+        ]
+    except (struct.error, IndexError):
+        return None
+
+
+def decode_jpeg_color(b: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Decode a baseline COLOR (3-component YCbCr) JPEG to rows of
+    (r,g,b): the same marker walk / Huffman / dequant / IDCT machinery
+    as decode_jpeg_gray, plus interleaved-MCU scan decode (per T.81
+    A.2.3 block ordering), per-component DC predictors and quant/Huffman
+    table bindings, chroma sampling factors (1,1)=4:4:4 and (2,2)=4:2:0
+    with nearest-neighbor chroma upsampling, and BT.601 YCbCr->RGB on
+    the UN-rounded float planes with a single floor(x+0.5) at the end —
+    the rounding contract the arithmetic oracles reproduce. None for
+    progressive/arithmetic/restart streams and sampling layouts other
+    than the two above (like the other decoders' unsupported layouts)."""
+    import numpy as np
+
+    try:
+        if b[:2] != b"\xff\xd8":
+            return None
+        i = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        w = h = None
+        comps: list[tuple[int, int, int, int]] = []  # id, hi, vi, tq
+        scan_tabs: dict[int, tuple[int, int]] = {}
+        scan_order: list[int] = []
+        scan_start = None
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD9:
+                break
+            ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            payload = b[i + 4 : i + 2 + ln]
+            if marker == 0xDB:
+                j = 0
+                while j < len(payload):
+                    pq, tq = payload[j] >> 4, payload[j] & 0xF
+                    if pq != 0:
+                        return None
+                    qt[tq] = list(payload[j + 1 : j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(payload):
+                    tc, th = payload[j] >> 4, payload[j] & 0xF
+                    bits = list(payload[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(payload[j + 17 : j + 17 + nv])
+                    huff[(tc, th)] = _huff_decoder(bits, vals)
+                    j += 17 + nv
+            elif marker == 0xC0:
+                if payload[0] != 8 or payload[5] != 3:
+                    return None  # color path: exactly 3 components
+                h, w = struct.unpack(">HH", payload[1:5])
+                for ci in range(3):
+                    cid = payload[6 + 3 * ci]
+                    hv = payload[7 + 3 * ci]
+                    comps.append((cid, hv >> 4, hv & 0xF, payload[8 + 3 * ci]))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
+            elif marker == 0xDD:
+                return None  # restart intervals unsupported
+            elif marker == 0xDA:
+                if payload[0] != 3:
+                    return None  # single interleaved 3-component scan
+                for ci in range(3):
+                    cid = payload[1 + 2 * ci]
+                    tt = payload[2 + 2 * ci]
+                    scan_tabs[cid] = (tt >> 4, tt & 0xF)
+                    scan_order.append(cid)
+                scan_start = i + 2 + ln
+                break
+            i += 2 + ln
+        if w is None or scan_start is None or not w or not h or len(comps) != 3:
+            return None
+        # luma may be 1x1 or 2x2; both chroma components must be 1x1
+        _, h1, v1, _ = comps[0]
+        if (h1, v1) not in ((1, 1), (2, 2)):
+            return None
+        if any(c[1] != 1 or c[2] != 1 for c in comps[1:]):
+            return None
+        if scan_order != [c[0] for c in comps]:
+            return None
+
+        a = _idct_matrix()
+        qmats = {}
+        for cid, _hi, _vi, tq in comps:
+            q = qt.get(tq)
+            if q is None:
+                return None
+            qnat = np.zeros(64)
+            for k in range(64):
+                qnat[_ZIGZAG[k]] = q[k]
+            qmats[cid] = qnat.reshape(8, 8)
+        tabs = {}
+        for cid in scan_order:
+            dc_id, ac_id = scan_tabs[cid]
+            dc_tab, ac_tab = huff.get((0, dc_id)), huff.get((1, ac_id))
+            if dc_tab is None or ac_tab is None:
+                return None
+            tabs[cid] = (dc_tab, ac_tab)
+
+        mcw = (w + 8 * h1 - 1) // (8 * h1)
+        mch = (h + 8 * v1 - 1) // (8 * v1)
+        planes = {
+            cid: np.zeros((mch * vi * 8, mcw * hi * 8))
+            for cid, hi, vi, _ in comps
+        }
+        preds = {cid: 0 for cid, *_ in comps}
+        br = _BitReader(b[scan_start:])
+        for my in range(mch):
+            for mx in range(mcw):
+                for cid, hi, vi, _tq in comps:
+                    dc_tab, ac_tab = tabs[cid]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            coef, preds[cid] = _decode_block(
+                                br, dc_tab, ac_tab, preds[cid]
+                            )
+                            s = a.T @ (coef.reshape(8, 8) * qmats[cid]) @ a
+                            y0 = (my * vi + v) * 8
+                            x0 = (mx * hi + hh) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = s
+
+        yid, cbid, crid = (c[0] for c in comps)
+        yf = planes[yid][:h, :w] + 128.0
+        rep = h1  # chroma replication factor (1 or 2)
+        cbf = np.repeat(np.repeat(planes[cbid], rep, 0), rep, 1)[:h, :w] + 128.0
+        crf = np.repeat(np.repeat(planes[crid], rep, 0), rep, 1)[:h, :w] + 128.0
+        # BT.601, floats un-rounded until the single final floor(x+0.5);
+        # association mirrors the oracle SQL term-for-term
+        r = np.floor(yf + 1.402 * (crf - 128.0) + 0.5)
+        g = np.floor(
+            yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0) + 0.5
+        )
+        bl = np.floor(yf + 1.772 * (cbf - 128.0) + 0.5)
+        r = np.clip(r, 0, 255).astype(int)
+        g = np.clip(g, 0, 255).astype(int)
+        bl = np.clip(bl, 0, 255).astype(int)
+        return [
+            [(int(r[y, x]), int(g[y, x]), int(bl[y, x])) for x in range(w)]
+            for y in range(h)
         ]
     except (struct.error, IndexError):
         return None
@@ -1172,7 +1408,10 @@ def decode_raster(b: bytes) -> list[list[tuple[int, int, int]]] | None:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_rgb(b)
     if b[:2] == b"\xff\xd8":
-        return decode_jpeg_gray(b)
+        # 1-component streams take the gray path (pinned hashes);
+        # 3-component falls through to the color decoder
+        px = decode_jpeg_gray(b)
+        return px if px is not None else decode_jpeg_color(b)
     return None
 
 
@@ -1299,11 +1538,12 @@ IMAGE_FEATURE_SCHEMA = (
 def decode_images(df: DataFrame, id_col: str = "id", binary_col: str = "payload") -> DataFrame:
     """Decode image bytes -> (width, height, channels, mean luma).
 
-    REAL for PNG, BMP, and baseline grayscale JPEG (decode_raster: zlib
-    inflate + filter reversal / BI_RGB unpack / Huffman+IDCT); mean luma
-    is Rec.601 (0.299R+0.587G+0.114B) averaged over pixels. GIF and
-    color-JPEG pixels decode to NULL rows (see _entropy_decode_stub for
-    the documented extension point)."""
+    REAL for all five codec paths (decode_raster: PNG zlib inflate +
+    filter reversal, BMP BI_RGB unpack, GIF LZW + palette, grayscale
+    and color baseline JPEG via Huffman+IDCT); mean luma is Rec.601
+    (0.299R+0.587G+0.114B) averaged over pixels. Unsupported layouts
+    (progressive JPEG, paletted PNG, ...) decode to NULL rows —
+    corrupt or exotic files are data, not exceptions."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1337,14 +1577,6 @@ def decode_images(df: DataFrame, id_col: str = "id", binary_col: str = "payload"
             )
 
     return df.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA.replace("id ", f"{id_col} "))
-
-
-def _entropy_decode_stub(payload: pd.Series) -> dict:
-    raise NotImplementedError(
-        "color-JPEG (chroma subsampling + YCbCr) pixel decode is out of "
-        "scope here; PNG/BMP/GIF/grayscale-baseline-JPEG decode is real "
-        "(decode_raster), and the mapInPandas plumbing is shared"
-    )
 
 
 def deterministic_fake_decode(

@@ -758,6 +758,126 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_pixel_stats_color",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id, doc_id % 251 AS seed,
+               CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS sub,
+               16 * (1 + (doc_id // 2) % 2) AS w,
+               16 AS h
+        FROM documents
+    ),
+    blocks AS (
+        SELECT i.doc_id, i.w, i.h,
+               (i.seed + 5*bx.bx + 9*by.by) % 180 + 30 AS g,
+               abs((i.seed + bx.bx + by.by) % 5 - 2) AS aa,
+               (i.seed + 7*(bx.bx // i.sub) + 2*(by.by // i.sub)) % 29 - 14
+                   AS cb,
+               (i.seed + 3*(bx.bx // i.sub) + 5*(by.by // i.sub)) % 29 - 14
+                   AS cr
+        FROM imgs i
+        JOIN range(0, 4) bx(bx) ON bx.bx < i.w // 8
+        JOIN range(0, 2) by(by) ON by.by < 2
+    ),
+    vals AS (
+        SELECT doc_id, w, h, aa,
+               floor(g + 1.402*cr + 0.5) AS r0,
+               floor(g - 0.344136*cb - 0.714136*cr + 0.5) AS g0,
+               floor(g + 1.772*cb + 0.5) AS b0
+        FROM blocks
+    )
+    SELECT doc_id, 'jpeg' AS format,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+           CAST(SUM(64 * r0) AS BIGINT) AS sum_r,
+           CAST(SUM(64 * g0) AS BIGINT) AS sum_g,
+           CAST(SUM(64 * b0) AS BIGINT) AS sum_b,
+           CAST(SUM(16 * r0) AS BIGINT) AS thumb_sum_r,
+           CAST(MAX(GREATEST(r0, g0, b0) + aa) AS INTEGER) AS max_v
+    FROM vals GROUP BY doc_id
+    """,
+    doc=(
+        "WORKING pixel decode for baseline COLOR (YCbCr) JPEG — the "
+        "codec tier that closes the stub list: per doc, synthesize a "
+        "real 3-component stream (interleaved-MCU scan, per-component "
+        "DC predictors; 4:2:0 for even doc_ids, 4:4:4 for odd) whose "
+        "luma blocks carry DC gray g plus an exactly-invertible AC "
+        "witness at the (0,4) basis and whose chroma blocks are flat "
+        "Cb/Cr constants per chroma block, then DECODE the bytes back "
+        "(operators/multimodal.decode_jpeg_color: Huffman + dequant + "
+        "IDCT per component, nearest-neighbor chroma upsampling, "
+        "BT.601 conversion on un-rounded float planes, single "
+        "floor(x+0.5)). Because Y samples are g+-a with an integer a "
+        "and chroma is constant per block, each channel's per-sample "
+        "value is floor(g + <BT.601 terms> + 0.5) +- a: sums and the "
+        "2x thumbnail collapse in closed form (the +-a sign pattern "
+        "cancels over every aligned window) while max_v witnesses the "
+        "AC path — so the oracle recomputes the full color pipeline "
+        "arithmetically (verified exhaustively over all 251 seeds x "
+        "both subsamplings before registration). Two Arrow stages, "
+        "row-local, zero shuffle."
+    ),
+    tags=("documents", "multimodal"),
+)
+def image_pixel_stats_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_pixel_stats,
+        encode_jpeg_color_coeffs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payload(batches):
+        import pandas as pd
+
+        def jpeg_color(d):
+            seed = d % 251
+            sub = 2 if d % 2 == 0 else 1
+            w = 16 * (1 + (d // 2) % 2)
+            h = 16
+            yb = []
+            for by in range(h // 8):
+                row = []
+                for bx in range(w // 8):
+                    g = (seed + 5 * bx + 9 * by) % 180 + 30
+                    a = (seed + bx + by) % 5 - 2
+                    blk = [0] * 64
+                    blk[0] = 8 * (g - 128)
+                    blk[4] = 8 * a
+                    row.append(blk)
+                yb.append(row)
+            cb_g, cr_g = [], []
+            for cy in range(h // (8 * sub)):
+                rb, rr = [], []
+                for cx in range(w // (8 * sub)):
+                    cb = (seed + 7 * cx + 2 * cy) % 29 - 14
+                    cr = (seed + 3 * cx + 5 * cy) % 29 - 14
+                    b1 = [0] * 64
+                    b1[0] = 8 * cb
+                    b2 = [0] * 64
+                    b2[0] = 8 * cr
+                    rb.append(b1)
+                    rr.append(b2)
+                cb_g.append(rb)
+                cr_g.append(rr)
+            return encode_jpeg_color_coeffs(yb, cb_g, cr_g, w, h, (sub, sub))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [jpeg_color(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = fan_out(docs).mapInPandas(
+        make_payload, schema="doc_id long, payload binary"
+    )
+    return decode_pixel_stats(payloads, id_col="doc_id", binary_col="payload")
+
+
+@register(
     "video_frame_stats",
     oracle="""
     WITH vids AS (

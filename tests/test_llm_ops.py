@@ -758,3 +758,72 @@ def test_semantic_dedup_lsh_adaptive_cells_and_soundness(spark, sf_dir) -> None:
             o < vid and cos(vecs[o], vecs[vid]) >= SEMDEDUP_TAU
             for o in vecs
         ), f"vec {vid} dropped without a qualifying lower-id neighbor"
+
+
+def test_color_jpeg_codec_roundtrip_and_routing(spark) -> None:
+    """Baseline color JPEG: encode->decode reproduces the closed-form
+    raster for BOTH 4:2:0 (interleaved 16x16 MCUs, chroma upsampling)
+    and 4:4:4; decode_raster routes 1-component streams to the gray
+    decoder and 3-component to the color one; truncated streams are
+    None; dimension/subsample contract violations raise."""
+    import numpy as np
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_raster,
+        encode_jpeg_color_coeffs,
+    )
+
+    SIGN = [1, -1, -1, 1, 1, -1, -1, 1]
+
+    def build(w, h, sub):
+        yb = [
+            [
+                (lambda g, a: [8 * (g - 128)] + [0] * 3 + [8 * a] + [0] * 59)(
+                    40 + (5 * bx + 9 * by) % 160, (bx + by) % 5 - 2
+                )
+                for bx in range(w // 8)
+            ]
+            for by in range(h // 8)
+        ]
+        cdim = 8 * sub
+        cb = [
+            [[8 * ((7 * cx + 2 * cy) % 21 - 10)] + [0] * 63
+             for cx in range(w // cdim)]
+            for cy in range(h // cdim)
+        ]
+        cr = [
+            [[8 * ((3 * cx + 5 * cy) % 21 - 10)] + [0] * 63
+             for cx in range(w // cdim)]
+            for cy in range(h // cdim)
+        ]
+        return encode_jpeg_color_coeffs(yb, cb, cr, w, h, (sub, sub))
+
+    def expect(w, h, sub):
+        out = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                by, bx = y // 8, x // 8
+                g = 40 + (5 * bx + 9 * by) % 160
+                a = (bx + by) % 5 - 2
+                yf = g + SIGN[x % 8] * a
+                cy, cx = y // (8 * sub), x // (8 * sub)
+                cbv = (7 * cx + 2 * cy) % 21 - 10
+                crv = (3 * cx + 5 * cy) % 21 - 10
+                r = int(np.floor(yf + 1.402 * crv + 0.5))
+                gg = int(np.floor(yf - 0.344136 * cbv - 0.714136 * crv + 0.5))
+                b = int(np.floor(yf + 1.772 * cbv + 0.5))
+                row.append((max(0, min(255, r)), max(0, min(255, gg)),
+                            max(0, min(255, b))))
+            out.append(row)
+        return out
+
+    for w, h, sub in [(16, 16, 2), (32, 16, 2), (16, 8, 1), (8, 8, 1)]:
+        jp = build(w, h, sub)
+        assert decode_jpeg_color(jp) == expect(w, h, sub), (w, h, sub)
+        assert decode_raster(jp) == expect(w, h, sub)
+        assert decode_jpeg_color(jp[: len(jp) // 2]) is None
+
+    with pytest.raises(ValueError):
+        build(12, 16, 2)  # not a multiple of 16 for 4:2:0
