@@ -167,49 +167,62 @@ def _bm25_sql() -> str:
     bench=True,
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-aggregation spelling (r4: shaves one wide shuffle + a join
+    # off the r3 plan): ONE groupBy(doc_id) over the exploded tokens
+    # computes dl AND every per-term tf as conditional counts, and ONE
+    # 1-row aggregate over that yields n_corpus/avgdl/df_t together —
+    # no per-(doc,term) shuffle, no tf-dl join, everything else a
+    # broadcast. Scores are the same doubles as the r3 spelling: each
+    # term's idf*tf_factor is one scalar expression per doc (tf=0 gives
+    # exactly 0.0, matching the old coalesce), so the oracle — still
+    # the canonical 5-CTE BM25 — hash-matches unchanged.
     from pyspark.sql import Window as W
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("t")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("t") == t, 1)).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").cast("double").alias("n_corpus"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("t").isin(*BM25_TERMS))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    df_ = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log(
-        (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    tf_factor = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf")
-        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "t", (idf * tf_factor).alias("score"))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
         *[
-            F.sum(F.when(F.col("t") == t, F.col("score"))).alias(f"s{i}")
-            for i, t in enumerate(BM25_TERMS)
-        ]
+            F.count(F.when(F.col(f"tf{i}") > 0, 1))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
     )
+    matches = per_doc.filter(
+        sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0
+    ).crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_corpus") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1
+        )
+        tf_factor = (tf * (BM25_K1 + 1)) / (
+            tf
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * tf_factor
+
     total = None
     for i in range(len(BM25_TERMS)):
-        term = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
-        total = term if total is None else total + term
+        s = term_score(i)
+        total = s if total is None else total + s
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        per_doc.select("doc_id", total.alias("bm25"))
+        matches.select("doc_id", total.alias("bm25"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("doc_id", "rank", F.round("bm25", 6).alias("bm25"))

@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -722,6 +723,131 @@ class LakeTableWriter(DataSourceArrowWriter):
         shutil.rmtree(os.path.join(self.path, self.unit_rel), ignore_errors=True)
 
 
+class LakeTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("laketable").start(path)``: the streaming
+    sink side of the format, with EXACTLY-ONCE batch commits.
+
+    Per micro-batch, every task streams its Arrow batches into one
+    parquet file inside its own staged ``data/<uuid>`` unit dir;
+    ``commit(messages, batchId)`` publishes all of that batch's units in
+    ONE manifest whose ``txn`` map records {txn_app_id: batchId} — the
+    same ledger LakeTable.append_once uses (Delta txnAppId/txnVersion
+    parity). On checkpoint-replay of an already-committed batch the
+    commit sees ``batchId <= txn[app]``, deletes the re-staged files and
+    publishes nothing, so failures between data-write and commit cannot
+    double-append. Concurrent writers are handled by rebase-retry:
+    the snapshot (units, dv, txn) is re-read at commit time and the
+    manifest is claimed with the exclusive-create protocol; a lost race
+    re-reads and retries, carrying the winner's units forward.
+
+    Scope bounds (like the batch writer): append-only, unpartitioned,
+    non-column-mapped tables; richer layouts go through the engine API
+    (e.g. ``foreachBatch`` + ``LakeTable.merge``)."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        self.path = path
+        self.schema = schema
+        self.txn_app = (
+            options.get("txn_app_id") or "pyds-stream"
+        )
+
+    # executors ------------------------------------------------------------
+    def write(self, iterator) -> _WrittenFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _WrittenFile(filename="", n_rows=0, combos=())
+        t = pa.Table.from_batches(batches)
+        unit_rel = os.path.join("data", uuid_hex())
+        out_dir = os.path.join(self.path, unit_rel)
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(t, os.path.join(out_dir, f"part-{uuid_hex()}.parquet"))
+        return _WrittenFile(filename=unit_rel, n_rows=t.num_rows, combos=())
+
+    # driver ---------------------------------------------------------------
+    def _drop_staged(self, messages) -> None:
+        import shutil
+
+        for m in messages:
+            if m and m.filename:
+                shutil.rmtree(
+                    os.path.join(self.path, m.filename), ignore_errors=True
+                )
+
+    def commit(self, messages, batchId: int) -> None:
+        new_units = [
+            {
+                "path": m.filename,
+                "partition": {},
+                "partition_types": {},
+                "stats": {},
+                "file_stats": {},
+            }
+            for m in messages
+            if m and m.filename
+        ]
+        if not new_units:
+            return  # empty batch: nothing to publish, nothing to replay
+        log = os.path.join(self.path, _LOG_DIR)
+        os.makedirs(log, exist_ok=True)
+        for _attempt in range(50):  # rebase-retry against racing writers
+            versions = sorted(
+                int(f.split(".")[0])
+                for f in os.listdir(log)
+                if f.endswith(".json")
+            )
+            if versions:
+                with open(os.path.join(log, f"{versions[-1]:08d}.json")) as f:
+                    prev = json.load(f)
+                if prev.get("partition_by") or prev.get("column_map") or prev.get(
+                    "column_dropped"
+                ):
+                    raise ValueError(
+                        "laketable stream writer supports unpartitioned, "
+                        "non-column-mapped tables; use foreachBatch + the "
+                        "LakeTable API for richer layouts"
+                    )
+                txns = dict(prev.get("txn", {}))
+                if batchId <= int(txns.get(self.txn_app, -1)):
+                    # checkpoint replay of a committed batch: drop the
+                    # re-staged files, publish nothing (exactly-once)
+                    self._drop_staged(messages)
+                    return
+                base = versions[-1]
+                units = list(prev["units"]) + new_units
+                dv = list(prev.get("dv", []))
+            else:
+                base, txns, units, dv = 0, {}, new_units, []
+            txns[self.txn_app] = int(batchId)
+            doc = {
+                "version": base + 1,
+                "operation": "pyds-stream-append",
+                "partition_by": [],
+                "units": units,
+                "dv": dv,
+                "txn": txns,
+            }
+            target = os.path.join(log, f"{base + 1:08d}.json")
+            tmp = target + f".tmp-{uuid_hex()}"
+            with open(tmp, "w") as f:
+                json.dump(doc, f, indent=1)
+            try:
+                os.link(tmp, target)  # atomic-exclusive claim
+                return
+            except FileExistsError:
+                continue  # lost the race: re-read and rebase
+            finally:
+                os.remove(tmp)
+        raise RuntimeError(
+            f"could not commit batch {batchId} after 50 rebase attempts"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_staged(messages)
+
+
 def uuid_hex() -> str:
     import uuid
 
@@ -794,3 +920,15 @@ class LakeTableDataSource(DataSource):
             path, schema, overwrite,
             partition_by=[c.strip() for c in pb.split(",")] if pb else None,
         )
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> LakeTableStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "laketable streaming sink is append-only (complete/update "
+                "output modes need MERGE semantics — use foreachBatch + "
+                "the LakeTable API)"
+            )
+        path, _version = self._target()
+        return LakeTableStreamWriter(path, schema, self.options)
