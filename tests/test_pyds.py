@@ -358,3 +358,112 @@ def test_datasource_pins_one_snapshot_for_schema_and_scan(spark, tmp_path):
     # and a FRESH load sees the new snapshot
     ds2 = LakeTableDataSource(options={"path": t.path})
     assert "w" in ds2.schema()
+
+
+def test_stream_writer_end_to_end_exactly_once(spark, tmp_path):
+    """`writeStream.format("laketable")`: a file-source stream lands in
+    the table through the Python DataSource sink; a SECOND availableNow
+    run over the same checkpoint re-delivers nothing (offsets consumed),
+    and a third run with NEW source files appends exactly those rows.
+    The manifest's txn ledger carries the sink's batch watermark."""
+    import json as _json
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "t")
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def drain():
+        q = (
+            spark.readStream.schema("id long, v string")
+            .json(str(src))
+            .writeStream.format("laketable")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(target)
+        )
+        q.awaitTermination()
+
+    put("a.jsonl", [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    drain()
+    t = LakeTable(spark, target)
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+    drain()  # same checkpoint, no new files: nothing re-delivered
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+    put("b.jsonl", [{"id": 3, "v": "c"}])
+    drain()
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # the format's own reader sees the streamed table too
+    assert _rows(spark.read.format("laketable").load(target)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    log = os.path.join(target, "_log")
+    latest = sorted(f for f in os.listdir(log) if f.endswith(".json"))[-1]
+    with open(os.path.join(log, latest)) as f:
+        doc = _json.load(f)
+    assert "pyds-stream" in doc["txn"]
+
+
+def test_stream_writer_commit_replay_is_idempotent(spark, tmp_path):
+    """Driver-level exactly-once: replaying commit() for an
+    already-committed batchId publishes no new manifest and removes the
+    re-staged files (the failure window between executor writes and the
+    manifest claim cannot double-append)."""
+    import os
+
+    import pyarrow as pa
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableStreamWriter,
+        _WrittenFile,
+    )
+
+    target = str(tmp_path / "t")
+    schema = spark.createDataFrame([], "id long").schema
+    w = LakeTableStreamWriter(target, schema, {})
+
+    def staged(ids):
+        batch = pa.record_batch({"id": pa.array(ids, type=pa.int64())})
+        return w.write(iter([batch]))
+
+    m1 = staged([1, 2])
+    w.commit([m1], batchId=0)
+    m2 = staged([3])
+    w.commit([m2], batchId=1)
+    log = os.path.join(target, "_log")
+    assert len(os.listdir(log)) == 2
+
+    # replay batch 1 (checkpoint recovered mid-commit): re-staged unit
+    # must be dropped, no third manifest
+    m3 = staged([3])
+    staged_dir = os.path.join(target, m3.filename)
+    assert os.path.isdir(staged_dir)
+    w.commit([m3], batchId=1)
+    assert len(os.listdir(log)) == 2
+    assert not os.path.isdir(staged_dir)
+
+    got = sorted(r.id for r in spark.read.format("laketable").load(target).collect())
+    assert got == [1, 2, 3]
+
+    # abort removes staged files as well
+    m4 = staged([9])
+    w.abort([m4], batchId=2)
+    assert not os.path.isdir(os.path.join(target, m4.filename))
+
+    # append-only contract: overwrite output mode is refused
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableDataSource,
+    )
+
+    ds = LakeTableDataSource({"path": target})
+    with pytest.raises(ValueError):
+        ds.streamWriter(schema, overwrite=True)
