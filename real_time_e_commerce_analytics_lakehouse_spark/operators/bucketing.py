@@ -49,6 +49,8 @@ def write_bucketed(
     into n_buckets on keys, per-bucket files sorted by keys (so joins
     skip both Exchange and Sort). The catalog entry carries the bucket
     spec; the files live at `path`."""
+    if not keys:
+        raise ValueError("bucketed write needs at least one key column")
     writer = (
         df.write.format("parquet")
         .mode(mode)

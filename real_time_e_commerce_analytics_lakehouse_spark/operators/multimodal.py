@@ -146,7 +146,13 @@ def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
             w, h = struct.unpack("<HH", b[6:10])
             return "gif", w, h, (b[10] & 0x07) + 1
         if b[:2] == b"BM":
-            _, w, h = struct.unpack("<Iii", b[14:26])
+            size, w, h = struct.unpack("<Iii", b[14:26])
+            # biSize gates the header layout: 40 (BITMAPINFOHEADER) and
+            # the compatible V4/V5 extensions share these offsets; the
+            # 12-byte OS/2 core header packs int16 dims here and would
+            # parse to garbage — unsupported layouts are None, not noise
+            if size not in (40, 52, 56, 108, 124):
+                return None
             depth = struct.unpack("<H", b[28:30])[0]
             return "bmp", w, abs(h), depth
         if b[:2] == b"\xff\xd8":
@@ -564,7 +570,9 @@ def decode_bmp_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
         if b[:2] != b"BM":
             return None
         off = struct.unpack("<I", b[10:14])[0]
-        _, w, h_signed = struct.unpack("<Iii", b[14:26])
+        info_size, w, h_signed = struct.unpack("<Iii", b[14:26])
+        if info_size not in (40, 52, 56, 108, 124):
+            return None  # OS/2 core header packs int16 dims here
         planes, depth = struct.unpack("<HH", b[26:30])
         comp = struct.unpack("<I", b[30:34])[0]
         if planes != 1 or depth != 24 or comp != 0 or w <= 0 or h_signed == 0:
@@ -1791,6 +1799,12 @@ def parse_mp4_sample_table(
             return None
         p = stsz[0] + 4
         uniform, count = struct.unpack(">II", b[p : p + 8])
+        # declared counts are UNTRUSTED: a corrupt stsz claiming 2^32
+        # samples would materialize a ~34 GB list before any parse
+        # error fires — bound by the payload size (a real sample table
+        # cannot index more samples than the file has bytes)
+        if count > len(b):
+            return None
         sizes = (
             [uniform] * count
             if uniform
@@ -1848,9 +1862,13 @@ def parse_mp4_sample_table(
                 cnt, delta = struct.unpack(
                     ">II", b[p + 4 + 8 * i : p + 12 + 8 * i]
                 )
-                for _ in range(cnt):
+                # only len(sizes) decode times are consumable; a corrupt
+                # run count (up to 2^32) must not drive the loop past it
+                for _ in range(min(cnt, len(sizes) - len(ticks))):
                     ticks.append(t)
                     t += delta
+                if len(ticks) >= len(sizes):
+                    break
         if len(ticks) < len(sizes):
             ticks.extend([0] * (len(sizes) - len(ticks)))
 

@@ -37,9 +37,21 @@ def cosine_topk_vectorized(
     exact JVM variant (plans/embeddings.cosine_topk_bruteforce).
     """
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # empty query set: an empty result with the contract schema
+        # (np.linalg.norm on a 0x0 matrix would raise on the driver)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, rank long, cosine_sim double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm floor: a zero vector would divide to NaN, and Spark
+    # sorts NaN ABOVE every real double, so a single zero embedding
+    # would take rank 1 for every query — floor to 1e-30 (same
+    # convention as vecexpr.int8_maxabs) so zero vectors score 0.0
+    q_norm = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -47,17 +59,25 @@ def cosine_topk_vectorized(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+            )
             sims = mat @ q_norm.T  # (batch, n_queries)
             out_q, out_v, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]
                 mask = ids != qid
-                # partial top-k per batch: full sort of a batch is fine,
-                # but argpartition keeps it O(n)
                 cand = np.flatnonzero(mask)
                 if len(cand) > k:
-                    part = cand[np.argpartition(-col[cand], k)[:k]]
+                    # tie-STABLE partial top-k: order candidates by the
+                    # same total order the global window uses (sim desc,
+                    # vec_id asc) before cutting at k, so a tie
+                    # straddling the cut can never drop the candidate
+                    # the final ranking would have chosen (plain
+                    # argpartition keeps an arbitrary member of a tie —
+                    # nondeterministic across batch boundaries)
+                    order = np.lexsort((ids[cand], -col[cand]))
+                    part = cand[order[:k]]
                 else:
                     part = cand
                 out_q.extend([qid] * len(part))

@@ -182,7 +182,16 @@ class _Snapshot:
             for name, ddl in fields.items()
             if name not in self.dropped
         ]
-        cols += [f"`{c}` {t}" for c, t in self.ptypes.items()]
+        # partition columns from unit metadata; a DECLARED partition
+        # column with no data unit yet (partition_by is manifest truth,
+        # r3 ADVICE #4) still appears, typed string — the Hive
+        # convention for inferred partitions — so a zero-unit
+        # partitioned table reads as an empty frame with its declared
+        # layout instead of failing on an empty DDL
+        ptypes = dict(self.ptypes)
+        for c in self.partition_by:
+            ptypes.setdefault(c, "string")
+        cols += [f"`{c}` {t}" for c, t in ptypes.items()]
         return ", ".join(cols)
 
     def tombstones(self) -> dict[str, set]:
@@ -352,8 +361,14 @@ class LakeTableReader(DataSourceReader):
 
         t = pq.read_table(partition.file)
         if partition.tomb:
-            ts = set(partition.tomb)
-            t = t.filter(pa.array([i not in ts for i in range(t.num_rows)]))
+            import numpy as np
+
+            # vectorized survivor mask (a Python per-row loop dominates
+            # scan time on multi-million-row files)
+            mask = np.ones(t.num_rows, dtype=bool)
+            idx = np.fromiter(partition.tomb, dtype=np.int64)
+            mask[idx[idx < t.num_rows]] = False
+            t = t.filter(pa.array(mask))
         n = t.num_rows
         part = dict(partition.partition)
         inv = {p: l for l, p in self.snap.colmap.items()}
@@ -451,8 +466,11 @@ class LakeTableStreamReader(DataSourceStreamReader):
         tomb = new.tombstones() if new.dv else {}
         if tomb and prev is not None and set(new.dv) != set(prev.dv):
             prev_tomb = prev.tombstones()
+            new_paths = {u["path"] for u in new.units}
             for u in prev.units:
-                if u["path"] not in seen:
+                if u["path"] not in new_paths:
+                    # unit rewritten away (compact/purge): its files are
+                    # gone, so no DV can newly tombstone delivered rows
                     continue
                 for f in prev.unit_files(u):
                     p = os.path.abspath(f)
@@ -510,7 +528,12 @@ class LakeTableStreamReader(DataSourceStreamReader):
 class _WrittenFile(WriterCommitMessage):
     filename: str
     n_rows: int
-    combos: tuple = ()  # partition dir-segment tuples this task wrote
+    # per written file: (dir-segment tuple, parquet filename). Commit
+    # publishes ONLY files named here and prunes everything else from
+    # the staged unit — files from failed or speculative task attempts
+    # (Spark retries tasks; both attempts land in the shared staged
+    # dir) must not reach the manifest.
+    combos: tuple = ()
 
 
 class LakeTableWriter(DataSourceArrowWriter):
@@ -609,7 +632,9 @@ class LakeTableWriter(DataSourceArrowWriter):
             os.makedirs(out_dir, exist_ok=True)
             fname = f"part-{uuid_hex()}.parquet"
             pq.write_table(t, os.path.join(out_dir, fname))
-            return _WrittenFile(filename=fname, n_rows=t.num_rows, combos=())
+            return _WrittenFile(
+                filename=fname, n_rows=t.num_rows, combos=(((), fname),)
+            )
         keys = t.select(self.partition_by).to_pylist()
         combos: dict[tuple, list[int]] = {}
         for i, row in enumerate(keys):
@@ -627,19 +652,64 @@ class LakeTableWriter(DataSourceArrowWriter):
                 data.take(pa.array(idx, type=pa.int64())),
                 os.path.join(out_dir, fname),
             )
-            written.append(tuple(segs))
+            written.append((tuple(segs), fname))
         return _WrittenFile(filename="", n_rows=t.num_rows, combos=tuple(written))
 
     # driver ---------------------------------------------------------------
+    def _prune_unlisted(self, messages) -> None:
+        """Remove staged parquet files NOT named in any commit message:
+        leftovers from failed or speculative task attempts (Spark may
+        run a task twice; only the committed attempt's message reaches
+        the driver). Without this, both attempts' files sit in the
+        shared staged unit dir and readers — which walk the published
+        directory — would double-count rows or trip over a truncated
+        file from a killed attempt."""
+        keep = {
+            os.path.join(self.path, self.unit_rel, *segs, fname)
+            for m in messages
+            if m
+            for segs, fname in m.combos
+        }
+        base = os.path.join(self.path, self.unit_rel)
+        if not os.path.isdir(base):
+            return
+        for dirpath, _dirs, files in os.walk(base):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if f.endswith(".parquet") and p not in keep:
+                    os.remove(p)
+
+    def _sticky(self) -> dict:
+        """Manifest fields that must survive any commit (the engine's
+        _commit carries them by default, tables.py:330): the txn ledger
+        (append_once / stream-sink exactly-once watermarks) and the
+        identity high-water mark. Dropping either resets idempotency or
+        re-issues identity values."""
+        if self.base_version <= 0:
+            return {}
+        log = os.path.join(self.path, _LOG_DIR)
+        try:
+            with open(os.path.join(log, f"{self.base_version:08d}.json")) as f:
+                prev = json.load(f)
+        except OSError:
+            return {}
+        out = {}
+        if prev.get("txn"):
+            out["txn"] = dict(prev["txn"])
+        if prev.get("identity_high"):
+            out["identity_high"] = int(prev["identity_high"])
+        return out
+
     def commit(self, messages) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
 
+        self._prune_unlisted(messages)
         n_rows = sum(m.n_rows for m in messages if m)
         if self.partition_by:
             all_combos = sorted(
-                {c for m in messages if m for c in m.combos}
+                {segs for m in messages if m for segs, _f in m.combos}
             )
             new_units = [
                 {
@@ -684,6 +754,7 @@ class LakeTableWriter(DataSourceArrowWriter):
             "partition_by": [],
             "units": self.carry_units + [unit],
             "dv": self.carry_dv,
+            **self._sticky(),
         }
         self._write_manifest(doc)
 
@@ -697,6 +768,7 @@ class LakeTableWriter(DataSourceArrowWriter):
                 "partition_by": list(self.partition_by),
                 "units": units,
                 "dv": self.carry_dv,
+                **self._sticky(),
             }
         )
 
@@ -829,6 +901,8 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
                 "dv": dv,
                 "txn": txns,
             }
+            if versions and prev.get("identity_high"):
+                doc["identity_high"] = int(prev["identity_high"])
             target = os.path.join(log, f"{base + 1:08d}.json")
             tmp = target + f".tmp-{uuid_hex()}"
             with open(tmp, "w") as f:

@@ -827,3 +827,52 @@ def test_color_jpeg_codec_roundtrip_and_routing(spark) -> None:
 
     with pytest.raises(ValueError):
         build(12, 16, 2)  # not a multiple of 16 for 4:2:0
+
+
+def test_media_parsers_reject_hostile_and_exotic_layouts() -> None:
+    """Robustness hardening (r4 review): declared counts in ISO-BMFF
+    sample tables are untrusted — a corrupt stsz claiming 2^32 samples
+    returns None instead of materializing a 34 GB list, and a huge stts
+    run count is bounded by the real sample count. OS/2 core-header
+    BMPs (12-byte BITMAPCOREHEADER, int16 dims at the INFOHEADER's
+    width offset) return None instead of garbage dimensions."""
+    import struct
+    import time
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+        encode_jpeg_gray_coeffs,
+        parse_image_header,
+        parse_mp4_sample_table,
+        synthesize_mp4_media,
+    )
+
+    frames = [encode_jpeg_gray_coeffs([[0] * 64], 8, 8)]
+    m = bytearray(synthesize_mp4_media(1000, 40, 8, 8, frames))
+    i = bytes(m).find(b"stsz")  # box TYPE position; payload at i+4
+    m[i + 8 : i + 12] = struct.pack(">I", 7)
+    m[i + 12 : i + 16] = struct.pack(">I", 0xFFFFFFFF)
+    t0 = time.perf_counter()
+    assert parse_mp4_sample_table(bytes(m)) is None
+    assert time.perf_counter() - t0 < 1.0
+
+    m2 = bytearray(synthesize_mp4_media(1000, 40, 8, 8, frames))
+    j = bytes(m2).find(b"stts")
+    m2[j + 8 : j + 12] = struct.pack(">I", 1)
+    m2[j + 12 : j + 16] = struct.pack(">I", 0xFFFFFFF0)
+    m2[j + 16 : j + 20] = struct.pack(">I", 40)
+    t0 = time.perf_counter()
+    st = parse_mp4_sample_table(bytes(m2))
+    assert st is not None and len(st[2]) == 1
+    assert time.perf_counter() - t0 < 1.0
+
+    core = (
+        b"BM"
+        + struct.pack("<IHHI", 34, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 16, 16, 1, 24)
+    )
+    assert parse_image_header(core) is None
+    assert decode_bmp_rgb(core + b"\x00" * 800) is None
+    good = encode_bmp_rgb([[(1, 2, 3)] * 4] * 2)
+    assert parse_image_header(good) == ("bmp", 4, 2, 24)

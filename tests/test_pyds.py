@@ -467,3 +467,84 @@ def test_stream_writer_commit_replay_is_idempotent(spark, tmp_path):
     ds = LakeTableDataSource({"path": target})
     with pytest.raises(ValueError):
         ds.streamWriter(schema, overwrite=True)
+
+
+def test_batch_writer_prunes_uncommitted_task_attempts(spark, tmp_path):
+    """Spark may run a task twice (retry/speculation); both attempts
+    write into the shared staged unit, but only the committed attempt's
+    message reaches the driver. Commit must publish ONLY files named in
+    messages — the orphan attempt's file (including a truncated one) is
+    pruned, not silently included."""
+    import os
+
+    import pyarrow as pa
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableWriter,
+    )
+
+    target = str(tmp_path / "t")
+    schema = spark.createDataFrame([], "id long").schema
+    w = LakeTableWriter(target, schema, overwrite=False)
+
+    def attempt(ids):
+        batch = pa.record_batch({"id": pa.array(ids, type=pa.int64())})
+        return w.write(iter([batch]))
+
+    kept = attempt([1, 2])
+    lost = attempt([1, 2])  # first attempt of the same split: no message
+    # plus a truncated file from a killed attempt
+    unit_dir = os.path.join(target, w.unit_rel)
+    with open(os.path.join(unit_dir, "part-truncated.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x00garbage")
+    w.commit([kept])
+
+    got = sorted(r.id for r in spark.read.format("laketable").load(target).collect())
+    assert got == [1, 2]  # not [1,1,2,2], and no read error
+    files = [
+        f for f in os.listdir(unit_dir) if f.endswith(".parquet")
+    ]
+    assert files == [kept.filename]
+    assert lost.filename not in files
+
+
+def test_batch_writer_carries_txn_and_identity_ledgers(spark, tmp_path):
+    """A pyds batch append between stream-sink batches must not drop
+    the manifest's sticky fields: the txn ledger (or a checkpoint
+    replay would double-append) and identity_high (or the engine would
+    re-issue identity values)."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableStreamWriter,
+        LakeTableWriter,
+    )
+
+    target = str(tmp_path / "t")
+    schema = spark.createDataFrame([], "id long").schema
+    sw = LakeTableStreamWriter(target, schema, {})
+
+    def staged(writer, ids):
+        batch = pa.record_batch({"id": pa.array(ids, type=pa.int64())})
+        return writer.write(iter([batch]))
+
+    sw.commit([staged(sw, [1])], batchId=0)
+
+    bw = LakeTableWriter(target, schema, overwrite=False)
+    bw.commit([staged(bw, [2])])
+
+    log = os.path.join(target, "_log")
+    latest = sorted(f for f in os.listdir(log) if f.endswith(".json"))[-1]
+    with open(os.path.join(log, latest)) as f:
+        doc = _json.load(f)
+    assert doc["txn"] == {"pyds-stream": 0}
+
+    # a replayed stream batch 0 after the interleaved append still
+    # publishes nothing
+    m = staged(sw, [1])
+    sw.commit([m], batchId=0)
+    got = sorted(r.id for r in spark.read.format("laketable").load(target).collect())
+    assert got == [1, 2]
