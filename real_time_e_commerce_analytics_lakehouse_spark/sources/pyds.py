@@ -812,9 +812,14 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
     manifest is claimed with the exclusive-create protocol; a lost race
     re-reads and retries, carrying the winner's units forward.
 
-    Scope bounds (like the batch writer): append-only, unpartitioned,
-    non-column-mapped tables; richer layouts go through the engine API
-    (e.g. ``foreachBatch`` + ``LakeTable.merge``)."""
+    Partitioned streaming: pass ``.option("partition_by", "col[,col2]")``
+    matching the table's declared layout (validated at every commit;
+    the option is required because executors split batches before the
+    driver ever reads the manifest). Tasks write Hive ``col=value``
+    subdirs inside their staged unit, exactly like the batch writer;
+    each commit publishes one unit per (staged-unit, partition-combo).
+    Column-mapped tables go through the engine API (e.g.
+    ``foreachBatch`` + ``LakeTable.merge``)."""
 
     def __init__(self, path: str, schema: StructType, options):
         self.path = path
@@ -822,6 +827,18 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
         self.txn_app = (
             options.get("txn_app_id") or "pyds-stream"
         )
+        pb = options.get("partition_by")
+        self.partition_by = (
+            [c.strip() for c in pb.split(",")] if pb else []
+        )
+        missing = [c for c in self.partition_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition columns {missing} absent from schema")
+        self.ptype_ddl = {
+            f.name: f.dataType.simpleString()
+            for f in schema.fields
+            if f.name in self.partition_by
+        }
 
     # executors ------------------------------------------------------------
     def write(self, iterator) -> _WrittenFile:
@@ -833,10 +850,33 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
             return _WrittenFile(filename="", n_rows=0, combos=())
         t = pa.Table.from_batches(batches)
         unit_rel = os.path.join("data", uuid_hex())
-        out_dir = os.path.join(self.path, unit_rel)
-        os.makedirs(out_dir, exist_ok=True)
-        pq.write_table(t, os.path.join(out_dir, f"part-{uuid_hex()}.parquet"))
-        return _WrittenFile(filename=unit_rel, n_rows=t.num_rows, combos=())
+        if not self.partition_by:
+            out_dir = os.path.join(self.path, unit_rel)
+            os.makedirs(out_dir, exist_ok=True)
+            pq.write_table(
+                t, os.path.join(out_dir, f"part-{uuid_hex()}.parquet")
+            )
+            return _WrittenFile(filename=unit_rel, n_rows=t.num_rows, combos=())
+        keys = t.select(self.partition_by).to_pylist()
+        groups: dict[tuple, list[int]] = {}
+        for i, row in enumerate(keys):
+            groups.setdefault(
+                tuple((c, row[c]) for c in self.partition_by), []
+            ).append(i)
+        data = t.drop_columns(self.partition_by)
+        written = []
+        for combo, idx in groups.items():
+            segs = [LakeTableWriter._pdir(c, v) for c, v in combo]
+            out_dir = os.path.join(self.path, unit_rel, *segs)
+            os.makedirs(out_dir, exist_ok=True)
+            pq.write_table(
+                data.take(pa.array(idx, type=pa.int64())),
+                os.path.join(out_dir, f"part-{uuid_hex()}.parquet"),
+            )
+            written.append(tuple(segs))
+        return _WrittenFile(
+            filename=unit_rel, n_rows=t.num_rows, combos=tuple(written)
+        )
 
     # driver ---------------------------------------------------------------
     def _drop_staged(self, messages) -> None:
@@ -849,17 +889,33 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
                 )
 
     def commit(self, messages, batchId: int) -> None:
-        new_units = [
-            {
-                "path": m.filename,
-                "partition": {},
-                "partition_types": {},
-                "stats": {},
-                "file_stats": {},
-            }
-            for m in messages
-            if m and m.filename
-        ]
+        if self.partition_by:
+            new_units = [
+                {
+                    "path": os.path.join(m.filename, *segs),
+                    "partition": {
+                        s.split("=", 1)[0]: s.split("=", 1)[1] for s in segs
+                    },
+                    "partition_types": dict(self.ptype_ddl),
+                    "stats": {},
+                    "file_stats": {},
+                }
+                for m in messages
+                if m and m.filename
+                for segs in m.combos
+            ]
+        else:
+            new_units = [
+                {
+                    "path": m.filename,
+                    "partition": {},
+                    "partition_types": {},
+                    "stats": {},
+                    "file_stats": {},
+                }
+                for m in messages
+                if m and m.filename
+            ]
         if not new_units:
             return  # empty batch: nothing to publish, nothing to replay
         log = os.path.join(self.path, _LOG_DIR)
@@ -873,13 +929,20 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
             if versions:
                 with open(os.path.join(log, f"{versions[-1]:08d}.json")) as f:
                     prev = json.load(f)
-                if prev.get("partition_by") or prev.get("column_map") or prev.get(
-                    "column_dropped"
+                if prev.get("column_map") or prev.get("column_dropped"):
+                    raise ValueError(
+                        "laketable stream writer does not support "
+                        "column-mapped tables; use foreachBatch + the "
+                        "LakeTable API"
+                    )
+                if sorted(prev.get("partition_by", [])) != sorted(
+                    self.partition_by
                 ):
                     raise ValueError(
-                        "laketable stream writer supports unpartitioned, "
-                        "non-column-mapped tables; use foreachBatch + the "
-                        "LakeTable API for richer layouts"
+                        f"stream partition_by {self.partition_by} does not "
+                        "match the table's declared layout "
+                        f"{prev.get('partition_by', [])}; pass the matching "
+                        '.option("partition_by", ...)'
                     )
                 txns = dict(prev.get("txn", {}))
                 if batchId <= int(txns.get(self.txn_app, -1)):
@@ -896,7 +959,7 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
             doc = {
                 "version": base + 1,
                 "operation": "pyds-stream-append",
-                "partition_by": [],
+                "partition_by": list(self.partition_by),
                 "units": units,
                 "dv": dv,
                 "txn": txns,

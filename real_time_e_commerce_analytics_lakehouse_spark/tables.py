@@ -229,6 +229,17 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
+        if not self.partition_by:
+            # opening an existing table without declaring its layout:
+            # adopt the manifest's partition_by (manifest is the truth —
+            # otherwise reads of a partitioned table written elsewhere,
+            # e.g. the pyds streaming sink, build a layoutless plan and
+            # fail or drop partition columns)
+            v = self.latest_version()
+            if v:
+                self.partition_by = list(
+                    self._manifest_doc(v).get("partition_by", [])
+                )
         # cluster_by: liquid-clustering analog (Delta CLUSTER BY). Every
         # WRITE range-clusters its own batch on these columns before the
         # files land (incremental clustering: each new unit's files get

@@ -548,3 +548,73 @@ def test_batch_writer_carries_txn_and_identity_ledgers(spark, tmp_path):
     sw.commit([m], batchId=0)
     got = sorted(r.id for r in spark.read.format("laketable").load(target).collect())
     assert got == [1, 2]
+
+
+def test_stream_writer_partitioned_layout(spark, tmp_path):
+    """Partitioned streaming sink: tasks write Hive col=value subdirs,
+    each commit publishes one unit per partition combo, the engine and
+    format readers agree, and a mismatched partition_by option is
+    refused instead of corrupting the declared layout."""
+    import json as _json
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "t")
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def drain():
+        q = (
+            spark.readStream.schema("id long, v string, p string")
+            .json(str(src))
+            .writeStream.format("laketable")
+            .option("checkpointLocation", ckpt)
+            .option("partition_by", "p")
+            .trigger(availableNow=True)
+            .start(target)
+        )
+        q.awaitTermination()
+
+    put("a.jsonl", [
+        {"id": 1, "v": "a", "p": "x"},
+        {"id": 2, "v": "b", "p": "y"},
+    ])
+    drain()
+    put("b.jsonl", [{"id": 3, "v": "c", "p": "x"}])
+    drain()
+
+    got = spark.read.format("laketable").load(target)
+    assert _rows(got.select("id", "v", "p")) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "c", "x"),
+    ]
+    t = LakeTable(spark, target)
+    assert _rows(t.read().select("id", "v", "p")) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "c", "x"),
+    ]
+    # Hive layout on disk: partition values live in dir names
+    part_dirs = set()
+    for dirpath, dirs, _files in os.walk(os.path.join(target, "data")):
+        part_dirs.update(d for d in dirs if "=" in d)
+    assert part_dirs == {"p=x", "p=y"}
+
+    # mismatched layout is refused at commit
+    import pyarrow as pa
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableStreamWriter,
+    )
+
+    schema = spark.createDataFrame([], "id long, v string, p string").schema
+    w = LakeTableStreamWriter(target, schema, {})  # no partition_by option
+    batch = pa.record_batch(
+        {"id": pa.array([9], type=pa.int64()),
+         "v": pa.array(["z"]), "p": pa.array(["x"])}
+    )
+    m = w.write(iter([batch]))
+    with pytest.raises(ValueError, match="declared layout"):
+        w.commit([m], batchId=99)
