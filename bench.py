@@ -62,7 +62,13 @@ def _recover_from_tail(doc: dict) -> dict | None:
     tail = doc.get("tail")
     if not isinstance(tail, str):
         return None
-    head = tail.split('"cold_run"')[0]
+    # cut before the first non-query section in EITHER stdout format:
+    # verbose rounds had "cold_run" after the steady map; the compact
+    # format goes straight to "calibration"/"regressions". Without the
+    # extra sentinels a truncated compact line would sweep regression
+    # RATIOS into the recovered per-query map (last regex match wins)
+    # and poison the next round's baseline.
+    head = re.split(r'"cold_run"|"calibration"|"regressions"', tail)[0]
     queries = {
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"(\w+)":\s*([0-9.]+)', head)

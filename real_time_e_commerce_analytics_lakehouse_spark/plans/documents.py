@@ -1270,12 +1270,17 @@ _LSH_EVAL_ORACLE = f"""
     tags=("documents", "dedup", "agg"),
 )
 def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # persist both pair sets: each feeds TWO aggregates in the final
+    # plan (hits join + its own count), and Spark does not dedup common
+    # subplans — without the persist the quadratic exact pair join and
+    # the band self-join would each execute twice (r4 review). Leases
+    # ride the result per the release_cached convention.
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     h = truth.join(cand, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_hits"))
     t = truth.agg(F.count("*").alias("n_truth"))
     c = cand.agg(F.count("*").alias("n_candidates"))
-    return (
+    out = (
         t.crossJoin(c)
         .crossJoin(h)
         .select(
@@ -1288,3 +1293,5 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    out._cached_deps = [truth, cand]
+    return out

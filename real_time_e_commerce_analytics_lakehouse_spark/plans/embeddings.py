@@ -330,7 +330,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assigned, "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", "vec_id")
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    # broadcast only the query vectors (cand.query_id < N_QUERIES by
+    # construction — the unfiltered corpus would ship every vector)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
     e = emb.select(F.col("vec_id"), F.col("embedding").alias("e_emb"))
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -464,7 +468,9 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
     v = e.select("vec_id", F.col("emb").alias("v_emb"))
     scored = (
         cand.join(F.broadcast(q), "query_id")

@@ -23,17 +23,20 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
 from real_time_e_commerce_analytics_lakehouse_spark.session import get_spark
 
 # Quadratic-by-design fan-outs (documented in their docstrings): pair
-# generation scales with candidate-pair count, not row count.
+# generation scales with candidate-pair count, not row count. Names
+# must be bench=True registry queries (validated in main()).
 KNOWN_FANOUT = {
     "copurchase_part_pairs",  # basket self-join: pairs ~ sum(basket^2)
     "ngram_jaccard_pairs",    # token-blocked pair generation
     "lsh_candidate_pairs",    # collisions grow with near-dup density (soak data is 10x near-dup by construction)
-    "neardup_clusters",       # downstream of LSH pairs
-    "minhash_lsh_neardup",    # same family
 }
 
 
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    """Cold + concordant steady time (bench.py's protocol: single runs
+    on this shared box swing up to ~2.8x with host noise, so keep
+    sampling until the two fastest runs agree within 15%, max 4)."""
+
     def once() -> float:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -41,8 +44,13 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
         return time.perf_counter() - t0
 
     cold = once()
-    steady = min(once(), cold)
-    return round(cold, 3), round(steady, 3)
+    steady: list[float] = []
+    for _ in range(4):
+        steady.append(once())
+        s = sorted(steady)
+        if len(s) >= 2 and s[1] / max(s[0], 1e-9) <= 1.15:
+            break
+    return round(cold, 3), round(min(*steady, cold), 3)
 
 
 def main() -> None:
@@ -55,6 +63,9 @@ def main() -> None:
 
     spark = get_spark(app_name="soak")
     bench_queries = [n for n, q in QUERIES.items() if q.bench]
+    stale = KNOWN_FANOUT - set(bench_queries)
+    if stale:
+        raise SystemExit(f"KNOWN_FANOUT names non-bench queries: {sorted(stale)}")
     # warmup
     QUERIES["revenue_by_nation_status"].builder(spark, a.small).collect()
 
@@ -62,15 +73,19 @@ def main() -> None:
     for name in bench_queries:
         c_s, t_s = time_query(spark, name, a.small)
         c_b, t_b = time_query(spark, name, a.big)
-        exp = round(math.log(t_b / t_s) / math.log(a.factor), 2) if t_s > 0 else None
-        flag = t_b > a.factor * t_s and name not in KNOWN_FANOUT
+        # floor timings for the ratio/log math: a sub-millisecond steady
+        # time would divide by zero / hit log(0)
+        ts_f, tb_f = max(t_s, 1e-3), max(t_b, 1e-3)
+        exp = round(math.log(tb_f / ts_f) / math.log(a.factor), 2)
+        flag = tb_f > a.factor * ts_f and name not in KNOWN_FANOUT
         rows.append(
             {
                 "query": name,
-                "sf0.1_steady": t_s,
-                "sf1_steady": t_b,
-                "sf1_cold": c_b,
-                "ratio": round(t_b / t_s, 2),
+                "small_steady": t_s,
+                "small_cold": c_s,
+                "big_steady": t_b,
+                "big_cold": c_b,
+                "ratio": round(tb_f / ts_f, 2),
                 "exponent": exp,
                 "known_fanout": name in KNOWN_FANOUT,
                 "flag_superlinear": flag,
@@ -79,20 +94,24 @@ def main() -> None:
         print(json.dumps(rows[-1], separators=(",", ":")), flush=True)
 
     with open(a.out, "w") as f:
-        json.dump({"factor": a.factor, "rows": rows}, f, indent=1)
+        json.dump(
+            {"factor": a.factor, "small": a.small, "big": a.big, "rows": rows},
+            f,
+            indent=1,
+        )
 
     flagged = [r for r in rows if r["flag_superlinear"]]
     print(f"\nflagged super-linear (no documented fan-out): {[r['query'] for r in flagged]}")
 
     # markdown table for BASELINE.md
     md = [
-        "| query | sf0.1 s | sf1 s | ratio | exponent | note |",
+        f"| query | {a.small} s | {a.big} s | ratio | exponent | note |",
         "| --- | --- | --- | --- | --- | --- |",
     ]
     for r in sorted(rows, key=lambda r: -r["ratio"]):
         note = "fan-out (documented)" if r["known_fanout"] else ("**super-linear**" if r["flag_superlinear"] else "")
         md.append(
-            f"| {r['query']} | {r['sf0.1_steady']} | {r['sf1_steady']} |"
+            f"| {r['query']} | {r['small_steady']} | {r['big_steady']} |"
             f" {r['ratio']}x | {r['exponent']} | {note} |"
         )
     print("\n".join(md))
