@@ -524,15 +524,68 @@ class LakeTableStreamReader(DataSourceStreamReader):
         self._committed = end["version"]
 
 
+def _footer_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] from the parquet footer of a file the task
+    just wrote — the engine's _harvest_stats discipline (tables.py:417):
+    int/float/str only (bool and binary excluded; parquet writers adjust
+    truncated string bounds so footer min/max are valid bounds), and a
+    column whose stats are missing in any row group is omitted (no
+    stats = no pruning = safe). Makes format-written units
+    stats-skippable like engine-written ones."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for i in range(md.num_columns):
+        name = md.schema.column(i).name
+        acc = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, (int, float, str))
+                or isinstance(st.min, bool)
+            ):
+                acc = None
+                break
+            acc = (
+                [st.min, st.max]
+                if acc is None
+                else [min(acc[0], st.min), max(acc[1], st.max)]
+            )
+        if acc is not None:
+            out[name] = acc
+    return out
+
+
+def _merge_stats(per_file: dict[str, dict[str, list]]) -> dict[str, list]:
+    """Unit-level [min, max] over per-file stats: only columns present
+    in EVERY file (a file without bounds for a column makes the unit
+    bound unknown — skipping stays conservative)."""
+    if not per_file:
+        return {}
+    common = set.intersection(*(set(s) for s in per_file.values()))
+    out: dict[str, list] = {}
+    for s in per_file.values():
+        for c in common:
+            lo, hi = s[c]
+            if c in out:
+                out[c] = [min(out[c][0], lo), max(out[c][1], hi)]
+            else:
+                out[c] = [lo, hi]
+    return out
+
+
 @dataclass
 class _WrittenFile(WriterCommitMessage):
     filename: str
     n_rows: int
-    # per written file: (dir-segment tuple, parquet filename). Commit
-    # publishes ONLY files named here and prunes everything else from
-    # the staged unit — files from failed or speculative task attempts
-    # (Spark retries tasks; both attempts land in the shared staged
-    # dir) must not reach the manifest.
+    # per written file: (dir-segment tuple, parquet filename, footer
+    # [min,max] stats). Commit publishes ONLY files named here and
+    # prunes everything else from the staged unit — files from failed
+    # or speculative task attempts (Spark retries tasks; both attempts
+    # land in the shared staged dir) must not reach the manifest.
     combos: tuple = ()
 
 
@@ -631,9 +684,12 @@ class LakeTableWriter(DataSourceArrowWriter):
             out_dir = os.path.join(self.path, self.unit_rel)
             os.makedirs(out_dir, exist_ok=True)
             fname = f"part-{uuid_hex()}.parquet"
-            pq.write_table(t, os.path.join(out_dir, fname))
+            fpath = os.path.join(out_dir, fname)
+            pq.write_table(t, fpath)
             return _WrittenFile(
-                filename=fname, n_rows=t.num_rows, combos=(((), fname),)
+                filename=fname,
+                n_rows=t.num_rows,
+                combos=(((), fname, _footer_stats(fpath)),),
             )
         keys = t.select(self.partition_by).to_pylist()
         combos: dict[tuple, list[int]] = {}
@@ -648,11 +704,11 @@ class LakeTableWriter(DataSourceArrowWriter):
             out_dir = os.path.join(self.path, self.unit_rel, *segs)
             os.makedirs(out_dir, exist_ok=True)
             fname = f"part-{uuid_hex()}.parquet"
+            fpath = os.path.join(out_dir, fname)
             pq.write_table(
-                data.take(pa.array(idx, type=pa.int64())),
-                os.path.join(out_dir, fname),
+                data.take(pa.array(idx, type=pa.int64())), fpath
             )
-            written.append((tuple(segs), fname))
+            written.append((tuple(segs), fname, _footer_stats(fpath)))
         return _WrittenFile(filename="", n_rows=t.num_rows, combos=tuple(written))
 
     # driver ---------------------------------------------------------------
@@ -668,7 +724,7 @@ class LakeTableWriter(DataSourceArrowWriter):
             os.path.join(self.path, self.unit_rel, *segs, fname)
             for m in messages
             if m
-            for segs, fname in m.combos
+            for segs, fname, _st in m.combos
         }
         base = os.path.join(self.path, self.unit_rel)
         if not os.path.isdir(base):
@@ -708,9 +764,12 @@ class LakeTableWriter(DataSourceArrowWriter):
         self._prune_unlisted(messages)
         n_rows = sum(m.n_rows for m in messages if m)
         if self.partition_by:
-            all_combos = sorted(
-                {segs for m in messages if m for segs, _f in m.combos}
-            )
+            by_segs: dict[tuple, dict[str, dict]] = {}
+            for m in messages:
+                if not m:
+                    continue
+                for segs, fname, st in m.combos:
+                    by_segs.setdefault(segs, {})[fname] = st
             new_units = [
                 {
                     "path": os.path.join(self.unit_rel, *segs),
@@ -718,10 +777,10 @@ class LakeTableWriter(DataSourceArrowWriter):
                         s.split("=", 1)[0]: s.split("=", 1)[1] for s in segs
                     },
                     "partition_types": dict(self.ptype_ddl),
-                    "stats": {},
-                    "file_stats": {},
+                    "stats": _merge_stats(files),
+                    "file_stats": files,
                 }
-                for segs in all_combos
+                for segs, files in sorted(by_segs.items())
             ]
             if not new_units and self.overwrite:
                 raise ValueError(
@@ -741,12 +800,18 @@ class LakeTableWriter(DataSourceArrowWriter):
                 }
             )
             pq.write_table(empty, os.path.join(out_dir, "part-empty.parquet"))
+        files = {
+            fname: st
+            for m in messages
+            if m
+            for _segs, fname, st in m.combos
+        }
         unit = {
             "path": self.unit_rel,
             "partition": {},
             "partition_types": {},
-            "stats": {},
-            "file_stats": {},
+            "stats": _merge_stats(files),
+            "file_stats": files,
         }
         doc = {
             "version": self.base_version + 1,
@@ -853,10 +918,14 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
         if not self.partition_by:
             out_dir = os.path.join(self.path, unit_rel)
             os.makedirs(out_dir, exist_ok=True)
-            pq.write_table(
-                t, os.path.join(out_dir, f"part-{uuid_hex()}.parquet")
+            fname = f"part-{uuid_hex()}.parquet"
+            fpath = os.path.join(out_dir, fname)
+            pq.write_table(t, fpath)
+            return _WrittenFile(
+                filename=unit_rel,
+                n_rows=t.num_rows,
+                combos=(((), fname, _footer_stats(fpath)),),
             )
-            return _WrittenFile(filename=unit_rel, n_rows=t.num_rows, combos=())
         keys = t.select(self.partition_by).to_pylist()
         groups: dict[tuple, list[int]] = {}
         for i, row in enumerate(keys):
@@ -869,11 +938,10 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
             segs = [LakeTableWriter._pdir(c, v) for c, v in combo]
             out_dir = os.path.join(self.path, unit_rel, *segs)
             os.makedirs(out_dir, exist_ok=True)
-            pq.write_table(
-                data.take(pa.array(idx, type=pa.int64())),
-                os.path.join(out_dir, f"part-{uuid_hex()}.parquet"),
-            )
-            written.append(tuple(segs))
+            fname = f"part-{uuid_hex()}.parquet"
+            fpath = os.path.join(out_dir, fname)
+            pq.write_table(data.take(pa.array(idx, type=pa.int64())), fpath)
+            written.append((tuple(segs), fname, _footer_stats(fpath)))
         return _WrittenFile(
             filename=unit_rel, n_rows=t.num_rows, combos=tuple(written)
         )
@@ -897,12 +965,12 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
                         s.split("=", 1)[0]: s.split("=", 1)[1] for s in segs
                     },
                     "partition_types": dict(self.ptype_ddl),
-                    "stats": {},
-                    "file_stats": {},
+                    "stats": dict(st),
+                    "file_stats": {fname: st},
                 }
                 for m in messages
                 if m and m.filename
-                for segs in m.combos
+                for segs, fname, st in m.combos
             ]
         else:
             new_units = [
@@ -910,8 +978,10 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
                     "path": m.filename,
                     "partition": {},
                     "partition_types": {},
-                    "stats": {},
-                    "file_stats": {},
+                    "stats": _merge_stats(
+                        {fname: st for _s, fname, st in m.combos}
+                    ),
+                    "file_stats": {fname: st for _s, fname, st in m.combos},
                 }
                 for m in messages
                 if m and m.filename
