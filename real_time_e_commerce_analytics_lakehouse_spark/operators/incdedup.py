@@ -53,7 +53,12 @@ def band_table(docs: DataFrame) -> DataFrame:
             F.expr(tx.minhash_component("hx", j, "spark")).alias(f"mh_{j}")
             for j in range(N_MINHASH)
         ],
-    )
+    ).persist()
+    # persist BEFORE the band fan-out: the union has N_BANDS branches
+    # over sig, and without the cache each branch re-runs the md5-heavy
+    # tokenize+digest+minhash pipeline (the exact re-evaluation
+    # plans/documents.lsh_candidate_pairs measured at ~8x). The lease
+    # rides the returned frame (release_cached convention).
     bands = []
     for b in range(N_BANDS):
         bands.append(
@@ -66,6 +71,7 @@ def band_table(docs: DataFrame) -> DataFrame:
     out = bands[0]
     for frame in bands[1:]:
         out = out.unionByName(frame)
+    out._cached_deps = [sig]
     return out
 
 
@@ -129,4 +135,10 @@ def ingest_batch(
     out = pairs.distinct().persist()
     out.count()
     nb.unpersist()
+    for dep in getattr(nb, "_cached_deps", []):
+        dep.unpersist()
+    # the caller releases the result's own cache when done
+    # (operators.simsearch.release_cached) — previously it leaked one
+    # cached pair frame per ingest in a long-lived session
+    out._cached_deps = [out]
     return out

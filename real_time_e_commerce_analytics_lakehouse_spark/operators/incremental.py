@@ -60,6 +60,21 @@ def signed_delta(
     return cdf.groupBy(*group_cols).agg(*aggs)
 
 
+_IVM_TXN_APP = "ivm_source_version"
+
+
+def _applied_marker(agg_table: LakeTable) -> int | None:
+    """Source version the aggregate table last recorded in its manifest
+    txn ledger (written atomically with each refresh's overwrite)."""
+    if not agg_table.exists():
+        return None
+    v = agg_table.latest_version()
+    if not v:
+        return None
+    m = agg_table._manifest_doc(v).get("txn", {}).get(_IVM_TXN_APP)
+    return int(m) if m is not None else None
+
+
 def incremental_agg_refresh(
     agg_table: LakeTable,
     source: LakeTable,
@@ -79,13 +94,26 @@ def incremental_agg_refresh(
     bottleneck; the only fact-sized work is the delta groupBy, bounded
     by the churn read_cdf reconstructs (cost ∝ touched units).
 
+    REPLAY SAFETY (r4 review): SUM deltas are NOT idempotent, so the
+    refresh records the applied source version in the agg table's
+    manifest txn ledger ATOMICALLY with the overwrite; every refresh
+    starts from max(since_version, that marker). A crash between the
+    agg commit and the caller persisting the returned version therefore
+    cannot re-fold the same delta — the marker already covers it.
+
     The returned version comes from the CDF rows THEMSELVES
     (max _commit_version), not a separate latest_version() probe — a
     commit landing between two metadata reads would otherwise be folded
     in now AND re-applied on the next refresh (double counting). A
-    data-neutral trailing commit (compaction) yields no rows, so its
-    version is reported as unapplied and harmlessly re-diffed (to zero
-    rows) next time."""
+    range holding only data-neutral commits (compaction/z-order)
+    returns the pre-probed end version so the consumer ADVANCES past
+    the rewrite instead of re-diffing the full table on every refresh
+    (the probe happens before read_cdf, so a commit racing in between
+    surfaces as CDF rows, never gets skipped)."""
+    end0 = source.latest_version()
+    marker = _applied_marker(agg_table)
+    if marker is not None and (since_version is None or marker > since_version):
+        since_version = marker  # crash-replay guard: never re-fold
     cdf = source.read_cdf(since_version, keys=keys)
     if cdf is None:
         return None
@@ -93,7 +121,7 @@ def incremental_agg_refresh(
     applied = cdf.agg(F.max("_commit_version")).first()[0]
     if applied is None:
         cdf.unpersist()
-        return None  # only data-neutral commits in range: nothing to fold
+        return end0  # only data-neutral commits: advance past them
     gcols = list(group_cols)
     delta = signed_delta(cdf, gcols, sum_cols)
     if agg_table.exists():
@@ -127,7 +155,10 @@ def incremental_agg_refresh(
                 + F.coalesce(F.col("d_rows"), F.lit(0))
             ).cast("long").alias("n_rows"),
         )
-    agg_table.overwrite(combined.where(F.col("n_rows") > 0))
+    agg_table.overwrite(
+        combined.where(F.col("n_rows") > 0),
+        txn={_IVM_TXN_APP: int(applied)},
+    )
     cdf.unpersist()
     return int(applied)
 
@@ -150,7 +181,11 @@ def incremental_minmax_refresh(
     clean groups fold the insert delta only. Dirty groups with no
     surviving rows disappear, as a recompute would. Folding is
     idempotent (least/greatest of re-seen values), so replays cannot
-    corrupt the aggregate. Target schema: group_cols + min_v + max_v."""
+    corrupt the aggregate. Target schema: group_cols + min_v + max_v.
+    A range holding only data-neutral commits returns the pre-probed
+    end version so consumers advance past compactions (see
+    incremental_agg_refresh)."""
+    end0 = source.latest_version()
     cdf = source.read_cdf(since_version, keys=keys)
     if cdf is None:
         return None
@@ -158,7 +193,7 @@ def incremental_minmax_refresh(
     applied = cdf.agg(F.max("_commit_version")).first()[0]
     if applied is None:
         cdf.unpersist()
-        return None
+        return end0
     gcols = list(group_cols)
     adds = (
         cdf.where(F.col("_change_type").isin("insert", "update_postimage"))
@@ -229,7 +264,10 @@ def incremental_distinct_refresh(
     alongside the sketch so consumers read the estimate without
     touching sketch functions. Replay-safe: re-merging already-seen
     values does not change an HLL. Target schema: group_cols + sketch
-    binary + n_distinct_est bigint."""
+    binary + n_distinct_est bigint. A range holding only data-neutral
+    commits returns the pre-probed end version so consumers advance
+    past compactions (see incremental_agg_refresh)."""
+    end0 = source.latest_version()
     cdf = source.read_cdf(since_version, keys=keys)
     if cdf is None:
         return None
@@ -237,7 +275,7 @@ def incremental_distinct_refresh(
     applied = cdf.agg(F.max("_commit_version")).first()[0]
     if applied is None:
         cdf.unpersist()
-        return None
+        return end0
     gcols = list(group_cols)
     adds = (
         cdf.where(F.col("_change_type").isin("insert", "update_postimage"))

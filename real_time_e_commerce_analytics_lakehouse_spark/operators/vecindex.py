@@ -65,8 +65,14 @@ def train_spherical_kmeans(
     materialized (cell_id, c_emb) frame — n_cells rows, the same
     bounded driver roundtrip MLlib's KMeans does per iteration."""
     e = e.select(F.col(id_col).alias("vec_id"), "emb")
-    cents = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb")
+    # seeds = the n_cells SMALLEST ids (sort-limit), not ids with value
+    # < n_cells: the latter silently yields an empty seed set — and an
+    # empty index — for any non-dense id space (offset, sharded,
+    # identity-assigned). Identical on dense 0-based ids.
+    cents = (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb"))
     )
     for _ in range(rounds):
         assigned = assign_cells(e, cents, "vec_id", 1)

@@ -157,7 +157,23 @@ def curate(
             semantic_dedup_flags_lsh,
         )
 
-        emb_cols = embeddings.columns
+        # bind id/vector columns BY NAME when the conventional names are
+        # present (positional binding mis-pairs frames with reordered or
+        # extra columns — r4 review); fall back to first-two positions
+        # for schema-free callers.
+        if {"vec_id", "embedding"} <= set(embeddings.columns):
+            emb_cols = ["vec_id", "embedding"]
+        else:
+            emb_cols = embeddings.columns[:2]
+        # score only docs that SURVIVED stages 1-3: flags over the full
+        # frame could drop a survivor because its lower-id neighbor was
+        # already removed for a different reason — losing every
+        # representative of that content (r4 review)
+        embeddings = embeddings.join(
+            deduped.select(F.col(id_col).alias(emb_cols[0])),
+            emb_cols[0],
+            "left_semi",
+        )
         if semantic_planes is not None:
             # LSH tier: adaptive cell count, linear pair work — the
             # production default once the corpus outgrows fixed cells

@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_disjoint(left: DataFrame, right: DataFrame, key: str) -> None:
+    """The interval joins emit left columns + right non-key columns
+    verbatim; a shared non-key name would produce duplicate output
+    columns (AMBIGUOUS_REFERENCE downstream) — refuse up front."""
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"column names {sorted(overlap)} exist on both streams; "
+            "rename one side before the interval join (output keeps "
+            "both sides' columns verbatim)"
+        )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,
@@ -43,9 +56,13 @@ def stream_stream_interval_join(
     [left_ts - lookback, left_ts]. Both sides watermarked; the interval
     predicate bounds the buffered state on each side.
 
-    Column contract: `left_ts` and `right_ts` must be distinct names and
-    `key` the shared join column (the output carries left columns + the
-    right side's non-key columns)."""
+    Column contract: `left_ts` and `right_ts` must be distinct names,
+    `key` the shared join column, and the two sides' OTHER column names
+    disjoint (the output carries left columns + the right side's
+    non-key columns verbatim; a shared non-key name would emit two
+    identically-named columns and break every downstream reference, so
+    it is refused here instead)."""
+    _check_disjoint(left, right, key)
     l = left.withWatermark(left_ts, watermark).alias("l")  # noqa: E741
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = F.expr(
@@ -77,7 +94,9 @@ def stream_stream_interval_join_outer(
     which is exactly why both the watermark AND the interval condition
     are mandatory for outer stream-stream joins (without them Spark
     rejects the query: state could never be evicted and no row could
-    ever be finalized)."""
+    ever be finalized). Same disjoint-column contract as the inner
+    variant."""
+    _check_disjoint(left, right, key)
     l = left.withWatermark(left_ts, watermark).alias("l")  # noqa: E741
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = F.expr(

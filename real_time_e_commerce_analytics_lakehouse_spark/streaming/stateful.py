@@ -5,7 +5,9 @@ aggregations cannot express: a per-user running profile (event count,
 value sum, last-seen timestamp) maintained across micro-batches and
 emitted incrementally. This is the Structured Streaming shape for custom
 state machines (fraud scoring, session enrichment, rate limiting) —
-Arrow-batched per group, state bounded by a processing-time timeout.
+Arrow-batched per group, state bounded by an opt-in processing-time
+timeout (see user_profiles: continuous deployments enable it;
+availableNow drains run without timers).
 
 Scale notes: state lives in the executor state store keyed by user_id
 (hash-partitioned shuffle); with the RocksDB state store provider this
@@ -25,12 +27,20 @@ OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestam
 STATE_SCHEMA = "n long, total double"
 
 
+IDLE_TIMEOUT_MS = 24 * 3600 * 1000  # drop state for keys idle a full day
+
+
 def _update_profile(
     key: tuple,
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # key idle past the timeout: evict its state (the bound that
+        # keeps abandoned keys from accumulating forever); emit nothing
+        state.remove()
+        return
     if state.exists:
         n, total = state.get
     else:
@@ -42,6 +52,10 @@ def _update_profile(
         m = pdf["ts"].max()
         last_ts = m if last_ts is None else max(last_ts, m)
     state.update((n, total))
+    try:
+        state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    except Exception:
+        pass  # NoTimeout mode: timers unsupported, eviction disabled
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -52,14 +66,26 @@ def _update_profile(
     )
 
 
-def user_profiles(events: DataFrame) -> DataFrame:
+def user_profiles(events: DataFrame, idle_timeout: bool = False) -> DataFrame:
     """Incrementally-maintained per-user profile over a stream of
     (user_id, ts, value) events. Each micro-batch emits the UPDATED
-    profiles of users present in the batch."""
+    profiles of users present in the batch.
+
+    `idle_timeout=True` enables the processing-time eviction path:
+    state for keys idle past IDLE_TIMEOUT_MS is removed (hasTimedOut
+    branch) — the bound a CONTINUOUS deployment needs so abandoned keys
+    cannot accumulate forever. Off by default because an availableNow
+    drain — the engine's test/backfill mode — blocks on the registered
+    timers instead of terminating (measured in this environment); a
+    continuous trigger services them normally."""
     return events.groupBy("user_id").applyInPandasWithState(
         _update_profile,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -52,12 +52,17 @@ class ProfileProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
-        vals: list[float] = []
+        # collect the WHOLE batch before ordering: a key's rows can span
+        # several Arrow chunks, and sorting each chunk independently
+        # would let a late row in a later chunk masquerade as the newest
+        # observation in the recent-values window (r4 review)
+        pairs: list[tuple] = []
         for pdf in rows:
-            pdf = pdf.sort_values("ts")
             n += len(pdf)
             total += float(pdf["value"].sum())
-            vals.extend(float(v) for v in pdf["value"])
+            pairs.extend(zip(pdf["ts"], (float(v) for v in pdf["value"])))
+        pairs.sort(key=lambda p: p[0])
+        vals = [v for _ts, v in pairs]
         old = [r[0] for r in self._recent.get()] if self._recent.exists() else []
         recent = (old + vals)[-RECENT_N:]
         # put() replaces the list — the trim keeps per-key state O(1)

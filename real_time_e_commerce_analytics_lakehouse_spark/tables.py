@@ -1395,7 +1395,12 @@ class LakeTable:
             F.lit(version).cast("long").alias("_commit_version"),
         )
 
-    def overwrite(self, df: DataFrame, where: object | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        where: object | None = None,
+        txn: dict | None = None,
+    ) -> int:
         """Full-refresh write (S7; reference metrics marts 07:72-78).
         Resets deletion vectors AND column mapping — the new data
         defines the schema, so its names become the physical names.
@@ -1412,20 +1417,34 @@ class LakeTable:
         Touched units (found by ONE pushed-predicate discovery scan,
         same machinery as DELETE) are rewritten without their matching
         rows; every other unit is carried by reference, so the cost is
-        proportional to the data replaced, not the table."""
+        proportional to the data replaced, not the table.
+
+        `txn` = {app_id: version} markers folded into the manifest's
+        txn ledger ATOMICALLY with the data commit (append_once's
+        ledger) — lets a maintained-view refresh record the source
+        version it reflects in the same commit, so a crash between the
+        write and the caller's own bookkeeping cannot double-apply."""
         if where is not None:
+            if txn:
+                raise ValueError("txn markers support full overwrite only")
             return self._overwrite_where(df, where)
         ih: int | str = "carry"
         if self.identity and self.identity not in df.columns:
             start = self._identity_high() + 1
             df, n = self._assign_identity(df, start)
             ih = start + n - 1 if n else "carry"
+        tx: dict | str = "carry"
+        if txn:
+            cur = self.latest_version()
+            tx = dict(self._manifest_doc(cur).get("txn", {})) if cur else {}
+            tx.update({k: int(v) for k, v in txn.items()})
         return self._commit(
             self._write_units(df, apply_colmap=False),
             op="overwrite",
             dv=[],
             colmap=({}, []),
             identity_high=ih,
+            txn=tx,
         )
 
     def _overwrite_where(self, df: DataFrame, where: object) -> int:

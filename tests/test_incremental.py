@@ -258,3 +258,49 @@ def test_incremental_agg_null_group_key(spark, tmp_path):
     refresh()
     assert agg.read().where(F.col("status").isNull()).count() == 0
     assert mm.read().where(F.col("status").isNull()).count() == 0
+
+
+def test_agg_refresh_replay_and_compaction_advance(spark, tmp_path):
+    """r4 review hardening: (1) REPLAY SAFETY — re-running the refresh
+    with a stale since_version (caller crashed before persisting the
+    returned version) folds nothing twice: the txn marker the overwrite
+    recorded atomically guards it, so sums stay equal to a full
+    recompute instead of doubling. (2) A range holding only
+    data-neutral commits (compaction) returns the end version so the
+    consumer advances past the rewrite instead of re-diffing the whole
+    table forever."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    agg = LakeTable(spark, str(tmp_path / "agg"))
+
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)],
+            "id long, status string, amount double",
+        )
+    )
+    v1 = incremental_agg_refresh(
+        agg, src, None, group_cols=["status"], sum_cols=["amount"], keys="id"
+    )
+    assert v1 == src.latest_version()
+    expected = _rows(_full(src))
+    assert _rows(agg.read()) == expected
+
+    # crash-replay: same call again with the ORIGINAL since_version
+    v2 = incremental_agg_refresh(
+        agg, src, None, group_cols=["status"], sum_cols=["amount"], keys="id"
+    )
+    assert _rows(agg.read()) == expected  # NOT doubled
+    assert v2 is None or v2 <= v1
+
+    # data-neutral trailing commit: consumer advances past it
+    src.compact()
+    v3 = incremental_agg_refresh(
+        agg, src, v1, group_cols=["status"], sum_cols=["amount"], keys="id"
+    )
+    assert v3 == src.latest_version()
+    assert _rows(agg.read()) == expected
+    # and the next refresh from the advanced version is a cheap no-op
+    v4 = incremental_agg_refresh(
+        agg, src, v3, group_cols=["status"], sum_cols=["amount"], keys="id"
+    )
+    assert v4 is None
