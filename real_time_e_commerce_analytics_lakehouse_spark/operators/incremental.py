@@ -68,11 +68,7 @@ def _applied_marker(agg_table: LakeTable) -> int | None:
     txn ledger (written atomically with each refresh's overwrite)."""
     if not agg_table.exists():
         return None
-    v = agg_table.latest_version()
-    if not v:
-        return None
-    m = agg_table._manifest_doc(v).get("txn", {}).get(_IVM_TXN_APP)
-    return int(m) if m is not None else None
+    return agg_table.last_txn_version(_IVM_TXN_APP)
 
 
 def incremental_agg_refresh(

@@ -302,6 +302,26 @@ class LakeTable:
         """S13 table-exists probe (DeltaTable.isDeltaTable analog)."""
         return self.latest_version() is not None
 
+    def _txns(self, version: int | None) -> dict:
+        """Copy of the txn ledger at `version` ({} for an empty table) —
+        the one spelling shared by _commit's carry, append_once, and
+        overwrite(txn=...)."""
+        return (
+            dict(self._manifest_doc(version).get("txn", {})) if version else {}
+        )
+
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Watermark the txn ledger records for `txn_app`, or None —
+        the PUBLIC reader for markers written by append_once /
+        overwrite(txn=...) (consumers: exactly-once writers resuming,
+        incremental view maintenance reading its applied-source-version
+        marker)."""
+        v = self.latest_version()
+        if not v:
+            return None
+        m = self._manifest_doc(v).get("txn", {}).get(txn_app)
+        return int(m) if m is not None else None
+
     def _manifest_doc(self, version: int) -> dict:
         """Parsed manifest for `version`, via a process-wide cache.
         Manifests are immutable once committed (exclusive-create link),
@@ -388,11 +408,7 @@ class LakeTable:
         )
         if ih:
             doc["identity_high"] = ih
-        tx = (
-            (dict(self._manifest_doc(current).get("txn", {})) if current else {})
-            if txn == "carry"
-            else dict(txn)  # type: ignore[arg-type]
-        )
+        tx = self._txns(current) if txn == "carry" else dict(txn)  # type: ignore[arg-type]
         if tx:
             doc["txn"] = tx
         tmp = self._manifest_file(new_version) + f".tmp-{uuid.uuid4().hex}"
@@ -1423,9 +1439,14 @@ class LakeTable:
         txn ledger ATOMICALLY with the data commit (append_once's
         ledger) — lets a maintained-view refresh record the source
         version it reflects in the same commit, so a crash between the
-        write and the caller's own bookkeeping cannot double-apply."""
+        write and the caller's own bookkeeping cannot double-apply.
+        Same replay semantics as append_once: a marker at or below the
+        recorded watermark means this write already happened — skipped,
+        returns None — and the ledger decision is pinned to the version
+        it was read at (a concurrent commit surfaces as a conflict,
+        never a silently dropped ledger entry)."""
         if where is not None:
-            if txn:
+            if txn is not None:
                 raise ValueError("txn markers support full overwrite only")
             return self._overwrite_where(df, where)
         ih: int | str = "carry"
@@ -1433,18 +1454,32 @@ class LakeTable:
             start = self._identity_high() + 1
             df, n = self._assign_identity(df, start)
             ih = start + n - 1 if n else "carry"
-        tx: dict | str = "carry"
-        if txn:
+        if txn is not None:
             cur = self.latest_version()
-            tx = dict(self._manifest_doc(cur).get("txn", {})) if cur else {}
+            tx = self._txns(cur)
+            if any(
+                int(v) <= int(tx.get(k, -1)) for k, v in txn.items()
+            ):
+                return None  # stale marker: idempotent replay, skip
             tx.update({k: int(v) for k, v in txn.items()})
+            # strict base: the ledger snapshot was read at `cur`, so a
+            # commit landing in between must conflict, not be dropped
+            # from the merged ledger (same discipline as append_once)
+            return self._commit(
+                self._write_units(df, apply_colmap=False),
+                op="overwrite",
+                base_version=cur,
+                dv=[],
+                colmap=({}, []),
+                identity_high=ih,
+                txn=tx,
+            )
         return self._commit(
             self._write_units(df, apply_colmap=False),
             op="overwrite",
             dv=[],
             colmap=({}, []),
             identity_high=ih,
-            txn=tx,
         )
 
     def _overwrite_where(self, df: DataFrame, where: object) -> int:
@@ -1680,7 +1715,7 @@ class LakeTable:
         tool when the batch has no natural key or the caller already
         has exactly-once offsets (Structured Streaming's batchId)."""
         v = self.latest_version()
-        txns = dict(self._manifest_doc(v).get("txn", {})) if v else {}
+        txns = self._txns(v)
         last = int(txns.get(txn_app, -1))
         if txn_version <= last:
             return None

@@ -1981,3 +1981,59 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert t.read().count() == 200
     # idempotent: immediately after compaction it declines again
     assert t.maybe_compact(max_units=16) is None
+
+
+def test_overwrite_txn_markers_replay_and_conflict(spark, tmp_path):
+    """overwrite(txn=...) has append_once's ledger semantics (r4
+    review): a stale marker (<= recorded watermark) is an idempotent
+    replay — skipped, returns None, data untouched; fresh markers merge
+    into the carried ledger atomically; and the ledger decision is
+    pinned to the version it was read at, so a commit racing in
+    between surfaces as a conflict instead of silently dropping the
+    other writer's ledger entry. last_txn_version is the public
+    reader."""
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import (
+        ConcurrentWriteError,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    t.overwrite(df1, txn={"refresh": 5})
+    assert t.last_txn_version("refresh") == 5
+
+    # stale replay: no commit, no data change
+    v_before = t.latest_version()
+    df2 = spark.createDataFrame([(9, "z")], "id long, v string")
+    assert t.overwrite(df2, txn={"refresh": 5}) is None
+    assert t.overwrite(df2, txn={"refresh": 4}) is None
+    assert t.latest_version() == v_before
+    assert [tuple(r) for r in t.read().collect()] == [(1, "a")]
+
+    # fresh marker merges with other apps' watermarks
+    t.append_once(df2, "ingest", 12)
+    t.overwrite(df1, txn={"refresh": 6})
+    assert t.last_txn_version("refresh") == 6
+    assert t.last_txn_version("ingest") == 12  # carried, not dropped
+
+    # ledger read pinned to its version: a racing commit conflicts
+    racer = LakeTable(spark, t.path)
+    base = t.latest_version()
+    import json as _json
+    import os
+
+    # simulate the race by committing between the ledger read and the
+    # overwrite's commit: bump the manifest under the same base
+    doc = _json.load(open(os.path.join(t.path, "_log", f"{base:08d}.json")))
+    doc["version"] = base + 1
+    with open(os.path.join(t.path, "_log", f"{base + 1:08d}.json"), "w") as f:
+        _json.dump(doc, f)
+    # pin the racer's view at `base` so its ledger snapshot predates the
+    # fake commit — the strict-base commit must then conflict
+    import unittest.mock as _mock
+
+    with pytest.raises(ConcurrentWriteError):
+        with _mock.patch.object(
+            LakeTable, "latest_version", return_value=base
+        ):
+            racer.overwrite(df1, txn={"refresh": 7})
