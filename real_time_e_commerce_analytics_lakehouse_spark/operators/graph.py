@@ -29,9 +29,10 @@ Scale notes:
   and the driver dies planning round ~15. On a cluster with a
   checkpoint dir configured, `spark.sparkContext.setCheckpointDir` +
   `use_local_checkpoint=False` gives fault-tolerant truncation.
-- Convergence is certified by sum(label): labels only ever decrease,
-  so an unchanged sum IS the fixpoint — one tiny agg action per round
-  instead of a changed-rows join.
+- Convergence is certified by a hash digest of the labels (sum of
+  per-row hashes mod a prime — type-agnostic and overflow-safe):
+  labels only ever decrease, so an unchanged digest IS the fixpoint —
+  one tiny agg action per round instead of a changed-rows join.
 - The fixpoint (vertex -> min vertex id of its component) is unique,
   so results are deterministic and hash-exact against the DuckDB
   recursive-CTE oracle (plans/documents.py:neardup_clusters).
@@ -41,6 +42,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _label_digest():
+    """Overflow-safe change digest over the comp column: sum of
+    per-row hashes reduced mod a prime (works for any id type; a raw
+    xxhash64 sum overflows BIGINT under ANSI)."""
+    return F.sum(F.pmod(F.xxhash64("comp"), F.lit(1_000_000_007)))
 
 
 def connected_components(
@@ -82,7 +90,7 @@ def connected_components(
             F.col("v").alias(vertex_col), F.col("comp").alias(component_col)
         )
 
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    prev_sum = labels.agg(_label_digest()).collect()[0][0]
     for _ in range(max_rounds):
         # hop: min over neighbor labels
         nbr = (
@@ -113,7 +121,13 @@ def connected_components(
             )
         )
         labels = _materialize(jumped)
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        # convergence witness must work for ANY orderable id type:
+        # F.sum over STRING comps casts to NULL (non-ANSI), making
+        # None == None converge after round 1 with wrong components —
+        # hash (mod a prime: a raw 64-bit hash sum overflows long under
+        # ANSI), then sum; labels are per-vertex non-increasing, so any
+        # change flips its hash and the digest moves
+        new_sum = labels.agg(_label_digest()).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease: fixpoint reached
             break
         prev_sum = new_sum

@@ -40,8 +40,15 @@ def dense_row_ids(
     (equal-width bucketing on the value), so the within-bucket tiebreak
     is globally correct. The composite ordering must be unique.
     """
+    # three actions consume df (min/max, per-bucket counts, the final
+    # ranked result) and cross-job exchange reuse does not apply — the
+    # persist stops the input pipeline (which can carry expensive
+    # expressions, e.g. BPE token counts) from running three times.
+    # The lease rides the result (release_cached convention).
+    df = df.persist()
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:  # empty input
+        df.unpersist()
         return df.withColumn(out, F.lit(None).cast("long"))
     span = float(hi) - float(lo) + 1.0
     bucket = F.least(
@@ -66,12 +73,14 @@ def dense_row_ids(
     w = W.partitionBy("__bucket").orderBy(
         F.col(order_col).asc(), *[F.col(c).asc() for c in tiebreak]
     )
-    return (
+    res = (
         bucketed.withColumn(
             out, (F.row_number().over(w) + omap[F.col("__bucket")]).cast("long")
         )
         .drop("__bucket")
     )
+    res._cached_deps = [df]
+    return res
 
 
 def distributed_cumsum(
@@ -87,8 +96,10 @@ def distributed_cumsum(
     SUMS. Exact for integer values (offsets add exactly); equal to
     `sum(value) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)`
     when the order column is unique."""
+    df = df.persist()  # same three-action shape as dense_row_ids
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:
+        df.unpersist()
         return df.withColumn(out, F.lit(None).cast("long"))
     span = float(hi) - float(lo) + 1.0
     bucket = F.least(
@@ -115,9 +126,11 @@ def distributed_cumsum(
         .orderBy(F.col(order_col).asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
+    res = (
         bucketed.withColumn(
             out, (F.sum(value_col).over(w) + omap[F.col("__bucket")]).cast("long")
         )
         .drop("__bucket")
     )
+    res._cached_deps = [df]
+    return res

@@ -41,8 +41,19 @@ def salted_join(
     big gains a random-but-deterministic salt (hash of all columns mod
     salt — no RNG, so the operator is replay-stable); small is exploded
     across all salt values. Join keys become (key..., salt). Result
-    equals a plain join (verified in tests/test_operators.py).
+    equals a plain join (verified in tests/test_operators.py) for the
+    join types where the exploded small side cannot replicate output:
+    inner/left/semi/anti preserve big-side multiplicity; right/full
+    would emit every UNMATCHED small row once PER SALT VALUE, so they
+    are refused (same contract as operators/joins.range_join).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salt-exploded "
+            "small side would replicate unmatched rows; flip the sides or "
+            "use a plain join"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt_col = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt).alias(
         "__salt"
@@ -116,7 +127,9 @@ def two_stage_count_distinct(
     to groupBy(keys).agg(countDistinct(col)) (NULLs excluded, matching
     SQL COUNT(DISTINCT))."""
     ks = [keys] if isinstance(keys, str) else list(keys)
-    distinct = (
-        df.filter(F.col(col).isNotNull()).select(*ks, col).dropDuplicates(ks + [col])
-    )
-    return distinct.groupBy(*ks).agg(F.count(F.lit(1)).alias(out))
+    # keep NULL-valued rows through the dedup so a group whose values
+    # are ALL NULL still yields a row (count=0), exactly like
+    # countDistinct; the final count(col) skips the NULLs itself —
+    # pre-filtering dropped such groups entirely (r4 review)
+    distinct = df.select(*ks, col).dropDuplicates(ks + [col])
+    return distinct.groupBy(*ks).agg(F.count(F.col(col)).alias(out))

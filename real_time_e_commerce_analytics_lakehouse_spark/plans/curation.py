@@ -257,10 +257,14 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_quantile_filter",
     oracle=f"""
     WITH scored AS (
+        -- COALESCE 0: a zero-token doc divides to NULL, and NULL sorts
+        -- FIRST in Spark's default ascending order but LAST in
+        -- DuckDB's, shifting every percent_rank — scoring empty docs 0
+        -- keeps the engines aligned (both coalesce identically)
         SELECT doc_id, lang,
-               round(CAST({tx.count_in_set(tx.tokens('text', 'duck'),
+               COALESCE(round(CAST({tx.count_in_set(tx.tokens('text', 'duck'),
                                            tx.STOPWORDS['en'], 'duck')} AS DOUBLE)
-                     / len({tx.tokens('text', 'duck')}), 6) AS score
+                     / len({tx.tokens('text', 'duck')}), 6), 0) AS score
         FROM documents
     ),
     ranked AS (
@@ -291,8 +295,8 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.expr(
-            f"round(cast({tx.count_in_set(toks, tx.STOPWORDS['en'], 'spark')} "
-            f"as double) / size({toks}), 6)"
+            f"coalesce(round(cast({tx.count_in_set(toks, tx.STOPWORDS['en'], 'spark')} "
+            f"as double) / size({toks}), 6), 0d)"
         ).alias("score"),
     )
     w = W.partitionBy("lang").orderBy("score", "doc_id")

@@ -66,6 +66,35 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_session_id(ev):
+    """Shared session assignment (sessionize_events AND
+    session_turn_transcripts — one spelling so the gap semantics cannot
+    drift between them): per user, a row starts a new session when the
+    gap from the previous event exceeds SESSION_GAP_US; the running sum
+    of the start flags is the session id."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > SESSION_GAP_US
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long"),
+        )
+    )
+
+
 @register(
     "sessionize_events",
     oracle=f"""
@@ -108,19 +137,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
-        "new_session",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_US),
-            1,
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
-    )
+    numbered = _with_session_id(ev)
     return numbered.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
@@ -212,10 +229,13 @@ def event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_rollup",
     oracle=f"""
     {EVENTS_CTE}
+    -- TRY_CAST mirrors Spark's non-ANSI cast: a non-numeric props.k is
+    -- NULL (excluded from the aggregates), where a strict CAST would
+    -- abort the whole oracle query
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS max_k
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))   AS max_k
     FROM ev
     GROUP BY event_type
     """,
@@ -569,27 +589,7 @@ def session_turn_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    numbered = (
-        ev.withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_ts").isNull()
-                | (
-                    F.unix_micros("ts") - F.unix_micros("prev_ts")
-                    > SESSION_GAP_US
-                ),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "session_id",
-            F.sum("new_session")
-            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .cast("long"),
-        )
-    )
+    numbered = _with_session_id(ev)
     sessions = numbered.groupBy("user_id", "session_id").agg(
         F.transform(
             F.sort_array(

@@ -254,14 +254,18 @@ def trending_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.expr(tx.tokens("text", "spark"))).alias("t")
     )
-    toks.createOrReplaceTempView("__toks")
-    return spark.sql(f"""
-        SELECT posexplode(hits) AS (rank0, hit)
-        FROM (SELECT approx_top_k(t, {TOPK_SKETCH_K}) AS hits FROM __toks)
-    """).select(
-        (F.col("rank0") + 1).cast("long").alias("rank"),
-        F.col("hit.item").alias("token"),
-        F.col("hit.count").cast("long").alias("approx_count"),
+    # selectExpr, not a temp view: registering scratch names on the
+    # shared session is a side effect two concurrently-built plans (or
+    # a caller's own view) could clobber — identical plan, no catalog
+    # mutation (r4 review)
+    return (
+        toks.selectExpr(f"approx_top_k(t, {TOPK_SKETCH_K}) AS hits")
+        .selectExpr("posexplode(hits) AS (rank0, hit)")
+        .select(
+            (F.col("rank0") + 1).cast("long").alias("rank"),
+            F.col("hit.item").alias("token"),
+            F.col("hit.count").cast("long").alias("approx_count"),
+        )
     )
 
 
@@ -315,9 +319,14 @@ RRF_K = 60
 RRF_TOP_K = 10
 
 
-@register(
-    "hybrid_rrf_search",
-    oracle=_bm25_sql().replace(
+def _hybrid_oracle() -> str:
+    """RRF oracle: the shared BM25 CTE prefix with the final SELECT
+    swapped for the two-ranking fusion. Built by substring replace on
+    _bm25_sql(); FAIL-FAST if the template drifted (a silent no-op
+    replace would register plain BM25 as the oracle and surface as a
+    confusing column-shape mismatch far from the cause)."""
+    base = _bm25_sql()
+    out = base.replace(
         f"""
     SELECT doc_id, rank, round(bm25, 6) AS bm25
     FROM (
@@ -352,7 +361,17 @@ RRF_TOP_K = 10
     )
     WHERE rank <= {RRF_TOP_K}
     """,
-    ),
+    )
+    if out == base:
+        raise RuntimeError(
+            "hybrid_rrf_search oracle template drifted from _bm25_sql"
+        )
+    return out
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=_hybrid_oracle(),
     doc=(
         "Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
         "2009): fuse the BM25 relevance ranking with a second signal's "
