@@ -431,6 +431,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", F.round("val", 2).cast("double").alias("part_value")
         )
     )
+    out._cached_deps = [pv]  # released by the harness/caller post-action
     return out
 
 
@@ -528,7 +529,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
-    return (
+    out = (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
@@ -538,6 +539,8 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_rev", 2).cast("double").alias("total_revenue"),
         )
     )
+    out._cached_deps = [rev]  # released by the harness/caller post-action
+    return out
 
 
 @register(
@@ -609,7 +612,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "TPC-H Q17 (small-quantity-order revenue): revenue from "
-        "lineitems whose quantity is below 20%% of the part's average "
+        "lineitems whose quantity is below 20% of the part's average "
         "quantity — the correlated-average shape. The avg comparison is "
         "multiplied through (qty*5*n < sum_qty) so it stays exact "
         "decimal×integer — a double-rounded average threshold could "
@@ -858,7 +861,7 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     tot = pair.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
-    return (
+    out = (
         pair.join(tot, "l_partkey")
         .filter(F.col("q") * 8 > F.col("tq"))
         .join(F.broadcast(s), pair.l_suppkey == s.s_suppkey)
@@ -866,6 +869,8 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
         .agg(F.count("*").alias("n_dominated_parts"))
     )
+    out._cached_deps = [pair]  # released by the harness/caller post-action
+    return out
 
 
 @register(

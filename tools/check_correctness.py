@@ -63,7 +63,16 @@ def run_duckdb(sql: str, sf_dir: str) -> tuple[list[tuple], list[str]]:
 def check(name: str, sf_dir: str, spark) -> tuple[bool, str]:
     q = QUERIES[name]
     sdf = q.builder(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
+    try:
+        srows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # release cache leases + any persists a builder took for its own
+        # multi-action internals: this harness (and the pytest wrapper)
+        # runs the whole registry in ONE session, so an unreleased
+        # persist would stay pinned for every later query (r4 review)
+        for dep in getattr(sdf, "_cached_deps", []):
+            dep.unpersist()
+        spark.catalog.clearCache()
     scols = sdf.columns
     if q.oracle is None:
         return True, f"rows-only ({len(srows)} rows)"
