@@ -131,13 +131,13 @@ def fully_shipped_multisupplier_orders(
     oracle="""
     SELECT o_custkey,
            arg_max(o_orderkey,   date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) * 10000000 + o_orderkey)
+               CAST(o_orderdate AS DATE)) * 1000000000000 + o_orderkey)
              AS last_orderkey,
            arg_max(o_totalprice, date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) * 10000000 + o_orderkey)
+               CAST(o_orderdate AS DATE)) * 1000000000000 + o_orderkey)
              AS last_price,
            arg_min(o_orderkey,   date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) * 10000000 + o_orderkey)
+               CAST(o_orderdate AS DATE)) * 1000000000000 + o_orderkey)
              AS first_orderkey,
            count(*) AS n_orders
     FROM orders
@@ -163,7 +163,7 @@ def customer_last_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_key = (
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
         .cast("long")
-        * F.lit(10000000).cast("long")
+        * F.lit(1_000_000_000_000).cast("long")
         + F.col("o_orderkey")
     )
     return (

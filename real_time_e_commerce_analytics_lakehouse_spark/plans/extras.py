@@ -385,8 +385,6 @@ def promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderstatus").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")

@@ -275,8 +275,11 @@ def _ada_sql(d: str) -> str:
     """AdaBoost with depth-1 stumps, unrolled to ADA_ROUNDS rounds.
 
     Exactness discipline: weighted errors are decimal-exact sums of
-    per-row weight terms; alpha = 0.5*ln((1-e)/e) and the weight update
-    exp(-alpha*y*h) are the same IEEE tree on identical exact inputs;
+    per-row weight terms; alpha = 0.5*ln((1-e)/e) is rounded to 6
+    decimals and the exp() in the weight update to 9 BEFORE use (the
+    _nb_sql discipline: last-ulp libm divergence between engines is
+    observed, and unrounded transcendentals would make the gate
+    flaky at larger corpora);
     updated weights are re-quantized — round(w, 12) then decimal-cast —
     before the next round's sums, so reduction order never perturbs the
     chosen stump. Ties in the stump search break on (feature,
@@ -318,19 +321,19 @@ def _ada_sql(d: str) -> str:
     ),
     best{k} AS (
         SELECT feat, thr, pol, e,
-               0.5 * ln((1 - greatest(1e-10, least(1 - 1e-10,
+               round(0.5 * ln((1 - greatest(1e-10, least(1 - 1e-10,
                                       CAST(e AS DOUBLE))))
                         / greatest(1e-10, least(1 - 1e-10,
-                                   CAST(e AS DOUBLE)))) AS alpha
+                                   CAST(e AS DOUBLE)))), 6) AS alpha
         FROM err{k}
         ORDER BY e ASC, feat ASC, thr ASC, pol ASC LIMIT 1
     ),
     upd{k} AS (
         SELECT r.y, r.x1, r.x2, r.x3,
-               CAST(r.w AS DOUBLE) * exp(-b.alpha * r.y * (CASE WHEN
+               CAST(r.w AS DOUBLE) * round(exp(-b.alpha * r.y * (CASE WHEN
                    (CASE b.feat WHEN 'x1' THEN r.x1
                     WHEN 'x2' THEN r.x2 ELSE r.x3 END > b.thr)
-                   THEN b.pol ELSE -b.pol END)) AS wraw
+                   THEN b.pol ELSE -b.pol END)), 9) AS wraw
         FROM w{k} r CROSS JOIN best{k} b
     ),
     z{k} AS (

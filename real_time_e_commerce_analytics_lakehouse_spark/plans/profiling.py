@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -358,7 +359,7 @@ def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed AS (
         SELECT order_date, day_rev,
                list_sort(list(day_rev) OVER (ORDER BY order_date
-                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS win
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
         FROM daily
     )
     SELECT order_date, round(day_rev, 2) AS day_revenue,
@@ -367,7 +368,7 @@ def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM framed
     """,
     doc=(
-        "Exact moving median over a trailing 8-row window (robust "
+        "Exact moving median over a trailing 7-row window (one row per day present, matching the trailing_7d name — the frame was 8 rows, r4 review) (robust "
         "smoothing — the outlier-resistant sibling of the EWMA): "
         "collect the frame, sort it, take the lower middle element "
         "(1-based position (n+1) div 2 — a pinned integer convention, "
@@ -387,7 +388,7 @@ def trailing_7d_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("day_rev")
     )
-    w = Window.orderBy("order_date").rowsBetween(-7, 0)
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
     win = F.sort_array(F.collect_list("day_rev").over(w))
     return daily.select(
         "order_date",
@@ -466,10 +467,9 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "key_skew_report",
-    oracle="""
+    oracle=f"""
     WITH b AS (
-        SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 6))
-                    AS BIGINT) % 32 AS bucket
+        SELECT {tx.hash_bucket("o_custkey", 32, "duck")} AS bucket
         FROM orders
     ),
     per AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
@@ -497,11 +497,9 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % 32
-    )
+    # shared cross-engine bucket hash (functions/textexpr.hash_bucket —
+    # one spelling of the md5-slice contract instead of a drifted copy)
+    bucket = F.expr(tx.hash_bucket("o_custkey", 32, "spark"))
     per = orders.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
     return per.agg(
         F.count("*").cast("long").alias("n_buckets"),

@@ -111,6 +111,27 @@ def surrogate_dim_customer_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _staging_dir(prefix: str, sf_dir: str) -> str:
+    """Per-process staging dir under the system temp root, registered
+    for atexit removal: the pid-keyed tag that keeps concurrent
+    harnesses from racing also guarantees no LATER process reuses the
+    path, so without the atexit hook every run leaked a full staged
+    table copy into /tmp (r4 review)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 @register(
     "laketable_format_roundtrip",
     oracle=f"""
@@ -137,24 +158,10 @@ def surrogate_dim_customer_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("table", "formats", "agg"),
 )
 def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from real_time_e_commerce_analytics_lakehouse_spark.sources import pyds
 
     pyds.register(spark)
-    # md5 of (sf_dir, pid): stable within a process (repeat builds
-    # reuse one dir) but disjoint across processes — two concurrent
-    # harnesses (e.g. the plan audit and the correctness gate) must not
-    # race on one staging table. hash() would also differ per process
-    # but is randomized even across runs of the same process image.
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"laketable_fmt_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _staging_dir("laketable_fmt", sf_dir)
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
@@ -199,21 +206,14 @@ def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("table", "incremental", "agg"),
 )
 def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from real_time_e_commerce_analytics_lakehouse_spark.operators.incremental import (
         incremental_agg_refresh,
     )
     from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
 
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"ivm_mart_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _staging_dir("ivm_mart", sf_dir)
     src = LakeTable(spark, os.path.join(base, "src"))
     agg = LakeTable(spark, os.path.join(base, "agg"))
 
