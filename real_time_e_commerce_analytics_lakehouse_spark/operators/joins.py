@@ -62,6 +62,12 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = _as_list(on)
     left_cols = left.columns
+    # NULL timestamps have no position on the as-of axis: a NULL right
+    # ts can never satisfy <=/>= (SQL three-valued logic) yet would
+    # sort nulls-first in the ascending scan and leak its value into
+    # every following left row (r4 review) — drop such right rows, and
+    # null the result for NULL-ts left rows below.
+    right = right.filter(F.col(right_ts).isNotNull())
     # right side collapsed to: keys + ts + value
     r = right.select(
         *keys,
@@ -101,7 +107,10 @@ def asof_join(
     out = (
         unioned.withColumn("__asof", F.last("__rval", ignorenulls=True).over(w))
         .filter(is_left)
-        .select(*left_cols, F.col("__asof").alias(alias))
+        .select(
+            *left_cols,
+            F.when(F.col("__ts").isNotNull(), F.col("__asof")).alias(alias),
+        )
     )
     return out
 
@@ -138,15 +147,18 @@ def range_join(
         raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     keys = _as_list(on) if on else []
     bw = F.lit(bucket_width)
-    i = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bw).cast("long"),
-                F.floor((F.col(end_col) - F.lit(1e-9)) / bw).cast("long"),
-            )
-        ),
-    )
+    start_b = F.floor(F.col(start_col) / bw).cast("long")
+    # end is EXCLUSIVE, but subtracting an epsilon to express that is
+    # wrong twice over: it DROPS the final bucket when end lies within
+    # epsilon above a boundary (losing in-range points), and at large
+    # magnitudes (unix micros ~1e15) the epsilon vanishes in double
+    # rounding anyway (r4 review). Using floor(end/bw) instead costs at
+    # most one empty extra bucket when end is exactly aligned — the
+    # exact predicate discards it. greatest() clamps inverted intervals
+    # (end < start, e.g. corrupt rows) to ONE bucket instead of letting
+    # F.sequence generate a huge descending explosion.
+    end_b = F.greatest(F.floor(F.col(end_col) / bw).cast("long"), start_b)
+    i = intervals.withColumn("__bucket", F.explode(F.sequence(start_b, end_b)))
     p = points.withColumn("__bucket", F.floor(F.col(point_col) / bw).cast("long"))
     cond = [p["__bucket"] == i["__bucket"]] + [p[k] == i[k] for k in keys]
     exact = (p[point_col] >= i[start_col]) & (p[point_col] < i[end_col])

@@ -173,17 +173,31 @@ class OlistPipeline:
 
     def _conform_geolocation(self, cleaned: DataFrame, silver: LakeTable) -> None:
         """Consolidate per zip: centroid = avg(lat/lng), label = modal
-        city/state with deterministic tie-break (02:155-184)."""
-        agg = cleaned.groupBy("zip_code_prefix").agg(
+        city/state with deterministic tie-break (02:155-184).
+
+        GROUP-SCOPED RECOMPUTE, not a batch-local fold (r4 review): the
+        consolidation is a non-incremental aggregate (avg + modal), so a
+        later micro-batch's points must re-aggregate WITH the zip's
+        earlier points — folding only the batch would overwrite the
+        consolidated row with batch-local centroids/counts. Cost stays
+        proportional to the touched zips' rows: all bronze points are
+        semi-joined to the batch's zip set before aggregating (the IVM
+        dirty-group discipline, operators/incremental.py)."""
+        contract = CONTRACTS["geolocation"]
+        zips = cleaned.select("zip_code_prefix").distinct()
+        allpts = clean(
+            self.table("bronze", "geolocation").read(), contract.clean_spec
+        ).join(zips, "zip_code_prefix", "left_semi")
+        agg = allpts.groupBy("zip_code_prefix").agg(
             F.avg("latitude").alias("latitude"),
             F.avg("longitude").alias("longitude"),
             F.count("*").alias("n_points"),
             F.max("ingestion_ts").alias("ingestion_ts"),  # 02:161 latest-version
         )
-        city = modal_value(cleaned, "zip_code_prefix", "city").select(
+        city = modal_value(allpts, "zip_code_prefix", "city").select(
             "zip_code_prefix", F.col("city").alias("modal_city")
         )
-        state = modal_value(cleaned, "zip_code_prefix", "state").select(
+        state = modal_value(allpts, "zip_code_prefix", "state").select(
             "zip_code_prefix", F.col("state").alias("modal_state")
         )
         consolidated = (
@@ -392,9 +406,15 @@ class OlistPipeline:
                     F.to_date("order_purchase_timestamp").alias("d")
                 ).distinct().collect()
             ]
-            fo = fo_table.read().filter(
-                F.to_date("order_purchase_timestamp").isin(dates)
+            # Column.isin treats NULL as no-match, so a changed fact row
+            # with a NULL purchase timestamp would never be refreshed
+            # (r4 review) — carry the NULL-date group explicitly
+            cond = F.to_date("order_purchase_timestamp").isin(
+                [d for d in dates if d is not None]
             )
+            if any(d is None for d in dates):
+                cond = cond | F.col("order_purchase_timestamp").isNull()
+            fo = fo_table.read().filter(cond)
             mart = self._revenue_mart_frame(fo)
             self.table("metrics", "metrics_revenue").merge_upsert(
                 mart, keys=["order_date", "customer_state", "order_status"]

@@ -54,6 +54,12 @@ def bronze_csv_stream(
     raw = (
         spark.readStream.format("csv")
         .option("header", True)
+        # verify header NAMES against the contract instead of binding
+        # columns positionally: with the default enforceSchema=true a
+        # reordered export would silently load values into the wrong
+        # columns (r4 review); with this off, Spark checks the header
+        # and fails fast on a mismatched layout
+        .option("enforceSchema", False)
         .schema(schema)
         .load(os.path.join(landing_dir, table))
     )
@@ -71,6 +77,7 @@ def bronze_csv_batch(
     raw = (
         spark.read.format("csv")
         .option("header", True)
+        .option("enforceSchema", False)
         .schema(schema)
         .load(os.path.join(landing_dir, table))
     )

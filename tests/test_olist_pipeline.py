@@ -256,3 +256,59 @@ def test_metrics_revenue_incremental_matches_full(pipeline, spark):
     assert {k: v for k, v in mart.items() if k in full} == full
     vanished = set(mart) - set(full)
     assert all(k[2] == "delivered" for k in vanished)  # the flipped group only
+
+
+def test_geolocation_consolidation_spans_batches(pipeline, spark):
+    """A later micro-batch's points must RE-aggregate with the zip's
+    earlier points (group-scoped recompute): the consolidated centroid
+    and n_points cover ALL bronze points of the touched zip, not just
+    the newest batch (r4 review — the batch-local fold overwrote the
+    consolidation with batch-only stats)."""
+    import csv as _csv
+    import os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.pipelines.olist import (
+        OlistPipeline,
+    )
+
+    geo_before = {
+        r.zip_code_prefix: r
+        for r in pipeline.table("silver", "geolocation").read().collect()
+    }
+    zip_pick, row0 = next(iter(geo_before.items()))
+    n0 = row0.n_points
+
+    landing = pipeline.landing_dir
+    path = os.path.join(landing, "geolocation", "geo_part2.csv")
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(
+            ["geolocation_zip_code_prefix", "geolocation_lat",
+             "geolocation_lng", "geolocation_city", "geolocation_state"]
+        )
+        w.writerow([zip_pick, "-90.0", "-45.0", "newtown", "XX"])
+
+    from datetime import timedelta
+
+    # later clock: the consolidation merge is guarded by ingestion_ts,
+    # so the recomputed row must carry a NEWER version than the stored one
+    p2 = OlistPipeline(
+        pipeline.spark, pipeline.lake_root, landing,
+        clock=pipeline.clock + timedelta(hours=1),
+    )
+    p2.bronze_ingest()
+    p2.silver_conform()
+
+    after = {
+        r.zip_code_prefix: r
+        for r in p2.table("silver", "geolocation").read().collect()
+    }
+    got = after[zip_pick]
+    assert got.n_points == n0 + 1, (n0, got.n_points)
+    # centroid moved toward the outlier but reflects ALL points, not
+    # just the new batch (batch-local fold would give exactly -90.0)
+    assert got.latitude != -90.0
+    assert abs(got.latitude - ((row0.latitude * n0 + -90.0) / (n0 + 1))) < 1e-6
+    # untouched zips unchanged
+    other = next(z for z in geo_before if z != zip_pick)
+    assert after[other].n_points == geo_before[other].n_points
