@@ -29,10 +29,12 @@ Scale notes:
   and the driver dies planning round ~15. On a cluster with a
   checkpoint dir configured, `spark.sparkContext.setCheckpointDir` +
   `use_local_checkpoint=False` gives fault-tolerant truncation.
-- Convergence is certified by a hash digest of the labels (sum of
-  per-row hashes mod a prime — type-agnostic and overflow-safe):
-  labels only ever decrease, so an unchanged digest IS the fixpoint —
-  one tiny agg action per round instead of a changed-rows join.
+- Convergence is certified by TWO independently-seeded hash digests of
+  the labels (sums of per-row hashes mod distinct primes —
+  type-agnostic and overflow-safe): labels only ever decrease, so an
+  unchanged digest pair IS the fixpoint — one tiny agg action per
+  round instead of a changed-rows join, and a false certification
+  needs both digests to collide in the same round (~1/p²).
 - The fixpoint (vertex -> min vertex id of its component) is unique,
   so results are deterministic and hash-exact against the DuckDB
   recursive-CTE oracle (plans/documents.py:neardup_clusters).
@@ -44,11 +46,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _label_digest():
-    """Overflow-safe change digest over the comp column: sum of
+def _label_digests():
+    """Overflow-safe change digests over the comp column: sums of
     per-row hashes reduced mod a prime (works for any id type; a raw
-    xxhash64 sum overflows BIGINT under ANSI)."""
-    return F.sum(F.pmod(F.xxhash64("comp"), F.lit(1_000_000_007)))
+    xxhash64 sum overflows BIGINT under ANSI).
+
+    TWO independent digests (second one salted so it is a different
+    hash function): a single digest could collide between consecutive
+    rounds — labels changed but the sums coincide mod the prime — and
+    silently certify a non-fixpoint. For one round to be falsely
+    accepted, BOTH independent digests must collide simultaneously
+    (~1/p² per round instead of ~1/p), and both sums are computed in
+    the same one-pass aggregation so the extra witness costs no
+    additional action."""
+    return [
+        F.sum(F.pmod(F.xxhash64("comp"), F.lit(1_000_000_007))),
+        F.sum(
+            F.pmod(
+                F.xxhash64(F.lit("cc-salt-2"), "comp"), F.lit(998_244_353)
+            )
+        ),
+    ]
 
 
 def connected_components(
@@ -90,7 +108,7 @@ def connected_components(
             F.col("v").alias(vertex_col), F.col("comp").alias(component_col)
         )
 
-    prev_sum = labels.agg(_label_digest()).collect()[0][0]
+    prev_sum = tuple(labels.agg(*_label_digests()).collect()[0])
     for _ in range(max_rounds):
         # hop: min over neighbor labels
         nbr = (
@@ -126,8 +144,10 @@ def connected_components(
         # None == None converge after round 1 with wrong components —
         # hash (mod a prime: a raw 64-bit hash sum overflows long under
         # ANSI), then sum; labels are per-vertex non-increasing, so any
-        # change flips its hash and the digest moves
-        new_sum = labels.agg(_label_digest()).collect()[0][0]
+        # change flips its hash and the digest moves. Two independently
+        # seeded digests guard against a single-digest collision
+        # certifying a false fixpoint (see _label_digests).
+        new_sum = tuple(labels.agg(*_label_digests()).collect()[0])
         if new_sum == prev_sum:  # labels only decrease: fixpoint reached
             break
         prev_sum = new_sum

@@ -1660,9 +1660,8 @@ def synthesize_mp4_media(
         offsets.append(pos)
         pos += sum(len(frames[s]) for s in ch)
 
-    stsd_entry = (
-        struct.pack(">I", 86 + 16)  # VisualSampleEntry size
-        + b"jpeg"
+    stsd_entry_body = (
+        b"jpeg"
         + b"\x00" * 6
         + struct.pack(">H", 1)  # data_reference_index
         + b"\x00" * 16
@@ -1673,6 +1672,11 @@ def synthesize_mp4_media(
         + b"\x00" * 32  # compressorname
         + struct.pack(">Hh", 24, -1)  # depth, pre_defined
     )
+    # VisualSampleEntry size = declared length of the whole entry
+    # INCLUDING this 4-byte size field — compute it from the assembled
+    # body so a spec-conformant demuxer never overruns the stsd box.
+    stsd_entry = struct.pack(">I", 4 + len(stsd_entry_body)) + stsd_entry_body
+    assert struct.unpack(">I", stsd_entry[:4])[0] == len(stsd_entry) == 86
     stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + stsd_entry)
     stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, frame_ticks))
     stsc_entries = [(1, samples_per_chunk, 1)]

@@ -31,6 +31,10 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_e_commerce_analytics_lakehouse_spark.operators.bucketing import (
+    read_bucketed,
+    write_bucketed,
+)
 from real_time_e_commerce_analytics_lakehouse_spark.operators.cleaning import clean
 from real_time_e_commerce_analytics_lakehouse_spark.operators.dedup import (
     dedup_latest,
@@ -219,10 +223,43 @@ class OlistPipeline:
         return F.xxhash64(*[F.col(c) for c in cols])
 
     def gold_build(self) -> None:
+        self._mirror_orders_bucketed()
         self._build_dims()
         self._build_fact_orders()
         self._build_fact_payments()
         self._build_fact_reviews()
+
+    # The one table EVERY fact refresh joins on order_id is silver
+    # orders (04_gold_fact_orders.py:55-59, 05:43-46, 06:54-90 — the
+    # reference re-shuffles it three times per gold run). Bucketing
+    # pays that shuffle ONCE: the mirror is written hash-distributed on
+    # order_id into n_buckets == spark.sql.shuffle.partitions, so every
+    # fact join consumes the storage layout as its distribution — the
+    # orders side needs no Exchange, and the other side's groupBy
+    # (order_id) pre-agg shuffle doubles as its join distribution.
+    # Pinned zero-orders-side-Exchange by
+    # tests/test_olist_pipeline.py::test_fact_orders_join_reuses_bucketed_layout.
+
+    def _bucket_table_name(self) -> str:
+        import hashlib
+
+        h = hashlib.md5(self.lake_root.encode()).hexdigest()[:10]
+        return f"olist_orders_bucketed_{h}"
+
+    def _mirror_orders_bucketed(self) -> None:
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        # NOT an underscore-prefixed dir: Spark's file index treats
+        # `_*`/`.*` paths as hidden and would silently scan zero files
+        write_bucketed(
+            self.table("silver", "orders").read(),
+            self._bucket_table_name(),
+            os.path.join(self.lake_root, "bucketed", "orders"),
+            keys=["order_id"],
+            n_buckets=n,
+        )
+
+    def _silver_orders(self) -> DataFrame:
+        return read_bucketed(self.spark, self._bucket_table_name())
 
     def _build_dims(self) -> None:
         now = self._now()
@@ -286,9 +323,24 @@ class OlistPipeline:
         self.table("gold", "dim_geolocation").overwrite(dim_geolocation)
 
     def _build_fact_orders(self) -> None:
+        self.table("gold", "fact_orders").merge_upsert(
+            self._fact_orders_frame(),
+            keys="order_id",
+            guard_col="orders_silver_ts",  # 04:117
+        )
+
+    def _fact_orders_frame(self) -> DataFrame:
         """fact_orders: pre-agg items per order + 3-way left join + the
-        datediff measure triplet (04_gold_fact_orders.py:42-91)."""
-        orders = self.table("silver", "orders").read()
+        datediff measure triplet (04_gold_fact_orders.py:42-91). Orders
+        come from the bucketed mirror, and the order_id join runs FIRST
+        (the reference joins customers first, 04:55-59, which would
+        re-shuffle orders on customer_id and discard the layout): the
+        bucketed layout IS the join distribution, so the orders side is
+        Exchange-free and the item pre-agg's own shuffle doubles as its
+        distribution. The customers dim joins after — broadcast-sized
+        relative to the fact at any scale. The two left joins commute
+        (distinct keys; neither depends on the other's columns)."""
+        orders = self._silver_orders()
         customers = self.table("silver", "customers").read().select(
             "customer_id", "customer_state"
         )
@@ -299,8 +351,8 @@ class OlistPipeline:
             F.sum("freight_value").alias("total_freight_value"),  # 04:48
         )
         fact = (
-            orders.join(customers, "customer_id", "left")  # 04:55-57
-            .join(item_agg, "order_id", "left")  # 04:58-59
+            orders.join(item_agg, "order_id", "left")  # 04:58-59
+            .join(F.broadcast(customers), "customer_id", "left")  # 04:55-57
             .select(
                 "order_id",
                 "customer_id",
@@ -326,15 +378,13 @@ class OlistPipeline:
                 self._now().alias("gold_processed_ts"),
             )
         )
-        self.table("gold", "fact_orders").merge_upsert(
-            fact, keys="order_id", guard_col="orders_silver_ts"  # 04:117
-        )
+        return fact
 
     def _build_fact_payments(self) -> None:
         """fact_payments: payments pre-agg per order + order attrs
         (05_gold_fact_payments.py:31-55)."""
         payments = self.table("silver", "order_payments").read()
-        orders = self.table("silver", "orders").read().select(
+        orders = self._silver_orders().select(
             "order_id", "order_status", "order_purchase_timestamp"
         )
         pay_agg = payments.groupBy("order_id").agg(
@@ -352,7 +402,7 @@ class OlistPipeline:
         (06_gold_fact_reviews.py:54-90). Unlike the reference (06:96-103
         first-write bug), the DEDUPED frame is written on every path."""
         reviews = self.table("silver", "order_reviews").read()
-        orders = self.table("silver", "orders").read().select(
+        orders = self._silver_orders().select(
             "order_id", "customer_id", "order_status"
         )
         enriched = reviews.join(orders, "order_id", "left").select(

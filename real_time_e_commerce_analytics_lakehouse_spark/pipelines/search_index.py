@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+    bounded_single_group,
+)
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.plans.search import (
     BM25_B,
@@ -99,7 +102,7 @@ class SearchIndex:
         for i in range(len(terms)):
             term = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
             total = term if total is None else total + term
-        w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        w = bounded_single_group("doc_id", F.desc("bm25"), F.asc("doc_id"))
         return (
             per_doc.select("doc_id", total.alias("bm25"))
             .withColumn("rank", F.row_number().over(w).cast("long"))

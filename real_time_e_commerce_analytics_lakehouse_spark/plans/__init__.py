@@ -33,60 +33,66 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # is still verified by tests/test_queries_oracle.py with the identical
 # row-count + schema + value-hash comparison at sf0.001 and sf0.01.
 #
-# Round-4 rotation (VERDICT r3 next #4): 12 slots swapped toward
-# families the driver never checked — IVM mart maintenance, search
-# (RRF/rerank/index), ANN quantization (PQ/Matryoshka), LSH
-# self-evaluation, skew-safe scale twins — plus the freshly rewritten
-# rfm/pareto/neardup plans so the de-serialized spellings get a driver
-# row. Rotated-out queries remain CI-verified by the full oracle suite.
-# Round-4 addition: video_frame_stats (MP4 demux + per-frame JPEG
-# decode) takes the slot vacated by valid_domain_filter (three rounds
-# driver-green; its predicate family stays covered by clean_conform_part
-# and the CI suite).
+# Round-5 rotation (VERDICT r4 next #2): 14 slots swapped toward
+# queries that have NEVER had a driver CORRECTNESS row (72 remained
+# after r1-r4; union of driver rows = 103 of 175). In: the verdict's
+# 12 named never-checked picks (funnel, weekly cohort, HLL weekly
+# rollup, int8/filtered ANN, cross-doc spans, spatial pairs, DAU/WAU,
+# color-JPEG pixels, BPE encode, TPC-H q3/q17) plus trailing_7d_revenue
+# and daily_revenue_anomalies, whose carry-partitioned rewrites landed
+# this round and deserve a driver row. Out: 14 slots that were driver-
+# green in >=3 rounds (status_pivot, segment_consolidation, timestamp
+# roundtrip, modal, with/without-orders set ops, rollup, arrays,
+# exact-dedup, lsh pairs, neardup clusters, brute-force cosine, exact
+# neardup oracle, tumbling windows) — every one remains CI-verified by
+# tests/test_queries_oracle.py over the full registry at two SFs.
+# Earlier rotations: r4 swapped 12 slots toward IVM/search/ANN/LSH-eval
+# families; video_frame_stats took valid_domain_filter's slot.
 GATE_ORDER = [
     # reference-parity core (notebooks 01-09 re-expressed)
     "revenue_by_nation_status",
     "pricing_summary",
     "fact_orders_preagg",
-    "status_pivot_by_nation",
-    "segment_consolidation",
     "clean_conform_part",
-    "timestamp_parse_roundtrip",
     "dedup_latest",
-    "modal_event_type",
     "surrogate_dim_customer",
     # join family
-    "customers_with_orders",
-    "customers_without_orders",
     "asof_last_click_before_purchase",
+    "spatial_neighbor_pairs",
     # window family
     "customer_order_streaks",
     "rfm_customer_segments",
     "pareto_revenue_concentration",
+    "trailing_7d_revenue",
+    "daily_revenue_anomalies",
+    # events / funnels / cohorts / engagement
+    "funnel_view_click_purchase",
+    "weekly_cohort_retention",
+    "weekly_uniques_hll_rollup",
+    "dau_wau_stickiness",
     # aggregate family
-    "rollup_revenue",
     "copurchase_part_pairs",
     "profile_orders_columns",
-    "customer_order_keys_array",
     "salted_revenue_by_status",
     # table layer: format interop + incremental view maintenance
     "laketable_format_roundtrip",
     "incremental_mart_maintenance",
-    # decision-support subquery shapes
+    # decision-support subquery shapes + TPC-H classics
     "bloom_pruned_brand_revenue",
     "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q17_small_quantity_revenue",
     # SCD Type 2 (LakeTable.merge_scd2's interval-construction shape)
     "scd2_order_status_history",
     # ids at scale (no global-window reducer)
     "surrogate_dim_customer_scalable",
     # documents: dedup + text analysis
-    "docs_exact_dedup",
     "minhash_signatures",
-    "lsh_candidate_pairs",
     "lsh_recall_eval",
-    "neardup_clusters",
+    "cross_doc_duplicate_spans",
     "doc_token_stats",
     "bpe_learned_merges",
+    "bpe_encode_documents",
     "logreg_quality_gd",
     "nb_lang_classifier",
     # search
@@ -97,17 +103,16 @@ GATE_ORDER = [
     # curation
     "benchmark_contamination",
     # embeddings / similarity search / quantized ANN
-    "cosine_topk_bruteforce",
     "ivf_kmeans_topk",
     "semantic_dedup_lsh",
-    "embedding_neardup_pairs",
     "pq_adc_topk",
     "matryoshka_prefix_topk",
+    "int8_quantized_topk",
+    "filtered_cosine_topk",
     # multimodal
     "image_pixel_stats",
+    "image_pixel_stats_color",
     "video_frame_stats",
-    # events
-    "tumbling_hourly_events",
 ]
 
 

@@ -423,20 +423,33 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Running total with an explicit frame (scale-path extension — the "
         "reference has no frame specs, SURVEY §2.5). Decimal accumulation "
-        "so the running sum is order-exact across engines."
+        "so the running sum is order-exact across engines; computed as "
+        "per-512-day-bucket partitioned cumsums plus broadcast decimal "
+        "prefix offsets (operators/bounded_frames.bucketed_prefix_cumsum) "
+        "— no single-reducer window, exact at any series length."
     ),
     tags=("window", "agg"),
 )
 def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+        bucketed_prefix_cumsum,
+    )
+
     orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.expr(_SUM_TOTALPRICE).alias("revenue")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.expr(_SUM_TOTALPRICE).alias("revenue"))
+        .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
+        .withColumn("__rev_dec", F.col("revenue").cast("decimal(18,2)"))
     )
-    w = W.orderBy("order_date").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return daily.withColumn(
-        "running_revenue",
-        F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double"),
+    out = bucketed_prefix_cumsum(daily, "__day", "__rev_dec", "__run")
+    res = out.select(
+        "order_date",
+        "revenue",
+        F.col("__run").cast("double").alias("running_revenue"),
     )
+    res._cached_deps = getattr(out, "_cached_deps", [])
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -567,7 +580,11 @@ def valid_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def surrogate_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
-    w = W.orderBy("c_custkey")
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+        bounded_single_group,
+    )
+
+    w = bounded_single_group("c_custkey", F.asc("c_custkey"))
     return (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .select(

@@ -535,8 +535,10 @@ _MP4_TIMESCALE_SQL = (
         "struct only). Duration lands as integer milliseconds (floor), "
         "recomputed arithmetically by the oracle, so any framing/offset/"
         "endianness bug in either codec direction hash-mismatches. "
-        "Frame decode stays stubbed (no codec libs); this is the "
-        "catalog pass a 100 TB video corpus runs first. Two Arrow "
+        "This is the header-only catalog pass a 100 TB video corpus "
+        "runs first; full sample-table demux + per-frame decode live "
+        "in video_frame_stats (operators/multimodal.py: "
+        "parse_mp4_sample_table + the JPEG/raster codecs). Two Arrow "
         "stages, row-local, zero shuffle."
     ),
     tags=("documents", "multimodal"),

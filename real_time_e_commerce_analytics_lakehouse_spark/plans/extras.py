@@ -10,6 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+    CARRIED,
+    BUCKET,
+    carried_range_buckets,
+    carried_rows_buckets,
+)
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
     dec_sum,
     register,
@@ -293,22 +299,39 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(revenue - lag(revenue) OVER (ORDER BY order_date), 2) AS delta
     FROM daily
     """,
-    doc="lag/lead day-over-day deltas (no frame; one sort within the window shuffle).",
+    doc=(
+        "lag/lead day-over-day deltas, partitioned by 512-day buckets "
+        "with 1-row carries in both directions (operators/bounded_frames"
+        ".carried_rows_buckets) — each bucket's first/last row sees its "
+        "true global neighbor, no single-reducer window."
+    ),
     tags=("window",),
 )
 def daily_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.expr(_SUM_TOTALPRICE).alias("revenue")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.expr(_SUM_TOTALPRICE).alias("revenue"))
+        .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
-    w = W.orderBy("order_date")
-    return daily.select(
-        "order_date",
-        "revenue",
-        F.lag("revenue").over(w).alias("prev_revenue"),
-        F.lead("revenue").over(w).alias("next_revenue"),
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    aug = carried_rows_buckets(daily, "__day", k_back=1, k_fwd=1)
+    w = W.partitionBy(BUCKET).orderBy("__day")
+    out = (
+        aug.select(
+            "order_date",
+            "revenue",
+            CARRIED,
+            F.lag("revenue").over(w).alias("prev_revenue"),
+            F.lead("revenue").over(w).alias("next_revenue"),
+            F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+                "delta"
+            ),
+        )
+        .where(~F.col(CARRIED))
+        .drop(CARRIED)
     )
+    out._cached_deps = getattr(aug, "_cached_deps", [])
+    return out
 
 
 @register(
@@ -502,28 +525,34 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "windowed sum accumulates DECIMAL so the value is association- "
         "order independent (DuckDB's segment-tree window vs Spark's "
         "sliding frame would disagree in double), cast to double only at "
-        "the end. Global date ordering = single-partition window over "
-        "the ~2.4k-row daily aggregate, NOT the fact table — the pre-agg "
-        "shrinks first, which is the 100 TB-safe shape."
+        "the end. The window runs over the daily pre-agg, NOT the fact "
+        "table, and is PARTITIONED by 512-day range buckets with the "
+        "6-day bucket tails carry-replicated forward "
+        "(operators/bounded_frames) — per-bucket frames equal the "
+        "global frames exactly, no single-reducer window at any scale."
     ),
     tags=("window",),
     bench=True,
 )
 def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev"))
+        .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
-    w = (
-        W.orderBy(F.datediff("order_date", F.lit("1995-01-01")))
-        .rangeBetween(-6, 0)
-    )
-    return daily.select(
-        "order_date",
-        F.round(F.col("day_rev").cast("double"), 2).alias("day_revenue"),
-        F.round(F.sum("day_rev").over(w).cast("double"), 2).alias(
-            "trailing_7d_revenue"
-        ),
+    aug = carried_range_buckets(daily, "__day", lookback=6)
+    w = W.partitionBy(BUCKET).orderBy("__day").rangeBetween(-6, 0)
+    return (
+        aug.withColumn("__t7", F.sum("day_rev").over(w))
+        .where(~F.col(CARRIED))
+        .select(
+            "order_date",
+            F.round(F.col("day_rev").cast("double"), 2).alias("day_revenue"),
+            F.round(F.col("__t7").cast("double"), 2).alias(
+                "trailing_7d_revenue"
+            ),
+        )
     )
 
 
@@ -577,21 +606,26 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev"))
+        .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
-    w = (
-        W.orderBy(F.datediff("order_date", F.lit("1995-01-01")))
-        .rangeBetween(-27, 0)
-    )
-    framed = daily.select(
-        "order_date",
-        F.col("day_rev").cast("double").alias("x"),
-        F.sum("day_rev").over(w).cast("double").alias("s"),
-        F.sum(F.col("day_rev") * F.col("day_rev")).over(w)
-        .cast("double")
-        .alias("ss"),
-        F.count("day_rev").over(w).cast("long").alias("n"),
+    aug = carried_range_buckets(daily, "__day", lookback=27)
+    w = W.partitionBy(BUCKET).orderBy("__day").rangeBetween(-27, 0)
+    framed = (
+        aug.select(
+            "order_date",
+            CARRIED,
+            F.col("day_rev").cast("double").alias("x"),
+            F.sum("day_rev").over(w).cast("double").alias("s"),
+            F.sum(F.col("day_rev") * F.col("day_rev")).over(w)
+            .cast("double")
+            .alias("ss"),
+            F.count("day_rev").over(w).cast("long").alias("n"),
+        )
+        .where(~F.col(CARRIED))
+        .drop(CARRIED)
     )
     var = F.greatest(
         F.col("ss") / F.col("n")

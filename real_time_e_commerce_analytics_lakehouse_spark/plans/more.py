@@ -7,6 +7,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+    bounded_single_group,
+)
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
     EVENTS_CTE,
@@ -688,7 +691,9 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .withColumn(
             "rk",
-            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))),
+            F.row_number().over(
+                bounded_single_group("term", F.desc("n"), F.asc("term"))
+            ),
         )
     )
     pts = top.select(

@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
+from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+    BUCKET,
+    CARRIED,
+    bucketed_gap_fill,
+    carried_rows_buckets,
+)
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -248,10 +254,11 @@ _URGENT_DAILY = """
         "denominator exact on both engines, so the quotient is "
         "bit-identical — decimal division scale rules differ across "
         "engines and are avoided). Spine endpoints are known "
-        "points, so every gap is bracketed; the two window passes share "
-        "one global sort (a single-reducer pattern — at 100 TB this "
-        "runs per series key, which IS the partition key; the global "
-        "variant here exists because the gate series is one-dimensional)."
+        "points, so every gap is bracketed. The fill windows are "
+        "PARTITIONED by 512-day buckets; cross-bucket bracketing points "
+        "come from a broadcast per-bucket first/last-known summary "
+        "(operators/bounded_frames.bucketed_gap_fill) — no "
+        "single-reducer window at any series length."
     ),
     tags=("window", "timeseries"),
 )
@@ -266,32 +273,29 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("order_date")
     )
-    joined = spine.join(daily, "order_date", "left").select(
-        "order_date", "revenue", F.col("revenue").isNull().alias("is_gap")
+    joined = (
+        spine.join(daily, "order_date", "left")
+        .select(
+            "order_date", "revenue", F.col("revenue").isNull().alias("is_gap")
+        )
+        .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
-    back = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
-    fwd = Window.orderBy("order_date").rowsBetween(0, Window.unboundedFollowing)
-    known_date = F.when(F.col("revenue").isNotNull(), F.col("order_date"))
-    b = joined.select(
-        "order_date",
-        "revenue",
-        "is_gap",
-        F.last("revenue", ignorenulls=True).over(back).alias("prev_rev"),
-        F.last(known_date, ignorenulls=True).over(back).alias("prev_date"),
-        F.first("revenue", ignorenulls=True).over(fwd).alias("next_rev"),
-        F.first(known_date, ignorenulls=True).over(fwd).alias("next_date"),
-    )
+    b = bucketed_gap_fill(joined, "__day", "revenue")
     interp = (
-        F.col("prev_rev") * F.datediff("next_date", "order_date")
-        + F.col("next_rev") * F.datediff("order_date", "prev_date")
-    ).cast("double") / F.datediff("next_date", "prev_date").cast("double")
-    return b.select(
+        F.col("__prev_val") * (F.col("__next_day") - F.col("__day"))
+        + F.col("__next_val") * (F.col("__day") - F.col("__prev_day"))
+    ).cast("double") / (F.col("__next_day") - F.col("__prev_day")).cast(
+        "double"
+    )
+    out = b.select(
         "order_date",
         "is_gap",
         F.when(F.col("revenue").isNotNull(), F.col("revenue").cast("double"))
         .otherwise(interp)
         .alias("revenue_interp"),
     )
+    out._cached_deps = getattr(b, "_cached_deps", [])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -325,25 +329,36 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "itself is not cross-engine stable at half-way boundaries "
         "(Spark rounds the exact binary expansion, DuckDB multiplies "
         "by 10^k first), so rounding would add disagreement where the "
-        "raw doubles have none. Single window pass over the daily "
-        "pre-aggregate."
+        "raw doubles have none. One window pass over the daily "
+        "pre-aggregate, partitioned by 512-day buckets with 7-row "
+        "carries (operators/bounded_frames) — no single-reducer window."
     ),
     tags=("window", "timeseries"),
 )
 def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("day_rev")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_rev")
+        )
+        .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
-    w = Window.orderBy("order_date").rowsBetween(-7, 0)
+    aug = carried_rows_buckets(daily, "__day", k_back=7)
+    w = Window.partitionBy(BUCKET).orderBy("__day").rowsBetween(-7, 0)
     lst = F.collect_list("day_rev").over(w)
     ewma = F.aggregate(lst, F.lit(0.0), lambda acc, v: acc / 2 + v)
-    return daily.select(
-        "order_date",
-        F.round("day_rev", 2).alias("day_revenue"),
-        ewma.alias("ewma_halving"),
+    return (
+        aug.select(
+            "order_date",
+            CARRIED,
+            F.round("day_rev", 2).alias("day_revenue"),
+            ewma.alias("ewma_halving"),
+        )
+        .where(~F.col(CARRIED))
+        .drop(CARRIED)
     )
 
 
@@ -383,20 +398,30 @@ def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def trailing_7d_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("day_rev")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_rev")
+        )
+        .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
-    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    aug = carried_rows_buckets(daily, "__day", k_back=6)
+    w = Window.partitionBy(BUCKET).orderBy("__day").rowsBetween(-6, 0)
     win = F.sort_array(F.collect_list("day_rev").over(w))
-    return daily.select(
-        "order_date",
-        F.round("day_rev", 2).alias("day_revenue"),
-        F.size(win).cast("long").alias("n_days"),
-        F.element_at(win, ((F.size(win) + 1) / 2).cast("int")).alias(
-            "trailing_median"
-        ),
+    return (
+        aug.select(
+            "order_date",
+            CARRIED,
+            F.round("day_rev", 2).alias("day_revenue"),
+            F.size(win).cast("long").alias("n_days"),
+            F.element_at(win, ((F.size(win) + 1) / 2).cast("int")).alias(
+                "trailing_median"
+            ),
+        )
+        .where(~F.col(CARRIED))
+        .drop(CARRIED)
     )
 
 

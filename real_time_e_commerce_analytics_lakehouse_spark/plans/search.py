@@ -23,6 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+    bounded_single_group,
+)
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
     fan_out,
@@ -220,7 +223,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(BM25_TERMS)):
         s = term_score(i)
         total = s if total is None else total + s
-    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w = bounded_single_group("doc_id", F.desc("bm25"), F.asc("doc_id"))
     return (
         matches.select("doc_id", total.alias("bm25"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -432,11 +435,11 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.row_number()
-            .over(W.orderBy(total.desc(), F.asc("doc_id")))
+            .over(bounded_single_group("doc_id", total.desc(), F.asc("doc_id")))
             .cast("long")
             .alias("r_bm25"),
             F.row_number()
-            .over(W.orderBy(F.desc("dl"), F.asc("doc_id")))
+            .over(bounded_single_group("doc_id", F.desc("dl"), F.asc("doc_id")))
             .cast("long")
             .alias("r_len"),
         )
@@ -445,7 +448,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) / (RRF_K + F.col("r_bm25"))
         + F.lit(1.0) / (RRF_K + F.col("r_len"))
     )
-    w = W.orderBy(rrf.desc(), F.asc("doc_id"))
+    w = bounded_single_group("doc_id", rrf.desc(), F.asc("doc_id"))
     return (
         ranked.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= RRF_TOP_K)
@@ -531,7 +534,7 @@ def retrieve_then_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select("doc_id", "bm25_rank", "bm25", sim.alias("sim"))
     )
-    w = W.orderBy(F.desc("sim"), F.asc("doc_id"))
+    w = bounded_single_group("doc_id", F.desc("sim"), F.asc("doc_id"))
     return (
         cand.withColumn("final_rank", F.row_number().over(w).cast("long"))
         .where(F.col("final_rank") <= RERANK_TOP_K)

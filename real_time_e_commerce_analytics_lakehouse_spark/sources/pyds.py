@@ -153,6 +153,13 @@ class _Snapshot:
 
     def unit_files(self, unit: dict) -> list[str]:
         base = os.path.join(self.root, unit["path"])
+        listed = unit.get("file_stats") or {}
+        if listed:
+            # The manifest records this unit's exact file names — read
+            # only those. A zombie/speculative task attempt that lands
+            # its parquet after commit-time pruning leaves an
+            # unmanifested file a directory walk would double-count.
+            return sorted(os.path.join(base, fn) for fn in listed)
         out = []
         for dirpath, _dirs, files in os.walk(base):
             out.extend(
@@ -870,9 +877,14 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
     ONE manifest whose ``txn`` map records {txn_app_id: batchId} — the
     same ledger LakeTable.append_once uses (Delta txnAppId/txnVersion
     parity). On checkpoint-replay of an already-committed batch the
-    commit sees ``batchId <= txn[app]``, deletes the re-staged files and
+    commit sees ``batchId == txn[app]``, deletes the re-staged files and
     publishes nothing, so failures between data-write and commit cannot
-    double-append. Concurrent writers are handled by rebase-retry:
+    double-append; a batchId strictly BELOW the watermark is never a
+    legit replay (only the last committed batch can be re-delivered)
+    and raises instead of silently dropping data — that shape means a
+    colliding txn app (two queries sharing an id, or a fresh-checkpoint
+    restart). The default txn app is derived from checkpointLocation so
+    independent queries never collide by default. Concurrent writers are handled by rebase-retry:
     the snapshot (units, dv, txn) is re-read at commit time and the
     manifest is claimed with the exclusive-create protocol; a lost race
     re-reads and retries, carrying the winner's units forward.
@@ -889,9 +901,24 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, path: str, schema: StructType, options):
         self.path = path
         self.schema = schema
-        self.txn_app = (
-            options.get("txn_app_id") or "pyds-stream"
+        # Ledger identity. Two INDEPENDENT queries writing one table
+        # must use distinct txn apps, or the replay guard in commit()
+        # suppresses the second query's batches as "replays". Default:
+        # derive the id from the query's checkpointLocation (unique per
+        # query by construction — Spark forbids checkpoint sharing), so
+        # defaults never collide; an explicit txn_app_id still wins (and
+        # is what keeps idempotency across an intentional
+        # checkpoint-reset redeploy).
+        explicit = options.get("txn_app_id")
+        ckpt = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
         )
+        if explicit:
+            self.txn_app = explicit
+        elif ckpt:
+            self.txn_app = "pyds-stream:" + os.path.normpath(ckpt)
+        else:
+            self.txn_app = "pyds-stream"
         pb = options.get("partition_by")
         self.partition_by = (
             [c.strip() for c in pb.split(",")] if pb else []
@@ -1015,11 +1042,34 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
                         '.option("partition_by", ...)'
                     )
                 txns = dict(prev.get("txn", {}))
-                if batchId <= int(txns.get(self.txn_app, -1)):
-                    # checkpoint replay of a committed batch: drop the
-                    # re-staged files, publish nothing (exactly-once)
+                recorded = int(txns.get(self.txn_app, -1))
+                if batchId == recorded:
+                    # checkpoint replay of the last committed batch —
+                    # the only batch a crash between data-write and
+                    # offset-commit can legitimately re-deliver: drop
+                    # the re-staged files, publish nothing (exactly-once)
                     self._drop_staged(messages)
                     return
+                if batchId < recorded:
+                    # A legit replay can only re-deliver the LAST
+                    # committed batch (== recorded). batchId strictly
+                    # below the watermark means a different query run is
+                    # sharing this txn app — a reset/fresh checkpoint
+                    # (batchId restarted at 0) or two queries with a
+                    # colliding txn_app_id. Silently dropping here is
+                    # unreported data loss; fail loudly instead.
+                    self._drop_staged(messages)
+                    raise ValueError(
+                        f"laketable stream sink: batch {batchId} is below "
+                        f"the committed watermark {recorded} for txn app "
+                        f"'{self.txn_app}'. This means a second query (or "
+                        "a restart with a fresh checkpoint) is writing "
+                        "under the same transaction id; its batches would "
+                        "be silently suppressed as replays. Set a distinct "
+                        '.option("txn_app_id", ...) per logical writer '
+                        "(or keep the default, which derives the id from "
+                        "checkpointLocation)."
+                    )
                 base = versions[-1]
                 units = list(prev["units"]) + new_units
                 dv = list(prev.get("dv", []))

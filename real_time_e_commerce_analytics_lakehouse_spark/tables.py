@@ -877,6 +877,14 @@ class LakeTable:
         for u in units:
             base = os.path.join(self.path, u.path)
             sel = (file_subsets or {}).get(u.path)
+            if sel is None and u.file_stats:
+                # The manifest records this unit's exact file names —
+                # scan only those, never the directory listing. Closes
+                # the zombie-task race: a speculative/dead task attempt
+                # that finishes writing its parquet AFTER commit-time
+                # pruning leaves an unmanifested file in the dir; a
+                # directory walk would double-count it on every read.
+                sel = sorted(u.file_stats)
             if sel is None:
                 paths.append(base)
             else:
@@ -2107,14 +2115,19 @@ class LakeTable:
         return total
 
     def _unit_nrows(self, u: _Unit) -> int:
-        """Row count of a unit from parquet footers — no Spark job."""
+        """Row count of a unit from parquet footers — no Spark job.
+        When the manifest records the unit's exact file names
+        (file_stats), only those are counted — same zombie-task-file
+        exclusion as the read path (ADVICE r4 #3)."""
         import pyarrow.parquet as pq
 
         d = os.path.join(self.path, u.path)
+        names = sorted(u.file_stats) if u.file_stats else [
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ]
         return sum(
             pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
+            for f in names
         )
 
     def _touched_unit_paths(

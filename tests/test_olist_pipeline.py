@@ -312,3 +312,81 @@ def test_geolocation_consolidation_spans_batches(pipeline, spark):
     # untouched zips unchanged
     other = next(z for z in geo_before if z != zip_pick)
     assert after[other].n_points == geo_before[other].n_points
+
+
+def test_fact_orders_join_reuses_bucketed_layout(pipeline):
+    """VERDICT r4 next #4: the reference re-joins orders on every gold
+    refresh (04:55-59, 05:43-46, 06:54-90); the pipeline now mirrors
+    silver orders ONCE per refresh into a bucketed layout on order_id,
+    and every fact join consumes that layout as its distribution. Pin:
+    the fact_orders plan scans orders Bucketed (no orders-side
+    Exchange); the only plain Exchange left is the item pre-agg's own
+    shuffle (which doubles as its join distribution)."""
+    import re
+
+    spark = pipeline.spark
+    jvm = spark._jvm
+    # fixture tables are tiny, so Catalyst would broadcast everything
+    # and never exercise the bucketed distribution; force the at-scale
+    # join strategy (sort-merge) for the plan pin
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pipeline._fact_orders_frame()
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    # orders side: zero Exchange (layout == distribution); the ONLY
+    # plain exchange is the item pre-agg's own shuffle, which then
+    # joins exchange-free against the bucketed layout; customers is an
+    # explicit broadcast (no plain exchange).
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 1, plan[:4000]
+    # and the mirror itself exists as a catalog bucketed table
+    name = pipeline._bucket_table_name()
+    desc = pipeline.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    info = {r.col_name: r.data_type for r in desc}
+    assert "Num Buckets" in info
+    assert "order_id" in info.get("Bucket Columns", "")
+
+
+def test_golden_facts_unchanged_by_bucketed_mirror(pipeline):
+    """The bucketed mirror is a pure layout change: the fact_orders
+    frame built through it must row-equal the same 3-way join computed
+    directly off silver (reference join order, plain parquet reads).
+    The mirror is refreshed first because earlier tests in this module
+    mutate silver after the fixture's gold_build."""
+    p = pipeline
+    p._mirror_orders_bucketed()
+    orders = p.table("silver", "orders").read()
+    items = p.table("silver", "order_items").read()
+    customers = p.table("silver", "customers").read().select(
+        "customer_id", "customer_state"
+    )
+    item_agg = items.groupBy("order_id").agg(
+        F.count("*").alias("order_item_count"),
+        F.sum("price").alias("total_order_value"),
+    )
+    want = sorted(
+        (r.order_id, r.customer_state, r.order_item_count, r.total_order_value)
+        for r in orders.join(customers, "customer_id", "left")  # 04:55-59 order
+        .join(item_agg, "order_id", "left")
+        .select(
+            "order_id", "customer_state", "order_item_count", "total_order_value"
+        )
+        .collect()
+    )
+    got = sorted(
+        (r.order_id, r.customer_state, r.order_item_count, r.total_order_value)
+        for r in p._fact_orders_frame()
+        .select(
+            "order_id", "customer_state", "order_item_count", "total_order_value"
+        )
+        .collect()
+    )
+    assert got == want

@@ -91,3 +91,40 @@ def test_single_shuffle_queries_stay_single_shuffle(audits):
     a = audits["pricing_summary"]
     assert a["exchanges"] - a["rr_exchanges"] <= 1 and a["rr_exchanges"] <= 1
     assert audits["dedup_latest"]["exchanges"] <= 1
+
+
+def test_every_window_is_partitioned(spark):
+    # VERDICT r4 wrong #3: unpartitioned Window specs serialize the
+    # frame through one reducer and spam `WindowExec: No Partition
+    # Defined` through bench logs. The daily-mart family now runs
+    # carry-replicated bucket partitions (operators/bounded_frames) and
+    # the bounded ranking tiers use bounded_single_group; pin that NO
+    # query in either family compiles to a Window with an empty
+    # partitionSpec. A logical `Window [exprs], [part], [order]` node
+    # prints three bracket groups; an empty partitionSpec drops to two.
+    names = [
+        "trailing_7d_revenue",
+        "daily_revenue_anomalies",
+        "daily_revenue_momentum",
+        "daily_revenue_ewma",
+        "trailing_7d_median_revenue",
+        "daily_revenue_interpolated",
+        "running_revenue",
+        "bm25_keyword_search",
+        "hybrid_rrf_search",
+        "retrieve_then_rerank",
+        "surrogate_dim_customer",
+        "token_zipf_slope",
+    ]
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        release_cached,
+    )
+
+    for name in names:
+        df = QUERIES[name].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert line.count("], [") >= 2, (name, line)
+        release_cached(df)

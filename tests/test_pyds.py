@@ -410,7 +410,10 @@ def test_stream_writer_end_to_end_exactly_once(spark, tmp_path):
     latest = sorted(f for f in os.listdir(log) if f.endswith(".json"))[-1]
     with open(os.path.join(log, latest)) as f:
         doc = _json.load(f)
-    assert "pyds-stream" in doc["txn"]
+    # default txn app derives from checkpointLocation (collision-free
+    # across independent queries, ADVICE r4 #1)
+    assert any(k.startswith("pyds-stream") for k in doc["txn"])
+    assert any(ckpt in k for k in doc["txn"])
 
 
 def test_stream_writer_commit_replay_is_idempotent(spark, tmp_path):
@@ -682,3 +685,98 @@ def test_format_written_tables_carry_footer_stats_and_prune(spark, tmp_path):
     with open(os.path.join(starget, "_log", "00000001.json")) as f:
         sdoc = _json.load(f)
     assert sdoc["units"][0]["stats"]["id"] == [7, 9]
+
+
+def test_stream_writer_txn_collision_raises_not_drops(spark, tmp_path):
+    """ADVICE r4 #1: two writers sharing one txn app (explicit id
+    collision, or a restart with a FRESH checkpoint so batchId resets
+    to 0) must not silently suppress batches as replays. A batchId
+    strictly below the recorded watermark raises; only batchId ==
+    watermark (the one batch a crash can legitimately re-deliver) is
+    dropped silently."""
+    import os
+
+    import pyarrow as pa
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableStreamWriter,
+    )
+
+    target = str(tmp_path / "t")
+    schema = spark.createDataFrame([], "id long").schema
+    w1 = LakeTableStreamWriter(target, schema, {"txn_app_id": "app"})
+
+    def staged(w, ids):
+        batch = pa.record_batch({"id": pa.array(ids, type=pa.int64())})
+        return w.write(iter([batch]))
+
+    w1.commit([staged(w1, [1])], batchId=0)
+    w1.commit([staged(w1, [2])], batchId=1)
+
+    # a second query under the same app, starting from batch 0: its
+    # batch is BELOW the watermark -> loud failure, staged files gone
+    w2 = LakeTableStreamWriter(target, schema, {"txn_app_id": "app"})
+    m = staged(w2, [99])
+    staged_dir = os.path.join(target, m.filename)
+    with pytest.raises(ValueError, match="below the committed watermark"):
+        w2.commit([m], batchId=0)
+    assert not os.path.isdir(staged_dir)
+    got = sorted(
+        r.id for r in spark.read.format("laketable").load(target).collect()
+    )
+    assert got == [1, 2]  # nothing lost, nothing ghost-appended
+
+    # distinct checkpoint-derived defaults never collide: the same
+    # batchId 0 under a different default app id commits fine
+    w3 = LakeTableStreamWriter(
+        target, schema, {"checkpointLocation": str(tmp_path / "ck3")}
+    )
+    w4 = LakeTableStreamWriter(
+        target, schema, {"checkpointLocation": str(tmp_path / "ck4")}
+    )
+    assert w3.txn_app != w4.txn_app
+    w3.commit([staged(w3, [3])], batchId=0)
+    w4.commit([staged(w4, [4])], batchId=0)
+    got = sorted(
+        r.id for r in spark.read.format("laketable").load(target).collect()
+    )
+    assert got == [1, 2, 3, 4]
+
+
+def test_reader_skips_zombie_files_when_manifest_lists_names(spark, tmp_path):
+    """ADVICE r4 #3: a speculative/zombie task attempt that lands its
+    parquet AFTER commit-time pruning leaves an unmanifested file in the
+    unit dir. When the manifest records the unit's exact file names
+    (file_stats), both readers (pyds format + LakeTable engine) must
+    scan only the listed files — never the directory walk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+        LakeTableWriter,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    target = str(tmp_path / "t")
+    schema = spark.createDataFrame([], "id long").schema
+    w = LakeTableWriter(target, schema, overwrite=False)
+    batch = pa.record_batch({"id": pa.array([1, 2], type=pa.int64())})
+    kept = w.write(iter([batch]))
+    w.commit([kept])
+
+    # zombie attempt finishes AFTER the commit's prune pass
+    unit_dir = os.path.join(target, w.unit_rel)
+    pq.write_table(
+        pa.table({"id": pa.array([777], type=pa.int64())}),
+        os.path.join(unit_dir, "part-zombie.parquet"),
+    )
+
+    got = sorted(
+        r.id for r in spark.read.format("laketable").load(target).collect()
+    )
+    assert got == [1, 2]  # pyds reader ignores the unmanifested file
+    t = LakeTable(spark, target)
+    eng = sorted(r.id for r in t.read().collect())
+    assert eng == [1, 2]  # engine reader too
