@@ -392,6 +392,83 @@ def _num_records(parquet_path: str) -> int:
     return pq.ParquetFile(parquet_path).metadata.num_rows
 
 
+def write_delta_checkpoint(path: str) -> int:
+    """Write a Delta parquet checkpoint of the CURRENT log state
+    (`NNNN.checkpoint.parquet` + `_last_checkpoint`), the maintenance
+    step every long-lived Delta table needs: without one, readers must
+    replay every JSON commit from 0 and cleaned-up commits brick the
+    table. One flat-schema single-part checkpoint (classic format,
+    protocol/metaData/add struct columns — what DeltaSnapshot and every
+    Delta reader bootstrap from). Returns the checkpointed version.
+
+    JSON commits at or below the checkpoint become removable
+    (`expire_delta_commits`); commits after it keep applying on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = DeltaSnapshot(path)
+    meta = {
+        "id": f"laketable-{os.path.basename(path)}",
+        "format": {"provider": "parquet"},
+        "schemaString": json.dumps(snap.schema_json),
+        "partitionColumns": list(snap.partition_cols),
+    }
+    rows: list[dict] = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {"protocol": None, "metaData": meta, "add": None},
+    ]
+    for rel, pvals in sorted(snap.files.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": quote(rel),
+                    # pyarrow infers an empty struct (unwritable) from
+                    # {}; None reads back identically (no partitions)
+                    "partitionValues": dict(pvals) or None,
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": int(
+                        os.stat(os.path.join(path, rel)).st_mtime * 1000
+                    ),
+                    "dataChange": True,
+                },
+            }
+        )
+    log = os.path.join(path, _DELTA_DIR)
+    cp = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), cp)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    return snap.version
+
+
+def expire_delta_commits(path: str) -> int:
+    """Delete JSON commits at or below the last checkpoint (Delta's log
+    cleanup); returns how many were removed. Safe by construction: the
+    checkpoint replays to the identical state, and commits after it are
+    untouched."""
+    log = os.path.join(path, _DELTA_DIR)
+    lc = os.path.join(log, "_last_checkpoint")
+    if not os.path.exists(lc):
+        raise FileNotFoundError(
+            f"{path}: no _last_checkpoint — write_delta_checkpoint first"
+        )
+    with open(lc) as f:
+        v = int(json.load(f)["version"])
+    removed = 0
+    for fn in os.listdir(log):
+        if fn.endswith(".json") and fn.split(".")[0].isdigit():
+            if int(fn.split(".")[0]) <= v:
+                os.remove(os.path.join(log, fn))
+                removed += 1
+    return removed
+
+
 # --------------------------------------------------------------------------
 # conversion (Delta -> laketable, zero-copy)
 # --------------------------------------------------------------------------

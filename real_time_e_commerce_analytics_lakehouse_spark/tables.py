@@ -1905,6 +1905,7 @@ class LakeTable:
         keep_last_n: int = 1,
         dry_run: bool = False,
         retain_hours: float | None = None,
+        orphan_grace_hours: float = 0.0,
     ) -> dict[str, int]:
         """VACUUM analog (Delta gives the reference this for free; VERDICT
         r1 miss #3): drop manifests older than the newest `keep_last_n`
@@ -1914,9 +1915,20 @@ class LakeTable:
         `dry_run=True` (VACUUM DRY RUN parity) reports what WOULD be
         removed without touching disk.
 
-        Single-writer assumption (same as commits): run vacuum from the
-        table's writer, not concurrently with another writer. Readers of
-        kept versions are unaffected (their units are retained)."""
+        `orphan_grace_hours`: an UNREFERENCED data/dv dir younger than
+        this is kept — it may belong to an IN-FLIGHT commit (data staged,
+        manifest not yet linked), which a concurrent vacuum would
+        otherwise destroy just before its manifest lands (Delta protects
+        the same window via its retention default). 0 (the default)
+        reclaims immediately — correct from the table's own writer
+        thread, the documented single-writer contract; pass a grace when
+        other writers may be mid-commit. Stale manifest `.tmp-*` files
+        (a writer killed between staging and linking) are reclaimed
+        under the same grace rule — they are invisible to readers either
+        way (version listing matches only `NNNNNNNN.json`).
+
+        Readers of kept versions are unaffected (their units are
+        retained)."""
         if keep_last_n < 1:
             raise ValueError("keep_last_n must be >= 1")
         versions = self._versions()
@@ -1951,24 +1963,49 @@ class LakeTable:
             for p in self._read_dv(v)
             if p.startswith(_DV_DIR + "/")
         }
+        grace_cutoff = (
+            datetime.now(timezone.utc).timestamp() - orphan_grace_hours * 3600
+        )
+
+        def _in_grace(p: str) -> bool:
+            if orphan_grace_hours <= 0:
+                return False
+            newest = os.path.getmtime(p)
+            for dp, _ds, fs in os.walk(p):
+                for f in fs:
+                    newest = max(newest, os.path.getmtime(os.path.join(dp, f)))
+            return newest >= grace_cutoff
+
         data_root = os.path.join(self.path, _DATA_DIR)
         removed_dirs = 0
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 if d not in referenced:
+                    full = os.path.join(data_root, d)
+                    if _in_grace(full):
+                        continue  # possibly an in-flight commit's stage
                     if not dry_run:
-                        shutil.rmtree(os.path.join(data_root, d))
+                        shutil.rmtree(full)
                     removed_dirs += 1
         dv_root = os.path.join(self.path, _DV_DIR)
         if os.path.isdir(dv_root):
             for d in os.listdir(dv_root):
                 if d not in referenced_dv:
+                    full = os.path.join(dv_root, d)
+                    if _in_grace(full):
+                        continue
                     if not dry_run:
-                        shutil.rmtree(os.path.join(dv_root, d))
+                        shutil.rmtree(full)
                     removed_dirs += 1
         if not dry_run:
             for v in dropped:
                 os.remove(self._manifest_file(v))
+            # stale manifest tmps from writers killed mid-commit
+            for f in os.listdir(self._log_path()):
+                if ".tmp-" in f:
+                    full = os.path.join(self._log_path(), f)
+                    if not _in_grace(full):
+                        os.remove(full)
         return {"removed_manifests": len(dropped), "removed_commit_dirs": removed_dirs}
 
     def clone(self, dest_path: str) -> "LakeTable":

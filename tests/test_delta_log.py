@@ -228,3 +228,40 @@ def test_reader_bootstraps_from_checkpoint(spark, tmp_path):
     assert _rows(read_delta_log(spark, t.path)) == [
         (1, "a"), (2, "b"), (3, "c"),
     ]
+
+
+def test_checkpoint_writer_and_commit_expiry_roundtrip(spark, tmp_path):
+    """write_delta_checkpoint + expire_delta_commits: after writing the
+    checkpoint and deleting every covered JSON commit, the table still
+    opens to the identical state, later exports append on top, and the
+    whole log replays end-to-end."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        expire_delta_commits,
+        write_delta_checkpoint,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, None)], "id long, p string"
+        )
+    )
+    export_delta_log(t)
+    t.append(spark.createDataFrame([(4, "x")], "id long, p string"))
+    export_delta_log(t)
+
+    v = write_delta_checkpoint(t.path)
+    assert v == 1
+    assert expire_delta_commits(t.path) == 2  # both JSON commits covered
+
+    got = read_delta_log(spark, t.path)
+    assert sorted((r.id, r.p) for r in got.collect()) == [
+        (1, "x"), (2, "y"), (3, None), (4, "x"),
+    ]
+
+    # exports resume past the checkpoint and replay on top of it
+    t.append(spark.createDataFrame([(5, "z")], "id long, p string"))
+    assert export_delta_log(t) == 2
+    assert sorted(r.id for r in read_delta_log(spark, t.path).collect()) == [
+        1, 2, 3, 4, 5,
+    ]

@@ -53,12 +53,101 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     return round(cold, 3), round(min(*steady, cold), 3)
 
 
+def table_layer_soak(spark, sf_dir: str, workdir: str) -> dict[str, float]:
+    """Table-layer costs at one scale (VERDICT r4 next #8): the scaling
+    claim for the write path is cost ∝ CHURN, not table size — so the
+    churn batch is a FIXED absolute size at every scale and the
+    cross-scale exponent isolates the table-size dependence.
+
+    - merge_churn: unconditional keyed upsert of 10k changed orders
+      into an orders LakeTable (copy-on-write rewrite of touched
+      units; cost ∝ touched-unit bytes).
+    - ivm_refresh: incremental_agg_refresh folding ONE churn commit's
+      CDF into a status-revenue mart (cost ∝ churn; exponent ≈ 0 is
+      the IVM contract, measured here instead of asserted).
+    - stream_sink_batch: writeStream.format('laketable') availableNow
+      of a fixed 50k-row batch into the scaled table (cost ∝ batch).
+    Setup (initial table build, initial mart build) is untimed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incremental import (
+        incremental_agg_refresh,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import pyds
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    pyds.register(spark)
+    out: dict[str, float] = {}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    # setup: materialize the scaled table (untimed)
+    t = LakeTable(spark, f"{workdir}/orders")
+    t.overwrite(orders)
+
+    # FIXED churn set at every scale: soak_gen shifts copy keys by 10M,
+    # so restricting to the base-copy key range (< 10M) selects the
+    # IDENTICAL rows from sf0.1 and the 10x soak dataset — the
+    # cross-scale exponent then isolates table-size dependence
+    churn = (
+        orders.where(
+            (F.col("o_orderkey") % 97 == 0)
+            & (F.col("o_orderkey") < 10_000_000)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.01)
+    ).persist()
+    churn.count()
+
+    t0 = time.perf_counter()
+    t.merge_upsert(churn, keys="o_orderkey")
+    out["merge_churn"] = round(time.perf_counter() - t0, 3)
+
+    # IVM: initial mart build untimed; then one more churn commit and
+    # time ONLY the incremental fold of its CDF
+    mart = LakeTable(spark, f"{workdir}/mart")
+    v0 = incremental_agg_refresh(
+        mart, t, None, ["o_orderstatus"], ["o_totalprice"], keys="o_orderkey"
+    )
+    churn2 = churn.withColumn("o_totalprice", F.col("o_totalprice") * 1.02)
+    t.merge_upsert(churn2, keys="o_orderkey")
+    t0 = time.perf_counter()
+    incremental_agg_refresh(
+        mart, t, v0, ["o_orderstatus"], ["o_totalprice"], keys="o_orderkey"
+    )
+    out["ivm_refresh"] = round(time.perf_counter() - t0, 3)
+    churn.unpersist()
+
+    # streaming sink: fixed-size batch into the scaled table (same
+    # base-copy restriction => identical batch at both scales)
+    src = f"{workdir}/stream_src"
+    orders.where(F.col("o_orderkey") < 10_000_000).limit(50_000).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 900_000_000
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.format("laketable")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start(t.path)
+    )
+    q.awaitTermination()
+    out["stream_sink_batch"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/tmp/sf1_soak")
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--out", default=str(Path(__file__).parent.parent / "soak_sf1.json"))
+    ap.add_argument("--skip-table-layer", action="store_true")
     a = ap.parse_args()
 
     spark = get_spark(app_name="soak")
@@ -93,15 +182,59 @@ def main() -> None:
         )
         print(json.dumps(rows[-1], separators=(",", ":")), flush=True)
 
+    table_layer = None
+    if not a.skip_table_layer:
+        import tempfile
+
+        # churn-proportional ops (fixed churn size at both scales):
+        # exponent ≈ 0 is the contract for ivm_refresh/stream_sink;
+        # merge_churn may grow with touched-unit bytes (≤ linear)
+        small_tl = table_layer_soak(
+            spark, a.small, tempfile.mkdtemp(prefix="soak_tl_s_")
+        )
+        big_tl = table_layer_soak(
+            spark, a.big, tempfile.mkdtemp(prefix="soak_tl_b_")
+        )
+        table_layer = []
+        churn_bound = {"ivm_refresh", "stream_sink_batch"}
+        for op in small_tl:
+            ts_f, tb_f = max(small_tl[op], 1e-3), max(big_tl[op], 1e-3)
+            exp = round(math.log(tb_f / ts_f) / math.log(a.factor), 2)
+            # churn-proportional ops must stay well below the data
+            # exponent; merge flags only when super-linear
+            limit = 0.5 if op in churn_bound else 1.0
+            table_layer.append(
+                {
+                    "op": op,
+                    "small_secs": small_tl[op],
+                    "big_secs": big_tl[op],
+                    "ratio": round(tb_f / ts_f, 2),
+                    "exponent": exp,
+                    "flag": exp > limit,
+                }
+            )
+            print(json.dumps(table_layer[-1], separators=(",", ":")), flush=True)
+
     with open(a.out, "w") as f:
         json.dump(
-            {"factor": a.factor, "small": a.small, "big": a.big, "rows": rows},
+            {
+                "factor": a.factor,
+                "small": a.small,
+                "big": a.big,
+                "rows": rows,
+                "table_layer": table_layer,
+            },
             f,
             indent=1,
         )
 
     flagged = [r for r in rows if r["flag_superlinear"]]
-    print(f"\nflagged super-linear (no documented fan-out): {[r['query'] for r in flagged]}")
+    if table_layer:
+        flagged += [r for r in table_layer if r["flag"]]
+    print(
+        "\nflagged super-linear (no documented fan-out): "
+        f"{[r.get('query') or r.get('op') for r in flagged]}"
+    )
 
     # markdown table for BASELINE.md
     md = [
