@@ -113,7 +113,11 @@ def carried_range_buckets(
     return (
         df.withColumn("__home", b)
         .withColumn(BUCKET, F.explode(targets))
-        .withColumn(CARRIED, F.col(BUCKET) != F.col("__home"))
+        # null-safe: a NULL day yields NULL buckets; plain != would make
+        # CARRIED null and the caller's ~CARRIED filter would DROP the
+        # row (the global window keeps null-ordered rows in their own
+        # group, and so does the null bucket here)
+        .withColumn(CARRIED, ~F.col(BUCKET).eqNullSafe(F.col("__home")))
         .drop("__home")
     )
 
@@ -170,7 +174,7 @@ def carried_rows_buckets(
     out = (
         pos.withColumn("__home", b)
         .withColumn(BUCKET, F.explode(targets))
-        .withColumn(CARRIED, F.col(BUCKET) != F.col("__home"))
+        .withColumn(CARRIED, ~F.col(BUCKET).eqNullSafe(F.col("__home")))
         .drop("__home")
     )
     out._cached_deps = getattr(pos, "_cached_deps", [])
@@ -196,24 +200,39 @@ def bucketed_prefix_cumsum(
     this one is decimal-typed over day buckets so the daily marts reuse
     the same bucketing as their frame siblings.
     """
-    df = df.withColumn(BUCKET, _bucket(day_col, bucket_days)).persist()
+    # NULL day rows sort FIRST in the global window (ASC NULLS FIRST),
+    # so they get a sentinel bucket below every real one — their sum
+    # then feeds every later row's running total, exactly like the
+    # global spelling (among the null-day ties themselves the global
+    # ordering is arbitrary, and so is the per-bucket one).
+    b = F.when(
+        F.col(day_col).isNull(), F.lit(-(2**62))
+    ).otherwise(_bucket(day_col, bucket_days))
+    df = df.withColumn(BUCKET, b).persist()
     rows = (
         df.groupBy(BUCKET).agg(F.sum(value_col).alias("s")).collect()
     )
     sums = {r[BUCKET]: (r["s"] if r["s"] is not None else Decimal(0)) for r in rows}
     offsets: dict[int, Decimal] = {}
     acc = Decimal(0)
-    for k in sorted(k for k in sums if k is not None):
+    for k in sorted(sums):
         offsets[k] = acc
         acc += sums[k]
-    # the offset literal must keep the decimal scale of the window sum
+    # Offsets accumulate across ALL earlier buckets, so they must carry
+    # the WIDENED precision of the window sum (Spark widens sum(dec(p,s))
+    # to dec(min(38,p+10),s)) — casting to the narrow input type would
+    # ANSI-overflow exactly when the running total outgrows one bucket's
+    # range. Keep the input's scale, max precision.
     dec_type = dict(df.dtypes)[value_col]
-    omap = F.create_map(
-        *[
-            x
-            for k, v in offsets.items()
-            for x in (F.lit(k), F.lit(v).cast(dec_type))
-        ]
+    scale = dec_type.rsplit(",", 1)[-1].rstrip(")") if "," in dec_type else "0"
+    wide = f"decimal(38,{scale})"
+    pairs = [
+        x for k, v in offsets.items() for x in (F.lit(k), F.lit(v).cast(wide))
+    ]
+    # empty input: a zero-arg create_map infers map<string,string> and
+    # would coerce the sum to string/double — keep the decimal type
+    omap = F.create_map(*pairs) if pairs else F.create_map(
+        F.lit(0), F.lit(None).cast(wide)
     )
     w = (
         W.partitionBy(BUCKET)
@@ -223,7 +242,7 @@ def bucketed_prefix_cumsum(
     res = df.withColumn(
         out,
         F.sum(value_col).over(w)
-        + F.coalesce(omap[F.col(BUCKET)], F.lit(0).cast(dec_type)),
+        + F.coalesce(omap[F.col(BUCKET)], F.lit(0).cast(wide)),
     ).drop(BUCKET)
     res._cached_deps = [df]
     return res
@@ -289,13 +308,16 @@ def bucketed_gap_fill(
                 nv = (by_bucket[kk]["fk_day"], by_bucket[kk]["fk_val"])
         prev_carry[k], next_carry[k] = pv, nv
     val_type = dict(df.dtypes)[value_col]
+    day_type = dict(df.dtypes)[day_col]
 
     def _map(d: dict[int, tuple], idx: int, typ: str):
         items = []
         for k, v in d.items():
             items.append(F.lit(k))
             items.append(F.lit(v[idx]).cast(typ))
-        return F.create_map(*items) if items else F.lit(None)
+        if not items:  # empty input: typed NULL, not a NullType getItem
+            return F.create_map(F.lit(0), F.lit(None).cast(typ))
+        return F.create_map(*items)
 
     back = W.partitionBy(BUCKET).orderBy(F.col(day_col).asc()).rowsBetween(
         W.unboundedPreceding, 0
@@ -308,7 +330,7 @@ def bucketed_gap_fill(
             "__prev_day",
             F.coalesce(
                 F.last(known_day, ignorenulls=True).over(back),
-                _map(prev_carry, 0, "int")[F.col(BUCKET)],
+                _map(prev_carry, 0, day_type)[F.col(BUCKET)],
             ),
         )
         .withColumn(
@@ -322,7 +344,7 @@ def bucketed_gap_fill(
             "__next_day",
             F.coalesce(
                 F.first(known_day, ignorenulls=True).over(fwd),
-                _map(next_carry, 0, "int")[F.col(BUCKET)],
+                _map(next_carry, 0, day_type)[F.col(BUCKET)],
             ),
         )
         .withColumn(

@@ -94,6 +94,7 @@ class DeltaSnapshot:
         self.version = version if version is not None else (
             versions[-1] if versions else None
         )
+        self._requested = version
         # {relative unquoted path: partitionValues dict}
         self.files: dict[str, dict[str, str | None]] = {}
         self.schema_json: dict | None = None
@@ -114,6 +115,16 @@ class DeltaSnapshot:
                     line = line.strip()
                     if line:
                         self._apply(json.loads(line))
+        if self._requested is not None:
+            known = max(
+                versions[-1] if versions else -1,
+                ckpt_meta if ckpt_meta is not None else -1,
+            )
+            if self._requested > known:
+                raise ValueError(
+                    f"version {self._requested} does not exist in "
+                    f"{path} (latest is {known})"
+                )
         if self.schema_json is None:
             raise ValueError(f"{path}: no metaData action in Delta log")
 
@@ -152,8 +163,10 @@ class DeltaSnapshot:
             if int(p.get("minReaderVersion", 1)) > 1 and not (
                 # reader v3 is feature-gated: acceptable iff no feature
                 # beyond plain columnar reads is actually required
+                # v2Checkpoint deliberately NOT accepted: the reader
+                # only parses classic N.checkpoint.parquet naming
                 set(p.get("readerFeatures") or [])
-                <= {"timestampNtz", "v2Checkpoint"}
+                <= {"timestampNtz"}
             ):
                 raise NotImplementedError(
                     f"Delta minReaderVersion {p.get('minReaderVersion')} "
@@ -164,7 +177,7 @@ class DeltaSnapshot:
             m = action["metaData"]
             if m.get("format", {}).get("provider", "parquet") != "parquet":
                 raise NotImplementedError("non-parquet Delta format")
-            cfg = m.get("configuration") or {}
+            cfg = dict(m.get("configuration") or {})
             if cfg.get("delta.columnMapping.mode") not in (None, "none"):
                 raise NotImplementedError(
                     "Delta column mapping is not supported by this "
@@ -172,6 +185,7 @@ class DeltaSnapshot:
                 )
             self.schema_json = json.loads(m["schemaString"])
             self.partition_cols = list(m.get("partitionColumns", []))
+            self.meta_id = m.get("id")
         if "add" in action and action["add"]:
             a = action["add"]
             if a.get("deletionVector"):
@@ -206,8 +220,18 @@ def read_delta_log(
         return spark.createDataFrame([], schema)
     abs_paths = [os.path.join(path, p) for p in snap.files]
     df = spark.read.option("mergeSchema", "true").parquet(*abs_paths)
+
+    def _data_col(f):
+        # a column added by ALTER TABLE with no rewritten file exists in
+        # the metaData schema but in NO parquet footer: real Delta
+        # readers return it as NULL, so null-fill instead of failing
+        # resolution against the merged file footprint
+        if f.name in df.columns:
+            return F.col(f.name)
+        return F.lit(None).cast(f.dataType).alias(f.name)
+
     if not snap.partition_cols:
-        return df.select(*[F.col(f.name) for f in schema.fields])
+        return df.select(*[_data_col(f) for f in schema.fields])
     ptypes = {
         f.name: f.dataType.simpleString()
         for f in schema.fields
@@ -226,8 +250,17 @@ def read_delta_log(
             + [f"`__dl_{c}` string" for c in snap.partition_cols]
         ),
     )
-    # Hadoop-style URI: "file:" + absolute path (single slash)
-    df = df.withColumn("__dl_fp", F.col("_metadata.file_path"))
+    # Hadoop-style URI: "file:" + absolute path (single slash), with
+    # URI percent-encoding (space -> %20, '%' -> %25...); decode after
+    # protecting literal '+' — same recipe as tables._read_units_raw —
+    # or any path with a URI-special character misses the join and
+    # silently nulls every partition column.
+    decoded = F.url_decode(
+        F.replace(
+            F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
+        )
+    )
+    df = df.withColumn("__dl_fp", decoded)
     joined = df.join(
         F.broadcast(meta),
         F.col("__dl_fp") == F.concat(F.lit("file:"), F.col("__dl_path")),
@@ -242,7 +275,7 @@ def read_delta_log(
                 .alias(f.name)
             )
         else:
-            out_cols.append(F.col(f.name))
+            out_cols.append(_data_col(f))
     return joined.select(*out_cols)
 
 
@@ -305,6 +338,7 @@ def export_delta_log(table: LakeTable) -> int:
     have: dict[str, dict] = {}
     first = True
     next_v = 0
+    prev = None
     try:
         prev = DeltaSnapshot(table.path)
         have = prev.files
@@ -314,7 +348,14 @@ def export_delta_log(table: LakeTable) -> int:
         pass
     adds = sorted(set(want) - set(have))
     removes = sorted(set(have) - set(want))
-    if not first and not adds and not removes:
+    # additive evolution / layout change must re-emit metaData, or the
+    # Delta log would keep serving the stale schema (new columns
+    # silently dropped by every Delta reader)
+    schema_changed = not first and (
+        prev.schema_json != schema.jsonValue()
+        or prev.partition_cols != pcols
+    )
+    if not first and not adds and not removes and not schema_changed:
         return next_v - 1  # snapshot already mirrored
     now = int(time.time() * 1000)
     actions: list[dict] = []
@@ -322,10 +363,15 @@ def export_delta_log(table: LakeTable) -> int:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
+    if first or schema_changed:
         actions.append(
             {
                 "metaData": {
-                    "id": f"laketable-{os.path.basename(table.path)}",
+                    # stable table id across re-emissions
+                    "id": (
+                        getattr(prev, "meta_id", None)
+                        or f"laketable-{os.path.basename(table.path)}"
+                    ),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": json.dumps(schema.jsonValue()),
                     "partitionColumns": pcols,
@@ -408,7 +454,8 @@ def write_delta_checkpoint(path: str) -> int:
 
     snap = DeltaSnapshot(path)
     meta = {
-        "id": f"laketable-{os.path.basename(path)}",
+        "id": getattr(snap, "meta_id", None)
+        or f"laketable-{os.path.basename(path)}",
         "format": {"provider": "parquet"},
         "schemaString": json.dumps(snap.schema_json),
         "partitionColumns": list(snap.partition_cols),
@@ -428,9 +475,7 @@ def write_delta_checkpoint(path: str) -> int:
                 "metaData": None,
                 "add": {
                     "path": quote(rel),
-                    # pyarrow infers an empty struct (unwritable) from
-                    # {}; None reads back identically (no partitions)
-                    "partitionValues": dict(pvals) or None,
+                    "partitionValues": dict(pvals),
                     "size": os.path.getsize(os.path.join(path, rel)),
                     "modificationTime": int(
                         os.stat(os.path.join(path, rel)).st_mtime * 1000
@@ -439,9 +484,52 @@ def write_delta_checkpoint(path: str) -> int:
                 },
             }
         )
+    # EXPLICIT action schema: the Delta checkpoint contract types
+    # partitionValues (and configuration) as map<string,string>; pylist
+    # inference would produce a struct per distinct key set, which
+    # foreign Delta readers reject against their fixed checkpoint
+    # schema (and an empty dict would be an unwritable empty struct)
+    kv = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", kv),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", kv),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
     log = os.path.join(path, _DELTA_DIR)
     cp = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows), cp)
+    pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), cp)
     with open(os.path.join(log, "_last_checkpoint"), "w") as f:
         json.dump({"version": snap.version, "size": len(rows)}, f)
     return snap.version
@@ -492,25 +580,34 @@ def convert_delta(spark: SparkSession, path: str) -> LakeTable:
         for f in schema.fields
         if f.name in snap.partition_cols
     }
+    combo_by_dir: dict[str, tuple] = {}  # O(files) duplicate check
     by_unit: dict[tuple, dict[str, Any]] = {}
     for rel, pvals in snap.files.items():
         d = os.path.dirname(rel) or "."
         combo = tuple(sorted(pvals.items()))
-        key = (d, combo)
-        other = next((k for k in by_unit if k[0] == d and k != key), None)
-        if other is not None:
+        if combo_by_dir.setdefault(d, combo) != combo:
             raise NotImplementedError(
                 f"directory {d!r} holds files of multiple partition "
                 "combos — flat Delta layouts are not convertible in "
                 "place; copy through read_delta_log + overwrite instead"
             )
+        key = (d, combo)
         by_unit.setdefault(key, {"files": [], "pvals": pvals})
         by_unit[key]["files"].append(os.path.basename(rel))
     units = [
         _Unit(
             path=d,
+            # manifests store Hive-ESCAPED partition values (writers
+            # record the dir segment; _unit_key and readers unescape on
+            # use) — Delta's partitionValues are the raw logical
+            # strings, so escape them or a value containing a
+            # %XX-looking sequence would be corrupted on read
             partition={
-                c: (_HIVE_NULL if v is None else str(v))
+                c: (
+                    _HIVE_NULL
+                    if v is None
+                    else quote(str(v), safe="")
+                )
                 for c, v in info["pvals"].items()
             },
             partition_types=dict(ptypes),

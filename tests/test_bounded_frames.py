@@ -120,3 +120,45 @@ def test_bucketed_gap_fill_equals_global_ffill_bfill(spark):
     )
     for dep in getattr(got, "_cached_deps", []):
         dep.unpersist()
+
+
+def test_prefix_cumsum_handles_null_days_and_empty_input(spark):
+    """NULL day rows sort first in the global window (ASC NULLS FIRST),
+    so their sum must feed every later running total; and an empty
+    input must keep the decimal output type (r5 review findings)."""
+    rows = [(None, Decimal(5)), (1, Decimal(10)), (12, Decimal(20))]
+    df = spark.createDataFrame(rows, "day int, v decimal(18,2)")
+    got = bucketed_prefix_cumsum(df, "day", "v", "run", bucket_days=10)
+    vals = {r["day"]: r["run"] for r in got.collect()}
+    assert vals[1] == Decimal("15.00") and vals[12] == Decimal("35.00")
+    for dep in getattr(got, "_cached_deps", []):
+        dep.unpersist()
+
+    empty = spark.createDataFrame([], "day int, v decimal(18,2)")
+    out = bucketed_prefix_cumsum(empty, "day", "v", "run", bucket_days=10)
+    assert dict(out.dtypes)["run"].startswith("decimal")
+    assert out.count() == 0
+    for dep in getattr(out, "_cached_deps", []):
+        dep.unpersist()
+
+
+def test_range_carry_keeps_null_day_rows(spark):
+    """A NULL day must survive the ~CARRIED filter (plain != would make
+    CARRIED null and silently drop the row, r5 review finding) and see
+    only its null group — matching the global RANGE window."""
+    df = spark.createDataFrame(
+        [(None, Decimal(5)), (None, Decimal(7)), (3, Decimal(10))],
+        "day int, v decimal(18,2)",
+    )
+    aug = carried_range_buckets(df, "day", 2, bucket_days=10)
+    wp = W.partitionBy(BUCKET).orderBy("day").rangeBetween(-2, 0)
+    got = (
+        aug.withColumn("s", F.sum("v").over(wp))
+        .where(~F.col(CARRIED))
+        .select("day", "s")
+    )
+    wg = W.orderBy("day").rangeBetween(-2, 0)
+    want = df.select("day", F.sum("v").over(wg).alias("s"))
+    assert sorted(
+        ((r["day"] is None, r["day"]), r["s"]) for r in got.collect()
+    ) == sorted(((r["day"] is None, r["day"]), r["s"]) for r in want.collect())

@@ -265,3 +265,90 @@ def test_checkpoint_writer_and_commit_expiry_roundtrip(spark, tmp_path):
     assert sorted(r.id for r in read_delta_log(spark, t.path).collect()) == [
         1, 2, 3, 4, 5,
     ]
+
+
+def test_export_reemits_metadata_on_schema_evolution(spark, tmp_path):
+    """Additive evolution between exports must re-emit metaData — a
+    stale schemaString would make every Delta reader silently drop the
+    new column (r5 review finding)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    export_delta_log(t)
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, w double")
+    )
+    export_delta_log(t)
+    got = read_delta_log(spark, t.path)
+    assert "w" in got.columns
+    assert sorted((r.id, r.w) for r in got.collect()) == [
+        (1, None), (2, 9.5),
+    ]
+    # a pure data change after the schema change does NOT re-emit
+    t.append(spark.createDataFrame([(3, "c", 1.0)], "id long, v string, w double"))
+    v = export_delta_log(t)
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t.path, "_delta_log", f"{v:020d}.json"))
+        if l.strip()
+    ]
+    assert not any("metaData" in a for a in acts)
+
+
+def test_reader_rejects_nonexistent_version(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    export_delta_log(t)
+    with pytest.raises(ValueError, match="does not exist"):
+        read_delta_log(spark, t.path, version=99)
+
+
+def test_reader_nullfills_metadata_only_columns(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN with no rewritten file: the column lives
+    only in schemaString. Real Delta readers return NULL; so must
+    read_delta_log (r5 review finding)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    export_delta_log(t)
+    # splice an extra column into the recorded schemaString, the way a
+    # foreign writer's metadata-only ADD COLUMN would
+    log = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(l) for l in open(log) if l.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"].append(
+                {"name": "extra", "type": "double", "nullable": True,
+                 "metadata": {}}
+            )
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(log, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    got = read_delta_log(spark, t.path)
+    assert [(r.id, r.extra) for r in got.collect()] == [(1, None)]
+
+
+def test_checkpoint_partition_values_are_parquet_maps(spark, tmp_path):
+    """The Delta checkpoint contract types add.partitionValues (and
+    metaData.configuration) as map<string,string>; pylist struct
+    inference would break foreign readers (r5 review finding)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, p string")
+    )
+    export_delta_log(t)
+    v = write_delta_checkpoint(t.path)
+    cp = os.path.join(t.path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    sch = pq.read_schema(cp)
+    add_t = sch.field("add").type
+    pv = add_t.field("partitionValues").type
+    assert pt.is_map(pv), pv
+    # and our own reader replays it fine
+    assert sorted(r.id for r in read_delta_log(spark, t.path).collect()) == [1, 2]
