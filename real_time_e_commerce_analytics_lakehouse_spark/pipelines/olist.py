@@ -349,6 +349,7 @@ class OlistPipeline:
             F.count("*").alias("order_item_count"),  # 04:46
             F.sum("price").alias("total_order_value"),  # 04:47
             F.sum("freight_value").alias("total_freight_value"),  # 04:48
+            F.max("ingestion_ts").alias("__items_ts"),
         )
         fact = (
             orders.join(item_agg, "order_id", "left")  # 04:58-59
@@ -374,7 +375,18 @@ class OlistPipeline:
                     F.to_date("order_delivered_customer_date"),
                     F.to_date("order_estimated_delivery_date"),
                 ).alias("delivery_delay_days"),  # 04:85-86; >0 => late
-                F.col("ingestion_ts").alias("orders_silver_ts"),  # 04:26 guard
+                # Merge guard = version of the WHOLE fact row: greatest
+                # of the order's ingestion and its items' latest
+                # ingestion. The reference guards on the orders ts alone
+                # (04:117), which permanently drops aggregate updates
+                # driven by LATE order_items rows (the order row — and
+                # its ts — is unchanged, so s.guard > t.guard is false;
+                # r5 review). Reference quirk deliberately fixed, like
+                # the 06:96-103 first-write bug (module header).
+                F.greatest(
+                    F.col("ingestion_ts"),
+                    F.coalesce(F.col("__items_ts"), F.col("ingestion_ts")),
+                ).alias("orders_silver_ts"),
                 self._now().alias("gold_processed_ts"),
             )
         )

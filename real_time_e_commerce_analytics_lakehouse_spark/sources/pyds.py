@@ -65,6 +65,16 @@ def _unescape_hive(raw: str) -> str:
     return raw if raw == _HIVE_NULL else unquote(raw)
 
 
+def _utc_now_iso() -> str:
+    """committed_at for writer manifests — tables.py's TIMESTAMP AS OF
+    resolution and vacuum(retain_hours) index this field on EVERY
+    manifest (r5 review: pyds-written commits used to omit it, making
+    both crash with KeyError on mixed-writer tables)."""
+    from datetime import timezone
+
+    return datetime.now(timezone.utc).isoformat()
+
+
 def _fs_path(path: str) -> str:
     """Normalize a table location to a filesystem path: the SQL surface
     (CREATE TABLE ... USING laketable) hands the reader a `file:` URI,
@@ -293,6 +303,26 @@ class LakeTableReader(DataSourceReader):
         self.schema = schema
         self.filters: list[Filter] = []
 
+    def __getstate__(self):
+        """Executors need only the decode metadata (colmap/dropped/
+        ptypes); the full parsed manifest — every unit dict with
+        per-file stats — is multi-MB at large tables and would be
+        pickled into EVERY scan task (r5 review). Planning
+        (pushFilters/partitions) runs driver-side before serialization,
+        so the stripped snapshot is sufficient on the other side; the
+        streaming reader ships the same 3-tuple per slice."""
+        from types import SimpleNamespace
+
+        state = self.__dict__.copy()
+        snap = state.get("snap")
+        if isinstance(snap, _Snapshot):
+            state["snap"] = SimpleNamespace(
+                colmap=dict(snap.colmap),
+                dropped=list(snap.dropped),
+                ptypes=dict(snap.ptypes),
+            )
+        return state
+
     # filter types _value_matches/_range_may_match understand; anything
     # else (EqualNullSafe, StringContains, Not, ...) must NOT reach the
     # pruners — _value_matches would treat it as a non-match on NULL
@@ -422,13 +452,23 @@ class LakeTableStreamReader(DataSourceStreamReader):
     offsets the semantics coincide — one batch drains everything up to
     the version observed at start."""
 
-    def __init__(self, path: str, schema: StructType, max_versions: int | None = None):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        max_versions: int | None = None,
+        ignore_changes: bool = False,
+    ):
         self.path = path
         self.schema = schema
         # maxFilesPerTrigger analog at commit granularity: each batch
         # advances at most this many manifest versions, so a long
         # backlog drains in bounded micro-batches
         self.max_versions = max_versions
+        # Delta ignoreChanges parity: rewritten units re-deliver their
+        # rows (at-least-once); default False raises on non-append
+        # commits instead of silently duplicating the whole rewrite
+        self.ignore_changes = ignore_changes
 
     def _version(self) -> int:
         log = os.path.join(self.path, _LOG_DIR)
@@ -463,6 +503,24 @@ class LakeTableStreamReader(DataSourceStreamReader):
         if start["version"] > 0:
             prev = _Snapshot(self.path, start["version"])
             seen = {u["path"] for u in prev.units}
+            removed = seen - {u["path"] for u in new.units}
+            if removed and not self.ignore_changes:
+                # a non-append commit (merge/compact/overwrite/delete)
+                # rewrote already-streamed units; every "new" unit of
+                # the rewrite holds historical rows, so continuing
+                # would silently re-deliver the whole table (r5
+                # review). Same contract as Delta's streaming source:
+                # fail unless the consumer opts into at-least-once.
+                raise ValueError(
+                    "laketable stream: units were rewritten or removed "
+                    "by a non-append commit between offsets "
+                    f"{start['version']} and {end['version']} "
+                    f"({sorted(removed)[:3]}...). A microbatch stream "
+                    "cannot reconcile rewrites; set .option("
+                    "'ignore_changes', 'true') to accept at-least-once "
+                    "redelivery of rewritten units (Delta ignoreChanges "
+                    "parity), or consume through read_cdf/apply_changes."
+                )
         # merge-on-read deletion vectors (ADVICE r3 #2): tombstones are
         # resolved at planning time, as the batch reader does, and
         # applied to the units NEW in this batch (never delivered, so
@@ -823,6 +881,7 @@ class LakeTableWriter(DataSourceArrowWriter):
         doc = {
             "version": self.base_version + 1,
             "operation": "pyds-overwrite" if self.overwrite else "pyds-append",
+            "committed_at": _utc_now_iso(),
             "partition_by": [],
             "units": self.carry_units + [unit],
             "dv": self.carry_dv,
@@ -1027,6 +1086,7 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
                 with open(os.path.join(log, f"{versions[-1]:08d}.json")) as f:
                     prev = json.load(f)
                 if prev.get("column_map") or prev.get("column_dropped"):
+                    self._drop_staged(messages)  # no leak per retry
                     raise ValueError(
                         "laketable stream writer does not support "
                         "column-mapped tables; use foreachBatch + the "
@@ -1035,6 +1095,7 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
                 if sorted(prev.get("partition_by", [])) != sorted(
                     self.partition_by
                 ):
+                    self._drop_staged(messages)  # no leak per retry
                     raise ValueError(
                         f"stream partition_by {self.partition_by} does not "
                         "match the table's declared layout "
@@ -1079,6 +1140,7 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
             doc = {
                 "version": base + 1,
                 "operation": "pyds-stream-append",
+                "committed_at": _utc_now_iso(),
                 "partition_by": list(self.partition_by),
                 "units": units,
                 "dv": dv,
@@ -1166,8 +1228,14 @@ class LakeTableDataSource(DataSource):
     def streamReader(self, schema: StructType) -> LakeTableStreamReader:
         path, _version = self._target()
         mv = self.options.get("maxversionspertrigger")
+        ic = str(
+            self.options.get("ignore_changes")
+            or self.options.get("ignorechanges")
+            or ""
+        ).lower() in ("true", "1", "yes")
         return LakeTableStreamReader(
-            path, schema, int(mv) if mv is not None else None
+            path, schema, int(mv) if mv is not None else None,
+            ignore_changes=ic,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> LakeTableWriter:

@@ -804,7 +804,15 @@ class LakeTable:
     def _source_partitions(self, source: DataFrame) -> set[tuple[str, ...]]:
         """Distinct partition tuples present in a source batch, canonical
         strings. Bounded collect: one row per partition touched by the
-        batch (a daily batch touches a handful of date partitions)."""
+        batch (a daily batch touches a handful of date partitions).
+
+        A GENERATED partition column (the hidden-partitioning recipe in
+        partition_transform's docstring: writers never supply it) is
+        computed here before the select — otherwise every merge into
+        such a table would fail resolving the absent column (r5
+        review)."""
+        if any(c not in source.columns for c in self.partition_by):
+            source = self._apply_generated(source)
         return {
             tuple(_part_str(r[c]) for c in self.partition_by)
             for r in source.select(*self.partition_by).distinct().collect()
@@ -1196,6 +1204,10 @@ class LakeTable:
             units,
             op=f"restore(v{version})",
             colmap=self._colmap(version),
+            # the restored SNAPSHOT includes its deletion vectors —
+            # carrying the latest version's DVs would either hide rows
+            # v had, or resurrect rows a later compact materialized away
+            dv=self._read_dv(version),
         )
 
     def read_changes(self, since_version: int | None) -> DataFrame | None:
@@ -1538,6 +1550,7 @@ class LakeTable:
             carried + kept + self._write_units(df),
             op="overwrite_where",
             base_version=v,
+            dv=self._dv_minus_units(self._read_dv(v), touched),
         )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1665,6 +1678,8 @@ class LakeTable:
         )
         meta = ["_change_type", "_commit_version"]
         upserts = latest.filter(F.col("_change_type") != "delete").drop(*meta)
+        if self.generated:
+            upserts = self._apply_generated(upserts)  # hidden partitions
         deletes = latest.filter(F.col("_change_type") == "delete").select(*ks)
         if not self.exists():
             return self.overwrite(upserts)
@@ -1690,6 +1705,7 @@ class LakeTable:
             )
         else:
             untouched = []
+            touched_paths = {u.path for u in current_units}
             target = self._read_units(
                 current_units, dv_paths=self._read_dv(base_v)
             )
@@ -1704,7 +1720,13 @@ class LakeTable:
         merged = merged.join(deletes, cond, "left_anti")
         new_units = self._write_units(merged)
         return self._commit(
-            untouched + new_units, op="apply_changes", base_version=base_v
+            untouched + new_units,
+            op="apply_changes",
+            base_version=base_v,
+            dv=self._dv_minus_units(
+                self._read_dv(base_v),
+                touched_paths if self.partition_by else None,
+            ),
         )
 
     def append_once(self, df: DataFrame, txn_app: str, txn_version: int) -> int | None:
@@ -1845,6 +1867,9 @@ class LakeTable:
                 carried + self._write_units(df, already_clustered=True),
                 op="compact_where",
                 base_version=v,
+                dv=self._dv_minus_units(
+                    self._read_dv(v), {x.path for x in sel}
+                ),
             )
         df = self.read(version=v)
         df = self._cluster_for_compact(df, cluster_by, target_files, zorder)
@@ -2039,6 +2064,8 @@ class LakeTable:
                 partition_types=dict(u.partition_types),
                 stats=dict(u.stats),
                 file_stats=dict(u.file_stats),
+                bloom=dict(u.bloom),
+                file_bloom=dict(u.file_bloom),
             )
             for u in self._read_manifest(v)
         ]
@@ -2054,6 +2081,12 @@ class LakeTable:
             op=f"clone({self.path}@v{v})",
             dv=rebased_dv,
             colmap=self._colmap(v),
+            # identity high-water mark and txn ledger travel with the
+            # clone (r5 review): appends to the clone must not re-issue
+            # identity values already present in the cloned rows, and
+            # append_once idempotency must survive the clone
+            identity_high=self._identity_high(v),
+            txn=self._txns(v),
         )
         return dest
 
@@ -2167,6 +2200,51 @@ class LakeTable:
             for f in names
         )
 
+    def _dv_minus_units(
+        self, dv: list[str], removed_paths: set[str] | None
+    ) -> list[str]:
+        """Deletion-vector dirs with tombstones pointing into
+        `removed_paths` dropped (r5 review). Every rewriting commit
+        reads its touched units WITH dv_paths applied — the rewrite
+        therefore MATERIALIZED those tombstoned deletions — so carrying
+        tombstones that reference a removed unit's files leaves stale
+        entries that make count_rows undercount and block streaming
+        reads on "active tombstones" forever. Tombstones into untouched
+        units stay active. `removed_paths=None` = every unit was
+        rewritten: [] with no job. Otherwise one bounded job over the
+        tombstone rows (|deleted rows|, KB-scale)."""
+        if not dv or removed_paths is None:
+            return []
+        if not removed_paths:
+            return list(dv)
+        rows = self.spark.read.parquet(
+            *[os.path.join(self.path, p) for p in dv]
+        )
+        # fp is the URI-encoded _metadata.file_path; decode (protecting
+        # literal '+') before comparing to raw on-disk unit dirs
+        decoded = F.url_decode(
+            F.replace(F.col("fp"), F.lit("+"), F.lit("%2B"))
+        )
+        cond = F.lit(False)
+        for p in sorted(removed_paths):
+            pref = "file:" + os.path.abspath(os.path.join(self.path, p)) + "/"
+            cond = cond | decoded.startswith(pref)
+        kept = rows.filter(~cond)
+        rel = os.path.join(_DV_DIR, uuid.uuid4().hex)
+        dirname = os.path.join(self.path, rel)
+        kept.write.parquet(dirname)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(dirname, f)).metadata.num_rows
+            for f in os.listdir(dirname)
+            if f.endswith(".parquet")
+        )
+        if n == 0:
+            shutil.rmtree(dirname)
+            return []
+        return [rel]
+
     def _touched_unit_paths(
         self,
         units: list[_Unit],
@@ -2251,7 +2329,12 @@ class LakeTable:
         # footer num_rows; no Spark job) so manifests don't accumulate
         # empty units; the dropped dirs are orphans vacuum() reclaims
         rewritten = [u for u in rewritten if self._unit_nrows(u) > 0]
-        new_v = self._commit(carried + rewritten, op=op, base_version=v)
+        new_v = self._commit(
+            carried + rewritten,
+            op=op,
+            base_version=v,
+            dv=self._dv_minus_units(self._read_dv(v), touched),
+        )
         return {
             "version": new_v,
             "rewritten_units": len(touched),
@@ -2381,6 +2464,8 @@ class LakeTable:
         event lands on the same event_date), which is the same contract
         Delta's partition-pruned merge pattern relies on."""
         ks = [keys] if isinstance(keys, str) else list(keys)
+        if self.generated:
+            source = self._apply_generated(source)  # hidden partitions
         if not self.exists():
             return self.overwrite(source)
         v = self.latest_version()
@@ -2495,6 +2580,12 @@ class LakeTable:
         canonical unescaped values (Hive %XX dir escaping + NULL sentinel
         normalized on both sides — ADVICE r1 #1)."""
         ks = [keys] if isinstance(keys, str) else list(keys)
+        if self.generated:
+            # hidden-partitioning recipe: writers never supply generated
+            # columns, but the merge body and partition scoping need
+            # them (inserted rows would otherwise carry NULL and fail
+            # write-time validation, r5 review)
+            source = self._apply_generated(source)
         if not self.exists():
             return self.overwrite(source)
 
@@ -2515,6 +2606,7 @@ class LakeTable:
             )
         else:
             untouched = []
+            touched_paths = {u.path for u in current_units}
             target = self._read_units(current_units, dv_paths=self._read_dv(base_v))
 
         merged = _merge_dataframes(
@@ -2531,7 +2623,15 @@ class LakeTable:
                     "dedup first (operators.dedup.dedup_latest)"
                 ) from None
             raise
-        return self._commit(untouched + new_units, op="merge_upsert", base_version=base_v)
+        return self._commit(
+            untouched + new_units,
+            op="merge_upsert",
+            base_version=base_v,
+            dv=self._dv_minus_units(
+                self._read_dv(base_v),
+                touched_paths if self.partition_by else None,
+            ),
+        )
 
     def merge_scd2(
         self,
@@ -2674,7 +2774,11 @@ class LakeTable:
                     f"pairs for keys {ks}; dedup or sequence them first"
                 ) from None
             raise
-        return self._commit(new_units, op="merge_scd2", base_version=base_v)
+        # the rebuild replaced every unit and its read applied the DVs:
+        # the new snapshot has no live tombstones
+        return self._commit(
+            new_units, op="merge_scd2", base_version=base_v, dv=[]
+        )
 
 
 def _merge_dataframes(
