@@ -85,7 +85,11 @@ def create_dedup_index(spark: SparkSession, path: str) -> LakeTable:
 
 
 def ingest_batch(
-    spark: SparkSession, index: LakeTable, batch: DataFrame
+    spark: SparkSession,
+    index: LakeTable,
+    batch: DataFrame,
+    batch_id: int | None = None,
+    txn_app: str = "incdedup",
 ) -> DataFrame:
     """Dedup-candidate pairs contributed by `batch` (new-vs-existing
     and new-vs-new), then append the batch's bands to the index.
@@ -94,49 +98,65 @@ def ingest_batch(
     is row-local over the batch; the probe joins the batch's bands
     (small side, broadcast by AQE) against the index scan; the
     self-pair is a batch-sized join. The existing corpus is never
-    self-paired again."""
+    self-paired again.
+
+    Idempotency (r5 review): the pair RESULT is materialized BEFORE the
+    index append, so a failure leaves the index without the batch (the
+    natural retry re-ingests cleanly); and passing `batch_id` routes the
+    append through the table's txn ledger (append_once) so replaying an
+    already-ingested batch — the foreachBatch at-least-once case —
+    appends nothing (the returned pairs are recomputed, which is
+    harmless: they are deterministic). Without `batch_id` the caller
+    owns replay protection."""
     nb = band_table(batch)
     # referenced three times (probe, self-pair both sides, append)
     nb = nb.persist()
-    a = nb.alias("a")
-    within = (
-        a.join(
-            nb.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    if index.exists():
-        ex = index.read().alias("x")
-        vs_existing = (
+    try:
+        a = nb.alias("a")
+        within = (
             a.join(
-                ex,
-                (F.col("a.band") == F.col("x.band"))
-                & (F.col("a.h") == F.col("x.h"))
-                & (F.col("a.doc_id") != F.col("x.doc_id")),
+                nb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .select(
-                F.least("a.doc_id", "x.doc_id").alias("doc_a"),
-                F.greatest("a.doc_id", "x.doc_id").alias("doc_b"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
             )
         )
-        pairs = within.unionByName(vs_existing)
-        index.append(nb)
-    else:
-        pairs = within
-        index.overwrite(nb)
-    # materialize before releasing the banded batch (the append above
-    # already consumed it once; this avoids a third recompute when the
-    # caller collects)
-    out = pairs.distinct().persist()
-    out.count()
-    nb.unpersist()
-    for dep in getattr(nb, "_cached_deps", []):
-        dep.unpersist()
+        exists = index.exists()
+        if exists:
+            ex = index.read().alias("x")
+            vs_existing = (
+                a.join(
+                    ex,
+                    (F.col("a.band") == F.col("x.band"))
+                    & (F.col("a.h") == F.col("x.h"))
+                    & (F.col("a.doc_id") != F.col("x.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "x.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "x.doc_id").alias("doc_b"),
+                )
+            )
+            pairs = within.unionByName(vs_existing)
+        else:
+            pairs = within
+        # materialize the RESULT first: if this fails, the index has not
+        # advanced and the retry re-ingests without duplicate bands
+        out = pairs.distinct().persist()
+        out.count()
+        if batch_id is not None:
+            index.append_once(nb, txn_app=txn_app, txn_version=batch_id)
+        elif exists:
+            index.append(nb)
+        else:
+            index.overwrite(nb)
+    finally:
+        nb.unpersist()
+        for dep in getattr(nb, "_cached_deps", []):
+            dep.unpersist()
     # the caller releases the result's own cache when done
     # (operators.simsearch.release_cached) — previously it leaked one
     # cached pair frame per ingest in a long-lived session

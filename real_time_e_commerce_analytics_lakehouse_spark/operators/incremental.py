@@ -51,12 +51,29 @@ def signed_delta(
     cdf: DataFrame, group_cols: Sequence[str], sum_cols: Sequence[str]
 ) -> DataFrame:
     """Per-group signed contribution of a CDF slice: d_<col> decimal
-    sums (exact, order-independent) and d_rows row-count delta."""
+    sums (exact, order-independent), d_cnt_<col> signed NON-NULL counts,
+    and d_rows row-count delta.
+
+    The per-column non-null count is load-bearing for exactness (r5
+    review): SQL SUM over a group whose non-null values were all
+    deleted is NULL, but the maintained decimal fold would report the
+    exactly-cancelled 0 — the count reaching 0 is the signal to emit
+    NULL instead. It is also the correct denominator for AVG (n_rows
+    counts NULL-valued rows; AVG ignores them)."""
     sign = _sign()
-    aggs = [
-        F.sum(sign * F.col(c).cast("decimal(18,2)")).alias(f"d_{c}")
-        for c in sum_cols
-    ] + [F.sum(sign).cast("long").alias("d_rows")]
+    aggs = (
+        [
+            F.sum(sign * F.col(c).cast("decimal(18,2)")).alias(f"d_{c}")
+            for c in sum_cols
+        ]
+        + [
+            F.sum(F.when(F.col(c).isNotNull(), sign).otherwise(0))
+            .cast("long")
+            .alias(f"d_cnt_{c}")
+            for c in sum_cols
+        ]
+        + [F.sum(sign).cast("long").alias("d_rows")]
+    )
     return cdf.groupBy(*group_cols).agg(*aggs)
 
 
@@ -114,9 +131,17 @@ def incremental_agg_refresh(
     if cdf is None:
         return None
     cdf = cdf.persist()
+    try:
+        return _agg_refresh_body(
+            agg_table, cdf, end0, group_cols, sum_cols
+        )
+    finally:
+        cdf.unpersist()
+
+
+def _agg_refresh_body(agg_table, cdf, end0, group_cols, sum_cols):
     applied = cdf.agg(F.max("_commit_version")).first()[0]
     if applied is None:
-        cdf.unpersist()
         return end0  # only data-neutral commits: advance past them
     gcols = list(group_cols)
     delta = signed_delta(cdf, gcols, sum_cols)
@@ -127,25 +152,51 @@ def incremental_agg_refresh(
     if old is None:
         combined = delta.select(
             *gcols,
-            *[F.col(f"d_{c}").alias(f"sum_{c}") for c in sum_cols],
+            *[
+                F.when(F.col(f"d_cnt_{c}") == 0, F.lit(None))
+                .otherwise(F.col(f"d_{c}"))
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+            *[F.col(f"d_cnt_{c}").alias(f"cnt_{c}") for c in sum_cols],
             F.col("d_rows").alias("n_rows"),
         )
     else:
+        if any(f"cnt_{c}" not in old.columns for c in sum_cols):
+            raise ValueError(
+                f"aggregate table {agg_table.path} predates the "
+                "per-column non-null counts (cnt_<col>) this refresh "
+                "maintains — rebuild it once with since_version=None "
+                "on an empty table"
+            )
         joined = old.alias("L").join(
             delta.alias("R"), _nullsafe_cond(gcols), "full_outer"
         )
+        new_cnt = {
+            c: (
+                F.coalesce(F.col(f"cnt_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d_cnt_{c}"), F.lit(0))
+            ).cast("long")
+            for c in sum_cols
+        }
         combined = joined.select(
             *[
                 F.coalesce(F.col(f"L.{c}"), F.col(f"R.{c}")).alias(c)
                 for c in gcols
             ],
             *[
-                (
+                # zero non-null contributors => SUM is NULL, exactly as
+                # a full recompute would report (r5 review: the decimal
+                # fold alone cancels to 0, not NULL)
+                F.when(new_cnt[c] == 0, F.lit(None))
+                .otherwise(
                     F.coalesce(F.col(f"sum_{c}"), F.lit(0))
                     + F.coalesce(F.col(f"d_{c}"), F.lit(0))
-                ).alias(f"sum_{c}")
+                )
+                .alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            *[new_cnt[c].alias(f"cnt_{c}") for c in sum_cols],
             (
                 F.coalesce(F.col("n_rows"), F.lit(0))
                 + F.coalesce(F.col("d_rows"), F.lit(0))
@@ -155,7 +206,6 @@ def incremental_agg_refresh(
         combined.where(F.col("n_rows") > 0),
         txn={_IVM_TXN_APP: int(applied)},
     )
-    cdf.unpersist()
     return int(applied)
 
 
@@ -186,59 +236,64 @@ def incremental_minmax_refresh(
     if cdf is None:
         return None
     cdf = cdf.persist()
-    applied = cdf.agg(F.max("_commit_version")).first()[0]
-    if applied is None:
+    dirty = None
+    try:
+        applied = cdf.agg(F.max("_commit_version")).first()[0]
+        if applied is None:
+            return end0
+        gcols = list(group_cols)
+        adds = (
+            cdf.where(F.col("_change_type").isin("insert", "update_postimage"))
+            .groupBy(*gcols)
+            .agg(
+                F.min(value_col).alias("a_min"), F.max(value_col).alias("a_max")
+            )
+        )
+        dirty = (
+            cdf.where(F.col("_change_type").isin("delete", "update_preimage"))
+            .select(*gcols)
+            .distinct()
+            .persist()
+        )
+        old = agg_table.read() if agg_table.exists() else None
+        if old is None:
+            folded = adds.select(
+                *gcols, F.col("a_min").alias("min_v"), F.col("a_max").alias("max_v")
+            )
+        else:
+            j = old.alias("L").join(
+                adds.alias("R"), _nullsafe_cond(gcols), "full_outer"
+            )
+            folded = j.select(
+                *[
+                    F.coalesce(F.col(f"L.{c}"), F.col(f"R.{c}")).alias(c)
+                    for c in gcols
+                ],
+                F.least(
+                    F.coalesce("min_v", "a_min"), F.coalesce("a_min", "min_v")
+                ).alias("min_v"),
+                F.greatest(
+                    F.coalesce("max_v", "a_max"), F.coalesce("a_max", "max_v")
+                ).alias("max_v"),
+            )
+        clean = folded.alias("L").join(
+            dirty.alias("R"), _nullsafe_cond(gcols), "left_anti"
+        )
+        recomputed = (
+            source.read(version=int(applied))
+            .alias("L")
+            .join(dirty.alias("R"), _nullsafe_cond(gcols), "left_semi")
+            .groupBy(*gcols)
+            .agg(F.min(value_col).alias("min_v"), F.max(value_col).alias("max_v"))
+        )
+        agg_table.overwrite(clean.unionByName(recomputed))
+        return int(applied)
+    finally:
+        # a failed refresh (overwrite race, analysis error) must not pin
+        # CDF-sized caches for the life of the session (r5 review)
         cdf.unpersist()
-        return end0
-    gcols = list(group_cols)
-    adds = (
-        cdf.where(F.col("_change_type").isin("insert", "update_postimage"))
-        .groupBy(*gcols)
-        .agg(
-            F.min(value_col).alias("a_min"), F.max(value_col).alias("a_max")
-        )
-    )
-    dirty = (
-        cdf.where(F.col("_change_type").isin("delete", "update_preimage"))
-        .select(*gcols)
-        .distinct()
-        .persist()
-    )
-    old = agg_table.read() if agg_table.exists() else None
-    if old is None:
-        folded = adds.select(
-            *gcols, F.col("a_min").alias("min_v"), F.col("a_max").alias("max_v")
-        )
-    else:
-        j = old.alias("L").join(
-            adds.alias("R"), _nullsafe_cond(gcols), "full_outer"
-        )
-        folded = j.select(
-            *[
-                F.coalesce(F.col(f"L.{c}"), F.col(f"R.{c}")).alias(c)
-                for c in gcols
-            ],
-            F.least(
-                F.coalesce("min_v", "a_min"), F.coalesce("a_min", "min_v")
-            ).alias("min_v"),
-            F.greatest(
-                F.coalesce("max_v", "a_max"), F.coalesce("a_max", "max_v")
-            ).alias("max_v"),
-        )
-    clean = folded.alias("L").join(
-        dirty.alias("R"), _nullsafe_cond(gcols), "left_anti"
-    )
-    recomputed = (
-        source.read(version=int(applied))
-        .alias("L")
-        .join(dirty.alias("R"), _nullsafe_cond(gcols), "left_semi")
-        .groupBy(*gcols)
-        .agg(F.min(value_col).alias("min_v"), F.max(value_col).alias("max_v"))
-    )
-    agg_table.overwrite(clean.unionByName(recomputed))
-    cdf.unpersist()
-    dirty.unpersist()
-    return int(applied)
+        if dirty is not None:
+            dirty.unpersist()
 
 
 def incremental_distinct_refresh(
@@ -268,9 +323,19 @@ def incremental_distinct_refresh(
     if cdf is None:
         return None
     cdf = cdf.persist()
+    try:
+        return _distinct_refresh_body(
+            agg_table, source, cdf, end0, group_cols, value_col
+        )
+    finally:
+        cdf.unpersist()
+
+
+def _distinct_refresh_body(
+    agg_table, source, cdf, end0, group_cols, value_col
+):
     applied = cdf.agg(F.max("_commit_version")).first()[0]
     if applied is None:
-        cdf.unpersist()
         return end0
     gcols = list(group_cols)
     adds = (
@@ -284,6 +349,15 @@ def incremental_distinct_refresh(
         .distinct()
         .persist()
     )
+    try:
+        return _distinct_fold(
+            agg_table, source, adds, dirty, gcols, value_col, int(applied)
+        )
+    finally:
+        dirty.unpersist()
+
+
+def _distinct_fold(agg_table, source, adds, dirty, gcols, value_col, applied):
     old = agg_table.read() if agg_table.exists() else None
     if old is None:
         folded = adds.select(*gcols, F.col("a_sk").alias("sketch"))
@@ -307,7 +381,7 @@ def incremental_distinct_refresh(
         dirty.alias("R"), _nullsafe_cond(gcols), "left_anti"
     )
     recomputed = (
-        source.read(version=int(applied))
+        source.read(version=applied)
         .alias("L")
         .join(dirty.alias("R"), _nullsafe_cond(gcols), "left_semi")
         .groupBy(*gcols)
@@ -321,6 +395,4 @@ def incremental_distinct_refresh(
         ),
     )
     agg_table.overwrite(out)
-    cdf.unpersist()
-    dirty.unpersist()
-    return int(applied)
+    return applied

@@ -131,11 +131,18 @@ def ivf_index_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k neighbors for a query batch from the persisted index.
     Query-path cost: broadcast-assign the batch to probe cells, fetch
     ONLY those cells' assignment partitions, exact-rerank candidates
-    against the corpus vectors (join on vec_id). Zero training work."""
+    against the corpus vectors (join on vec_id). Zero training work.
+
+    `exclude_self=True` drops candidates whose vec_id equals the
+    query_id — ONLY correct when the queries ARE corpus rows sharing
+    the id space (the gate query's shape). For an external query batch
+    it must stay False: an unrelated corpus vector that merely shares
+    the integer id would silently vanish from the top-k (r5 review)."""
     cents = LakeTable(spark, os.path.join(index_path, "centroids")).read()
     at = LakeTable(
         spark, os.path.join(index_path, "assignments"),
@@ -145,16 +152,18 @@ def ivf_index_topk(
         F.col(id_col).alias("query_id"),
         F.expr(f"cast({vec_col} as array<double>)").alias("emb"),
     )
+    # resolved once: the probe plan (broadcast crossJoin + rank window)
+    # feeds BOTH the probe-cell collect and the candidate join — without
+    # the persist it executed twice (r5 review)
     probes = assign_cells(
         q.withColumnRenamed("query_id", "vec_id"), cents, "vec_id", n_probe
-    ).withColumnRenamed("vec_id", "query_id")
+    ).withColumnRenamed("vec_id", "query_id").persist()
     probe_cells = [r.cell_id for r in probes.select("cell_id").distinct().collect()]
     assigned = at.read(partitions={"cell_id": probe_cells})
-    cand = (
-        probes.join(assigned, "cell_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
+    cand = probes.join(assigned, "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    cand = cand.select("query_id", "vec_id")
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"cast({vec_col} as array<double>)").alias("v_emb"),
@@ -169,10 +178,12 @@ def ivf_index_topk(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "vec_id", "rank", F.round("sim", 6).alias("cosine_sim")
         )
     )
+    out._cached_deps = [probes]  # released by the caller post-action
+    return out

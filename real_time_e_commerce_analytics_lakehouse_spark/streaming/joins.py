@@ -43,6 +43,32 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def _interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared body of the interval joins (one copy, r5 review: the
+    inner/outer variants had drifted-prone duplicate bodies)."""
+    _check_disjoint(left, right, key)
+    l = left.withWatermark(left_ts, watermark).alias("l")  # noqa: E741
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND "
+        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {lookback} AND l.{left_ts}"
+    )
+    joined = l.join(r, cond, how)
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c != key
+    ]
+    return joined.select(*keep)
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,18 +88,9 @@ def stream_stream_interval_join(
     non-key columns verbatim; a shared non-key name would emit two
     identically-named columns and break every downstream reference, so
     it is refused here instead)."""
-    _check_disjoint(left, right, key)
-    l = left.withWatermark(left_ts, watermark).alias("l")  # noqa: E741
-    r = right.withWatermark(right_ts, watermark).alias("r")
-    cond = F.expr(
-        f"l.{key} = r.{key} AND "
-        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {lookback} AND l.{left_ts}"
+    return _interval_join(
+        left, right, key, left_ts, right_ts, lookback, watermark, "inner"
     )
-    joined = l.join(r, cond, "inner")
-    keep = [F.col(f"l.{c}") for c in left.columns] + [
-        F.col(f"r.{c}") for c in right.columns if c != key
-    ]
-    return joined.select(*keep)
 
 
 def stream_stream_interval_join_outer(
@@ -96,15 +113,7 @@ def stream_stream_interval_join_outer(
     rejects the query: state could never be evicted and no row could
     ever be finalized). Same disjoint-column contract as the inner
     variant."""
-    _check_disjoint(left, right, key)
-    l = left.withWatermark(left_ts, watermark).alias("l")  # noqa: E741
-    r = right.withWatermark(right_ts, watermark).alias("r")
-    cond = F.expr(
-        f"l.{key} = r.{key} AND "
-        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {lookback} AND l.{left_ts}"
+    return _interval_join(
+        left, right, key, left_ts, right_ts, lookback, watermark,
+        "left_outer",
     )
-    joined = l.join(r, cond, "left_outer")
-    keep = [F.col(f"l.{c}") for c in left.columns] + [
-        F.col(f"r.{c}") for c in right.columns if c != key
-    ]
-    return joined.select(*keep)

@@ -29,19 +29,28 @@ def tumbling_counts(
     window: str = "1 hour",
     watermark: str = "30 minutes",
     keys: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Watermarked tumbling-window count/sum. Works on both batch and
+    """Watermarked tumbling-window count (+ sum of `value_col` when the
+    frame has one — pass None for count-only over schemas without a
+    value column; the previous hardcoded sum("value") crashed any
+    reuse beyond the events schema, r5 review). Works on both batch and
     streaming DataFrames (same logical plan; streaming adds state)."""
+    aggs = [F.count("*").alias("n_events")]
+    extra = []
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+        extra = [f"sum_{value_col}"]
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), *keys)
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             *keys,
             "n_events",
-            "sum_value",
+            *extra,
         )
     )
 
@@ -75,21 +84,28 @@ def session_counts(
     gap: str = "30 minutes",
     watermark: str = "30 minutes",
     keys: tuple[str, ...] = ("user_id",),
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Session windows (gap-based) — the streaming twin of the batch
     sessionize_events query (lag+cumsum formulation). session_window
     merges windows whose events are within `gap`; a session closes when
-    the watermark passes its end."""
+    the watermark passes its end. `value_col=None` for frames without a
+    summable column (same contract as tumbling_counts)."""
+    aggs = [F.count("*").alias("n_events")]
+    extra = []
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+        extra = [f"sum_{value_col}"]
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(*aggs)
         .select(
             *keys,
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            *extra,
         )
     )
 

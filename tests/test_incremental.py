@@ -13,13 +13,18 @@ from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
 
 
 def _full(src):
+    # the mart maintains SUM + per-column non-null count (AVG's true
+    # denominator; and the NULL-when-all-null signal) + row count —
+    # exactly what one full recompute produces
     return (
         src.read()
         .groupBy("status")
         .agg(
             F.sum(F.col("amount").cast("decimal(18,2)")).alias("sum_amount"),
+            F.count("amount").cast("long").alias("cnt_amount"),
             F.count("*").cast("long").alias("n_rows"),
         )
+        .select("status", "sum_amount", "cnt_amount", "n_rows")
     )
 
 
@@ -304,3 +309,40 @@ def test_agg_refresh_replay_and_compaction_advance(spark, tmp_path):
         agg, src, v3, group_cols=["status"], sum_cols=["amount"], keys="id"
     )
     assert v4 is None
+
+
+def test_incremental_agg_sum_goes_null_when_nonnull_values_deleted(
+    spark, tmp_path
+):
+    """SQL SUM over a group whose non-null values were all deleted is
+    NULL; the decimal fold alone would report the exactly-cancelled 0
+    (r5 review). The maintained per-column non-null count supplies the
+    signal — and the true AVG denominator."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incremental import (
+        incremental_agg_refresh,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    agg = LakeTable(spark, str(tmp_path / "agg"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "A", None), (2, "A", 5.0), (3, "A", 10.0)],
+            "id long, status string, amount double",
+        )
+    )
+    v = incremental_agg_refresh(
+        agg, src, None, group_cols=["status"], sum_cols=["amount"], keys="id"
+    )
+    row = agg.read().collect()[0]
+    assert (row["sum_amount"], row["cnt_amount"], row["n_rows"]) == (15, 2, 3)
+    # AVG from the maintained state ignores the NULL row, like SQL AVG
+    assert float(row["sum_amount"]) / row["cnt_amount"] == 7.5
+
+    src.delete(F.col("id").isin(2, 3))
+    incremental_agg_refresh(
+        agg, src, v, group_cols=["status"], sum_cols=["amount"], keys="id"
+    )
+    row = agg.read().collect()[0]
+    assert row["sum_amount"] is None  # not Decimal(0)
+    assert (row["cnt_amount"], row["n_rows"]) == (0, 1)

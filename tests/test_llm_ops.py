@@ -333,7 +333,8 @@ def test_ivf_index_matches_inline_training(spark, sf_dir, tmp_path) -> None:
     got = {
         (r.query_id, r.vec_id, r.rank, r.cosine_sim)
         for r in ivf_index_topk(
-            spark, emb, idx, queries, k=3, n_probe=N_PROBE
+            spark, emb, idx, queries, k=3, n_probe=N_PROBE,
+            exclude_self=True,  # queries ARE corpus rows here
         ).collect()
     }
     want = {
@@ -345,7 +346,9 @@ def test_ivf_index_matches_inline_training(spark, sf_dir, tmp_path) -> None:
     # index reuse: a second query batch hits the same persisted index
     # without retraining (new LakeTable versions would mean a rebuild)
     v_before = (ct.latest_version(), at.latest_version())
-    ivf_index_topk(spark, emb, idx, queries.limit(2), k=1).collect()
+    ivf_index_topk(
+        spark, emb, idx, queries.limit(2), k=1, exclude_self=True
+    ).collect()
     assert (ct.latest_version(), at.latest_version()) == v_before
 
 
@@ -876,3 +879,40 @@ def test_media_parsers_reject_hostile_and_exotic_layouts() -> None:
     assert decode_bmp_rgb(core + b"\x00" * 800) is None
     good = encode_bmp_rgb([[(1, 2, 3)] * 4] * 2)
     assert parse_image_header(good) == ("bmp", 4, 2, 24)
+
+
+def test_incdedup_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """ingest_batch(batch_id=...): the foreachBatch at-least-once case —
+    replaying an already-ingested batch appends NO duplicate bands
+    (txn-ledger guard), recomputes the same pairs, and the index keeps
+    exactly one copy of each (doc_id, band, h) row (r5 review)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.incdedup import (
+        create_dedup_index,
+        ingest_batch,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        release_cached,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    idx = create_dedup_index(spark, str(tmp_path / "bands"))
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    r1 = ingest_batch(spark, idx, b1, batch_id=0)
+    pairs1 = sorted((r.doc_a, r.doc_b) for r in r1.collect())
+    release_cached(r1)
+    rows_after_b1 = idx.read().count()
+
+    # replay batch 0: same pairs back, no index growth
+    r1b = ingest_batch(spark, idx, b1, batch_id=0)
+    assert sorted((r.doc_a, r.doc_b) for r in r1b.collect()) == pairs1
+    release_cached(r1b)
+    assert idx.read().count() == rows_after_b1
+
+    # the next batch advances the ledger and appends
+    r2 = ingest_batch(spark, idx, b2, batch_id=1)
+    r2.collect()
+    release_cached(r2)
+    assert idx.read().count() > rows_after_b1
+    assert idx.last_txn_version("incdedup") == 1
