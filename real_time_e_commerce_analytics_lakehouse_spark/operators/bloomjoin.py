@@ -31,7 +31,13 @@ _HEX = "0123456789abcdef"
 
 
 def _positions(key: str, i: int, bits: int) -> str:
-    return f"pmod(xxhash64({key}, {i}), {bits})"
+    # hash the key through a COMMON representation: xxhash64 is
+    # type-sensitive (hash(5 as int) != hash(5 as bigint)), so a
+    # build/probe key type mismatch — which a plain join tolerates by
+    # widening — would otherwise produce FALSE NEGATIVES and silently
+    # drop matching rows (r5 review). String form is value-stable
+    # across the integer widths and exact for all key types used here.
+    return f"pmod(xxhash64(cast({key} as string), {i}), {bits})"
 
 
 def bloom_build(df: DataFrame, key: str, bits: int, hashes: int) -> str:
@@ -101,8 +107,17 @@ def bloom_prune(
     with the filter folded in (pushdown-friendly: the predicate is
     deterministic scalar expressions over one column)."""
     if bits is None:
-        n = build.select(build_key).distinct().count()
-        bits = _auto_bits(n)
+        # sized from a cheap approximate cardinality folded into ONE
+        # aggregate pass alongside nothing else the probe needs — the
+        # old exact distinct().count() was a full extra shuffle job
+        # over the build side (r5 review); the bloom only needs the
+        # ORDER of magnitude (sizing rounds to powers of two anyway)
+        n = build.agg(
+            F.approx_count_distinct(build_key).alias("n")
+        ).first()["n"]
+        bits = _auto_bits(int(n))
+    if bits <= 0 or bits % 4:
+        raise ValueError(f"bits must be a positive multiple of 4, got {bits}")
     bitmap = bloom_build(build, build_key, bits, hashes)
     return probe.filter(
         bloom_might_contain(bitmap, probe_key, bits, hashes)
@@ -122,6 +137,12 @@ def bloom_join(
     result is identical to the plain join — only the shuffled volume
     changes (at 100 TB: the fact rows that survive pruning)."""
     pruned = bloom_prune(probe, build, probe_key, build_key, bits, hashes)
+    if probe_key == build_key:
+        # name-based join coalesces the shared key column — the
+        # expression join would keep two identically-named columns and
+        # break every downstream reference (r5 review), diverging from
+        # the plain join this function must equal
+        return pruned.join(build, on=probe_key, how="inner")
     return pruned.join(
         build, pruned[probe_key] == build[build_key], "inner"
     )

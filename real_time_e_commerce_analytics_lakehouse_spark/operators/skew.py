@@ -29,6 +29,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col(df: DataFrame, salt: int):
+    """Deterministic salt in [0, salt): pmod of a hash over the frame's
+    HASHABLE columns. pmod, not abs(...)%: abs(Long.MIN_VALUE) overflows
+    to itself and yields a negative bucket the exploded side never
+    carries (a silently dropped row, r5 review). Map columns are
+    excluded — xxhash64 rejects MapType, and the events table's `props`
+    map made the operator crash on a standard shape; struct/array
+    columns hash fine and keep the spread."""
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    if not hashable:  # all-map frame: partition-local spread still works
+        hashable = [F.spark_partition_id()]
+    return F.pmod(F.xxhash64(*hashable), F.lit(salt)).alias("__salt")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -55,10 +73,7 @@ def salted_join(
             "use a plain join"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    salt_col = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt).alias(
-        "__salt"
-    )
-    b = big.select("*", salt_col)
+    b = big.select("*", _salt_col(big, salt))
     s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = b.join(s, keys + ["__salt"], how)
     return out.drop("__salt")
@@ -88,9 +103,7 @@ def salted_agg(
         if fn not in _COMBINABLE:
             raise ValueError(f"{out}: {fn!r} is not a combinable aggregate")
 
-    salt_col = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt).alias(
-        "__salt"
-    )
+    salt_col = _salt_col(df, salt)
     partial_exprs, final_exprs = [], []
     for out, (fn, c) in aggs.items():
         if fn == "count":

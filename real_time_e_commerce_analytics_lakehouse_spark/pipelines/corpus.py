@@ -72,16 +72,26 @@ def curate(
     """Run the full curation pass. Deterministic survivor policy: the
     smallest id in a duplicate group/pair survives."""
     toks = docs.withColumn("t", F.expr(tx.tokens(text_col, "spark")))
+    cached_deps = []  # leases ride on the returned frame (see below)
 
     # 1. quality gate (row-local; pushes ahead of every shuffle)
     quality = toks.filter(
         (F.expr("size(t)") >= min_tokens) & (F.length(text_col) >= min_chars)
     )
+    if with_report:
+        # the report's after_quality count would otherwise re-tokenize
+        # the corpus as an independent job (r5 review)
+        quality = quality.persist()
+        cached_deps.append(quality)
 
-    # 2. exact dedup on normalized fingerprint, keep min id
+    # 2. exact dedup on normalized fingerprint, keep min id. Persisted:
+    # THREE consumers re-ran the tokenize+fingerprint+keepers lineage
+    # from scratch (minhash signatures, the shingle sets of the Jaccard
+    # verify, and the final anti-join — plus the report counts)
     fp = quality.withColumn("__fp", F.expr(tx.fingerprint(text_col, "spark")))
     keepers = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    exact = fp.join(keepers, id_col, "left_semi").drop("__fp")
+    exact = fp.join(keepers, id_col, "left_semi").drop("__fp").persist()
+    cached_deps.append(exact)
 
     # 3. near-dup removal: LSH candidates, Jaccard-verified
     sh = tx.shingles("t", 3, "spark")
@@ -95,7 +105,7 @@ def curate(
             for j in range(8)
         ],
     ).persist()
-    cached_deps = [sig]  # leases ride on the returned frame (see below)
+    cached_deps.append(sig)
     bands = None
     for b in range(4):
         part = sig.select(
@@ -242,6 +252,11 @@ def curate(
         curated = distributed_cumsum(
             curated, id_col, "n_bpe_tokens", out="__cum"
         )
+        # withColumn/drop shed the cumsum's persist lease — collect it
+        # into the pipeline's lease list BEFORE rebuilding the frame,
+        # or release_cached(curated) leaks one cached frame per call
+        # (r5 review; the exact regression class of VERDICT r3 #4)
+        cached_deps.extend(getattr(curated, "_cached_deps", []))
         curated = curated.withColumn(
             "shard",
             F.floor((F.col("__cum") - F.col("n_bpe_tokens")) / shard_tokens)

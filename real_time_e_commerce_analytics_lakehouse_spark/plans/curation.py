@@ -110,7 +110,7 @@ def pack_documents_into_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(tx.bpe_token_count("text", "spark")).cast("long").alias("n_tokens"),
     )
     summed = distributed_cumsum(counted, "doc_id", "n_tokens", out="cum_tokens")
-    return summed.select(
+    out = summed.select(
         "doc_id",
         "n_tokens",
         "cum_tokens",
@@ -118,6 +118,10 @@ def pack_documents_into_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard"),
     )
+    # the select sheds the cumsum's persist lease — re-attach it or the
+    # harness's release_cached finds nothing to free (r5 review)
+    out._cached_deps = getattr(summed, "_cached_deps", [])
+    return out
 
 
 @register(
