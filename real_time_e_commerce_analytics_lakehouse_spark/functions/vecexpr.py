@@ -61,7 +61,16 @@ def sqdist(a: str, b: str, dialect: str) -> str:
 
 
 def cosine(a: str, b: str, dialect: str) -> str:
-    return f"({dot(a, b, dialect)} / ({norm(a, dialect)} * {norm(b, dialect)}))"
+    """Cosine similarity, zero-vector safe: the norm product is floored
+    at 1e-60 (same idiom as int8_maxabs) — identical on both dialects,
+    value-neutral for any real vector, and a ZERO vector scores 0
+    against everything instead of dividing 0/0 (which crashes Spark
+    under ANSI with DIVIDE_BY_ZERO and yields NaN on DuckDB — r5
+    review; the numerator is 0 there, so 0/1e-60 = 0 on both)."""
+    return (
+        f"({dot(a, b, dialect)} / greatest("
+        f"{norm(a, dialect)} * {norm(b, dialect)}, 1e-60))"
+    )
 
 
 def literal_vector(values: list[float], dialect: str) -> str:

@@ -336,6 +336,33 @@ def synthesize_mp4(
     return ftyp + moov
 
 
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, box_end) for each ISO-BMFF box in
+    [start, end) — the ONE walker both the header parser and the
+    sample-table demux use (they had drifted-prone verbatim copies).
+    Full size grammar: size==1 reads the 64-bit largesize following the
+    type (real >4 GiB mdat boxes use it; payload starts after it);
+    size==0 means "extends to the end of the enclosing box" (legal only
+    for the last box). A malformed size stops the walk — truncation is
+    data, not an exception."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", buf[i : i + 4])[0]
+        btype = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
 def parse_mp4_header(
     b: bytes,
 ) -> tuple[str, int, int, int, int] | None:
@@ -347,14 +374,7 @@ def parse_mp4_header(
     integer milliseconds (floor — engine-portable exact arithmetic).
     None for non-BMFF/truncated payloads."""
 
-    def walk(buf: bytes, start: int, end: int):
-        i = start
-        while i + 8 <= end:
-            size = struct.unpack(">I", buf[i : i + 4])[0]
-            if size < 8 or i + size > end:
-                return
-            yield buf[i + 4 : i + 8], i + 8, i + size
-            i += size
+    walk = _walk_boxes
 
     try:
         brand = timescale = duration = width = height = None
@@ -500,6 +520,8 @@ def decode_png_rgb(b: bytes) -> list[list[tuple[int, int, int]]] | None:
             payload = b[i + 8 : i + 8 + clen]
             if ctype == b"IHDR":
                 w, h = struct.unpack(">II", payload[:8])
+                if len(payload) < 13:
+                    return None  # truncated IHDR: data, not an exception
                 depth, color, _comp, _filt, interlace = payload[8:13]
                 if depth != 8 or color != 2 or interlace != 0:
                     return None
@@ -1757,17 +1779,8 @@ def parse_mp4_sample_table(
     the demux every frame-level video pass runs before touching codec
     bytes."""
 
-    def children(buf: bytes, start: int, end: int):
-        i = start
-        while i + 8 <= end:
-            size = struct.unpack(">I", buf[i : i + 4])[0]
-            if size < 8 or i + size > end:
-                return
-            yield buf[i + 4 : i + 8], i + 8, i + size
-            i += size
-
     def find(buf: bytes, start: int, end: int, btype: bytes):
-        for t, p0, p1 in children(buf, start, end):
+        for t, p0, p1 in _walk_boxes(buf, start, end):
             if t == btype:
                 return p0, p1
         return None
@@ -1841,17 +1854,25 @@ def parse_mp4_sample_table(
             return None
         p = stsc[0] + 4
         (nruns,) = struct.unpack(">I", b[p : p + 4])
+        if nruns > (stsc[1] - (p + 4)) // 12:
+            return None  # declared run count exceeds the box payload
         runs = [
             struct.unpack(">III", b[p + 4 + 12 * i : p + 16 + 12 * i])
             for i in range(nruns)
         ]
         # expand runs -> samples per chunk (first_chunk is 1-based; a
-        # run applies until the next run's first_chunk)
+        # run applies until the next run's first_chunk). first/last are
+        # UNTRUSTED 32-bit fields: bound them by the chunk count BEFORE
+        # the extend, or a few-hundred-byte corrupt payload claiming
+        # first_chunk=4e9 materializes a ~32 GB list (the DoS class the
+        # stsz guard above already rejects)
         per_chunk = []
         for ri, (first, spc, _sdi) in enumerate(runs):
             last = (
                 runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offsets)
             )
+            if first < 1 or last > len(chunk_offsets) or last - first + 1 < 0:
+                return None
             per_chunk.extend([spc] * (last - first + 1))
         if len(per_chunk) != len(chunk_offsets):
             return None

@@ -220,7 +220,15 @@ def _semantic_flags(
     # order, so results stay bit-identical cross-engine.
     d_vec = vx.to_double_array(vec_col, "spark")
     normed = (
-        assigned.withColumn("__nrm", F.expr(vx.norm(d_vec, "spark")))
+        # zero-norm floor (same idiom as vecexpr.int8_maxabs): without
+        # it a zero vector divides 0/0 — NULL on Spark (never flagged a
+        # dup) vs NaN on DuckDB (NaN sorts above tau: always flagged) —
+        # a silent cross-engine divergence AND identical zero vectors
+        # sailing through dedup (r5 review)
+        assigned.withColumn(
+            "__nrm",
+            F.greatest(F.expr(vx.norm(d_vec, "spark")), F.lit(1e-30)),
+        )
         .select(
             id_col,
             "cell_id",

@@ -229,13 +229,15 @@ def event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_rollup",
     oracle=f"""
     {EVENTS_CTE}
-    -- TRY_CAST mirrors Spark's non-ANSI cast: a non-numeric props.k is
-    -- NULL (excluded from the aggregates), where a strict CAST would
-    -- abort the whole oracle query
+    -- numeric parse goes through DOUBLE then floor on BOTH engines:
+    -- Spark's non-ANSI cast(string as long) NULLs fractional strings
+    -- ('3.7') while DuckDB's TRY_CAST(... AS BIGINT) would round to 4
+    -- (r5 review); floor(double) is identical on both, and non-numeric
+    -- strings are NULL (excluded) on both
     SELECT event_type,
-           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))   AS max_k
+           CAST(sum(CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS n_with_k,
+           max(CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT))   AS max_k
     FROM ev
     GROUP BY event_type
     """,
@@ -249,7 +251,9 @@ def event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.floor(
+        F.get_json_object("props", "$.k").cast("double")
+    ).cast("long")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_with_k"),

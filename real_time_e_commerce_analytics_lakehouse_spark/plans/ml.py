@@ -36,13 +36,19 @@ def _features_sql(d: str) -> str:
     n_t = f"{'size' if d == 'spark' else 'len'}(({toks}))"
     punct = tx.punct_count("text", d)
     stop = tx.count_in_set(f"({toks})", tx.STOPWORDS["en"], d)
+    # denominators floored at 1 (identical on both engines): an empty
+    # text or zero-token doc would otherwise divide 0/0 — NULL on Spark
+    # (the row silently vanishes from every gradient sum while n still
+    # counts it) vs NaN on DuckDB (whose DECIMAL cast then aborts the
+    # oracle) — r5 review. The numerators are 0 there, so the ratios
+    # come out 0 on both engines.
     return f"""
     SELECT CAST(CASE WHEN {n_t} >= 5 AND length(text) >= 30
                 THEN 1 ELSE 0 END AS DOUBLE) AS y,
            lang,
            CAST({n_t} AS DOUBLE) / 100 AS x1,
-           CAST({punct} AS DOUBLE) / length(text) AS x2,
-           CAST({stop} AS DOUBLE) / {n_t} AS x3
+           CAST({punct} AS DOUBLE) / greatest(length(text), 1) AS x2,
+           CAST({stop} AS DOUBLE) / greatest({n_t}, 1) AS x3
     FROM documents
     """
 

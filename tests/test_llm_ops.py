@@ -916,3 +916,77 @@ def test_incdedup_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
     release_cached(r2)
     assert idx.read().count() > rows_after_b1
     assert idx.last_txn_version("incdedup") == 1
+
+
+def test_multimodal_corrupt_inputs_are_data_not_exceptions() -> None:
+    """r5 review: a truncated PNG IHDR raised ValueError out of the
+    Arrow kernel; a corrupt stsc claiming first_chunk=4e9 allocated a
+    multi-GB expansion list; 64-bit (largesize) and to-EOF (size=0)
+    boxes aborted the walk on real long recordings."""
+    import struct
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.multimodal import (
+        _walk_boxes,
+        decode_png_rgb,
+        parse_mp4_sample_table,
+        synthesize_mp4_media,
+    )
+
+    # PNG truncated 4 bytes into the IHDR payload: NULL row, no raise
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_partial = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 2, 2)
+    assert decode_png_rgb(sig + ihdr_partial) is None
+
+    # stsc expansion bomb: tiny payload, huge first_chunk -> None fast
+    media = synthesize_mp4_media(1000, 100, 2, 2, [b"x" * 8, b"y" * 8])
+    stsc_at = media.find(b"stsc")
+    assert stsc_at > 0
+    p = stsc_at + 4 + 4  # version/flags
+    bomb = bytearray(media)
+    # one run with first_chunk = 4_000_000_000
+    bomb[p : p + 4] = struct.pack(">I", 1)
+    bomb[p + 4 : p + 8] = struct.pack(">I", 4_000_000_000)
+    import time
+
+    t0 = time.perf_counter()
+    assert parse_mp4_sample_table(bytes(bomb)) is None
+    assert time.perf_counter() - t0 < 2.0  # no multi-GB allocation
+
+    # 64-bit largesize and size=0 (to EOF) boxes walk correctly
+    payload = b"\x00" * 24
+    large = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload))
+        + payload
+    )
+    tail = struct.pack(">I", 0) + b"moov" + b"\x00" * 8
+    boxes = list(_walk_boxes(large + tail, 0, len(large + tail)))
+    assert [b[0] for b in boxes] == [b"mdat", b"moov"]
+    # the largesize payload starts after the 16-byte header
+    assert boxes[0][1] == 16 and boxes[0][2] == len(large)
+    assert boxes[1][2] == len(large + tail)  # size=0 extends to EOF
+
+
+def test_semantic_dedup_zero_vectors_deterministic_policy(spark) -> None:
+    """r5 review: a zero embedding divided 0/0 in the cell-assignment
+    cosine — a DIVIDE_BY_ZERO crash under ANSI Spark, NULL without
+    ANSI (silently unflagged), NaN on DuckDB (always flagged): three
+    different outcomes for one input. The floored norm pins ONE
+    deterministic policy on every engine: a zero vector's cosine to
+    anything (including another zero vector) is 0, so zero vectors are
+    kept — cosine similarity is undefined at zero, and 'not a
+    duplicate' is the only defensible reading. The operator must not
+    crash and both engines must agree."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        release_cached,
+        semantic_dedup_flags,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]), (4, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    flags = semantic_dedup_flags(emb, id_col="vec_id", vec_col="embedding")
+    kept = {r.vec_id: r.kept for r in flags.collect()}
+    release_cached(flags)
+    assert kept[1] == 1 and kept[2] == 1  # zero vectors: kept, no crash
+    assert kept[3] == 1 and kept[4] == 0  # real duplicates still flagged
