@@ -51,10 +51,16 @@ def dense_row_ids(
         df.unpersist()
         return df.withColumn(out, F.lit(None).cast("long"))
     span = float(hi) - float(lo) + 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        ((F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(span)
-         * F.lit(n_buckets)).cast("long"),
+    # NULL order values sort FIRST in a global ORDER BY (ASC NULLS
+    # FIRST), so they get sentinel bucket -1 below every value bucket —
+    # F.least would otherwise skip the NULL and drop them into the LAST
+    # bucket, silently breaking the row_number equivalence (r5 review)
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(span)
+             * F.lit(n_buckets)).cast("long"),
+        )
     )
     bucketed = df.withColumn("__bucket", bucket)
     counts = {
@@ -64,11 +70,11 @@ def dense_row_ids(
         .collect()
     }
     offsets, acc = {}, 0
-    for i in range(n_buckets):
+    for i in sorted(set(counts) | set(range(n_buckets))):
         offsets[i] = acc
         acc += counts.get(i, 0)
     omap = F.create_map(
-        *[x for i in range(n_buckets) for x in (F.lit(i), F.lit(offsets[i]))]
+        *[x for i in offsets for x in (F.lit(i), F.lit(offsets[i]))]
     )
     w = W.partitionBy("__bucket").orderBy(
         F.col(order_col).asc(), *[F.col(c).asc() for c in tiebreak]
@@ -102,10 +108,13 @@ def distributed_cumsum(
         df.unpersist()
         return df.withColumn(out, F.lit(None).cast("long"))
     span = float(hi) - float(lo) + 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        ((F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(span)
-         * F.lit(n_buckets)).cast("long"),
+    # NULLs-first sentinel bucket, same reasoning as dense_row_ids
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(span)
+             * F.lit(n_buckets)).cast("long"),
+        )
     )
     bucketed = df.withColumn("__bucket", bucket)
     sums = {
@@ -115,11 +124,11 @@ def distributed_cumsum(
         .collect()
     }
     offsets, acc = {}, 0
-    for i in range(n_buckets):
+    for i in sorted(set(sums) | set(range(n_buckets))):
         offsets[i] = acc
         acc += sums.get(i, 0) or 0
     omap = F.create_map(
-        *[x for i in range(n_buckets) for x in (F.lit(i), F.lit(offsets[i]))]
+        *[x for i in offsets for x in (F.lit(i), F.lit(offsets[i]))]
     )
     w = (
         W.partitionBy("__bucket")

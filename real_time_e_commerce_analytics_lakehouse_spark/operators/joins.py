@@ -68,18 +68,31 @@ def asof_join(
     # every following left row (r4 review) — drop such right rows, and
     # null the result for NULL-ts left rows below.
     right = right.filter(F.col(right_ts).isNotNull())
-    # right side collapsed to: keys + ts + value
+    # SQL equality-join semantics: NULL keys never match — a NULL-key
+    # right row must not donate its value to NULL-key left rows (the
+    # window partition would group them together; r5 review). NULL-key
+    # left rows stay and get NULL, like any unmatched left row.
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
+    # right side collapsed to: keys + ts + value. The value rides in a
+    # STRUCT: last(..., ignorenulls) must distinguish "left placeholder"
+    # (null struct) from "right row whose VALUE is null" (non-null
+    # struct, null field) — carrying the bare value substituted an
+    # OLDER right row's value whenever the nearest one was NULL (r5
+    # review).
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.col(value_col).alias("__rval"),
+        F.struct(F.col(value_col).alias("v")).alias("__rbox"),
         F.lit(0 if not strict else 1).alias("__side"),
     )
-    # left side keeps payload; __rval empty
+    # left side keeps payload; __rval/__rbox empty
     l = left.select(  # noqa: E741
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(None).cast(r.schema["__rval"].dataType).alias("__rval"),
+        F.lit(None).cast(r.schema["__rbox"].dataType).alias("__rbox"),
         F.lit(1 if not strict else 0).alias("__side"),
     )
     for c in left_cols:
@@ -105,11 +118,11 @@ def asof_join(
     )
     is_left = F.col("__side") == (1 if not strict else 0)
     out = (
-        unioned.withColumn("__asof", F.last("__rval", ignorenulls=True).over(w))
+        unioned.withColumn("__asof", F.last("__rbox", ignorenulls=True).over(w))
         .filter(is_left)
         .select(
             *left_cols,
-            F.when(F.col("__ts").isNotNull(), F.col("__asof")).alias(alias),
+            F.when(F.col("__ts").isNotNull(), F.col("__asof.v")).alias(alias),
         )
     )
     return out
@@ -181,6 +194,13 @@ def preagg_join(
     (04_gold_fact_orders.py:42-59): shrink the fact side BEFORE the join —
     Catalyst will not push an aggregation through a join on its own."""
     fkeys, dkeys = _as_list(fact_key), _as_list(dim_key)
+    if len(fkeys) != len(dkeys):
+        # zip would silently truncate to the shorter list and run a
+        # broader join (aggregates fanned out across dim rows, r5
+        # review) — fail fast instead
+        raise ValueError(
+            f"fact_key {fkeys} and dim_key {dkeys} differ in length"
+        )
     agged = fact.groupBy(*fkeys).agg(*aggs)
     cond = None
     for fk, dk in zip(fkeys, dkeys):

@@ -31,6 +31,37 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
 MIN_COPURCHASE_ORDERS = 2
 
 
+def _copurchase_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    a_name: str,
+    b_name: str,
+    symmetric: bool = False,
+):
+    """(distinct order-part frame, support-thresholded co-purchase
+    pairs) — the basket-blocked self-join shared by the pair/graph/
+    rules family (ONE copy; four verbatim blocks had to be kept in
+    sync, r5 review). `symmetric=False` keeps a<b ordered pairs;
+    True keeps every a!=b directed pair (association rules)."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias(a_name))
+    b = op.select("l_orderkey", F.col("l_partkey").alias(b_name))
+    pred = (
+        F.col(a_name) != F.col(b_name)
+        if symmetric
+        else F.col(a_name) < F.col(b_name)
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(pred)
+        .groupBy(a_name, b_name)
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
+    )
+    return op, pairs
+
+
 @register(
     "copurchase_part_pairs",
     oracle=f"""
@@ -76,25 +107,11 @@ MIN_COPURCHASE_ORDERS = 2
     bench=True,
 )
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    op, pairs = _copurchase_pairs(spark, sf_dir, "part_a", "part_b")
     part_orders = op.groupBy("l_partkey").agg(F.count("*").alias("part_n"))
     total = op.select(
         F.countDistinct("l_orderkey").alias("n")
     )  # 1-row frame, broadcast below
-    a = op.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, ["l_orderkey"])
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_together"))
-        .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
-    )
     pa = part_orders.select(
         F.col("l_partkey").alias("part_a"), F.col("part_n").alias("n_a")
     )
@@ -484,18 +501,8 @@ def _pr_sql() -> str:
     bench=True,
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n_together"))
-        .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
-        .select("src", "dst")
-    )
+    _op, thresholded = _copurchase_pairs(spark, sf_dir, "src", "dst")
+    pairs = thresholded.select("src", "dst")
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -872,18 +879,8 @@ def _bfs_sql() -> str:
     tags=("analytics", "graph", "join", "agg"),
 )
 def copurchase_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n_together"))
-        .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
-        .select("src", "dst")
-    )
+    _op, thresholded = _copurchase_pairs(spark, sf_dir, "src", "dst")
+    pairs = thresholded.select("src", "dst")
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -1208,19 +1205,11 @@ def repeat_order_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("analytics", "join", "agg"),
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    op, pairs = _copurchase_pairs(
+        spark, sf_dir, "antecedent", "consequent", symmetric=True
+    )
     item_n = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
     nb = op.agg(F.countDistinct("l_orderkey").cast("double").alias("nb"))
-    a = op.select("l_orderkey", F.col("l_partkey").alias("antecedent"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("consequent"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("antecedent") != F.col("consequent"))
-        .groupBy("antecedent", "consequent")
-        .agg(F.count("*").alias("n_together"))
-        .where(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
-    )
     ia = item_n.select(
         F.col("l_partkey").alias("antecedent"), F.col("n_orders").alias("n_a")
     )

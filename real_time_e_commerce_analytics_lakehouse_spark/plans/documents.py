@@ -75,7 +75,7 @@ def _spark_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").cast("int").alias("n_chars"),
@@ -182,7 +182,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("documents", "dedup"),
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("fingerprint", F.expr(tx.fingerprint("text", "spark")))
         .groupBy("fingerprint")
@@ -272,7 +272,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.sql(_bands_sql("spark"))
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -282,6 +282,8 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    out._cached_deps = [sig]  # released by the harness/caller post-action
+    return out
 
 
 @register(
@@ -339,12 +341,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
+    out = (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    out._cached_deps = [sh]  # released by the harness/caller post-action
+    return out
 
 
 @register(

@@ -106,9 +106,11 @@ def skewsafe_distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> D
 )
 def surrogate_dim_customer_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
-    return dense_row_ids(customer, "c_custkey", out="customer_sk").select(
-        "customer_sk", "c_custkey", "c_name", "c_mktsegment"
-    )
+    ranked = dense_row_ids(customer, "c_custkey", out="customer_sk")
+    out = ranked.select("customer_sk", "c_custkey", "c_name", "c_mktsegment")
+    # the select sheds the persist lease; re-attach (r5 review)
+    out._cached_deps = getattr(ranked, "_cached_deps", [])
+    return out
 
 
 def _staging_dir(prefix: str, sf_dir: str) -> str:

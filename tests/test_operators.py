@@ -541,3 +541,72 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {to_name}")
         spark.sql(f"DROP TABLE IF EXISTS {tl_name}")
+
+
+def test_asof_join_null_right_values_and_null_keys(spark):
+    """r5 review: (a) the nearest right row's value must be returned
+    even when it IS NULL — last(value, ignorenulls) substituted an
+    OLDER row's value; (b) NULL join keys never match (SQL equality),
+    but the window partition grouped them together."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 30), (None, 30)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None), (None, 5, 99.0)],
+        "k long, ts long, val double",
+    )
+    got = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_col="val",
+        ).collect()
+    }
+    # nearest right row (ts=20) has val NULL: the result is NULL, not
+    # the stale 5.0 from ts=10
+    assert got[(1, 30)] is None
+    # NULL-key left row matches nothing (the NULL-key right row with
+    # val 99.0 must not donate)
+    assert got[(None, 30)] is None
+
+
+def test_dense_ids_and_cumsum_null_order_values_sort_first(spark):
+    """r5 review: NULL order values must behave like the global
+    window's ASC NULLS FIRST — they were silently dropped into the
+    LAST bucket (wrong ids; cumsum offsets shifted)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.ids import (
+        dense_row_ids,
+        distributed_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 7), (10, 1), (20, 2)], "k int, v long"
+    )
+    ranked = dense_row_ids(df, "k", out="rid")
+    got = {r.k: r.rid for r in ranked.collect()}
+    for dep in getattr(ranked, "_cached_deps", []):
+        dep.unpersist()
+    assert got == {None: 1, 10: 2, 20: 3}
+
+    summed = distributed_cumsum(df, "k", "v", out="run")
+    runs = {r.k: r.run for r in summed.collect()}
+    for dep in getattr(summed, "_cached_deps", []):
+        dep.unpersist()
+    # NULLS FIRST: the null row's value feeds every later running total
+    assert runs == {None: 7, 10: 8, 20: 10}
+
+
+def test_preagg_join_rejects_mismatched_key_lists(spark):
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.joins import (
+        preagg_join,
+    )
+
+    fact = spark.createDataFrame([(1, 2, 3.0)], "a long, b long, v double")
+    dim = spark.createDataFrame([(1, "x")], "a long, name string")
+    with pytest.raises(ValueError, match="differ in length"):
+        preagg_join(
+            fact, dim, fact_key=["a", "b"], dim_key=["a"],
+            aggs=[F.sum("v").alias("s")],
+        )
