@@ -52,6 +52,13 @@ def apply_expectations(
                 f"expectation {name!r}: action must be one of {_ACTIONS}, "
                 f"got {action!r}"
             )
+    if not rules:
+        # "no expectations" is a legal configuration: no-op, empty
+        # metrics (df.agg(*[]) would assert otherwise — r5 review)
+        empty = df.sparkSession.createDataFrame(
+            [], "rule string, action string, n_violations long"
+        )
+        return df, empty
 
     passes = {
         name: F.coalesce(F.expr(expr), F.lit(False))
@@ -92,24 +99,37 @@ def apply_expectations(
 
 
 def _enforce(df: DataFrame, rules: dict, passes: dict) -> DataFrame:
-    """Apply drop filters and arm fail guards (shared by both variants)."""
+    """Arm fail guards, then apply drop filters (shared by both
+    variants).
+
+    Fail guards are a FILTER over assert-style expressions, not a
+    withColumn on the first column (r5 review): a guarded column that
+    no consumer reads is eliminated by Catalyst column pruning — a
+    clean.select(other_col).write would commit a batch a fail rule
+    should abort. A filter's predicate must be evaluated for every row
+    regardless of the projection. And they arm BEFORE the drop filters:
+    a row violating both a drop rule and a fail rule must ABORT the
+    batch (the metrics report the fail violation either way — DLT
+    @expect_or_fail parity), not be quietly dropped first."""
     clean = df
+    fail_rules = [(n, e) for n, (e, a) in rules.items() if a == "fail"]
+    if fail_rules:
+        pred = None
+        for name, expr in fail_rules:
+            msg = F.lit(
+                f"{_FAIL_MARK}: expectation '{name}' ({expr}) violated"
+            )
+            ok = F.when(~passes[name], F.raise_error(msg)).otherwise(
+                F.lit(True)
+            )
+            pred = ok if pred is None else (pred & ok)
+        clean = clean.filter(pred)
     drop_conds = [passes[n] for n, (_e, a) in rules.items() if a == "drop"]
     if drop_conds:
         keep = drop_conds[0]
         for c in drop_conds[1:]:
             keep = keep & c
         clean = clean.filter(keep)
-    fail_rules = [(n, e) for n, (e, a) in rules.items() if a == "fail"]
-    if fail_rules:
-        first = clean.columns[0]
-        guard = F.col(first)
-        for name, expr in fail_rules:
-            msg = F.lit(
-                f"{_FAIL_MARK}: expectation '{name}' ({expr}) violated"
-            )
-            guard = F.when(~passes[name], F.raise_error(msg)).otherwise(guard)
-        clean = clean.withColumn(first, guard)
     return clean
 
 

@@ -498,9 +498,13 @@ def _semdedup_tail_sql() -> str:
     similarity is a plain dot with identical fold order, keeping the
     two engines bit-identical."""
     emb_d = vx.to_double_array("embedding", "duck")
+    # zero-norm floor mirrors the Spark operator (simsearch._semantic
+    # _flags): without it a zero vector yields NaN components on DuckDB
+    # and NaN >= tau is TRUE there — flagging the zero vector and every
+    # same-cell neighbor while Spark keeps them (r5 review)
     unit = (
-        f"list_transform({emb_d}, x -> x / sqrt(list_dot_product("
-        f"{emb_d}, {emb_d})))"
+        f"list_transform({emb_d}, x -> x / greatest(sqrt(list_dot_product("
+        f"{emb_d}, {emb_d})), 1e-30))"
     )
     return f"""
     normed AS (
@@ -816,7 +820,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("vec_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= PQ_TOPK)
         .select(
@@ -824,6 +828,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("approx_sqdist", 6).alias("approx_sqdist"),
         )
     )
+    out._cached_deps = [sub]  # released by the harness/caller post-action
+    return out
 
 
 @register(

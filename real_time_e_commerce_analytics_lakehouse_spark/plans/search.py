@@ -179,7 +179,6 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term's idf*tf_factor is one scalar expression per doc (tf=0 gives
     # exactly 0.0, matching the old coalesce), so the oracle — still
     # the canonical 5-CTE BM25 — hash-matches unchanged.
-    from pyspark.sql import Window as W
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select(
@@ -390,7 +389,6 @@ def _hybrid_oracle() -> str:
     tags=("documents", "text", "search"),
 )
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select(
@@ -514,7 +512,6 @@ _RERANK_ORACLE = f"""
     tags=("documents", "search", "embeddings", "join"),
 )
 def retrieve_then_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     hits = bm25_keyword_search(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("bm25_rank"), "bm25"

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
-STATE_SCHEMA = "n long, total double"
+# last_ts IS state (r5 review): computed from the current batch alone,
+# a late event would regress the emitted "last seen" below an earlier
+# batch's value — the running max must persist across micro-batches
+# like the count and sum do.
+STATE_SCHEMA = "n long, total double, last_ts timestamp"
 
 
 IDLE_TIMEOUT_MS = 24 * 3600 * 1000  # drop state for keys idle a full day
@@ -34,6 +38,7 @@ def _update_profile(
     key: tuple,
     batches: Iterator[pd.DataFrame],
     state: GroupState,
+    idle_timeout: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -42,20 +47,22 @@ def _update_profile(
         state.remove()
         return
     if state.exists:
-        n, total = state.get
+        n, total, last_ts = state.get
     else:
-        n, total = 0, 0.0
-    last_ts = None
+        n, total, last_ts = 0, 0.0, None
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())
         m = pdf["ts"].max()
         last_ts = m if last_ts is None else max(last_ts, m)
-    state.update((n, total))
-    try:
+    state.update((n, total, last_ts))
+    if idle_timeout:
+        # bound explicitly to the plan-time mode (r5 review): the old
+        # blanket try/except around setTimeoutDuration swallowed REAL
+        # registration failures in ProcessingTimeTimeout mode — keys
+        # would never time out and state would grow unboundedly with
+        # zero signal
         state.setTimeoutDuration(IDLE_TIMEOUT_MS)
-    except Exception:
-        pass  # NoTimeout mode: timers unsupported, eviction disabled
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -78,8 +85,11 @@ def user_profiles(events: DataFrame, idle_timeout: bool = False) -> DataFrame:
     drain — the engine's test/backfill mode — blocks on the registered
     timers instead of terminating (measured in this environment); a
     continuous trigger services them normally."""
+    import functools
+
+    fn = functools.partial(_update_profile, idle_timeout=idle_timeout)
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_profile,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

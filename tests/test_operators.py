@@ -610,3 +610,31 @@ def test_preagg_join_rejects_mismatched_key_lists(spark):
             fact, dim, fact_key=["a", "b"], dim_key=["a"],
             aggs=[F.sum("v").alias("s")],
         )
+
+
+def test_expectations_fail_survives_column_pruning_and_beats_drop(spark):
+    """r5 review: the fail guard rode an unused column that Catalyst
+    pruned away — a select of any other column committed a batch the
+    rule should abort. Now a filter: evaluated for every row under any
+    projection; and a row violating both a drop and a fail rule ABORTS
+    (it was quietly dropped first)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.quality import (
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame([(1, -5.0)], "id long, v double")
+    clean, _m = apply_expectations(df, {"v_nonneg": ("v >= 0", "fail")})
+    with pytest.raises(Exception, match="EXPECTATION_FAILED"):
+        clean.select("id").collect()  # column-pruned consumer
+
+    clean2, _m = apply_expectations(
+        df,
+        {"present": ("v IS NOT NULL AND v > 0", "drop"),
+         "pos": ("v > 0", "fail")},
+    )
+    with pytest.raises(Exception, match="EXPECTATION_FAILED"):
+        clean2.collect()
+
+    # empty rules: legal no-op, empty metrics
+    c3, m3 = apply_expectations(df, {})
+    assert c3.count() == 1 and m3.count() == 0
