@@ -7,7 +7,8 @@ replaces that with a :class:`CleanSpec` interpreted once: column transforms
 range filters, defaults. Policy matches the reference exactly:
 
 - coercion failures become NULL, never job failures (try_cast /
-  try_to_timestamp — 02:411-425, 02:524-531);
+  try_to_timestamp — 02:411-425, 02:524-531; under Spark 4's ANSI-on
+  default this requires try_cast even for the "strict" cast rules);
 - rows missing mandatory keys are dropped (02:46-47, 02:596-598);
 - rows outside declared domains/ranges are dropped (02:579-601, 02:517).
 
@@ -37,7 +38,10 @@ class ColumnRule:
 
     source: input column (defaults to the output name).
     transforms: ordered case/trim atoms from {trim, upper, lower, initcap}.
-    cast: strict cast type name (fails per ANSI-off semantics -> NULL).
+    cast: cast type name — compiles to NULL-on-failure semantics on ANY
+        session (see compile()); kept distinct from try_cast for
+        contract readability (which columns the spec EXPECTS to always
+        parse vs. which it tolerates failing).
     try_cast: null-on-failure cast type name.
     timestamp_format: parse with try_to_timestamp(fmt).
     default: value to fill when NULL (after casts) — reference
@@ -64,7 +68,16 @@ class ColumnRule:
         elif self.try_cast is not None:
             col = col.try_cast(self.try_cast)
         elif self.cast is not None:
-            col = col.cast(self.cast)
+            # try_cast UNDER THE HOOD (r5 review, runtime-verified):
+            # Spark 4 defaults spark.sql.ansi.enabled=true, where a
+            # plain cast RAISES on malformed input — one bad landing row
+            # would kill the silver job, violating the module's "never
+            # fail the job" policy, which was written against ANSI-off
+            # NULL-on-failure semantics. try_cast gives the documented
+            # behavior on every session; flipping ANSI off globally
+            # would instead silently change overflow semantics
+            # everywhere else.
+            col = col.try_cast(self.cast)
         if self.default is not None:
             col = F.coalesce(col, F.lit(self.default))
         return col.alias(out_name)

@@ -149,7 +149,7 @@ def fully_shipped_multisupplier_orders(
         "aggregate — no window sort, so unlike dedup_latest this "
         "combines map-side (each partition keeps one running argmax per "
         "key) and never materializes a whole customer's history on one "
-        "reducer. The ordering key is (epoch_day * 1e7 + orderkey): a "
+        "reducer. The ordering key is (epoch_day * 1e12 + orderkey): a "
         "single unique BIGINT, so ties are impossible and both engines "
         "must pick identical rows. The window variant "
         "(customer_first_last_orders) is the per-partition-sort "

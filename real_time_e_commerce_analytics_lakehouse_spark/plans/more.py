@@ -448,6 +448,19 @@ def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_term_freqs(spark: SparkSession, sf_dir: str):
+    """(docs, per-doc term frequencies) — the tokenize/explode/groupBy
+    chain shared by the TF-IDF family (ONE copy; three builders carried
+    verbatim blocks that had to be kept in sync with the DuckDB-side
+    tx.tokens contract, r5 review)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return docs, tf
+
+
 @register(
     "doc_tfidf_weights",
     oracle=f"""
@@ -479,11 +492,7 @@ def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("documents", "text"),
 )
 def doc_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docs, tf = _doc_term_freqs(spark, sf_dir)
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
@@ -544,11 +553,7 @@ def doc_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("documents", "text", "quality"),
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    _docs, tf = _doc_term_freqs(spark, sf_dir)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("tc"))
     corpus = vocab.agg(F.sum("tc").alias("total"))
     term_lp = F.round(
@@ -608,11 +613,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docs, tf = _doc_term_freqs(spark, sf_dir)
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     weighted = (

@@ -8,7 +8,10 @@ conditional ratios, argmin-per-group. This module registers one gate
 query per classic TPC-H pattern not already covered elsewhere
 (Q1=pricing_summary, Q5=regional_local_supplier_revenue,
 Q13=customer_order_histogram, Q18=big_basket_orders,
-Q21=fully_shipped_multisupplier_orders live in other modules), each
+Q21=fully_shipped_multisupplier_orders live in other modules; Q17 is
+DELIBERATELY registered twice — more.small_quantity_orders pins the
+exact-decimal threshold spelling, q17_small_quantity_revenue the
+benched revenue-total spelling — r5 review note), each
 adapted to the columns the driver testdata actually has (no partsupp,
 no commitdate/receiptdate/shipmode/phone — substitutions documented
 per query).
@@ -554,7 +557,8 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND p.p_type  <> 'PROMO'
       AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0)
+                              WHERE s_acctbal < 0
+                                AND s_suppkey IS NOT NULL)
     GROUP BY 1, 2, 3
     """,
     doc=(
@@ -562,8 +566,13 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suppliers ship each (brand, type, size) bucket, excluding one "
         "brand, one type, and suppliers on a complaint list (adapted: "
         "negative account balance — the testdata has no comment "
-        "column). The NOT IN subquery compiles to a broadcast LEFT ANTI "
-        "join (the complaint list is dimension-sized); the part "
+        "column). NULL-safety (r5 review): NOT IN is null-AWARE — one "
+        "NULL in the subquery empties the whole result — while LEFT "
+        "ANTI is null-REJECTING, so the two only coincide when the "
+        "complaint keys are non-null; the subquery (and the Spark "
+        "build side) filter NULL keys explicitly to pin that shared "
+        "semantics instead of relying on the data. The anti join "
+        "broadcasts (the complaint list is dimension-sized); the part "
         "predicates prune the broadcast dimension before the fact join."
     ),
     tags=("join", "agg", "subquery", "tpch"),
@@ -577,7 +586,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     complaints = (
         table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
         .select("s_suppkey")
     )
     return (
@@ -800,6 +809,16 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     n = table(spark, sf_dir, "nation")
     pair = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.expr(f"CAST(({REV}) AS DECIMAL(18,6))")).alias("pair_rev")
+    )
+    # prune to surviving parts BEFORE the window (r5 review): the rank
+    # within a partkey partition is independent of other partitions, so
+    # semi-joining the filtered part dim first drops ~98% of the window
+    # shuffle/sort at TPC-H part-predicate selectivity — the dominant
+    # cost at scale — without changing any rank
+    pair = pair.join(
+        F.broadcast(p.select("p_partkey")),
+        pair.l_partkey == F.col("p_partkey"),
+        "left_semi",
     )
     w = Window.partitionBy("l_partkey").orderBy(
         F.asc("pair_rev"), F.asc("l_suppkey")

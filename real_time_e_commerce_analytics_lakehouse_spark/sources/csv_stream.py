@@ -64,21 +64,3 @@ def bronze_csv_stream(
         .load(os.path.join(landing_dir, table))
     )
     return _with_lineage(raw, clock)
-
-
-def bronze_csv_batch(
-    spark: SparkSession,
-    landing_dir: str,
-    table: str,
-    schema: T.StructType,
-    clock: datetime | None = None,
-) -> DataFrame:
-    """Batch variant of the same source (for backfills and tests)."""
-    raw = (
-        spark.read.format("csv")
-        .option("header", True)
-        .option("enforceSchema", False)
-        .schema(schema)
-        .load(os.path.join(landing_dir, table))
-    )
-    return _with_lineage(raw, clock)

@@ -36,9 +36,18 @@ def run_available_now(
     01_bronze_csv_to_delta.py:70-77). Empty batches short-circuit (S16)."""
 
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_fn(batch_df, epoch_id)
+        # persist around the guard + body: isEmpty() is a real job over
+        # the batch's source files, and without the cache the body's
+        # action re-read them — duplicate input I/O plus an extra
+        # job launch on EVERY non-empty batch, the hot ingest path
+        # (r5 review). The empty-batch short-circuit itself stays (S16).
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            batch_fn(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
 
     (
         stream_df.writeStream.foreachBatch(_fn)

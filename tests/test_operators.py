@@ -638,3 +638,29 @@ def test_expectations_fail_survives_column_pruning_and_beats_drop(spark):
     # empty rules: legal no-op, empty metrics
     c3, m3 = apply_expectations(df, {})
     assert c3.count() == 1 and m3.count() == 0
+
+
+def test_clean_cast_never_fails_under_ansi(spark):
+    """r5 review (runtime-verified): Spark 4 defaults ANSI on, where a
+    plain cast RAISES on malformed input — one bad landing row would
+    kill the silver job. The CleanSpec 'cast' rule must deliver the
+    documented never-fail policy (NULL) on any session."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.cleaning import (
+        CleanSpec,
+        ColumnRule,
+        clean,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "2.5"), ("notanint", "alsobad")], "a string, b string"
+    )
+    spec = CleanSpec(
+        columns={
+            "a": ColumnRule(cast="int"),
+            "b": ColumnRule(cast="double"),
+        }
+    )
+    got = sorted(
+        ((r.a, r.b) for r in clean(df, spec).collect()), key=repr
+    )
+    assert got == [(1, 2.5), (None, None)]
