@@ -373,6 +373,80 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", F.expr(tx.simhash("t", 16, "spark")).alias("simhash"))
 
 
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4  # 4-bit bands; hamming <= 3 => >=1 identical band
+SIMHASH_HAMMING_MAX = 3
+
+
+@register(
+    "simhash_band_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {tx.tokens('text', 'duck')} AS t FROM documents
+    ),
+    sims AS (
+        SELECT doc_id, {tx.simhash('t', 16, 'duck')} AS sh FROM toks
+    ),
+    bands AS (
+        SELECT doc_id, sh, b,
+               (sh // CAST(pow(2, b*4) AS BIGINT)) % 16 AS bv
+        FROM sims, LATERAL UNNEST(generate_series(0, 3)) AS g(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, c.sh)) AS INT) AS hamming
+    FROM bands a
+    JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.sh, c.sh)) <= 3
+    """,
+    doc=(
+        "SimHash near-dup CANDIDATE PAIRS — the scale path the "
+        "simhash_fingerprints docstring promises: split each 16-bit "
+        "fingerprint into 4 disjoint 4-bit bands; by pigeonhole, any "
+        "pair within Hamming distance 3 shares at least one identical "
+        "band, so the band-keyed equi-join finds EVERY such pair "
+        "(exact recall) while only ever joining within band buckets — "
+        "never the all-pairs cross product. The Hamming verify "
+        "(bit_count of xor) then removes band collisions. Same "
+        "band/verify shape as MinHash-LSH, over a 64x narrower "
+        "fingerprint; one banded self-join + distinct, linear in "
+        "bucket sizes at any corpus scale."
+    ),
+    tags=("documents", "dedup"),
+)
+def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _spark_tokens(spark, sf_dir)
+    sims = toks.select(
+        "doc_id", F.expr(tx.simhash("t", SIMHASH_BITS, "spark")).alias("sh")
+    )
+    bands = sims.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> (sh div cast(pow(2, b*4) as bigint)) % 16)"
+            )
+        ).alias("b", "bv"),
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    ham = F.bit_count(F.expr("a.sh ^ c.sh"))
+    return (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(ham <= SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (Arrow-batched Python path)
 # ---------------------------------------------------------------------------
@@ -1092,6 +1166,92 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, src="doc_a", dst="doc_b",
         vertex_col="doc_id", component_col="cluster_id",
+    )
+
+
+BOILERPLATE_MIN_DOCS = 2  # chunk in >= this many DISTINCT docs = boilerplate
+
+
+@register(
+    "boilerplate_chunk_removal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(ws[(i*20 + 1):(i*20 + 20)], ' ') AS chunk_text
+        FROM toks,
+             LATERAL UNNEST(generate_series(
+                 0, CAST(ceil(len(ws) / 20.0) AS INT) - 1)) AS g(i)
+    ),
+    boiler AS (
+        SELECT chunk_text FROM chunks
+        GROUP BY chunk_text
+        HAVING count(DISTINCT doc_id) >= __K__
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept_chunks,
+           string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
+               AS cleaned_text
+    FROM chunks c
+    WHERE c.chunk_text NOT IN (SELECT chunk_text FROM boiler
+                               WHERE chunk_text IS NOT NULL)
+    GROUP BY c.doc_id
+    """.replace("__K__", str(BOILERPLATE_MIN_DOCS)),
+    doc=(
+        "Boilerplate removal, the C4/RefinedWeb recipe and the "
+        "complement of paragraph_dedup_reassembled: a chunk appearing "
+        "in >= BOILERPLATE_MIN_DOCS DISTINCT documents is boilerplate "
+        "(nav bars, footers, license blurbs) and EVERY occurrence is "
+        "dropped — keep-first dedup would still leave one copy of text "
+        "that is noise, not content. Docs reassemble from their "
+        "surviving chunks; docs made entirely of boilerplate drop out. "
+        "Shape: row-local chunking, one doc-frequency aggregate on the "
+        "chunk key, one anti-join, one per-doc reassembly — all keyed "
+        "shuffles linear in corpus size; at 100 TB the chunk key is its "
+        "128-bit hash (verbatim here so the oracle compares the actual "
+        "reassembled text). NOT IN vs LEFT ANTI agree because chunk "
+        "texts are non-null by construction (guarded in the oracle)."
+    ),
+    tags=("documents", "dedup", "text", "curation"),
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                "/ 20.0) as int) - 1), "
+                "i -> array_join(slice(split(text, ' '), i*20 + 1, 20), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    boiler = (
+        chunks.groupBy("chunk_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
+        .select("chunk_text")
+    )
+    return (
+        chunks.join(boiler, "chunk_text", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda st: st.chunk_text,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
     )
 
 
