@@ -32,6 +32,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames imp
 )
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
 from real_time_e_commerce_analytics_lakehouse_spark.plans.search import (
+    bm25_term_score,
     BM25_B,
     BM25_K1,
 )
@@ -52,22 +53,39 @@ class SearchIndex:
         (doc_id, token) + delete-unmatched scoped to the batch's docs
         would be the full re-ingest story; the driver corpus is
         append-only, so composite-key upsert suffices and replays are
-        no-ops (merge guard contract)."""
-        toks = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.expr(tx.tokens(text_col, "spark"))).alias("token"),
+        no-ops (merge guard contract).
+
+        ONE ROW PER DOC within the batch first (r5 review): a doc
+        landing twice in one micro-batch (two file drops draining in a
+        single availableNow trigger) would otherwise SUM its versions'
+        tf/dl into the index — permanently wrong scores. With no
+        version column in the landing data the survivor is the
+        lexicographically greatest text — deterministic across replays;
+        versions arriving in separate batches keep the documented
+        last-write-wins merge semantics."""
+        one = (
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+            )
+            .groupBy("doc_id")
+            .agg(F.max("__t").alias("__t"))
+        )
+        toks = one.select(
+            "doc_id",
+            F.explode(F.expr(tx.tokens("__t", "spark"))).alias("token"),
         )
         tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
         dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        if not self.postings.exists():
-            self.postings.overwrite(tf)
-            self.doclen.overwrite(dl)
-            return
+        # merge_upsert creates the table on first write, so no separate
+        # exists/overwrite branch (it also opened a crash window where
+        # postings existed but doclen did not)
         self.postings.merge_upsert(tf, keys=["doc_id", "token"])
         self.doclen.merge_upsert(dl, keys=["doc_id"])
 
     def bm25(self, terms: tuple[str, ...], top_k: int = 20) -> DataFrame:
         """BM25 top-k from the index tables only (no corpus scan)."""
+        if not terms:
+            raise ValueError("bm25 needs at least one query term")
         tf = self.postings.read().filter(F.col("token").isin(*terms))
         dl = self.doclen.read()
         stats = dl.agg(
@@ -77,18 +95,15 @@ class SearchIndex:
         df_ = tf.groupBy("token").agg(
             F.count("*").cast("double").alias("df")
         )
-        idf = F.log(
-            (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-        )
-        tf_factor = (F.col("tf").cast("double") * (BM25_K1 + 1)) / (
-            F.col("tf").cast("double")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        score = bm25_term_score(
+            F.col("tf"), F.col("df"),
+            F.col("n_corpus"), F.col("avgdl"), F.col("dl"),
         )
         scored = (
             tf.join(F.broadcast(df_), "token")
             .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats))
-            .select("doc_id", "token", (idf * tf_factor).alias("score"))
+            .select("doc_id", "token", score.alias("score"))
         )
         per_doc = scored.groupBy("doc_id").agg(
             *[

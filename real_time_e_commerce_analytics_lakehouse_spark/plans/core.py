@@ -310,12 +310,17 @@ def segment_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the canonical operator IS the implementation (r5 review: three
+    # registered queries hand-spelled the window it owns — a tie-break
+    # or null-ordering fix there would not have reached them)
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.dedup import (
+        dedup_latest as op,
+    )
+
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "ts", "value")
+    return op(ev, keys=["user_id"], version_col="ts",
+              tie_breakers=("event_id",)).select(
+        "user_id", "event_id", "event_type", "ts", "value"
     )
 
 
@@ -337,12 +342,16 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def dedup_latest_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.dedup import (
+        dedup_latest as op,
+    )
+
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+    return op(
+        ev, keys=["user_id", "event_type"], version_col="ts",
+        tie_breakers=("event_id",),
+    ).select(
+        "user_id", "event_type", "event_id", "ts", "value"
     )
 
 
@@ -469,7 +478,9 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p_size AS BIGINT) AS size_l,
            CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
            TRY_CAST(p_type AS INTEGER) AS type_as_int,
-           round(p_retailprice * 1.1, 2) AS uplift_price
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE)
+               AS uplift_price
     FROM part
     """,
     doc=(
@@ -490,7 +501,15 @@ def clean_conform_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("long").alias("size_l"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("long").alias("brand_num"),
         F.expr("try_cast(p_type AS int)").alias("type_as_int"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("uplift_price"),
+        # decimal-exact: retail prices are k/100, so k*1.1 lands on a
+        # .xx5 half-way boundary for ~10% of parts, where Spark and
+        # DuckDB round() doubles differently (r5 review) — multiply and
+        # round in DECIMAL (exact on both engines), cast to double last
+        F.round(
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,2)"),
+            2,
+        ).cast("double").alias("uplift_price"),
     )
 
 

@@ -462,17 +462,19 @@ def trailing_7d_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
-        orphans = child.join(
-            parent, child[ck] == parent[pk], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
-        return (
-            total.crossJoin(orphans)
-            .select(
-                F.lit(fk).alias("fk"),
-                F.col("n_child_rows").cast("long"),
-                F.col("n_orphans").cast("long"),
-            )
+        # ONE scan per child table (r5 review: the anti-join count plus
+        # a separate total count scanned each fact twice): a left join
+        # against the distinct parent keys yields total and orphan
+        # counts in the same aggregate. Distinct keys first so the join
+        # cannot fan out a child row that matches multiple parents.
+        pkeys = parent.select(parent[pk].alias("__pk")).distinct()
+        joined = child.join(pkeys, child[ck] == F.col("__pk"), "left")
+        return joined.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.count(F.when(F.col("__pk").isNull(), 1))
+            .cast("long")
+            .alias("n_orphans"),
         )
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey")

@@ -152,6 +152,21 @@ def _bm25_sql() -> str:
     """
 
 
+def bm25_term_score(tf, df_, n_corpus, avgdl, dl):
+    """THE BM25 per-term score expression (idf * tf_factor over the
+    module's K1/B constants) — one copy shared by the scan query below
+    and the index-backed scorer (pipelines/search_index.SearchIndex
+    .bm25), so the documented index-vs-scan bit parity is the same
+    expression tree by construction instead of a copy to keep in sync
+    (r5 review). All inputs are Columns; tf is cast to double here."""
+    tf = tf.cast("double")
+    idf = F.log((n_corpus - df_ + 0.5) / (df_ + 0.5) + 1)
+    tf_factor = (tf * (BM25_K1 + 1)) / (
+        tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+    )
+    return idf * tf_factor
+
+
 @register(
     "bm25_keyword_search",
     oracle=_bm25_sql(),
@@ -206,17 +221,10 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(stats))
 
     def term_score(i: int):
-        tf = F.col(f"tf{i}").cast("double")
-        idf = F.log(
-            (F.col("n_corpus") - F.col(f"df{i}") + 0.5)
-            / (F.col(f"df{i}") + 0.5)
-            + 1
+        return bm25_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"),
+            F.col("n_corpus"), F.col("avgdl"), F.col("dl"),
         )
-        tf_factor = (tf * (BM25_K1 + 1)) / (
-            tf
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-        return idf * tf_factor
 
     total = None
     for i in range(len(BM25_TERMS)):

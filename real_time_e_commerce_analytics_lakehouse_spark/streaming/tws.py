@@ -45,7 +45,13 @@ class ProfileProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._agg = handle.getValueState("agg", "n long, total double")
-        self._recent = handle.getListState("recent", "v double")
+        # (ts, value) PAIRS, not bare values (r5 review): the recent
+        # window is event-time ordered, and with only values in state a
+        # late event arriving in a LATER micro-batch appended after
+        # newer observations — the window's contents depended on batch
+        # boundaries. Keeping each value's ts makes the cross-batch
+        # merge-sort exact.
+        self._recent = handle.getListState("recent", "ts timestamp, v double")
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
@@ -61,12 +67,17 @@ class ProfileProcessor(StatefulProcessor):
             n += len(pdf)
             total += float(pdf["value"].sum())
             pairs.extend(zip(pdf["ts"], (float(v) for v in pdf["value"])))
-        pairs.sort(key=lambda p: p[0])
-        vals = [v for _ts, v in pairs]
-        old = [r[0] for r in self._recent.get()] if self._recent.exists() else []
-        recent = (old + vals)[-RECENT_N:]
+        old = (
+            [(r[0], r[1]) for r in self._recent.get()]
+            if self._recent.exists()
+            else []
+        )
+        # merge old state with the batch IN EVENT-TIME ORDER (stable
+        # sort: within equal ts, stored-then-batch order is preserved)
+        merged = sorted(old + pairs, key=lambda pr: pr[0])[-RECENT_N:]
+        recent = [v for _ts, v in merged]
         # put() replaces the list — the trim keeps per-key state O(1)
-        self._recent.put([(v,) for v in recent])
+        self._recent.put(merged)
         self._agg.update((n, total))
         yield pd.DataFrame(
             {

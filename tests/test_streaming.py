@@ -601,3 +601,10 @@ def test_tws_processor_logic_across_batches():
     # batch 2: aggregate carries; window keeps only the last 3
     assert feed([(1, "t3", 1.0), (1, "t4", 2.0)]) == (4, 18.0, [5.0, 1.0, 2.0])
     assert feed([(1, "t5", 9.0)]) == (5, 27.0, [1.0, 2.0, 9.0])
+    # LATE event in a later batch (r5 review): state stores (ts, value)
+    # pairs, so a t0 arrival merges by EVENT TIME — it is older than
+    # everything in the window and must not displace newer values or
+    # masquerade as the latest observation
+    assert feed([(1, "t0", 7.0)]) == (6, 34.0, [1.0, 2.0, 9.0])
+    # a mid-window late arrival (between t3 and t5) slots into place
+    assert feed([(1, "t4x", 4.0)]) == (7, 38.0, [2.0, 4.0, 9.0])
