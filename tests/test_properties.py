@@ -309,3 +309,83 @@ def test_gif_codec_roundtrip_property(
     )
     px = [[pal[rng.randrange(len(pal))] for _ in range(w)] for _ in range(h)]
     assert decode_gif_rgb(encode_gif_rgb(px, interlace=interlace)) == px
+
+
+# --------------------------------------------------------------------------
+# bounded_frames: carry-partitioned frames == global windows on random
+# sparse day sets (negative days, duplicates-free, gaps of any width)
+# --------------------------------------------------------------------------
+
+DAY_SETS = st.lists(
+    st.integers(-25, 60), min_size=1, max_size=20, unique=True
+)
+
+
+@given(days=DAY_SETS, lookback=st.integers(0, 7))
+@SETTINGS
+def test_carried_range_window_model(spark, days, lookback):
+    from decimal import Decimal
+
+    from pyspark.sql import Window as W
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+        BUCKET,
+        CARRIED,
+        carried_range_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(d, Decimal((d * 7) % 13)) for d in days], "day int, v decimal(18,2)"
+    )
+    aug = carried_range_buckets(df, "day", lookback, bucket_days=8)
+    wp = W.partitionBy(BUCKET).orderBy("day").rangeBetween(-lookback, 0)
+    got = sorted(
+        (r["day"], r["s"])
+        for r in aug.withColumn("s", F.sum("v").over(wp))
+        .where(~F.col(CARRIED))
+        .select("day", "s")
+        .collect()
+    )
+    # naive python model of the global trailing range frame
+    vals = {d: Decimal((d * 7) % 13) for d in days}
+    want = sorted(
+        (d, sum(v for dd, v in vals.items() if d - lookback <= dd <= d))
+        for d in days
+    )
+    assert got == want
+
+
+@given(days=DAY_SETS, k=st.integers(1, 4))
+@SETTINGS
+def test_carried_rows_window_model(spark, days, k):
+    from decimal import Decimal
+
+    from pyspark.sql import Window as W
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.bounded_frames import (
+        BUCKET,
+        CARRIED,
+        carried_rows_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(d, Decimal((d * 5) % 11)) for d in days], "day int, v decimal(18,2)"
+    )
+    aug = carried_rows_buckets(df, "day", k_back=k, bucket_rows=5)
+    wp = W.partitionBy(BUCKET).orderBy("day").rowsBetween(-k, 0)
+    got = sorted(
+        (r["day"], r["s"])
+        for r in aug.withColumn("s", F.sum("v").over(wp))
+        .where(~F.col(CARRIED))
+        .select("day", "s")
+        .collect()
+    )
+    for dep in getattr(aug, "_cached_deps", []):
+        dep.unpersist()
+    ordered = sorted(days)
+    vals = [Decimal((d * 5) % 11) for d in ordered]
+    want = sorted(
+        (d, sum(vals[max(0, i - k): i + 1]))
+        for i, d in enumerate(ordered)
+    )
+    assert got == want
