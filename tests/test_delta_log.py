@@ -352,3 +352,56 @@ def test_checkpoint_partition_values_are_parquet_maps(spark, tmp_path):
     assert pt.is_map(pv), pv
     # and our own reader replays it fine
     assert sorted(r.id for r in read_delta_log(spark, t.path).collect()) == [1, 2]
+
+
+def test_export_and_convert_roundtrip_escaped_partition_values(
+    spark, tmp_path
+):
+    """Partition values needing Hive %XX escaping (and NULL) must cross
+    the Delta boundary as their LOGICAL values: add.partitionValues
+    carries the unescaped string (Delta's contract), the reader restores
+    it, and convert_delta re-escapes into the manifest the way native
+    writers do."""
+    import shutil
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a:b"), (2, "plain"), (3, None), (4, "50%off")],
+            "id long, p string",
+        )
+    )
+    export_delta_log(t)
+
+    # the add actions carry LOGICAL values, not dir-name escapes
+    log = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    pvals = {
+        a["add"]["partitionValues"]["p"]
+        for a in (json.loads(l) for l in open(log) if l.strip())
+        if "add" in a
+    }
+    assert pvals == {"a:b", "plain", None, "50%off"}
+
+    got = read_delta_log(spark, t.path)
+    assert sorted(
+        ((r.id, r.p) for r in got.collect()), key=repr
+    ) == sorted(
+        ((r.id, r.p) for r in t.read().select("id", "p").collect()),
+        key=repr,
+    )
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(t.path, clone)
+    shutil.rmtree(os.path.join(clone, "_log"))
+    c = convert_delta(spark, clone)
+    assert sorted(
+        ((r.id, r.p) for r in c.read().select("id", "p").collect()),
+        key=repr,
+    ) == sorted(
+        ((r.id, r.p) for r in t.read().select("id", "p").collect()),
+        key=repr,
+    )
+    # partition pruning on the converted table resolves the escaped value
+    assert sorted(
+        r.id for r in c.read(partitions={"p": ["a:b"]}).collect()
+    ) == [1]
