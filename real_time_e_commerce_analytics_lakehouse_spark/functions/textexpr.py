@@ -12,8 +12,8 @@ JVM-side / codegen'd — no Python UDFs in the text hot path) or "duck"
 - array length:  size                     vs len
 - concat:        concat(a, b)             vs a || b
 
-Semantics are pinned identical; tests/test_text_ops.py and the driver
-gate enforce it.
+Semantics are pinned identical; tests/test_llm_ops.py, tests/
+test_plans.py, and the driver gate enforce it.
 """
 
 from __future__ import annotations
@@ -101,9 +101,15 @@ def dup_frac(arr: str, dialect: str) -> str:
     empty arrays). Row-local; integer sizes divide identically in both
     engines (IEEE double division of the same ints)."""
     if dialect == "spark":
+        # filter NULL elements before the distinct (r5 review): DuckDB's
+        # list_distinct drops NULLs as well as duplicates while Spark's
+        # array_distinct keeps one — [NULL, NULL] scored 0.5 vs 1.0.
+        # Current callers build NULL-free arrays, but the pin must hold
+        # by construction, not by luck.
+        distinct = f"size(array_distinct(filter({arr}, x -> x is not null)))"
         return (
             f"case when size({arr}) > 0 then "
-            f"round(1.0 - cast(size(array_distinct({arr})) as double) / size({arr}), 6) "
+            f"round(1.0 - cast({distinct} as double) / size({arr}), 6) "
             f"else cast(0.0 as double) end"
         )
     return (
@@ -180,7 +186,41 @@ def simhash_bitsum(tokens_expr: str, bit: int, dialect: str) -> str:
 
 def simhash(tokens_expr: str, bits: int, dialect: str) -> str:
     """SimHash value: for each bit position, majority vote of per-token
-    bits (weight 1 per occurrence); assemble into an integer."""
+    bits (weight 1 per occurrence); assemble into an integer.
+
+    Spark spelling hashes each token ONCE (r5 review): the per-bit
+    spelling expanded to `bits` independent filter lambdas whose md5
+    calls codegen cannot share — 16x the hashing on the fingerprint hot
+    path, the exact cost minhash_digests documents eliminating. Here a
+    first transform binds md5(token) per token, a second folds its
+    nibble parities into a per-token bit PATTERN (one pass over the
+    digest), and the per-bit votes then filter cheap integers. DuckDB
+    keeps the direct per-bit spelling (the oracle runs once at tiny
+    scale; values are identical by construction)."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32] (md5 has 32 nibbles), got {bits}")
+    if dialect == "spark":
+        odds = _HEX_ODD
+        # per-token bit pattern: bit b set iff nibble b+1 of md5 is odd
+        pattern = (
+            f"transform(transform({tokens_expr}, t -> md5(t)), "
+            f"h -> aggregate(sequence(0, {bits - 1}), 0L, "
+            f"(acc, b) -> acc + if(substr(h, b + 1, 1) in ({odds}), "
+            f"shiftleft(1L, b), 0L)))"
+        )
+        terms = [
+            f"(case when size(filter(__sp, p -> (p div {1 << b}) % 2 = 1)) * 2 "
+            f"> size(__sp) then {1 << b} else 0 end)"
+            for b in range(bits)
+        ]
+        total = " + ".join(terms)
+        # bind the pattern array once via a lambda scope (exists() would
+        # short-circuit; aggregate over a 1-element wrapper keeps it a
+        # plain scalar expression)
+        return (
+            f"aggregate(array({pattern}), cast(0 as bigint), "
+            f"(z, __sp) -> cast({total} as bigint))"
+        )
     terms = [
         f"(case when {simhash_bitsum(tokens_expr, b, dialect)} > 0 "
         f"then {1 << b} else 0 end)"
@@ -197,7 +237,12 @@ def langid_case(tokens_expr: str, dialect: str) -> str:
         lang: count_in_set(tokens_expr, words, dialect)
         for lang, words in STOPWORDS.items()
     }
-    c = {lang: f"({expr})" for lang, expr in counts.items()}
+    # coalesce each count to 0 (r5 review): NULL tokens made every
+    # comparison NULL, so the CASE fell through to 'es' — and under
+    # legacy sizeOfNull Spark flipped to 'en' while DuckDB stayed 'es'.
+    # With 0-counts a NULL document deterministically classifies as the
+    # documented tie-break winner 'en' on both engines.
+    c = {lang: f"coalesce(({expr}), 0)" for lang, expr in counts.items()}
     return (
         "case "
         f"when {c['en']} >= {c['de']} and {c['en']} >= {c['fr']} "

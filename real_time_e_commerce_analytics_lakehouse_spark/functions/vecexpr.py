@@ -22,7 +22,15 @@ def to_double_array(col: str, dialect: str) -> str:
 
 
 def dot(a: str, b: str, dialect: str) -> str:
-    """Dot product of two double-array expressions (sequential fold)."""
+    """Dot product of two double-array expressions (sequential fold).
+
+    CONTRACT: both arrays must share one dimension, validated at ingest
+    — on mismatch the engines diverge instead of erroring alike (Spark
+    zip_with NULL-pads the shorter array, yielding NULL; DuckDB
+    list_dot_product raises), so a ragged vector would silently rank
+    with NULL similarity on Spark while crashing the oracle (r5
+    review). The driver corpus is fixed-dim; external ingest paths
+    should assert `size(vec) == dim` before scoring."""
     if dialect == "spark":
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "

@@ -63,10 +63,28 @@ def zorder_key(
                 "numeric/date/timestamp columns are z-orderable (strings "
                 "have no meaningful linear grid — use cluster_by instead)"
             )
-    # one bounded job: global [min, max] per column
+    # one bounded job: global [min, max] per column over FINITE values
+    # only (r5 review): Spark's min/max order NaN above every double, so
+    # one NaN row made mx = NaN, the span NaN, every scaled value NaN —
+    # the whole dimension silently collapsed into one grid cell and
+    # z-order skipping on it vanished. With finite bounds, NaN rows
+    # deterministically land in the top cell (greatest/least resolve
+    # NaN as largest) and ±Inf rows clamp to the edge cells; all finite
+    # rows keep their real grid.
+    def _finite(e: Column) -> Column:
+        return F.when(~F.isnan(e) & (F.abs(e) != float("inf")), e)
+
     bounds = df.agg(
-        *[F.min(_as_double(c, dtypes[c].split("(")[0])).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(_as_double(c, dtypes[c].split("(")[0])).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        *[
+            F.min(_finite(_as_double(c, dtypes[c].split("(")[0])))
+            .alias(f"mn_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.max(_finite(_as_double(c, dtypes[c].split("(")[0])))
+            .alias(f"mx_{i}")
+            for i, c in enumerate(cols)
+        ],
     ).collect()[0]
 
     n = len(cols)

@@ -21,6 +21,14 @@ def top_k_per_group(
     never sorts the whole table. Callers must include tie-breakers in
     ``order_by`` for determinism."""
     ks = [keys] if isinstance(keys, str) else list(keys)
+    if rank_alias in df.columns:
+        # withColumn would silently OVERWRITE the caller's column and
+        # the filter would consume the replacement (r5 review) — fail
+        # loudly instead
+        raise ValueError(
+            f"column {rank_alias!r} already exists; pass a different "
+            "rank_alias"
+        )
     w = W.partitionBy(*ks).orderBy(*order_by)
     return (
         df.withColumn(rank_alias, F.row_number().over(w).cast("long"))

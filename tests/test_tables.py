@@ -2037,3 +2037,22 @@ def test_overwrite_txn_markers_replay_and_conflict(spark, tmp_path):
             LakeTable, "latest_version", return_value=base
         ):
             racer.overwrite(df1, txn={"refresh": 7})
+
+
+def test_zorder_survives_nan_and_inf_values(spark, tmp_table):
+    """r5 review: one NaN in a double clustering column made the global
+    max NaN, every scaled cell NaN, and the whole z-order dimension
+    collapsed to a single grid cell — skipping silently vanished. With
+    finite bounds, NaN/±Inf rows clamp to edge cells and all finite
+    rows keep their real grid."""
+    from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import zorder_key
+
+    rows = [(float(i), float(100 - i)) for i in range(50)]
+    rows += [(float("nan"), 1.0), (float("inf"), 2.0), (float("-inf"), 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    keyed = df.withColumn("z", zorder_key(df, ["x", "y"], bits=8))
+    vals = [r.z for r in keyed.collect()]
+    assert all(v is not None for v in vals)
+    finite = keyed.where(~F.isnan("x") & (F.abs("x") != float("inf")))
+    # finite rows spread across many cells (dimension NOT collapsed)
+    assert finite.select("z").distinct().count() > 10
