@@ -2,8 +2,15 @@
 
 The reference relies on a Databricks-managed session with default configs
 (SURVEY.md §4: no tuned configs anywhere). The engine pins the configs that
-matter for correctness (UTC session timezone, ANSI off for try_* parity) and
-for scale (AQE, skew-join handling, sensible shuffle partitioning).
+matter for correctness (UTC session timezone) and for scale (AQE, skew-join
+handling, sensible shuffle partitioning).
+
+ANSI mode is deliberately NOT set (r5 review corrected a stale claim here
+that it was pinned off): the engine runs under Spark 4's ANSI-on default —
+overflow and malformed casts fail loudly — and every never-fail coercion
+path spells it explicitly (try_cast / try_to_timestamp, incl. the CleanSpec
+"strict" cast rule, operators/cleaning.py), so the semantics hold on ANY
+session the caller hands in, ANSI or not.
 
 Scale notes (100 TB / 1000-executor design intent):
 - ``spark.sql.adaptive.enabled``: AQE re-plans joins (broadcast promotion),
