@@ -33,84 +33,95 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # is still verified by tests/test_queries_oracle.py with the identical
 # row-count + schema + value-hash comparison at sf0.001 and sf0.01.
 #
-# Round-5 rotation (VERDICT r4 next #2): 14 slots swapped toward
-# queries that have NEVER had a driver CORRECTNESS row (72 remained
-# after r1-r4; union of driver rows = 103 of 175). In: the verdict's
-# 12 named never-checked picks (funnel, weekly cohort, HLL weekly
-# rollup, int8/filtered ANN, cross-doc spans, spatial pairs, DAU/WAU,
-# color-JPEG pixels, BPE encode, TPC-H q3/q17) plus trailing_7d_revenue
-# and daily_revenue_anomalies, whose carry-partitioned rewrites landed
-# this round and deserve a driver row. Out: 14 slots that were driver-
-# green in >=3 rounds (status_pivot, segment_consolidation, timestamp
-# roundtrip, modal, with/without-orders set ops, rollup, arrays,
-# exact-dedup, lsh pairs, neardup clusters, brute-force cosine, exact
-# neardup oracle, tumbling windows) — every one remains CI-verified by
-# tests/test_queries_oracle.py over the full registry at two SFs.
-# Earlier rotations: r4 swapped 12 slots toward IVM/search/ANN/LSH-eval
-# families; video_frame_stats took valid_domain_filter's slot.
+# Round-6 rotation (VERDICT r5 next #1 + #8, driven by
+# tools/gate_coverage.py): 20 slots swapped. Out: the one no-oracle
+# slot (weekly_uniques_hll_rollup — can never be driver-green; it is
+# pytest-verified within 5% of exact instead) plus 19 slots that were
+# driver-green in >=3 rounds (revenue_by_nation_status, pricing_summary,
+# fact_orders_preagg, clean_conform_part, dedup_latest,
+# surrogate_dim_customer, minhash_signatures, doc_token_stats,
+# benchmark_contamination, ivf_kmeans_topk, customer_order_streaks,
+# profile_orders_columns, bloom_pruned_brand_revenue,
+# q22_idle_rich_customers, logreg_quality_gd, scd2_order_status_history,
+# bpe_learned_merges, bm25_keyword_search, image_pixel_stats,
+# matryoshka_prefix_topk). In: 21
+# queries that have NEVER had a driver row, chosen to (a) cover the four
+# tag families with zero driver-checked members anywhere (conditional,
+# functions, pandas, scan — gate_coverage.py fails on uncovered
+# families) and (b) take the r5 verdict's named picks (simhash pairs,
+# boilerplate removal, tf-idf, sliding windows, TPC-H q7/q9). Every
+# rotated-out query remains CI-verified by tests/test_queries_oracle.py
+# over the full registry at two SFs.
+# Earlier rotations: r5 swapped 14 slots (funnel/cohort/ANN/spatial/
+# TPC-H q3+q17 + the carry-partitioned window rewrites); r4 swapped 12
+# toward IVM/search/ANN/LSH-eval families.
 GATE_ORDER = [
-    # reference-parity core (notebooks 01-09 re-expressed)
-    "revenue_by_nation_status",
-    "pricing_summary",
-    "fact_orders_preagg",
-    "clean_conform_part",
-    "dedup_latest",
-    "surrogate_dim_customer",
-    # join family
+    # join family — asof kept in-gate: r6 rewrote the value-carry to a
+    # single boxed struct (VERDICT r5 next #3) and the driver should
+    # re-verify the rewritten plan; asof_next_* is its first-time twin
     "asof_last_click_before_purchase",
+    "asof_next_click_after_purchase",
     "spatial_neighbor_pairs",
+    "scd2_dimension_lookup",
     # window family
-    "customer_order_streaks",
     "rfm_customer_segments",
     "pareto_revenue_concentration",
     "trailing_7d_revenue",
     "daily_revenue_anomalies",
+    "revenue_share_within_nation",
+    "daily_revenue_gapfilled",
     # events / funnels / cohorts / engagement
     "funnel_view_click_purchase",
     "weekly_cohort_retention",
-    "weekly_uniques_hll_rollup",
     "dau_wau_stickiness",
-    # aggregate family
+    "sliding_6h_events",
+    # aggregate / analytics family
     "copurchase_part_pairs",
-    "profile_orders_columns",
+    "copurchase_pagerank",
     "salted_revenue_by_status",
+    "weekly_histogram_percentiles",
+    "basket_association_rules",
+    "regional_local_supplier_revenue",
+    # scalar-function families (first driver rows for tags
+    # 'functions', 'conditional', 'scan')
+    "order_calendar_features",
+    "part_string_features",
+    "q12_late_lines_by_priority_class",
+    "q6_forecast_revenue_delta",
+    "q19_disjunctive_brackets",
     # table layer: format interop + incremental view maintenance
     "laketable_format_roundtrip",
     "incremental_mart_maintenance",
     # decision-support subquery shapes + TPC-H classics
-    "bloom_pruned_brand_revenue",
-    "q22_idle_rich_customers",
     "q3_shipping_priority",
     "q17_small_quantity_revenue",
-    # SCD Type 2 (LakeTable.merge_scd2's interval-construction shape)
-    "scd2_order_status_history",
+    "q7_nation_trade_volume",
+    "q9_profit_by_nation_year",
     # ids at scale (no global-window reducer)
     "surrogate_dim_customer_scalable",
     # documents: dedup + text analysis
-    "minhash_signatures",
     "lsh_recall_eval",
     "cross_doc_duplicate_spans",
-    "doc_token_stats",
-    "bpe_learned_merges",
+    "simhash_band_pairs",
+    "boilerplate_chunk_removal",
+    "paragraph_dedup_reassembled",
+    "doc_tfidf_weights",
     "bpe_encode_documents",
-    "logreg_quality_gd",
     "nb_lang_classifier",
     # search
-    "bm25_keyword_search",
     "inverted_index_postings",
     "hybrid_rrf_search",
     "retrieve_then_rerank",
-    # curation
-    "benchmark_contamination",
     # embeddings / similarity search / quantized ANN
-    "ivf_kmeans_topk",
     "semantic_dedup_lsh",
     "pq_adc_topk",
-    "matryoshka_prefix_topk",
     "int8_quantized_topk",
     "filtered_cosine_topk",
+    # pandas-kernel family (integer-exact applyInPandas — oracle-hashable,
+    # unlike the float-reassociating cosine_topk_pandas which stays
+    # rows-only outside the gate)
+    "lang_doc_profile_pandas",
     # multimodal
-    "image_pixel_stats",
     "image_pixel_stats_color",
     "video_frame_stats",
 ]

@@ -719,3 +719,57 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "lang_doc_profile_pandas",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    doc=(
+        "Per-language corpus profile computed by a grouped pandas kernel "
+        "(applyInPandas): the canonical escape hatch when per-group logic "
+        "needs real Python (here: pandas nunique + exact median). Every "
+        "output is integer-exact arithmetic — counts, integer sums, and a "
+        "median that is either an element or the midpoint of two ints — "
+        "so the result hashes identically to the SQL oracle, unlike "
+        "float-reassociating numpy kernels (cosine_topk_pandas stays "
+        "rows-only for that reason). Scale: one shuffle on lang; each "
+        "group reaches the kernel as one Arrow batch, so per-group "
+        "cardinality must fit an executor — true for language-keyed "
+        "corpus profiles (bounded group count, use salting + two-phase "
+        "agg if a group outgrows memory)."
+    ),
+    tags=("documents", "pandas", "agg"),
+)
+def lang_doc_profile_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "max_chars": [int(pdf["n_chars"].max())],
+                "median_chars": [float(pdf["n_chars"].median())],
+                "n_sources": [int(pdf["source"].nunique())],
+            }
+        )
+
+    return docs.select("lang", "n_chars", "source").groupBy("lang").applyInPandas(
+        profile,
+        schema=(
+            "lang string, n_docs long, total_chars long, max_chars long, "
+            "median_chars double, n_sources long"
+        ),
+    )

