@@ -71,12 +71,47 @@ REGRESSION_RATIO = 1.25
 # "regressions". Prune entries once a round records the new workload.
 WORKLOAD_CHANGES: dict[str, str] = {
     # Prune once a recorded round's baseline includes the new spelling.
-    "trailing_7d_revenue": (
-        "r5 rewrote the trailing RANGE window as carry-replicated "
-        "512-day bucket partitions (operators/bounded_frames) — removes "
-        "the single-reducer window; costs a fixed ~0.1s of Generate/"
-        "partitioned-sort overhead at sf0.1, scale-independent "
-        "(plan: same 2-exchange shape, hash-exact vs oracle)"
+    # (trailing_7d_revenue's r5 carry-partitioned rewrite is now IN the
+    # recorded r5 baseline — entry pruned.)
+    # r6 bench-protocol change (VERDICT r5 wrong #3): run() now drains
+    # each query's cache leases after the action, so steady-state reruns
+    # no longer silently reuse the cold run's persisted intermediates
+    # (and the CacheManager re-cache warnings are gone). The five lease-
+    # attaching headline queries therefore measure a self-contained
+    # execution for the first time — slower vs their recorded r5 numbers
+    # by the cost of actually rebuilding their cached intermediates, not
+    # by any code change. The A/B paired ratios (tools/ab_bench.py) run
+    # both trees under the SAME drained protocol and are the like-for-
+    # like signal.
+    "copurchase_pagerank": (
+        "r6 bench drains cache leases between runs; steady state now "
+        "rebuilds the persisted edge/graph frames instead of reusing the "
+        "cold run's cache — protocol change, not a plan change"
+    ),
+    "semantic_dedup_lsh": (
+        "r6 bench drains cache leases between runs; steady state now "
+        "rebuilds the persisted LSH-cell assignments — protocol change"
+    ),
+    "pq_adc_topk": (
+        "r6 bench drains cache leases between runs; steady state now "
+        "retrains the persisted PQ codebook subsample — protocol change"
+    ),
+    "lsh_candidate_pairs": (
+        "r6 bench drains cache leases between runs; steady state now "
+        "recomputes the persisted minhash signatures — protocol change"
+    ),
+    "ngram_jaccard_pairs": (
+        "r6 bench drains cache leases between runs; steady state now "
+        "recomputes the persisted shingle sets — protocol change"
+    ),
+    "asof_last_click_before_purchase": (
+        "r5 changed asof_join SEMANTICS (unannotated then — VERDICT r5 "
+        "wrong #2): the as-of value rides in a STRUCT so a NULL nearest "
+        "value no longer falls back to an older right row; that fix "
+        "carried the bare value through the union shuffle a second time "
+        "as a window tie-breaker. r6 orders the window by the struct "
+        "field (__rbox.v) and drops the duplicate column — the value "
+        "crosses the shuffle once, hash-exact vs oracle both directions"
     ),
 }
 
@@ -144,8 +179,22 @@ def main() -> None:
 
     bench_queries = [name for name, q in QUERIES.items() if q.bench]
 
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        release_cached,
+    )
+
     def run(name: str) -> None:
-        QUERIES[name].builder(spark, sf_dir).collect()
+        # Drain the query's cache leases after the action: builders that
+        # persist intermediates attach them as `_cached_deps` for the
+        # caller to release. Without this, the steady-state reruns of the
+        # SAME query re-persist an identical plan while the cold run's
+        # entry is still cached — 8 `CacheManager: Asked to cache already
+        # cached data` warnings in the r5 bench tail (VERDICT r5 wrong
+        # #3), and the steady runs silently reuse the cold run's cache
+        # instead of measuring a self-contained execution.
+        df = QUERIES[name].builder(spark, sf_dir)
+        df.collect()
+        release_cached(df)
 
     # warmup: run the flagship once to pay JVM/codegen/parquet-footer costs
     run("revenue_by_nation_status")
@@ -249,6 +298,30 @@ def main() -> None:
             ),
         }
 
+    # interleaved A/B paired ratios (tools/ab_bench.py): host-drift-free
+    # cross-round comparison — both trees ran as resident workers on one
+    # host with executions alternated per query, so the paired per-query
+    # ratio isolates CODE speed from host speed. The single-probe
+    # calibration above stays advisory only.
+    ab_paired: dict = {}
+    ab_path = Path(__file__).resolve().parent / "AB_PAIRED.json"
+    if ab_path.exists():
+        try:
+            with open(ab_path) as f:
+                ab = json.load(f)
+            ab_paired = {
+                "a_commit": ab.get("a_commit"),
+                "b_commit": ab.get("b_commit"),
+                "median_paired_ratio": ab.get("median_paired_ratio"),
+                "ratios": {
+                    n: v["ratio"]
+                    for n, v in ab.get("queries", {}).items()
+                    if "ratio" in v
+                },
+            }
+        except (OSError, json.JSONDecodeError, KeyError):
+            ab_paired = {}
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only a bounded stdout tail: BENCH_r03 outgrew
     # it and landed as "parsed": null (VERDICT r3 wrong #1). Keep the
@@ -266,6 +339,7 @@ def main() -> None:
         "prev": prev_info,
         "regressions": regressions,
         "workload_changes": workload_changes,
+        "ab_paired": ab_paired,
         "sf": sf_val,
     }
     with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
@@ -282,6 +356,7 @@ def main() -> None:
                 "workload_changes": workload_changes,
                 "median_query_ratio": prev_info.get("median_query_ratio"),
                 "prev_ratio_calibrated": prev_info.get("ratio_calibrated"),
+                "ab_paired": ab_paired,
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -79,19 +79,20 @@ def asof_join(
     # (null struct) from "right row whose VALUE is null" (non-null
     # struct, null field) — carrying the bare value substituted an
     # OLDER right row's value whenever the nearest one was NULL (r5
-    # review).
+    # review). The box is ALSO the window tie-breaker (ordering on the
+    # struct field) — carrying a second bare copy of the value through
+    # the union shuffle doubled the shuffled value width for nothing
+    # (r5 verdict).
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.col(value_col).alias("__rval"),
         F.struct(F.col(value_col).alias("v")).alias("__rbox"),
         F.lit(0 if not strict else 1).alias("__side"),
     )
-    # left side keeps payload; __rval/__rbox empty
+    # left side keeps payload; __rbox empty
     l = left.select(  # noqa: E741
         *left_cols,
         F.col(left_ts).alias("__ts"),
-        F.lit(None).cast(r.schema["__rval"].dataType).alias("__rval"),
         F.lit(None).cast(r.schema["__rbox"].dataType).alias("__rbox"),
         F.lit(1 if not strict else 0).alias("__side"),
     )
@@ -99,17 +100,24 @@ def asof_join(
         if c not in keys:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l.unionByName(r.select(l.columns))
+    # Tie-break on the boxed value field: at identical (ts, side) the
+    # running last() must pick a deterministic right row — max value for
+    # backward (ascending, last wins), min for forward (descending).
+    # NULL-valued right rows sort first so a non-null peer at the same
+    # instant wins; if ALL peers are null-valued, the box itself is
+    # non-null, so the left row still correctly resolves to NULL value
+    # rather than falling back past the tie group.
     if direction == "backward":
         order = [
             F.col("__ts").asc(),
             F.col("__side").asc(),
-            F.col("__rval").asc_nulls_first(),
+            F.col("__rbox.v").asc_nulls_first(),
         ]
     else:  # forward: scan from the future toward each left row
         order = [
             F.col("__ts").desc(),
             F.col("__side").asc(),
-            F.col("__rval").desc_nulls_first(),
+            F.col("__rbox.v").desc_nulls_first(),
         ]
     w = (
         W.partitionBy(*keys)
