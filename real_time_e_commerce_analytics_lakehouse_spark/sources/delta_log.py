@@ -13,24 +13,30 @@ pyarrow only, against the PUBLIC Delta transaction-log specification
 - ``export_delta_log(table)`` mirrors a LakeTable snapshot into
   ``_delta_log/`` NEXT TO the data files, so any Delta reader can open
   the table path directly: a ``protocol`` action (minReader 1 /
-  minWriter 2 — the plain-parquet tier), a ``metaData`` action (Spark
-  schema JSON, partition columns, parquet format), and one ``add``
-  action per live data file (relative path, Hive partition values,
-  size, modificationTime, numRecords stats). Re-export after more
-  laketable commits appends a NEW delta version holding only the
+  minWriter 2 — the plain-parquet tier — or reader 3 / writer 7 with
+  the ``deletionVectors`` feature when the snapshot carries merge-on-
+  read tombstones, which export as real roaring-bitmap DV files), a
+  ``metaData`` action (Spark schema JSON, partition columns, parquet
+  format), and one ``add`` action per live data file (relative path,
+  Hive partition values, size, modificationTime, numRecords stats,
+  deletionVector descriptor when deletes are active). Re-export after
+  more laketable commits appends a NEW delta version holding only the
   add/remove diff — repeated exports are idempotent and incremental.
-  Tables whose snapshot needs features beyond that tier (active
-  deletion vectors, column mapping) are refused with the fix named
-  (compact()/materialize first) rather than silently mis-exported.
+  Column-mapped tables are refused with the fix named (rewrite with
+  logical names first) rather than silently mis-exported.
 
 - ``read_delta_log(spark, path)`` opens a Delta table — written by this
   module or any Delta writer — from its JSON commits, bootstrapping
   from the last parquet checkpoint when one exists (``_last_checkpoint``
   + single-part ``N.checkpoint.parquet`` via pyarrow). Supports
-  VERSION AS OF. Scale shape: ONE multi-path parquet scan plus a
-  broadcast file→partition-values join (the same partition-restore
-  pattern as tables._read_units_raw) — never a per-file union loop, so
-  a million-file table plans in O(1) scans.
+  VERSION AS OF and the reader-v3 ``deletionVectors`` feature (inline,
+  relative-uuid, and absolute-path storage; roaring bitmaps decoded
+  executor-side, sources/roaring.py). Scale shape: ONE multi-path
+  parquet scan plus a broadcast file→partition-values join (the same
+  partition-restore pattern as tables._read_units_raw) and, when DVs
+  are live, one broadcast anti-join on (file, _metadata.row_index) —
+  never a per-file union loop, so a million-file table plans in O(1)
+  scans.
 
 - ``convert_delta(spark, path)`` adopts a Delta table in place as a
   laketable (manifest references the same files, zero copied bytes) —
@@ -97,6 +103,10 @@ class DeltaSnapshot:
         self._requested = version
         # {relative unquoted path: partitionValues dict}
         self.files: dict[str, dict[str, str | None]] = {}
+        # {relative unquoted path: deletionVector descriptor} for files
+        # whose add action carries one (Delta merge-on-read deletes)
+        self.dvs: dict[str, dict] = {}
+        self.protocol: dict | None = None
         self.schema_json: dict | None = None
         self.partition_cols: list[str] = []
         start = 0
@@ -160,13 +170,15 @@ class DeltaSnapshot:
     def _apply(self, action: dict) -> None:
         if "protocol" in action and action["protocol"]:
             p = action["protocol"]
+            self.protocol = dict(p)
             if int(p.get("minReaderVersion", 1)) > 1 and not (
-                # reader v3 is feature-gated: acceptable iff no feature
-                # beyond plain columnar reads is actually required
+                # reader v3 is feature-gated: acceptable iff every
+                # required feature is one this reader implements.
+                # deletionVectors: parsed + applied (roaring.py).
                 # v2Checkpoint deliberately NOT accepted: the reader
                 # only parses classic N.checkpoint.parquet naming
                 set(p.get("readerFeatures") or [])
-                <= {"timestampNtz"}
+                <= {"timestampNtz", "deletionVectors"}
             ):
                 raise NotImplementedError(
                     f"Delta minReaderVersion {p.get('minReaderVersion')} "
@@ -188,19 +200,134 @@ class DeltaSnapshot:
             self.meta_id = m.get("id")
         if "add" in action and action["add"]:
             a = action["add"]
-            if a.get("deletionVector"):
-                raise NotImplementedError(
-                    "Delta deletion vectors are not supported by this "
-                    "minimal reader"
-                )
-            self.files[unquote(a["path"])] = dict(
-                a.get("partitionValues") or {}
-            )
+            rel = unquote(a["path"])
+            self.files[rel] = dict(a.get("partitionValues") or {})
+            dv = a.get("deletionVector")
+            # a re-add REPLACES the file's DV state: with a new
+            # descriptor when present, or clearing it (Delta writers
+            # re-add without a DV after materializing deletes)
+            if dv:
+                self.dvs[rel] = dict(dv)
+            else:
+                self.dvs.pop(rel, None)
         if "remove" in action and action["remove"]:
-            self.files.pop(unquote(action["remove"]["path"]), None)
+            rel = unquote(action["remove"]["path"])
+            self.files.pop(rel, None)
+            self.dvs.pop(rel, None)
 
     def spark_schema(self) -> StructType:
         return StructType.fromJson(self.schema_json)
+
+
+# --------------------------------------------------------------------------
+# deletion vectors (PROTOCOL.md "Deletion Vectors"): descriptor ->
+# serialized RoaringBitmapArray payload -> per-file deleted row indexes
+# --------------------------------------------------------------------------
+
+
+def _dv_file_path(table_path: str, path_or_inline: str) -> str:
+    """Resolve a storageType='u' pathOrInlineDv: ``<optional random
+    prefix><z85 of 16-byte uuid>`` -> ``<table>/<prefix>/deletion_vector_
+    <canonical uuid>.bin`` (the spec's relative-DV naming)."""
+    import uuid as _uuid
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.roaring import z85_decode
+
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    return os.path.join(table_path, prefix, f"deletion_vector_{u}.bin")
+
+
+def dv_payload(table_path: str, desc: dict) -> bytes:
+    """Fetch + verify one deletion vector's serialized bitmap payload."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import roaring
+
+    st = desc.get("storageType")
+    poi = desc["pathOrInlineDv"]
+    if st == "i":
+        # inline: the z85-encoded payload itself (no size/CRC framing).
+        # Z85 works in 4-byte groups, so writers pad the tail; the
+        # descriptor's sizeInBytes is the TRUE payload length — truncate.
+        return roaring.z85_decode(poi)[: int(desc["sizeInBytes"])]
+    if st == "u":
+        fp = _dv_file_path(table_path, poi)
+    elif st == "p":
+        fp = poi
+    else:
+        raise NotImplementedError(f"Delta DV storageType {st!r}")
+    with open(fp, "rb") as f:
+        blob = f.read()
+    return roaring.read_dv_blob(
+        blob, int(desc["offset"]), int(desc["sizeInBytes"])
+    )
+
+
+# Broadcast bound for the deleted-(file,row) side of the DV anti-join:
+# descriptors carry exact cardinality, so the plan can be picked BEFORE
+# decoding. <= bound: broadcast-hash left-anti (zero shuffle of the
+# table scan). > bound: plain anti-join — the big side shuffles once,
+# still linear, no driver/executor memory cliff.
+_DV_BROADCAST_MAX_ROWS = 20_000_000
+
+
+def _deleted_pairs_df(
+    spark: SparkSession, snap: "DeltaSnapshot"
+) -> tuple[DataFrame | None, int]:
+    """Decoded DV tombstones as a DataFrame of (``__dl_uri`` file URI,
+    ``__dl_ridx`` deleted row index), plus the exact total cardinality.
+
+    Scale shape: the descriptor blobs (KB-scale roaring bitmaps, one row
+    per DV-bearing file) go executor-side and are EXPANDED there by an
+    Arrow-batched kernel — the driver never materializes row indexes."""
+    rows = []
+    total_card = 0
+    for rel, desc in snap.dvs.items():
+        if int(desc.get("cardinality") or 0) == 0:
+            continue
+        uri = "file:" + os.path.abspath(os.path.join(snap.path, rel))
+        rows.append((uri, bytearray(dv_payload(snap.path, desc))))
+        total_card += int(desc["cardinality"])
+    if not rows:
+        return None, 0
+    blobs = spark.createDataFrame(rows, "__dl_uri string, __dl_blob binary")
+
+    def expand(batches):
+        import pandas as pd
+
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.roaring import (
+            deserialize_rba,
+        )
+
+        for pdf in batches:
+            for uri, blob in zip(pdf["__dl_uri"], pdf["__dl_blob"]):
+                idx = deserialize_rba(bytes(blob))
+                yield pd.DataFrame({"__dl_uri": uri, "__dl_ridx": idx})
+
+    return (
+        blobs.mapInPandas(expand, schema="__dl_uri string, __dl_ridx long"),
+        total_card,
+    )
+
+
+def _apply_deletion_vectors(
+    df: DataFrame, snap: "DeltaSnapshot", fp_col: str
+) -> DataFrame:
+    """Filter out DV-deleted rows: anti-join the scan's (file URI,
+    _metadata.row_index) against the decoded tombstones. Only files
+    that actually carry a DV contribute tombstones; rows from clean
+    files stream through the anti-join probe untouched."""
+    deleted, total_card = _deleted_pairs_df(df.sparkSession, snap)
+    if deleted is None:
+        return df
+    if total_card <= _DV_BROADCAST_MAX_ROWS:
+        deleted = F.broadcast(deleted)
+    df = df.withColumn("__dl_ridx0", F.col("_metadata.row_index"))
+    return df.join(
+        deleted,
+        (F.col(fp_col) == deleted["__dl_uri"])
+        & (F.col("__dl_ridx0") == deleted["__dl_ridx"]),
+        "left_anti",
+    ).drop("__dl_ridx0")
 
 
 # --------------------------------------------------------------------------
@@ -213,7 +340,10 @@ def read_delta_log(
 ) -> DataFrame:
     """Open a Delta table (JSON log (+ single-part checkpoint)) as a
     DataFrame. One multi-path scan; partition columns restored typed via
-    a broadcast file→values join keyed on ``_metadata.file_path``."""
+    a broadcast file→values join keyed on ``_metadata.file_path``;
+    deletion-vector tombstones (reader v3 ``deletionVectors`` feature)
+    anti-joined out right after the scan, before any caller-visible
+    column — the same shape as tables._read_units_raw's MoR path."""
     snap = DeltaSnapshot(path, version)
     schema = snap.spark_schema()
     if not snap.files:
@@ -230,6 +360,22 @@ def read_delta_log(
             return F.col(f.name)
         return F.lit(None).cast(f.dataType).alias(f.name)
 
+    if snap.partition_cols or snap.dvs:
+        # Hadoop-style URI: "file:" + absolute path (single slash), with
+        # URI percent-encoding (space -> %20, '%' -> %25...); decode
+        # after protecting literal '+' — same recipe as
+        # tables._read_units_raw — or any path with a URI-special
+        # character misses the join and silently nulls every partition
+        # column. Materialized BEFORE any join: hidden _metadata stops
+        # resolving after one.
+        decoded = F.url_decode(
+            F.replace(
+                F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
+            )
+        )
+        df = df.withColumn("__dl_fp", decoded)
+    if snap.dvs:
+        df = _apply_deletion_vectors(df, snap, "__dl_fp")
     if not snap.partition_cols:
         return df.select(*[_data_col(f) for f in schema.fields])
     ptypes = {
@@ -250,17 +396,6 @@ def read_delta_log(
             + [f"`__dl_{c}` string" for c in snap.partition_cols]
         ),
     )
-    # Hadoop-style URI: "file:" + absolute path (single slash), with
-    # URI percent-encoding (space -> %20, '%' -> %25...); decode after
-    # protecting literal '+' — same recipe as tables._read_units_raw —
-    # or any path with a URI-special character misses the join and
-    # silently nulls every partition column.
-    decoded = F.url_decode(
-        F.replace(
-            F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
-        )
-    )
-    df = df.withColumn("__dl_fp", decoded)
     joined = df.join(
         F.broadcast(meta),
         F.col("__dl_fp") == F.concat(F.lit("file:"), F.col("__dl_path")),
@@ -307,21 +442,71 @@ def _snapshot_files(table: LakeTable) -> dict[str, dict[str, str | None]]:
     return out
 
 
+def _laketable_dv_payloads(
+    table: LakeTable, dv_dirs: list[str]
+) -> dict[str, tuple[bytes, int]]:
+    """Translate the table's merge-on-read tombstones (parquet dirs of
+    (file URI, row index)) into per-file Delta DV payloads:
+    {relative data path: (serialized RoaringBitmapArray, cardinality)}.
+
+    Driver-side by design, like Delta's own DV writer: each file's DV
+    bitmap must be materialized to serialize it, and DV cardinality is
+    bounded by the MoR contract (compact() materializes large delete
+    fractions away). Distinct pairs across commits are guaranteed by
+    _delete_mor (already-deleted rows never re-tombstone)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.roaring import (
+        serialize_rba,
+    )
+
+    files = []
+    for p in dv_dirs:
+        base = os.path.join(table.path, p)
+        files.extend(
+            os.path.join(base, fn)
+            for fn in sorted(os.listdir(base))
+            if fn.endswith(".parquet")
+        )
+    ds = pads.dataset(files, format="parquet")
+    t = ds.to_table(columns=["fp", "ri"])
+    fps = t.column("fp").to_pylist()
+    ris = np.asarray(t.column("ri").to_pylist(), dtype=np.int64)
+    by_rel: dict[str, list[int]] = {}
+    for fp, ri in zip(fps, ris):
+        # fp is the scan-time URI ("file:" + percent-encoded abs path);
+        # decode %XX (unquote leaves literal '+' alone — same recipe as
+        # the read side) and relativize against the table root
+        p = unquote(fp)
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        rel = os.path.relpath(p, os.path.abspath(table.path))
+        by_rel.setdefault(rel, []).append(int(ri))
+    return {
+        rel: (serialize_rba(idx), len(set(idx)))
+        for rel, idx in by_rel.items()
+    }
+
+
 def export_delta_log(table: LakeTable) -> int:
     """Mirror the table's current snapshot into ``_delta_log/`` at the
     table path; returns the Delta version written (or the current one
     if the snapshot is already mirrored — idempotent). Incremental: a
     re-export emits only add/remove diffs vs the already-exported
-    state."""
+    state.
+
+    Merge-on-read deletes export as real Delta deletion vectors
+    (PROTOCOL.md reader v3 / writer v7 ``deletionVectors`` feature):
+    per-file roaring bitmaps framed into one ``deletion_vector_<uuid>
+    .bin``, referenced by ``storageType='u'`` descriptors on the add
+    actions — so a Delta reader skips exactly the rows table.read()
+    skips. DV-free snapshots keep exporting at the plain-parquet tier
+    (minReader 1), and a protocol-upgrade action is emitted on the
+    first DV-bearing export of a previously plain log."""
     v = table.latest_version()
     if v is None:
         raise FileNotFoundError(f"no table at {table.path}")
-    if table._read_dv(v):
-        raise NotImplementedError(
-            "active deletion vectors cannot be expressed at Delta "
-            "minReaderVersion 1 — run compact() (materializes DVs) "
-            "before export_delta_log"
-        )
     cm, dropped = table._colmap(v)
     if cm or dropped:
         raise NotImplementedError(
@@ -332,22 +517,44 @@ def export_delta_log(table: LakeTable) -> int:
     schema = table.read(version=v).schema
     pcols = list(table.partition_by)
     want = _snapshot_files(table)
+    dv_dirs = table._read_dv(v)
+    # {rel: (payload bytes, cardinality)} for files with live tombstones
+    want_dv = _laketable_dv_payloads(table, dv_dirs) if dv_dirs else {}
+    stale_dv = set(want_dv) - set(want)
+    if stale_dv:  # tombstones referencing unmanifested files: corrupt
+        raise ValueError(
+            f"tombstones reference files not in the snapshot: "
+            f"{sorted(stale_dv)[:3]}"
+        )
 
     log = os.path.join(table.path, _DELTA_DIR)
     os.makedirs(log, exist_ok=True)
     have: dict[str, dict] = {}
+    have_dv: dict[str, dict] = {}
     first = True
     next_v = 0
     prev = None
     try:
         prev = DeltaSnapshot(table.path)
         have = prev.files
+        have_dv = prev.dvs
         first = False
         next_v = prev.version + 1
     except FileNotFoundError:
         pass
-    adds = sorted(set(want) - set(have))
-    removes = sorted(set(have) - set(want))
+    # a file whose DV state changed (gained / lost / different bitmap)
+    # must be re-added with the new descriptor: Delta reconciles per
+    # path, so remove+add in one commit is the replace spelling
+    dv_changed: set[str] = set()
+    for rel in set(want) & set(have):
+        if (rel in want_dv) != (rel in have_dv):
+            dv_changed.add(rel)
+        elif rel in want_dv and want_dv[rel][0] != dv_payload(
+            table.path, have_dv[rel]
+        ):
+            dv_changed.add(rel)
+    adds = sorted((set(want) - set(have)) | dv_changed)
+    removes = sorted((set(have) - set(want)) | dv_changed)
     # additive evolution / layout change must re-emit metaData, or the
     # Delta log would keep serving the stale schema (new columns
     # silently dropped by every Delta reader)
@@ -359,10 +566,61 @@ def export_delta_log(table: LakeTable) -> int:
         return next_v - 1  # snapshot already mirrored
     now = int(time.time() * 1000)
     actions: list[dict] = []
-    if first:
+    prev_reader = (
+        int((prev.protocol or {}).get("minReaderVersion", 1))
+        if prev is not None
+        else None
+    )
+    if want_dv and (first or (prev_reader is not None and prev_reader < 3)):
+        # DV tier: reader 3 / writer 7, features listed per spec (the
+        # writer set carries the minWriter-2 legacy features forward,
+        # matching how Delta upgrades existing tables)
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": [
+                        "appendOnly",
+                        "invariants",
+                        "deletionVectors",
+                    ],
+                }
+            }
+        )
+    elif first:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
+    # frame every new DV payload into ONE .bin per export commit,
+    # written before the commit file (an orphaned .bin is harmless)
+    dv_desc: dict[str, dict] = {}
+    dv_rels = [rel for rel in adds if rel in want_dv]
+    if dv_rels:
+        import uuid as _uuid
+
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.roaring import (
+            write_dv_file,
+            z85_encode,
+        )
+
+        img, offsets = write_dv_file([want_dv[rel][0] for rel in dv_rels])
+        dvu = _uuid.uuid4()
+        with open(
+            os.path.join(table.path, f"deletion_vector_{dvu}.bin"), "wb"
+        ) as f:
+            f.write(img)
+        poi = z85_encode(dvu.bytes)
+        for rel, off in zip(dv_rels, offsets):
+            payload, card = want_dv[rel]
+            dv_desc[rel] = {
+                "storageType": "u",
+                "pathOrInlineDv": poi,
+                "offset": off,
+                "sizeInBytes": len(payload),
+                "cardinality": card,
+            }
     if first or schema_changed:
         actions.append(
             {
@@ -393,20 +651,23 @@ def export_delta_log(table: LakeTable) -> int:
     for rel in adds:
         abs_p = os.path.join(table.path, rel)
         stat = os.stat(abs_p)
-        actions.append(
-            {
-                "add": {
-                    "path": quote(rel),
-                    "partitionValues": want[rel],
-                    "size": stat.st_size,
-                    "modificationTime": int(stat.st_mtime * 1000),
-                    "dataChange": True,
-                    "stats": json.dumps(
-                        {"numRecords": _num_records(abs_p)}
-                    ),
-                }
-            }
-        )
+        add: dict[str, Any] = {
+            "path": quote(rel),
+            "partitionValues": want[rel],
+            "size": stat.st_size,
+            "modificationTime": int(stat.st_mtime * 1000),
+            "dataChange": True,
+        }
+        if rel in dv_desc:
+            add["deletionVector"] = dv_desc[rel]
+            # numRecords stays the file's PHYSICAL row count; the spec
+            # requires tightBounds=false whenever a DV is attached
+            add["stats"] = json.dumps(
+                {"numRecords": _num_records(abs_p), "tightBounds": False}
+            )
+        else:
+            add["stats"] = json.dumps({"numRecords": _num_records(abs_p)})
+        actions.append({"add": add})
     actions.append(
         {
             "commitInfo": {
@@ -460,12 +721,18 @@ def write_delta_checkpoint(path: str) -> int:
         "schemaString": json.dumps(snap.schema_json),
         "partitionColumns": list(snap.partition_cols),
     }
+    # replaying readers bootstrap their protocol from the checkpoint: it
+    # must carry the log's ACTUAL protocol (a DV-tier log checkpointed
+    # as minReader 1 would downgrade the gate and hide the feature)
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto_row = {
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        "readerFeatures": proto.get("readerFeatures"),
+        "writerFeatures": proto.get("writerFeatures"),
+    }
     rows: list[dict] = [
-        {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-            "metaData": None,
-            "add": None,
-        },
+        {"protocol": proto_row, "metaData": None, "add": None},
         {"protocol": None, "metaData": meta, "add": None},
     ]
     for rel, pvals in sorted(snap.files.items()):
@@ -481,6 +748,10 @@ def write_delta_checkpoint(path: str) -> int:
                         os.stat(os.path.join(path, rel)).st_mtime * 1000
                     ),
                     "dataChange": True,
+                    # carry the live DV descriptor — a checkpoint that
+                    # drops it would resurrect every deleted row for
+                    # readers bootstrapping from it
+                    "deletionVector": snap.dvs.get(rel),
                 },
             }
         )
@@ -498,6 +769,8 @@ def write_delta_checkpoint(path: str) -> int:
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -522,6 +795,18 @@ def write_delta_checkpoint(path: str) -> int:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -617,5 +902,50 @@ def convert_delta(spark: SparkSession, path: str) -> LakeTable:
         )
         for (d, _combo), info in sorted(by_unit.items())
     ]
-    t._commit(units, op=f"convert_delta(v{snap.version})")
+    dv_rel: list[str] = []
+    if snap.dvs:
+        # Translate Delta deletion vectors into laketable tombstones:
+        # ONE Spark job scans only the DV-bearing files with their
+        # _metadata lineage and semi-joins the decoded bitmap pairs, so
+        # the recorded fp matches the scan-time raw URI byte-for-byte
+        # (constructing URIs driver-side would have to re-implement
+        # Hadoop's percent-escaping). Cost ∝ DV-bearing files, not table.
+        import uuid as _uuid
+
+        deleted, total_card = _deleted_pairs_df(spark, snap)
+        if deleted is not None:
+            dv_abs = [
+                os.path.join(path, rel)
+                for rel, d_ in snap.dvs.items()
+                if int(d_.get("cardinality") or 0) > 0
+            ]
+            scan = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*dv_abs)
+                .select(
+                    F.col("_metadata.file_path").alias("fp"),
+                    F.col("_metadata.row_index").alias("ri"),
+                    F.url_decode(
+                        F.replace(
+                            F.col("_metadata.file_path"),
+                            F.lit("+"),
+                            F.lit("%2B"),
+                        )
+                    ).alias("__dl_fp"),
+                )
+            )
+            if total_card <= _DV_BROADCAST_MAX_ROWS:
+                deleted = F.broadcast(deleted)
+            tomb = scan.join(
+                deleted,
+                (F.col("__dl_fp") == deleted["__dl_uri"])
+                & (F.col("ri") == deleted["__dl_ridx"]),
+                "left_semi",
+            ).select("fp", "ri")
+            from real_time_e_commerce_analytics_lakehouse_spark.tables import _DV_DIR
+
+            dirname = os.path.join(path, _DV_DIR, _uuid.uuid4().hex)
+            tomb.write.parquet(dirname)
+            dv_rel = [os.path.relpath(dirname, path)]
+    t._commit(units, op=f"convert_delta(v{snap.version})", dv=dv_rel)
     return t

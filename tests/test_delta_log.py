@@ -111,16 +111,6 @@ def test_reexport_is_incremental_and_idempotent(spark, tmp_path):
 
 
 def test_export_refuses_inexpressible_snapshots(spark, tmp_path):
-    t = LakeTable(spark, str(tmp_path / "t"))
-    t.overwrite(
-        spark.createDataFrame([(i, "v") for i in range(10)], "id long, v string")
-    )
-    t.delete(F.col("id") < 3, mode="mor")  # active deletion vectors
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        export_delta_log(t)
-    t.compact()  # materializes DVs
-    assert export_delta_log(t) == 0
-
     t2 = LakeTable(spark, str(tmp_path / "t2"))
     t2.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
     t2.rename_column("v", "label")  # column mapping
@@ -405,3 +395,216 @@ def test_export_and_convert_roundtrip_escaped_partition_values(
     assert sorted(
         r.id for r in c.read(partitions={"p": ["a:b"]}).collect()
     ) == [1]
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (VERDICT r5 next #4): reader v3 `deletionVectors`
+# feature — laketable MoR deletes export as real roaring-bitmap DVs, the
+# reader applies them, checkpoints and conversion preserve them
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_exports_as_delta_dv_and_reads_row_exact(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "id long, v string"
+        )
+    )
+    t.delete(F.col("id") % 7 == 0, mode="mor")
+    v = export_delta_log(t)
+    assert v == 0
+
+    log = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(log) if l.strip()]
+    protocol = [a["protocol"] for a in actions if "protocol" in a][0]
+    assert protocol["minReaderVersion"] == 3
+    assert protocol["minWriterVersion"] == 7
+    assert "deletionVectors" in protocol["readerFeatures"]
+    assert "deletionVectors" in protocol["writerFeatures"]
+    dv_adds = [
+        a["add"] for a in actions
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv_adds, "no add action carries a deletionVector descriptor"
+    for a in dv_adds:
+        d = a["deletionVector"]
+        assert d["storageType"] == "u"
+        assert d["cardinality"] > 0 and d["sizeInBytes"] > 0
+        stats = json.loads(a["stats"])
+        # physical row count + wide bounds, per PROTOCOL.md
+        assert stats["tightBounds"] is False
+    assert sum(d["deletionVector"]["cardinality"] for d in dv_adds) == 8
+    # the DV .bin exists under the table root
+    bins = [f for f in os.listdir(t.path) if f.startswith("deletion_vector_")]
+    assert len(bins) == 1
+
+    got = read_delta_log(spark, t.path)
+    assert _rows(got.select("id", "v")) == _rows(t.read().select("id", "v"))
+    assert got.count() == 42
+
+
+def test_incremental_dv_export_and_version_travel(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(i, i * 10) for i in range(40)], "id long, w long")
+    )
+    export_delta_log(t)  # v0: plain tier (no DVs yet)
+    log0 = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    p0 = [json.loads(l) for l in open(log0) if l.strip()][0]["protocol"]
+    assert p0 == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    t.delete(F.col("id") < 5, mode="mor")
+    assert export_delta_log(t) == 1  # protocol upgrade + DV re-adds
+    log1 = os.path.join(t.path, "_delta_log", f"{1:020d}.json")
+    acts1 = [json.loads(l) for l in open(log1) if l.strip()]
+    assert [a["protocol"] for a in acts1 if "protocol" in a][0][
+        "minReaderVersion"
+    ] == 3
+    # the changed file is replaced: remove + add-with-DV in one commit
+    assert any("remove" in a for a in acts1)
+
+    t.delete(F.col("id") >= 35, mode="mor")
+    assert export_delta_log(t) == 2
+    # re-export with no change: idempotent
+    assert export_delta_log(t) == 2
+
+    got = read_delta_log(spark, t.path)
+    assert sorted(r.id for r in got.collect()) == list(range(5, 35))
+    # VERSION AS OF replays the intermediate DV state
+    v1 = read_delta_log(spark, t.path, version=1)
+    assert sorted(r.id for r in v1.collect()) == list(range(5, 40))
+    v0 = read_delta_log(spark, t.path, version=0)
+    assert v0.count() == 40
+
+
+def test_dv_checkpoint_preserves_protocol_and_tombstones(spark, tmp_path):
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        expire_delta_commits,
+        write_delta_checkpoint,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "x" if i % 2 else "y") for i in range(30)], "id long, p string"
+        )
+    )
+    t.delete(F.col("id").isin(2, 3, 28), mode="mor")
+    export_delta_log(t)
+    expected = _rows(t.read().select("id", "p"))
+    assert write_delta_checkpoint(t.path) == 0
+    assert expire_delta_commits(t.path) == 1
+    # reader now bootstraps purely from the checkpoint: protocol tier and
+    # DV descriptors must both survive the round-trip
+    snap = DeltaSnapshot(t.path)
+    assert snap.protocol["minReaderVersion"] == 3
+    assert snap.dvs
+    got = read_delta_log(spark, t.path)
+    assert _rows(got.select("id", "p")) == expected
+
+
+def test_reader_applies_inline_and_path_dv_storage(spark, tmp_path):
+    """Synthesized foreign Delta log: inline ('i', z85 payload, padded)
+    and absolute-path ('p', framed .bin) descriptors both apply."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.roaring import (
+        serialize_rba,
+        write_dv_file,
+        z85_encode,
+    )
+
+    path = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": list(range(10))}), os.path.join(path, "part-0.parquet")
+    )
+    pq.write_table(
+        pa.table({"id": list(range(10, 20))}), os.path.join(path, "part-1.parquet")
+    )
+
+    # inline: delete ids 2,5 from file 0 (payload happens to be 4-aligned)
+    inline_payload = serialize_rba([2, 5])
+    pad = (-len(inline_payload)) % 4
+    inline_desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(inline_payload + b"\x00" * pad),
+        "sizeInBytes": len(inline_payload),
+        "cardinality": 2,
+    }
+    # absolute path: delete rows 0,9 of file 1
+    p_payload = serialize_rba([0, 9])
+    img, offs = write_dv_file([p_payload])
+    dv_file = str(tmp_path / "external_dv.bin")
+    with open(dv_file, "wb") as f:
+        f.write(img)
+    p_desc = {
+        "storageType": "p",
+        "pathOrInlineDv": dv_file,
+        "offset": offs[0],
+        "sizeInBytes": len(p_payload),
+        "cardinality": 2,
+    }
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "foreign-dv-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": inline_desc,
+            }
+        },
+        {
+            "add": {
+                "path": "part-1.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": p_desc,
+            }
+        },
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    got = sorted(r.id for r in read_delta_log(spark, path).collect())
+    assert got == sorted(set(range(20)) - {2, 5, 10, 19})
+
+    # conversion translates the DVs into laketable tombstones in place
+    c = convert_delta(spark, path)
+    assert sorted(r.id for r in c.read().collect()) == got
+    # and a subsequent export round-trips the translated tombstones
+    v = export_delta_log(c)
+    reread = sorted(r.id for r in read_delta_log(spark, path, version=v).collect())
+    assert reread == got
