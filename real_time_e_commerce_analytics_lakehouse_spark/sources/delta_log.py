@@ -107,6 +107,7 @@ class DeltaSnapshot:
         # whose add action carries one (Delta merge-on-read deletes)
         self.dvs: dict[str, dict] = {}
         self.protocol: dict | None = None
+        self.column_mapping_mode: str = "none"
         self.schema_json: dict | None = None
         self.partition_cols: list[str] = []
         start = 0
@@ -175,10 +176,12 @@ class DeltaSnapshot:
                 # reader v3 is feature-gated: acceptable iff every
                 # required feature is one this reader implements.
                 # deletionVectors: parsed + applied (roaring.py).
+                # columnMapping: 'name' mode applied at read (the 'id'
+                # mode gate lives in the metaData check).
                 # v2Checkpoint deliberately NOT accepted: the reader
                 # only parses classic N.checkpoint.parquet naming
                 set(p.get("readerFeatures") or [])
-                <= {"timestampNtz", "deletionVectors"}
+                <= {"timestampNtz", "deletionVectors", "columnMapping"}
             ):
                 raise NotImplementedError(
                     f"Delta minReaderVersion {p.get('minReaderVersion')} "
@@ -190,14 +193,36 @@ class DeltaSnapshot:
             if m.get("format", {}).get("provider", "parquet") != "parquet":
                 raise NotImplementedError("non-parquet Delta format")
             cfg = dict(m.get("configuration") or {})
-            if cfg.get("delta.columnMapping.mode") not in (None, "none"):
+            cm_mode = cfg.get("delta.columnMapping.mode") or "none"
+            if cm_mode == "id":
                 raise NotImplementedError(
-                    "Delta column mapping is not supported by this "
-                    "minimal reader"
+                    "Delta column mapping mode 'id' requires parquet "
+                    "field-id resolution — only 'name' mode is supported "
+                    "by this minimal reader (rewrite the table, or "
+                    "ALTER ... SET columnMapping.mode = 'name')"
                 )
+            if cm_mode not in ("none", "name"):
+                raise NotImplementedError(
+                    f"Delta column mapping mode {cm_mode!r} is not "
+                    "supported by this minimal reader"
+                )
+            self.column_mapping_mode = cm_mode
             self.schema_json = json.loads(m["schemaString"])
             self.partition_cols = list(m.get("partitionColumns", []))
             self.meta_id = m.get("id")
+            if cm_mode == "name":
+                for f in self.schema_json.get("fields", []):
+                    t = f.get("type")
+                    # nested mapping renames fields INSIDE structs/maps/
+                    # arrays — a flat physical->logical select can't
+                    # express that; refuse rather than mis-read
+                    if isinstance(t, dict) and t.get("type") in (
+                        "struct", "array", "map",
+                    ):
+                        raise NotImplementedError(
+                            "column mapping over nested types is not "
+                            "supported by this minimal reader"
+                        )
         if "add" in action and action["add"]:
             a = action["add"]
             rel = unquote(a["path"])
@@ -217,6 +242,19 @@ class DeltaSnapshot:
 
     def spark_schema(self) -> StructType:
         return StructType.fromJson(self.schema_json)
+
+    def physical_names(self) -> dict[str, str]:
+        """{logical column: physical parquet column}. Identity when
+        column mapping is off; under 'name' mode each field's
+        ``delta.columnMapping.physicalName`` metadata names the column
+        actually stored in the files (and keying add.partitionValues)."""
+        out: dict[str, str] = {}
+        for f in self.schema_json.get("fields", []):
+            meta = f.get("metadata") or {}
+            out[f["name"]] = meta.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+        return out
 
 
 # --------------------------------------------------------------------------
@@ -350,14 +388,17 @@ def read_delta_log(
         return spark.createDataFrame([], schema)
     abs_paths = [os.path.join(path, p) for p in snap.files]
     df = spark.read.option("mergeSchema", "true").parquet(*abs_paths)
+    # 'name'-mode column mapping: the files store PHYSICAL column names
+    # (col-<uuid>); select physical -> alias logical. Identity when off.
+    phys = snap.physical_names()
 
     def _data_col(f):
         # a column added by ALTER TABLE with no rewritten file exists in
         # the metaData schema but in NO parquet footer: real Delta
         # readers return it as NULL, so null-fill instead of failing
         # resolution against the merged file footprint
-        if f.name in df.columns:
-            return F.col(f.name)
+        if phys[f.name] in df.columns:
+            return F.col(phys[f.name]).alias(f.name)
         return F.lit(None).cast(f.dataType).alias(f.name)
 
     if snap.partition_cols or snap.dvs:
@@ -385,9 +426,11 @@ def read_delta_log(
     }
     rows = []
     for rel, pvals in snap.files.items():
+        # under column mapping, add.partitionValues are keyed by the
+        # PHYSICAL names (metaData.partitionColumns stay logical)
         rows.append(
             (os.path.abspath(os.path.join(path, rel)),)
-            + tuple(pvals.get(c) for c in snap.partition_cols)
+            + tuple(pvals.get(phys.get(c, c)) for c in snap.partition_cols)
         )
     meta = spark.createDataFrame(
         rows,
@@ -856,6 +899,13 @@ def convert_delta(spark: SparkSession, path: str) -> LakeTable:
     where a directory's files share one partitionValues combo (true
     for Spark/delta-spark writers and this module's exporter)."""
     snap = DeltaSnapshot(path)
+    if snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "in-place conversion of a column-mapped Delta table would "
+            "record physical (col-<uuid>) names in the manifest — copy "
+            "through read_delta_log (which restores logical names) + "
+            "overwrite instead"
+        )
     t = LakeTable(spark, path, partition_by=list(snap.partition_cols))
     if t.exists():
         raise FileExistsError(f"{path} is already a LakeTable")

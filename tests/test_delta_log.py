@@ -608,3 +608,151 @@ def test_reader_applies_inline_and_path_dv_storage(spark, tmp_path):
     v = export_delta_log(c)
     reread = sorted(r.id for r in read_delta_log(spark, path, version=v).collect())
     assert reread == got
+
+
+def test_reader_applies_name_mode_column_mapping(spark, tmp_path):
+    """Synthesized foreign Delta table with columnMapping.mode=name:
+    files store physical col-<uuid> names, partitionValues are keyed by
+    the physical partition name — the reader restores logical names and
+    typed partition values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    os.makedirs(os.path.join(path, "p1"))
+    os.makedirs(os.path.join(path, "p2"))
+    # physical names in the files; the partition column is NOT stored
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["x", "y"]}),
+        os.path.join(path, "p1", "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"col-aaa": [3], "col-bbb": ["z"]}),
+        os.path.join(path, "p2", "f2.parquet"),
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id", "type": "long", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa",
+                    },
+                },
+                {
+                    "name": "v", "type": "string", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb",
+                    },
+                },
+                {
+                    "name": "part", "type": "integer", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-ppp",
+                    },
+                },
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "mapped-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": ["part"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+        {
+            "add": {
+                "path": "p1/f1.parquet",
+                "partitionValues": {"col-ppp": "10"},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": "p2/f2.parquet",
+                "partitionValues": {"col-ppp": "20"},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    got = read_delta_log(spark, path)
+    assert got.columns == ["id", "v", "part"]
+    assert dict(got.dtypes)["part"] == "int"
+    assert _rows(got) == [(1, "x", 10), (2, "y", 10), (3, "z", 20)]
+
+    # in-place conversion must refuse (physical names would leak into
+    # the manifest); the named fix is copy-through
+    with pytest.raises(NotImplementedError, match="read_delta_log"):
+        convert_delta(spark, path)
+
+
+def test_reader_refuses_id_mode_and_nested_column_mapping(spark, tmp_path):
+    def write_log(p, cfg, fields):
+        os.makedirs(os.path.join(p, "_delta_log"))
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "x",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": cfg,
+                }
+            },
+        ]
+        with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    flat = [{"name": "id", "type": "long", "nullable": True, "metadata": {}}]
+    p1 = str(tmp_path / "idmode")
+    write_log(p1, {"delta.columnMapping.mode": "id"}, flat)
+    with pytest.raises(NotImplementedError, match="'id'"):
+        read_delta_log(spark, p1)
+
+    nested = [
+        {
+            "name": "s",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "a", "type": "long", "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.physicalName": "col-x"
+                        },
+                    }
+                ],
+            },
+            "nullable": True,
+            "metadata": {"delta.columnMapping.physicalName": "col-s"},
+        }
+    ]
+    p2 = str(tmp_path / "nested")
+    write_log(p2, {"delta.columnMapping.mode": "name"}, nested)
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_delta_log(spark, p2)

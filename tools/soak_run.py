@@ -158,13 +158,30 @@ def main() -> None:
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--out", default=str(Path(__file__).parent.parent / "soak_sf1.json"))
     ap.add_argument("--skip-table-layer", action="store_true")
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help=(
+            "subset of bench queries to soak (second-decade runs, e.g. "
+            "sf1->sf3 with --factor 3, target only the steepest-exponent "
+            "queries; VERDICT r5 next #7)"
+        ),
+    )
     a = ap.parse_args()
 
     spark = get_spark(app_name="soak")
     bench_queries = [n for n, q in QUERIES.items() if q.bench]
+    # the staleness guard reads against the FULL bench set (a --queries
+    # subset is allowed to omit fan-out queries)
     stale = KNOWN_FANOUT - set(bench_queries)
     if stale:
         raise SystemExit(f"KNOWN_FANOUT names non-bench queries: {sorted(stale)}")
+    if a.queries:
+        unknown = set(a.queries) - set(bench_queries)
+        if unknown:
+            raise SystemExit(f"--queries not in bench set: {sorted(unknown)}")
+        bench_queries = list(a.queries)
     # warmup
     QUERIES["revenue_by_nation_status"].builder(spark, a.small).collect()
 
