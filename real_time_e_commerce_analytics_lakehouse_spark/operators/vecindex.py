@@ -99,18 +99,31 @@ def build_ivf_index(
     spark: SparkSession,
     emb: DataFrame,
     index_path: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[LakeTable, LakeTable]:
     """Train + persist an IVF index: `<path>/centroids` (n_cells rows)
     and `<path>/assignments` (one row per corpus vector, PARTITIONED BY
-    cell_id so a probe reads only its cells' units)."""
+    cell_id so a probe reads only its cells' units).
+
+    ``n_cells=None`` (default) sizes the codebook corpus-adaptively as
+    ~sqrt(n), clamped to [16, 65536] — the standard IVF balance point:
+    probe cost ∝ n/n_cells per probed cell and centroid-scan cost ∝
+    n_cells are equal at sqrt(n), so a FIXED cell count degrades toward
+    brute force as the corpus grows (the sf3 soak measured exactly
+    that: the fixed-16-cell gate query's exponent rose to 0.94 at 30x
+    data). The clamp ceiling keeps the centroid frame broadcastable."""
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"cast({vec_col} as array<double>)").alias("emb"),
     )
+    if n_cells is None:
+        import math
+
+        n = e.count()
+        n_cells = max(16, min(65536, 1 << math.isqrt(max(n, 1)).bit_length()))
     cents = train_spherical_kmeans(spark, e, n_cells, rounds)
     ct = LakeTable(spark, os.path.join(index_path, "centroids"))
     ct.overwrite(cents)

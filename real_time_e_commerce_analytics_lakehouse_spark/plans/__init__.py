@@ -64,7 +64,6 @@ GATE_ORDER = [
     "spatial_neighbor_pairs",
     "scd2_dimension_lookup",
     # window family
-    "rfm_customer_segments",
     "pareto_revenue_concentration",
     "trailing_7d_revenue",
     "daily_revenue_anomalies",
@@ -89,9 +88,11 @@ GATE_ORDER = [
     "q12_late_lines_by_priority_class",
     "q6_forecast_revenue_delta",
     "q19_disjunctive_brackets",
-    # table layer: format interop + incremental view maintenance
+    # table layer: format interop + incremental view maintenance +
+    # Delta change feed (new r6: log-derived CDF incl. DV-diff rows)
     "laketable_format_roundtrip",
     "incremental_mart_maintenance",
+    "delta_change_feed",
     # decision-support subquery shapes + TPC-H classics
     "q3_shipping_priority",
     "q17_small_quantity_revenue",

@@ -252,3 +252,63 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_o_totalprice").cast("double"), 2).alias("revenue"),
         F.col("n_rows"),
     )
+
+
+@register(
+    "delta_change_feed",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS _commit_version,
+               'insert' AS _change_type,
+               o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {dec_sum("o_totalprice")} AS revenue
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'delete', o_orderstatus,
+               CAST(count(*) AS BIGINT),
+               {dec_sum("o_totalprice")}
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+        GROUP BY o_orderstatus
+    ) t
+    """,
+    doc=(
+        "Batch change feed derived from a Delta transaction log "
+        "(sources/delta_log.delta_changes — CDF parity without "
+        "_change_data files): URGENT orders land in a laketable and "
+        "export to a Delta log (commit 0 → inserts), a merge-on-read "
+        "DELETE exports as a deletion-vector re-add (commit 1 → ONLY "
+        "the newly-tombstoned rows as deletes, derived from the roaring "
+        "bitmap DIFF, not a file-level delete+reinsert). The per-"
+        "(version, change type, status) aggregate must equal the "
+        "oracle's direct reconstruction from the source rows — a wrong "
+        "bitmap bit, a missed dataChange flag, or a file-level fallback "
+        "changes counts or sums. Staging under the system temp dir, "
+        "rebuilt per run (the log round-trip IS the operator under "
+        "test)."
+    ),
+    tags=("table", "formats", "cdf", "agg"),
+)
+def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+        export_delta_log,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    path = _staging_dir("delta_cdf", sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = LakeTable(spark, path)
+    t.overwrite(orders.where(F.col("o_orderpriority") == "1-URGENT"))
+    export_delta_log(t)  # delta v0: inserts
+    t.delete(F.col("o_orderkey") % 5 == 0, mode="mor")
+    export_delta_log(t)  # delta v1: DV diff -> row-level deletes
+    ch = delta_changes(spark, path, 0)
+    return ch.groupBy("_commit_version", "_change_type", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(dec_sum("o_totalprice")).alias("revenue"),
+    )

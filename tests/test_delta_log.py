@@ -756,3 +756,80 @@ def test_reader_refuses_id_mode_and_nested_column_mapping(spark, tmp_path):
     write_log(p2, {"delta.columnMapping.mode": "name"}, nested)
     with pytest.raises(NotImplementedError, match="nested"):
         read_delta_log(spark, p2)
+
+
+def test_delta_changes_batch_cdf_from_log(spark, tmp_path):
+    """delta_changes derives row-level inserts/deletes per commit from
+    the JSON log alone: appends -> inserts, overwrite -> deletes+
+    inserts, MoR delete -> ONLY the DV-diff rows as deletes."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(i, "a") for i in range(10)], "id long, v string")
+    )
+    export_delta_log(t)  # delta v0: 10 inserts
+    t.append(spark.createDataFrame([(10, "b"), (11, "b")], "id long, v string"))
+    export_delta_log(t)  # delta v1: 2 inserts
+    t.delete(F.col("id").isin(3, 10), mode="mor")
+    export_delta_log(t)  # delta v2: DV re-add -> exactly 2 delete rows
+
+    ch = delta_changes(spark, t.path, 0)
+    by = {
+        (r._commit_version, r._change_type, r.id, r.v) for r in ch.collect()
+    }
+    assert {(0, "insert", i, "a") for i in range(10)} <= by
+    assert {(1, "insert", 10, "b"), (1, "insert", 11, "b")} <= by
+    assert {(2, "delete", 3, "a"), (2, "delete", 10, "b")} <= by
+    assert len(by) == 14  # nothing else: the DV diff is rows, not files
+
+    # window selection: only v2
+    ch2 = delta_changes(spark, t.path, 2)
+    assert {(r._change_type, r.id) for r in ch2.collect()} == {
+        ("delete", 3), ("delete", 10),
+    }
+
+    # overwrite: old live rows delete (tombstoned rows do NOT re-delete),
+    # new rows insert
+    t.overwrite(spark.createDataFrame([(99, "z")], "id long, v string"))
+    export_delta_log(t)  # delta v3
+    ch3 = delta_changes(spark, t.path, 3, 3)
+    got3 = {(r._change_type, r.id) for r in ch3.collect()}
+    assert ("insert", 99) in got3
+    assert ("delete", 3) not in got3 and ("delete", 10) not in got3
+    assert got3 == {("insert", 99)} | {
+        ("delete", i) for i in range(12) if i not in (3, 10)
+    }
+
+    # compaction emits nothing: synthesize dataChange=false replace
+    import json as _json
+
+    log = os.path.join(t.path, "_delta_log")
+    vmax = max(
+        int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+    )
+    snap = DeltaSnapshot(t.path)
+    rel = next(iter(snap.files))
+    with open(os.path.join(log, f"{vmax + 1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"remove": {"path": rel, "dataChange": False}}) + "\n")
+        f.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert delta_changes(spark, t.path, vmax + 1).count() == 0
+
+    # expired commits refuse with the retention contract named
+    with pytest.raises(ValueError, match="starting_version"):
+        delta_changes(spark, t.path, 99)

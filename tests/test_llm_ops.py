@@ -1013,3 +1013,24 @@ def test_cosine_topk_vectorized_guards_driver_collect(spark, sf_dir):
     )
     assert out.columns == ["query_id", "vec_id", "rank", "cosine_sim"]
     assert out.count() == 15
+
+
+def test_ivf_index_default_cell_count_is_corpus_adaptive(
+    spark, sf_dir, tmp_path
+) -> None:
+    """build_ivf_index(None) sizes the codebook ~sqrt(n) (power of two,
+    clamped to [16, 65536]): probe cost n/n_cells and centroid-scan
+    cost n_cells balance at sqrt(n) — a fixed cell count degrades
+    toward brute force as the corpus grows (sf3 soak, BASELINE.md)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.vecindex import (
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()  # 500 at sf0.001 -> isqrt 22 -> next pow2 = 32
+    ct, at = build_ivf_index(spark, emb, str(tmp_path / "idx"), rounds=1)
+    import math
+
+    expect = max(16, min(65536, 1 << math.isqrt(n).bit_length()))
+    assert ct.read().count() == expect
+    assert at.read().count() == n
