@@ -44,6 +44,14 @@ since the recorded baseline (e.g. r4's image_pixel_stats decoding four
 codecs where r3 decoded two) are annotated in WORKLOAD_CHANGES and
 reported under "workload_changes" instead of "regressions" — the
 driver's gate then compares like with like.
+
+The DEFINITIVE cross-round speed signal is the interleaved A/B run
+(tools/ab_bench.py, VERDICT r5 next #2): the previous round's tree and
+this tree run as resident workers on one host with executions
+alternated per query (A-B, B-A, A-B), so host drift cancels inside
+every pair. Its per-query paired ratios are attached to this script's
+JSON line under "ab_paired"; the single-probe calibration above is
+retained as ADVISORY ONLY.
 """
 
 from __future__ import annotations
@@ -254,11 +262,38 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    # interleaved A/B paired ratios (tools/ab_bench.py): host-drift-free
+    # cross-round comparison — both trees ran as resident workers on one
+    # host with executions alternated per query, so the paired per-query
+    # ratio isolates CODE speed from host speed. The single-probe
+    # calibration stays advisory only. Loaded BEFORE the regression
+    # check: a single-run flag that the A/B measured code-identical
+    # (paired ratio <= 1.1) is host noise and lands in "ab_cleared".
+    ab_paired: dict = {}
+    ab_path = Path(__file__).resolve().parent / "AB_PAIRED.json"
+    if ab_path.exists():
+        try:
+            with open(ab_path) as f:
+                ab = json.load(f)
+            ab_paired = {
+                "a_commit": ab.get("a_commit"),
+                "b_commit": ab.get("b_commit"),
+                "median_paired_ratio": ab.get("median_paired_ratio"),
+                "ratios": {
+                    n: v["ratio"]
+                    for n, v in ab.get("queries", {}).items()
+                    if "ratio" in v
+                },
+            }
+        except (OSError, json.JSONDecodeError, KeyError):
+            ab_paired = {}
+
     # regression check vs the newest recorded round
     prev = _latest_recorded()
     prev_info: dict = {}
     regressions: dict[str, float] = {}
     workload_changes: dict[str, str] = {}
+    ab_cleared: dict[str, dict] = {}
     if prev is not None:
         prev_file, prev_doc = prev
         prev_q = prev_doc.get("queries", {})
@@ -274,10 +309,20 @@ def main() -> None:
         shared = [n for n in timings if prev_q.get(n)]
         ratios = {n: timings[n] / prev_q[n] for n in shared}
         med = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+        ab_ratios = ab_paired.get("ratios", {})
         for name, r in ratios.items():
             if med > 0 and r / med > REGRESSION_RATIO:
                 if name in WORKLOAD_CHANGES:
                     workload_changes[name] = WORKLOAD_CHANGES[name]
+                elif ab_ratios.get(name, 99) <= 1.1:
+                    # the interleaved A/B (same prev tree, same host,
+                    # alternated executions) measured this query code-
+                    # identical in speed — the single-run flag is host
+                    # noise, recorded as cleared rather than hidden
+                    ab_cleared[name] = {
+                        "vs_prev": round(r / med, 2),
+                        "ab_paired": ab_ratios[name],
+                    }
                 else:
                     regressions[name] = round(r / med, 2)
         # cross-round ratio over the INTERSECTION of query sets, so
@@ -298,30 +343,6 @@ def main() -> None:
             ),
         }
 
-    # interleaved A/B paired ratios (tools/ab_bench.py): host-drift-free
-    # cross-round comparison — both trees ran as resident workers on one
-    # host with executions alternated per query, so the paired per-query
-    # ratio isolates CODE speed from host speed. The single-probe
-    # calibration above stays advisory only.
-    ab_paired: dict = {}
-    ab_path = Path(__file__).resolve().parent / "AB_PAIRED.json"
-    if ab_path.exists():
-        try:
-            with open(ab_path) as f:
-                ab = json.load(f)
-            ab_paired = {
-                "a_commit": ab.get("a_commit"),
-                "b_commit": ab.get("b_commit"),
-                "median_paired_ratio": ab.get("median_paired_ratio"),
-                "ratios": {
-                    n: v["ratio"]
-                    for n, v in ab.get("queries", {}).items()
-                    if "ratio" in v
-                },
-            }
-        except (OSError, json.JSONDecodeError, KeyError):
-            ab_paired = {}
-
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only a bounded stdout tail: BENCH_r03 outgrew
     # it and landed as "parsed": null (VERDICT r3 wrong #1). Keep the
@@ -339,6 +360,7 @@ def main() -> None:
         "prev": prev_info,
         "regressions": regressions,
         "workload_changes": workload_changes,
+        "ab_cleared": ab_cleared,
         "ab_paired": ab_paired,
         "sf": sf_val,
     }
@@ -354,6 +376,7 @@ def main() -> None:
                 "calibration": calibration,
                 "regressions": regressions,
                 "workload_changes": workload_changes,
+                "ab_cleared": ab_cleared,
                 "median_query_ratio": prev_info.get("median_query_ratio"),
                 "prev_ratio_calibrated": prev_info.get("ratio_calibrated"),
                 "ab_paired": ab_paired,
