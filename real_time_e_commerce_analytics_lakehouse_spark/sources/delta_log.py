@@ -302,8 +302,10 @@ def dv_payload(table_path: str, desc: dict) -> bytes:
         raise NotImplementedError(f"Delta DV storageType {st!r}")
     with open(fp, "rb") as f:
         blob = f.read()
+    # offset is optional in the descriptor schema; when absent the DV
+    # sits right after the 1-byte format version
     return roaring.read_dv_blob(
-        blob, int(desc["offset"]), int(desc["sizeInBytes"])
+        blob, int(desc.get("offset") or 1), int(desc["sizeInBytes"])
     )
 
 

@@ -833,3 +833,72 @@ def test_delta_changes_batch_cdf_from_log(spark, tmp_path):
     # expired commits refuse with the retention contract named
     with pytest.raises(ValueError, match="starting_version"):
         delta_changes(spark, t.path, 99)
+
+
+def test_dv_payload_defaults_offset_to_after_version_byte(tmp_path):
+    """The descriptor's `offset` field is optional: when absent, the DV
+    payload sits immediately after the 1-byte format version (offset 1)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import dv_payload
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.roaring import (
+        serialize_rba,
+        write_dv_file,
+    )
+
+    payload = serialize_rba([0, 3, 7])
+    img, offs = write_dv_file([payload])
+    assert offs[0] == 1
+    p = str(tmp_path / "dv.bin")
+    with open(p, "wb") as f:
+        f.write(img)
+    desc = {"storageType": "p", "pathOrInlineDv": p,
+            "sizeInBytes": len(payload), "cardinality": 3}  # no offset
+    assert dv_payload(str(tmp_path), desc) == payload
+
+
+def test_delta_changes_reconstructs_final_snapshot(spark, tmp_path):
+    """Fold property: Σ inserts − Σ deletes over the full change window
+    equals the final snapshot, row for row — the invariant that makes a
+    change feed usable for downstream materialization."""
+    from collections import Counter
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 3, "x" if i % 2 else "y") for i in range(40)],
+            "id long, grp long, p string",
+        )
+    )
+    export_delta_log(t)
+    t.delete((F.col("id") % 4 == 0) & (F.col("p") == "y"), mode="mor")
+    export_delta_log(t)
+    t.append(
+        spark.createDataFrame([(100, 1, "x"), (101, 2, "z")],
+                              "id long, grp long, p string")
+    )
+    export_delta_log(t)
+    t.delete(F.col("id") == 100, mode="mor")
+    export_delta_log(t)
+
+    ch = delta_changes(spark, t.path, 0)
+    acc: Counter = Counter()
+    for r in ch.collect():
+        key = (r.id, r.grp, r.p)
+        if r._change_type == "insert":
+            acc[key] += 1
+        else:
+            acc[key] -= 1
+    assert all(v in (0, 1) for v in acc.values())
+    folded = sorted(k for k, v in acc.items() if v == 1)
+    final = sorted(
+        (r.id, r.grp, r.p)
+        for r in read_delta_log(spark, t.path).collect()
+    )
+    assert folded == final
+    # and the Delta view agrees with the laketable's own read
+    assert final == sorted(
+        (r.id, r.grp, r.p) for r in t.read().select("id", "grp", "p").collect()
+    )

@@ -61,13 +61,16 @@ def worker(tree: str, sf_dir: str) -> None:
         if name not in QUERIES:
             print("SKIP", flush=True)
             continue
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = QUERIES[name].builder(spark, sf_dir)
-        df.collect()
-        dt = time.perf_counter() - t0
-        release_cached(df)
-        print(f"TIME {dt:.4f}", flush=True)
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = QUERIES[name].builder(spark, sf_dir)
+            df.collect()
+            dt = time.perf_counter() - t0
+            release_cached(df)
+            print(f"TIME {dt:.4f}", flush=True)
+        except Exception as exc:  # one broken query must not kill the run
+            print(f"SKIP {type(exc).__name__}", flush=True)
     spark.stop()
 
 
@@ -99,7 +102,7 @@ class Worker:
             if not line:
                 raise RuntimeError(f"worker {self.tree} died running {name}")
             line = line.strip()
-            if line == "SKIP":
+            if line.startswith("SKIP"):
                 return None
             if line.startswith("TIME "):
                 return float(line.split()[1])
@@ -160,6 +163,9 @@ def main() -> None:
                 else:
                     tb.append(wb.run(name))
                     ta.append(wa.run(name))
+            if any(x is None for x in ta + tb):
+                out[name] = {"skipped": "worker error mid-pairs"}
+                continue
             ratios = [b / a for a, b in zip(ta, tb)]
             out[name] = {
                 "a": [round(x, 4) for x in ta],
