@@ -44,7 +44,7 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # profile_orders_columns, bloom_pruned_brand_revenue,
 # q22_idle_rich_customers, logreg_quality_gd, scd2_order_status_history,
 # bpe_learned_merges, bm25_keyword_search, image_pixel_stats,
-# matryoshka_prefix_topk). In: 21
+# matryoshka_prefix_topk, rfm_customer_segments). In: 22
 # queries that have NEVER had a driver row, chosen to (a) cover the four
 # tag families with zero driver-checked members anywhere (conditional,
 # functions, pandas, scan — gate_coverage.py fails on uncovered

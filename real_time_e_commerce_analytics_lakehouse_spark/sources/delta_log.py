@@ -152,11 +152,6 @@ class DeltaSnapshot:
             return None
         with open(lc) as f:
             meta = json.load(f)
-        if meta.get("parts"):
-            raise NotImplementedError(
-                "multi-part Delta checkpoints are not supported by this "
-                "minimal reader"
-            )
         v = int(meta["version"])
         if self.version is not None and v > self.version:
             # time travel below the checkpoint: replay JSON from 0
@@ -168,11 +163,34 @@ class DeltaSnapshot:
             )
         import pyarrow.parquet as pq
 
-        cp = os.path.join(log, f"{v:020d}.checkpoint.parquet")
-        for row in pq.read_table(cp).to_pylist():
-            for key in ("protocol", "metaData", "add", "remove"):
-                if row.get(key) is not None:
-                    self._apply({key: row[key]})
+        parts = int(meta.get("parts") or 0)
+        if parts:
+            # multi-part classic checkpoint: N.checkpoint.<i>.<parts>
+            # .parquet, i in 1..parts; parts partition the action set
+            # arbitrarily, so applying them in any order is correct
+            # (checkpoint actions are a SET — one add per live file, at
+            # most one protocol/metaData)
+            cps = [
+                os.path.join(
+                    log,
+                    f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+                )
+                for i in range(1, parts + 1)
+            ]
+            missing = [p for p in cps if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"multi-part checkpoint {v} incomplete: missing "
+                    f"{os.path.basename(missing[0])} "
+                    f"(+{len(missing) - 1} more)"
+                )
+        else:
+            cps = [os.path.join(log, f"{v:020d}.checkpoint.parquet")]
+        for cp in cps:
+            for row in pq.read_table(cp).to_pylist():
+                for key in ("protocol", "metaData", "add", "remove"):
+                    if row.get(key) is not None:
+                        self._apply({key: row[key]})
         return v
 
     def _apply(self, action: dict) -> None:

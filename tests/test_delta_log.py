@@ -902,3 +902,60 @@ def test_delta_changes_reconstructs_final_snapshot(spark, tmp_path):
     assert final == sorted(
         (r.id, r.grp, r.p) for r in t.read().select("id", "grp", "p").collect()
     )
+
+
+def test_reader_bootstraps_from_multipart_checkpoint(spark, tmp_path):
+    """Large Delta tables ship classic MULTI-PART checkpoints
+    (N.checkpoint.<i>.<parts>.parquet + `parts` in _last_checkpoint);
+    the parts partition the action set arbitrarily, so the reader
+    applies them all. Built by splitting a single-part checkpoint."""
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, ["a", "b", "c"][i % 3]) for i in range(30)],
+            "id long, p string",
+        )
+    )
+    t.delete(F.col("id") < 4, mode="mor")
+    export_delta_log(t)
+    expected = _rows(t.read().select("id", "p"))
+    v = write_delta_checkpoint(t.path)
+
+    log = os.path.join(t.path, "_delta_log")
+    single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    tbl = pq.read_table(single)
+    half = max(1, tbl.num_rows // 2)
+    pq.write_table(
+        tbl.slice(0, half),
+        os.path.join(log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        tbl.slice(half),
+        os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    os.remove(single)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": tbl.num_rows, "parts": 2}, f)
+    # force a pure checkpoint bootstrap: drop the covered JSON commits
+    for fn in list(os.listdir(log)):
+        if fn.endswith(".json") and fn.split(".")[0].isdigit():
+            os.remove(os.path.join(log, fn))
+
+    got = read_delta_log(spark, t.path)
+    assert _rows(got.select("id", "p")) == expected
+    snap = DeltaSnapshot(t.path)
+    assert snap.dvs  # the DV survived the multi-part split too
+
+    # an incomplete part set refuses loudly instead of silently
+    # dropping half the table
+    os.remove(
+        os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    )
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        DeltaSnapshot(t.path)
