@@ -74,8 +74,10 @@ GATE_ORDER = [
     "weekly_cohort_retention",
     "dau_wau_stickiness",
     "sliding_6h_events",
-    # aggregate / analytics family
-    "copurchase_part_pairs",
+    # aggregate / analytics family (copurchase_part_pairs rotated out
+    # r6: 3x driver-green; fuzzy matching takes the slot — first driver
+    # row for the entity-resolution 'cleaning' family, new r6)
+    "fuzzy_part_name_matches",
     "copurchase_pagerank",
     "salted_revenue_by_status",
     "weekly_histogram_percentiles",

@@ -773,3 +773,126 @@ def lang_doc_profile_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_chars double, n_sources long"
         ),
     )
+
+
+# Fuzzy entity matching (data-cleaning family): token-blocked pair
+# generation + edit-distance verification. Blocking is what makes this
+# scale — candidate pairs come from an EQUI-join on the blocking key
+# (hash-partitionable, never all-pairs), and the quadratic work is
+# confined to within-block comparisons, the standard entity-resolution
+# recipe (Fellegi-Sunter style blocking). levenshtein() runs JVM-side
+# in both engines.
+_FUZZY_EDGES_SQL = """
+    p AS (
+        SELECT p_partkey AS id,
+               p_name || ' ' || p_type AS nm,
+               split_part(p_name, ' ', 1) AS blk
+        FROM part
+    ),
+    e AS (
+        SELECT a.id AS src, b.id AS dst,
+               levenshtein(a.nm, b.nm) AS dist
+        FROM p a JOIN p b
+          ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.nm, b.nm) <= 4
+    )
+"""
+
+
+def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    p = part.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.col("p_name"), F.lit(" "), F.col("p_type")).alias("nm"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.nm"), F.col("b.nm")))
+        .filter(F.col("dist") <= 4)
+        .select(
+            F.col("a.id").alias("part_a"),
+            F.col("b.id").alias("part_b"),
+            F.col("dist").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "fuzzy_part_name_matches",
+    oracle=f"""
+    WITH {_FUZZY_EDGES_SQL}
+    SELECT src AS part_a, dst AS part_b, CAST(dist AS BIGINT) AS edit_dist
+    FROM e
+    """,
+    doc=(
+        "Fuzzy entity matching: candidate part pairs whose combined "
+        "name+type strings are within Levenshtein distance 4, generated "
+        "by an equi-join on the first name token (blocking) so the "
+        "quadratic comparison is confined within blocks — the classic "
+        "entity-resolution shape that survives 100 TB (candidate "
+        "generation is a hash join; no all-pairs). Edit distance is a "
+        "JVM expression in both engines."
+    ),
+    tags=("analytics", "join", "dedup", "cleaning"),
+)
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fuzzy_pairs(spark, sf_dir)
+
+
+@register(
+    "entity_resolution_parts",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_EDGES_SQL},
+    sym AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ),
+    reach(node, lab) AS (
+        SELECT id, id FROM p
+        UNION
+        SELECT s.dst, r.lab
+        FROM reach r JOIN sym s ON s.src = r.node
+        WHERE r.lab < s.dst
+    )
+    SELECT node AS p_partkey, CAST(min(lab) AS BIGINT) AS entity_id
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "Entity resolution over the fuzzy-match graph: transitive "
+        "closure of the blocked edit-distance pairs via distributed "
+        "connected components (operators/graph.py: min-label "
+        "propagation + pointer jumping, O(log n) rounds, double-witness "
+        "convergence), labeling every part with the minimum part key of "
+        "its entity cluster; unmatched parts are their own entity. The "
+        "oracle reproduces it with a pruned recursive min-propagation "
+        "CTE. This is the canonical dedupe-then-canonicalize shape for "
+        "entity mastering at scale."
+    ),
+    tags=("analytics", "graph", "dedup", "cleaning"),
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    part = table(spark, sf_dir, "part")
+    edges = _fuzzy_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    comp = connected_components(edges, vertex_col="v", component_col="comp")
+    return (
+        part.select(F.col("p_partkey"))
+        .join(comp, part["p_partkey"] == comp["v"], "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("comp"), F.col("p_partkey"))
+            .cast("long")
+            .alias("entity_id"),
+        )
+    )
