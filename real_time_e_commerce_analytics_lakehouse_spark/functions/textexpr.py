@@ -266,6 +266,20 @@ def hash_bucket(expr: str, buckets: int, dialect: str) -> str:
     return f"(('0x' || substr(md5(cast({expr} as VARCHAR)), 1, 8))::BIGINT % {buckets})"
 
 
+def hash_u32(expr: str, dialect: str) -> str:
+    """Deterministic 32-bit uniform from md5 of an expression (the raw
+    slice behind hash_bucket): an integer u in [0, 2^32) usable as a
+    cross-engine pseudo-random draw in INTEGER comparisons — float
+    transforms (pow/log) of u can differ between libm builds in the
+    last ulp, integer predicates cannot."""
+    if dialect == "spark":
+        return (
+            f"cast(conv(substr(md5(cast({expr} as string)), 1, 8), 16, 10) "
+            f"as bigint)"
+        )
+    return f"(('0x' || substr(md5(cast({expr} as VARCHAR)), 1, 8))::BIGINT)"
+
+
 def redact(col: str, dialect: str) -> str:
     """PII-style scrubbing: emails then 4+ digit runs, masked with typed
     placeholders. Patterns kept in the RE2 ∩ Java-regex subset so both

@@ -433,3 +433,47 @@ def temperature_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "source_chars", "keep_threshold", "bucket"
         )
     )
+
+
+_IMPORTANCE_K = 50  # expected sample size, independent of corpus size
+
+
+@register(
+    "importance_sample_documents",
+    oracle=f"""
+    WITH tot AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d, tot
+    WHERE {tx.hash_u32('d.doc_id', 'duck')} * tot.tw
+          < {_IMPORTANCE_K} * CAST(d.n_chars AS BIGINT) * 4294967296
+    """,
+    doc=(
+        "Weighted (importance) sampling with expected size "
+        f"{_IMPORTANCE_K}: inclusion probability ∝ document length "
+        "(P = K*w/Σw, capped implicitly at 1), decided by comparing a "
+        "deterministic md5-derived 32-bit uniform against the weight "
+        "share ENTIRELY IN BIGINT ARITHMETIC — u*Σw < K*w*2^32 — so the "
+        "draw is reproducible across runs AND engines (a pow/exp-keyed "
+        "reservoir would hinge on libm last-ulp agreement; an integer "
+        "predicate cannot disagree). Row-local apart from one scalar "
+        "total (broadcast), no shuffle: the shape that importance-"
+        "weights a 100 TB corpus by quality/length in a single pass."
+    ),
+    tags=("documents", "curation"),
+)
+def importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("tw"))
+    u = F.expr(tx.hash_u32("doc_id", "spark"))
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(
+            u * F.col("tw")
+            < F.lit(_IMPORTANCE_K)
+            * F.col("n_chars").cast("long")
+            * F.lit(4294967296)
+        )
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
