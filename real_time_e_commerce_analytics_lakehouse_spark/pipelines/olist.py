@@ -570,3 +570,28 @@ class OlistPipeline:
         self.silver_conform()
         self.gold_build()
         self.metrics_build()
+
+    def mirror_delta(self, layers: tuple[str, ...] = ("gold", "metrics")) -> dict[str, int]:
+        """Mirror the pipeline's tables as Delta transaction logs
+        (sources/delta_log.export_delta_log), so a reference user's
+        existing Delta readers open the marts directly — the reference
+        stores every medallion table as Delta
+        (01_bronze_csv_to_delta.py:49-55, 02_bronze_to_silver.py:65);
+        this engine's native format is laketable, and the mirror closes
+        that consumer-side gap without copying a byte. Incremental:
+        re-mirroring after another run() appends only the diff commits.
+        Returns {layer/table: delta version written}."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            export_delta_log,
+        )
+
+        out: dict[str, int] = {}
+        for layer in layers:
+            root = os.path.join(self.lake_root, layer)
+            if not os.path.isdir(root):
+                continue
+            for name in sorted(os.listdir(root)):
+                t = LakeTable(self.spark, os.path.join(root, name))
+                if t.exists():
+                    out[f"{layer}/{name}"] = export_delta_log(t)
+        return out
