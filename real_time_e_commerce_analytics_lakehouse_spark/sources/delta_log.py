@@ -81,6 +81,38 @@ def _commit_file(path: str, version: int) -> str:
     return os.path.join(path, _DELTA_DIR, f"{version:020d}.json")
 
 
+def _decode_path(raw: str) -> str:
+    """Decode an add/remove `path`: percent-decoded, and absolute
+    `file:` URIs reduced to plain absolute paths (the spec allows both
+    table-relative paths and fully-qualified URIs — shallow clones and
+    shared-data tables use the latter)."""
+    p = unquote(raw)
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
+def _encode_path(key: str) -> str:
+    """Inverse of _decode_path for the writer side: table-relative keys
+    stay relative; absolute keys become file: URIs (a `../`-escaping
+    relative path is NOT legal Delta — foreign readers resolve paths
+    strictly inside the table root)."""
+    if os.path.isabs(key):
+        return "file://" + quote(key)
+    return quote(key)
+
+
+def _canonical_file_key(table_path: str, rel: str) -> str:
+    """Canonical dict key for a snapshot file: root-relative when the
+    file lives under the table root, absolute otherwise (shallow-clone
+    units reference the source table's files)."""
+    abs_p = os.path.normpath(os.path.join(table_path, rel))
+    key = os.path.relpath(abs_p, os.path.abspath(table_path))
+    return abs_p if key.startswith("..") else key
+
+
 # --------------------------------------------------------------------------
 # log replay (shared by reader, incremental export, and conversion)
 # --------------------------------------------------------------------------
@@ -250,7 +282,7 @@ class DeltaSnapshot:
                         )
         if "add" in action and action["add"]:
             a = action["add"]
-            rel = unquote(a["path"])
+            rel = _decode_path(a["path"])
             self.files[rel] = dict(a.get("partitionValues") or {})
             dv = a.get("deletionVector")
             # a re-add REPLACES the file's DV state: with a new
@@ -261,7 +293,7 @@ class DeltaSnapshot:
             else:
                 self.dvs.pop(rel, None)
         if "remove" in action and action["remove"]:
-            rel = unquote(action["remove"]["path"])
+            rel = _decode_path(action["remove"]["path"])
             self.files.pop(rel, None)
             self.dvs.pop(rel, None)
 
@@ -712,13 +744,13 @@ def delta_changes(
                     continue
                 a = json.loads(line)
                 if a.get("add") and a["add"].get("dataChange", True):
-                    rel = unquote(a["add"]["path"])
+                    rel = _decode_path(a["add"]["path"])
                     adds[rel] = (
                         dict(a["add"].get("partitionValues") or {}),
                         a["add"].get("deletionVector"),
                     )
                 if a.get("remove") and a["remove"].get("dataChange", True):
-                    removes.add(unquote(a["remove"]["path"]))
+                    removes.add(_decode_path(a["remove"]["path"]))
         removes -= set(adds)  # remove+add in one commit = replace
         ins_files: dict[str, dict] = {}
         ins_dvs: dict[str, dict] = {}
@@ -766,9 +798,13 @@ def delta_changes(
 
 
 def _snapshot_files(table: LakeTable) -> dict[str, dict[str, str | None]]:
-    """{relative file path: Delta partitionValues} for the table's
+    """{canonical file key: Delta partitionValues} for the table's
     CURRENT snapshot. Values are canonical unescaped strings (None for
-    the Hive null sentinel) — what Delta stores in partitionValues."""
+    the Hive null sentinel) — what Delta stores in partitionValues.
+    Keys are root-relative paths, or ABSOLUTE paths for files outside
+    the table root (shallow-clone units reference the source table's
+    files; such adds export as file: URIs — a `../`-escaping relative
+    path is not legal Delta and foreign readers reject it)."""
     v = table.latest_version()
     out: dict[str, dict[str, str | None]] = {}
     for u in table._read_manifest(v):
@@ -784,7 +820,7 @@ def _snapshot_files(table: LakeTable) -> dict[str, dict[str, str | None]]:
         ]
         for fn in names:
             rel = os.path.normpath(os.path.join(u.path, fn))
-            out[rel] = pvals
+            out[_canonical_file_key(table.path, rel)] = pvals
     return out
 
 
@@ -828,6 +864,8 @@ def _laketable_dv_payloads(
         if p.startswith("file:"):
             p = p[len("file:"):]
         rel = os.path.relpath(p, os.path.abspath(table.path))
+        if rel.startswith(".."):  # clone tombstone on an out-of-root file
+            rel = os.path.normpath(p)
         by_rel.setdefault(rel, []).append(int(ri))
     return {
         rel: (serialize_rba(idx), len(set(idx)))
@@ -988,7 +1026,7 @@ def export_delta_log(table: LakeTable) -> int:
         actions.append(
             {
                 "remove": {
-                    "path": quote(rel),
+                    "path": _encode_path(rel),
                     "deletionTimestamp": now,
                     "dataChange": True,
                 }
@@ -998,7 +1036,7 @@ def export_delta_log(table: LakeTable) -> int:
         abs_p = os.path.join(table.path, rel)
         stat = os.stat(abs_p)
         add: dict[str, Any] = {
-            "path": quote(rel),
+            "path": _encode_path(rel),
             "partitionValues": want[rel],
             "size": stat.st_size,
             "modificationTime": int(stat.st_mtime * 1000),
@@ -1087,7 +1125,7 @@ def write_delta_checkpoint(path: str) -> int:
                 "protocol": None,
                 "metaData": None,
                 "add": {
-                    "path": quote(rel),
+                    "path": _encode_path(rel),
                     "partitionValues": dict(pvals),
                     "size": os.path.getsize(os.path.join(path, rel)),
                     "modificationTime": int(
@@ -1221,6 +1259,13 @@ def convert_delta(spark: SparkSession, path: str) -> LakeTable:
     combo_by_dir: dict[str, tuple] = {}  # O(files) duplicate check
     by_unit: dict[tuple, dict[str, Any]] = {}
     for rel, pvals in snap.files.items():
+        if os.path.isabs(rel):
+            raise NotImplementedError(
+                "this Delta table references files OUTSIDE its root "
+                f"(absolute add path {rel!r}) — in-place conversion "
+                "would record escaping paths in the manifest; copy "
+                "through read_delta_log + overwrite instead"
+            )
         d = os.path.dirname(rel) or "."
         combo = tuple(sorted(pvals.items()))
         if combo_by_dir.setdefault(d, combo) != combo:

@@ -959,3 +959,41 @@ def test_reader_bootstraps_from_multipart_checkpoint(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="incomplete"):
         DeltaSnapshot(t.path)
+
+
+def test_clone_export_emits_absolute_uris_not_escaping_paths(spark, tmp_path):
+    """A shallow clone's units reference the SOURCE table's files; the
+    Delta spec allows table-relative paths or fully-qualified URIs —
+    never `../`-escaping relatives (foreign readers resolve strictly
+    inside the root). Export must emit file: URIs for such adds, and
+    the reader must resolve them."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame([(i, f"v{i}") for i in range(12)], "id long, v string")
+    )
+    clone = src.clone(str(tmp_path / "clone"))
+    v = export_delta_log(clone)
+    log = os.path.join(clone.path, "_delta_log", f"{v:020d}.json")
+    adds = [
+        json.loads(l)["add"] for l in open(log)
+        if l.strip() and "add" in json.loads(l)
+    ]
+    assert adds
+    for a in adds:
+        assert ".." not in a["path"], f"escaping path leaked: {a['path']}"
+        assert a["path"].startswith("file://")
+    got = read_delta_log(spark, clone.path)
+    assert _rows(got.select("id", "v")) == _rows(clone.read().select("id", "v"))
+    # idempotent re-export (canonical keys stable across replay)
+    assert export_delta_log(clone) == v
+    # conversion refuses out-of-root references with the fix named
+    import shutil as _sh
+
+    foreign = str(tmp_path / "foreign")
+    os.makedirs(foreign)
+    _sh.copytree(
+        os.path.join(clone.path, "_delta_log"),
+        os.path.join(foreign, "_delta_log"),
+    )
+    with pytest.raises(NotImplementedError, match="OUTSIDE its root"):
+        convert_delta(spark, foreign)
