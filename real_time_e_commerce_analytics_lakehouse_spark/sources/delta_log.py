@@ -43,7 +43,10 @@ pyarrow only, against the PUBLIC Delta transaction-log specification
   added files → inserts, removed files → deletes, DV re-adds → only the
   bitmap DIFF (new tombstones as deletes, RESTOREd rows as inserts),
   dataChange=false compactions → nothing. Output carries
-  ``_change_type`` / ``_commit_version``.
+  ``_change_type`` / ``_commit_version``. ``delta_changes_since`` +
+  ``delta_ack`` wrap it in a resumable file cursor (at-least-once;
+  exactly-once with an idempotent sink) — the micro-batch consumption
+  pattern over a foreign Delta log.
 
 - ``convert_delta(spark, path)`` adopts a Delta table in place as a
   laketable (manifest references the same files, zero copied bytes) —
@@ -1347,3 +1350,42 @@ def convert_delta(spark: SparkSession, path: str) -> LakeTable:
             dv_rel = [os.path.relpath(dirname, path)]
     t._commit(units, op=f"convert_delta(v{snap.version})", dv=dv_rel)
     return t
+
+
+def delta_changes_since(
+    spark: SparkSession,
+    path: str,
+    cursor_file: str,
+) -> tuple[DataFrame | None, int]:
+    """Resumable incremental consumption of a Delta table's change feed
+    — the micro-batch pattern (streaming/pipeline.IncrementalRunner)
+    applied to a FOREIGN Delta log: each call returns the row-level
+    changes committed since the cursor's last acknowledged version
+    (None when caught up) plus the version the cursor will advance to.
+
+    The cursor is written atomically (tmp + rename) only AFTER the
+    caller materializes the batch — call ``ack(version)`` on the
+    returned frame's consumption path via :func:`delta_ack`. Crash
+    between read and ack replays the same window: at-least-once, and
+    exactly-once when the sink is idempotent (merge/append_once), the
+    same contract as the laketable streaming tier.
+
+    Scale: cost ∝ the window's changed files only (delta_changes)."""
+    latest = DeltaSnapshot(path).version
+    last = -1
+    if os.path.exists(cursor_file):
+        with open(cursor_file) as f:
+            last = int(json.load(f)["version"])
+    if latest is None or latest <= last:
+        return None, last
+    return delta_changes(spark, path, last + 1, latest), latest
+
+
+def delta_ack(cursor_file: str, version: int) -> None:
+    """Advance a delta_changes_since cursor after the batch is safely
+    materialized (atomic rename, same recipe as laketable commits)."""
+    os.makedirs(os.path.dirname(cursor_file) or ".", exist_ok=True)
+    tmp = cursor_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": int(version)}, f)
+    os.replace(tmp, cursor_file)

@@ -997,3 +997,38 @@ def test_clone_export_emits_absolute_uris_not_escaping_paths(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="OUTSIDE its root"):
         convert_delta(spark, foreign)
+
+
+def test_delta_changes_since_cursor_resume_and_replay(spark, tmp_path):
+    """Resumable CDF consumption: each poll returns only the commits
+    since the last ACK; an un-acked batch replays (at-least-once); a
+    caught-up cursor returns None."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_ack,
+        delta_changes_since,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    cur = str(tmp_path / "state" / "cursor.json")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    export_delta_log(t)
+
+    batch, v = delta_changes_since(spark, t.path, cur)
+    assert v == 0 and {r.id for r in batch.collect()} == {1, 2}
+    # crash before ack: the same window replays
+    batch2, v2 = delta_changes_since(spark, t.path, cur)
+    assert v2 == 0 and {r.id for r in batch2.collect()} == {1, 2}
+    delta_ack(cur, v2)
+    # caught up
+    assert delta_changes_since(spark, t.path, cur) == (None, 0)
+
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    export_delta_log(t)
+    t.delete(F.col("id") == 1, mode="mor")
+    export_delta_log(t)
+    batch3, v3 = delta_changes_since(spark, t.path, cur)
+    assert v3 == 2
+    got = {(r._change_type, r.id) for r in batch3.collect()}
+    assert got == {("insert", 3), ("delete", 1)}
+    delta_ack(cur, v3)
+    assert delta_changes_since(spark, t.path, cur) == (None, 2)
