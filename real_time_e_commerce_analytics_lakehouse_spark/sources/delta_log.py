@@ -438,16 +438,49 @@ def _apply_deletion_vectors(
 
 
 def read_delta_log(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partitions: dict[str, list] | None = None,
 ) -> DataFrame:
     """Open a Delta table (JSON log (+ single-part checkpoint)) as a
     DataFrame. One multi-path scan; partition columns restored typed via
     a broadcast file→values join keyed on ``_metadata.file_path``;
     deletion-vector tombstones (reader v3 ``deletionVectors`` feature)
     anti-joined out right after the scan, before any caller-visible
-    column — the same shape as tables._read_units_raw's MoR path."""
+    column — the same shape as tables._read_units_raw's MoR path.
+
+    ``partitions``: {partition column: allowed values} — files whose
+    add-action partitionValues fall outside the selection are dropped
+    from the scan LIST (driver-side, zero I/O), the same partition-
+    pruning contract as ``LakeTable.read(partitions=...)``; at 100 TB
+    the point of a partitioned table is that a one-partition read
+    plans one partition's files. Values compare as their canonical
+    Delta string serialization (pass strings, or str() is applied);
+    None selects the NULL partition."""
     snap = DeltaSnapshot(path, version)
     schema = snap.spark_schema()
+    if partitions:
+        unknown = set(partitions) - set(snap.partition_cols)
+        if unknown:
+            raise ValueError(
+                f"not partition columns of {path}: {sorted(unknown)} "
+                f"(table partitions: {snap.partition_cols})"
+            )
+        phys0 = snap.physical_names()
+        want_vals = {
+            c: {None if v is None else str(v) for v in vals}
+            for c, vals in partitions.items()
+        }
+        snap.files = {
+            rel: pvals
+            for rel, pvals in snap.files.items()
+            if all(
+                pvals.get(phys0.get(c, c)) in vals
+                for c, vals in want_vals.items()
+            )
+        }
+        snap.dvs = {r: d for r, d in snap.dvs.items() if r in snap.files}
     if not snap.files:
         return spark.createDataFrame([], schema)
     abs_paths = [os.path.join(path, p) for p in snap.files]

@@ -1032,3 +1032,32 @@ def test_delta_changes_since_cursor_resume_and_replay(spark, tmp_path):
     assert got == {("insert", 3), ("delete", 1)}
     delta_ack(cur, v3)
     assert delta_changes_since(spark, t.path, cur) == (None, 2)
+
+
+def test_read_delta_log_partition_pruning(spark, tmp_path):
+    """read_delta_log(partitions=...) drops non-selected files from the
+    scan LIST (driver-side, zero I/O) — verified via inputFiles(), and
+    row-exact incl. a NULL-partition selection and DV interaction."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, ["x", "y", None][i % 3]) for i in range(30)],
+            "id long, p string",
+        )
+    )
+    t.delete((F.col("id") % 10 == 0) & (F.col("p") == "x"), mode="mor")
+    export_delta_log(t)
+
+    full = read_delta_log(spark, t.path)
+    only_x = read_delta_log(spark, t.path, partitions={"p": ["x"]})
+    assert len(only_x.inputFiles()) < len(full.inputFiles())
+    assert sorted(r.id for r in only_x.collect()) == sorted(
+        r.id for r in t.read(partitions={"p": ["x"]}).collect()
+    )
+    # NULL partition selectable; DV'd rows stay excluded in pruned reads
+    nulls = read_delta_log(spark, t.path, partitions={"p": [None]})
+    assert {r.p for r in nulls.collect()} == {None}
+    assert all(r.id % 10 != 0 or r.p != "x" for r in only_x.collect())
+
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta_log(spark, t.path, partitions={"nope": [1]})
