@@ -1061,3 +1061,50 @@ def test_read_delta_log_partition_pruning(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not partition columns"):
         read_delta_log(spark, t.path, partitions={"nope": [1]})
+
+
+@pytest.mark.parametrize("seed", [3, 11, 27])
+def test_delta_changes_fold_invariant_random_lifecycles(spark, tmp_path, seed):
+    """Randomized lifecycle pin (seeded, not hypothesis — each example
+    costs several Spark jobs): any interleaving of append / overwrite /
+    MoR-delete / compact commits, each mirrored to the Delta log, must
+    satisfy the CDF fold invariant (Σinserts − Σdeletes == final
+    snapshot, multiset-exact)."""
+    import random as _random
+
+    from collections import Counter
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+    )
+
+    rng = _random.Random(seed)
+    t = LakeTable(spark, str(tmp_path / f"t{seed}"))
+    next_id = 0
+
+    def fresh(n):
+        nonlocal next_id
+        rows = [(next_id + i, rng.randrange(5)) for i in range(n)]
+        next_id += n
+        return spark.createDataFrame(rows, "id long, g long")
+
+    t.overwrite(fresh(12))
+    export_delta_log(t)
+    for _ in range(4):
+        op = rng.choice(["append", "overwrite", "mor", "compact"])
+        if op == "append":
+            t.append(fresh(rng.randrange(1, 6)))
+        elif op == "overwrite":
+            t.overwrite(fresh(rng.randrange(3, 8)))
+        elif op == "mor":
+            t.delete(F.col("g") == rng.randrange(5), mode="mor")
+        else:
+            t.compact()
+        export_delta_log(t)
+
+    acc: Counter = Counter()
+    for r in delta_changes(spark, t.path, 0).collect():
+        acc[(r.id, r.g)] += 1 if r._change_type == "insert" else -1
+    assert all(v in (0, 1) for v in acc.values()), acc
+    folded = sorted(k for k, v in acc.items() if v == 1)
+    assert folded == sorted((r.id, r.g) for r in t.read().collect())
