@@ -61,6 +61,7 @@ import json
 import os
 import re
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -122,6 +123,56 @@ WORKLOAD_CHANGES: dict[str, str] = {
         "crosses the shuffle once, hash-exact vs oracle both directions"
     ),
 }
+
+
+def _git(*args: str) -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", *args],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return out.stdout.strip() if out.returncode == 0 else None
+
+
+def _ab_staleness(a_commit: str | None, b_commit: str | None) -> str | None:
+    """Return a reason string if AB_PAIRED.json cannot be trusted for
+    the CURRENT round, else None.
+
+    The A/B file clears single-run regression flags as host noise, so a
+    stale file (commits from a previous round) would launder genuine
+    current-round regressions. Freshness contract: the B tree must be a
+    strict descendant of the newest driver round-boundary commit
+    ("round N: verdict/advice/correctness/bench"), and the A tree must
+    predate that boundary (it is the previous round's tree). When the
+    repo has no boundary commit yet (round 1), any in-repo pair is
+    accepted. Unverifiable (git missing, unknown SHAs) counts as stale.
+    """
+    if not a_commit or not b_commit:
+        return "missing commit ids"
+    boundary = _git(
+        "log", "--grep", "^round [0-9]*:", "-E", "--format=%h", "-n", "1"
+    )
+    if boundary is None:
+        return "git unavailable"
+    for name, sha in (("a_commit", a_commit), ("b_commit", b_commit)):
+        if _git("rev-parse", "--verify", "--quiet", f"{sha}^{{commit}}") is None:
+            return f"{name} {sha} not in repo"
+    if not boundary:
+        return None  # round 1: no boundary commit yet
+    if (
+        _git("merge-base", "--is-ancestor", boundary, b_commit) is None
+        or _git("rev-parse", "--short", boundary)
+        == _git("rev-parse", "--short", b_commit)
+    ):
+        return f"b_commit {b_commit} predates round boundary {boundary}"
+    if _git("merge-base", "--is-ancestor", a_commit, boundary) is None:
+        return f"a_commit {a_commit} is not a previous-round tree"
+    return None
 
 
 def _recover_from_tail(doc: dict) -> dict | None:
@@ -270,6 +321,7 @@ def main() -> None:
     # check: a single-run flag that the A/B measured code-identical
     # (paired ratio <= 1.1) is host noise and lands in "ab_cleared".
     ab_paired: dict = {}
+    ab_stale: str | None = None
     ab_path = Path(__file__).resolve().parent / "AB_PAIRED.json"
     if ab_path.exists():
         try:
@@ -286,6 +338,17 @@ def main() -> None:
                 },
             }
         except (OSError, json.JSONDecodeError, KeyError):
+            ab_paired = {}
+    # A stale AB_PAIRED.json (left over from a previous round's commits)
+    # must NOT clear genuine current-round regressions as "host noise":
+    # require the B tree to be a strict descendant of the most recent
+    # driver round-boundary commit, and the A tree an ancestor of it.
+    # Any git failure is treated as "cannot verify" -> file ignored.
+    if ab_paired:
+        ab_stale = _ab_staleness(
+            ab_paired.get("a_commit"), ab_paired.get("b_commit")
+        )
+        if ab_stale is not None:
             ab_paired = {}
 
     # regression check vs the newest recorded round
@@ -362,29 +425,39 @@ def main() -> None:
         "workload_changes": workload_changes,
         "ab_cleared": ab_cleared,
         "ab_paired": ab_paired,
+        "ab_stale": ab_stale,
         "sf": sf_val,
     }
     with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "calibration": calibration,
-                "regressions": regressions,
-                "workload_changes": workload_changes,
-                "ab_cleared": ab_cleared,
-                "median_query_ratio": prev_info.get("median_query_ratio"),
-                "prev_ratio_calibrated": prev_info.get("ratio_calibrated"),
-                "ab_paired": ab_paired,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    # The driver captures a bounded (~2,000 char) stdout tail: the r6
+    # line embedded the full 28-query ab_paired ratio map, overflowed
+    # the capture and landed as "parsed": null (VERDICT r6 wrong #1).
+    # The compact line therefore carries only the A/B SUMMARY (median
+    # paired ratio + which flags it cleared); the per-query ratio map,
+    # cold runs, table layer and the advisory single-probe calibration
+    # history all live in BENCH_DETAIL.json. Length is asserted.
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "calibration": calibration,
+            "regressions": regressions,
+            "workload_changes": sorted(workload_changes),
+            "ab_cleared": ab_cleared,
+            "median_query_ratio": prev_info.get("median_query_ratio"),
+            "ab_median_paired_ratio": ab_paired.get("median_paired_ratio"),
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1800, (
+        f"compact bench line is {len(line)} chars (driver capture is "
+        "~2000): trim a field or move it to BENCH_DETAIL.json"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -446,34 +446,43 @@ _IMPORTANCE_K = 50  # expected sample size, independent of corpus size
     )
     SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
     FROM documents d, tot
-    WHERE {tx.hash_u32('d.doc_id', 'duck')} * tot.tw
-          < {_IMPORTANCE_K} * CAST(d.n_chars AS BIGINT) * 4294967296
+    WHERE CAST(d.n_chars AS BIGINT) >= 1
+      AND {tx.hash_u32('d.doc_id', 'duck')}
+          <= ({_IMPORTANCE_K} * CAST(d.n_chars AS BIGINT) * 4294967296 - 1)
+             // tot.tw
     """,
     doc=(
         "Weighted (importance) sampling with expected size "
         f"{_IMPORTANCE_K}: inclusion probability ∝ document length "
         "(P = K*w/Σw, capped implicitly at 1), decided by comparing a "
         "deterministic md5-derived 32-bit uniform against the weight "
-        "share ENTIRELY IN BIGINT ARITHMETIC — u*Σw < K*w*2^32 — so the "
-        "draw is reproducible across runs AND engines (a pow/exp-keyed "
-        "reservoir would hinge on libm last-ulp agreement; an integer "
-        "predicate cannot disagree). Row-local apart from one scalar "
-        "total (broadcast), no shuffle: the shape that importance-"
-        "weights a 100 TB corpus by quality/length in a single pass."
+        "share ENTIRELY IN BIGINT ARITHMETIC — u <= (K*w*2^32 - 1) div "
+        "Σw, the exact integer rearrangement of u*Σw < K*w*2^32 that "
+        "never forms the u*Σw product (which wraps int64 once the "
+        "corpus passes ~2^31 chars; the divided form only bounds the "
+        "PER-DOCUMENT weight, w < 2^63/(K*2^32) ≈ 43M chars at K=50) — "
+        "so the draw is reproducible across runs AND engines at any "
+        "corpus size (a pow/exp-keyed reservoir would hinge on libm "
+        "last-ulp agreement; an integer predicate cannot disagree). "
+        "The w >= 1 guard keeps trunc-div (Spark) and floor-div "
+        "(DuckDB) on the same non-negative numerator. Row-local apart "
+        "from one scalar total (broadcast), no shuffle: the shape that "
+        "importance-weights a 100 TB corpus by quality/length in a "
+        "single pass."
     ),
     tags=("documents", "curation"),
 )
 def importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tot = docs.agg(F.sum("n_chars").cast("long").alias("tw"))
-    u = F.expr(tx.hash_u32("doc_id", "spark"))
+    cond = (
+        f"CAST(n_chars AS BIGINT) >= 1 AND "
+        f"{tx.hash_u32('doc_id', 'spark')} <= "
+        f"({_IMPORTANCE_K}L * CAST(n_chars AS BIGINT) * 4294967296L - 1L) "
+        f"div tw"
+    )
     return (
         docs.crossJoin(F.broadcast(tot))
-        .filter(
-            u * F.col("tw")
-            < F.lit(_IMPORTANCE_K)
-            * F.col("n_chars").cast("long")
-            * F.lit(4294967296)
-        )
+        .filter(F.expr(cond))
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )

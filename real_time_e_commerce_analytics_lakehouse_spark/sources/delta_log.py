@@ -164,10 +164,9 @@ class DeltaSnapshot:
             if self.version is not None and v > self.version:
                 break
             with open(_commit_file(path, v)) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        self._apply(json.loads(line))
+                self._apply_commit(
+                    [json.loads(s) for s in (ln.strip() for ln in f) if s]
+                )
         if self._requested is not None:
             known = max(
                 versions[-1] if versions else -1,
@@ -227,6 +226,27 @@ class DeltaSnapshot:
                     if row.get(key) is not None:
                         self._apply({key: row[key]})
         return v
+
+    def _apply_commit(self, actions: list[dict]) -> None:
+        """Apply one commit's actions as a SET, not in line order.
+
+        The spec reconciles file actions by logical file (keyed here by
+        path): a foreign DV-delete commit legally serializes
+        ``add(path, new DV)`` BEFORE ``remove(path, old DV)`` — they are
+        different logical files under the spec's (path, dvId) key — and
+        line-order replay would apply the remove last and drop the file
+        entirely (silent row loss). A remove whose path is (re-)added
+        anywhere in the same commit is therefore suppressed; the same
+        rule `delta_changes` already uses (``removes -= set(adds)``).
+        """
+        added = {
+            _decode_path(a["add"]["path"]) for a in actions if a.get("add")
+        }
+        for act in actions:
+            rm = act.get("remove")
+            if rm and _decode_path(rm["path"]) in added:
+                act = {k: v for k, v in act.items() if k != "remove"}
+            self._apply(act)
 
     def _apply(self, action: dict) -> None:
         if "protocol" in action and action["protocol"]:
@@ -350,7 +370,9 @@ def dv_payload(table_path: str, desc: dict) -> bytes:
     if st == "u":
         fp = _dv_file_path(table_path, poi)
     elif st == "p":
-        fp = poi
+        # spec: an absolute path — foreign writers commonly serialize it
+        # as a URI (file:///...), so decode like add/remove paths do
+        fp = _decode_path(poi)
     else:
         raise NotImplementedError(f"Delta DV storageType {st!r}")
     with open(fp, "rb") as f:
@@ -437,6 +459,29 @@ def _apply_deletion_vectors(
 # --------------------------------------------------------------------------
 
 
+def _canon_partition_value(col: str, v) -> str | None:
+    """Canonical Delta partition-value string for a pruning filter.
+
+    add.partitionValues store the spec's canonical serialization, so a
+    naive str(v) diverges for Python booleans ('True' vs stored 'true')
+    and would silently prune EVERY file. Booleans and integers are
+    canonicalized here; anything else non-string (dates, timestamps,
+    floats — whose canonical forms are writer-convention-sensitive)
+    must be passed already in Delta string form, and is rejected loudly
+    instead of mis-pruned silently."""
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, bool):  # before int: bool subclasses int
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    raise TypeError(
+        f"partition filter {col}={v!r}: pass the canonical Delta string "
+        "serialization (str), None, bool, or int — other types have "
+        "writer-sensitive serializations and would prune silently wrong"
+    )
+
+
 def read_delta_log(
     spark: SparkSession,
     path: str,
@@ -456,8 +501,9 @@ def read_delta_log(
     pruning contract as ``LakeTable.read(partitions=...)``; at 100 TB
     the point of a partitioned table is that a one-partition read
     plans one partition's files. Values compare as their canonical
-    Delta string serialization (pass strings, or str() is applied);
-    None selects the NULL partition."""
+    Delta string serialization (pass strings; bool/int are
+    canonicalized, other non-str types rejected — see
+    _canon_partition_value); None selects the NULL partition."""
     snap = DeltaSnapshot(path, version)
     schema = snap.spark_schema()
     if partitions:
@@ -469,7 +515,7 @@ def read_delta_log(
             )
         phys0 = snap.physical_names()
         want_vals = {
-            c: {None if v is None else str(v) for v in vals}
+            c: {_canon_partition_value(c, v) for v in vals}
             for c, vals in partitions.items()
         }
         snap.files = {
