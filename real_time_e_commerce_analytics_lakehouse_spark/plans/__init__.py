@@ -33,100 +33,87 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # is still verified by tests/test_queries_oracle.py with the identical
 # row-count + schema + value-hash comparison at sf0.001 and sf0.01.
 #
-# Round-6 rotation (VERDICT r5 next #1 + #8, driven by
-# tools/gate_coverage.py): 20 slots swapped. Out: the one no-oracle
-# slot (weekly_uniques_hll_rollup — can never be driver-green; it is
-# pytest-verified within 5% of exact instead) plus 19 slots that were
-# driver-green in >=3 rounds (revenue_by_nation_status, pricing_summary,
-# fact_orders_preagg, clean_conform_part, dedup_latest,
-# surrogate_dim_customer, minhash_signatures, doc_token_stats,
-# benchmark_contamination, ivf_kmeans_topk, customer_order_streaks,
-# profile_orders_columns, bloom_pruned_brand_revenue,
-# q22_idle_rich_customers, logreg_quality_gd, scd2_order_status_history,
-# bpe_learned_merges, bm25_keyword_search, image_pixel_stats,
-# matryoshka_prefix_topk, rfm_customer_segments). In: 22
-# queries that have NEVER had a driver row, chosen to (a) cover the four
-# tag families with zero driver-checked members anywhere (conditional,
-# functions, pandas, scan — gate_coverage.py fails on uncovered
-# families) and (b) take the r5 verdict's named picks (simhash pairs,
-# boilerplate removal, tf-idf, sliding windows, TPC-H q7/q9). Every
-# rotated-out query remains CI-verified by tests/test_queries_oracle.py
-# over the full registry at two SFs.
-# Earlier rotations: r5 swapped 14 slots (funnel/cohort/ANN/spatial/
-# TPC-H q3+q17 + the carry-partitioned window rewrites); r4 swapped 12
-# toward IVM/search/ANN/LSH-eval families.
+# Round-7 rotation (VERDICT r6 next #2 — "finish gate rotation to zero
+# never-checked queries"): ALL 38 oracle-backed queries that had never
+# had a driver CORRECTNESS row take gate slots this round, which
+# retires the never-checked backlog in ONE rotation instead of the
+# suggested two. The remaining 12 slots are family-coverage carry-overs
+# (asof/scd/funnel/cohort/sliding/functions/conditional/scan/pandas/
+# multimodal-image/CDF/IVM — families the 38 newcomers do not touch),
+# each preferring the members with the FEWEST prior green rounds.
+# After this round the only never-driver-checked queries are the four
+# NO-ORACLE ones (audience_overlap_hll, approx_price_percentiles,
+# cosine_topk_pandas, trending_tokens_sketch) — rows-only BY DESIGN
+# (sketches/float-reassociation make a value-hash oracle impossible);
+# they are pytest-verified against tolerance/equivalence oracles
+# instead and are deliberately kept OUT of the gate so the driver's
+# 50/50 stays a hash-exact signal (same call as r6's HLL rotation).
+# Every rotated-out query remains CI-verified by
+# tests/test_queries_oracle.py over the full registry at two SFs.
+#
+# Round-6 rotation (VERDICT r5 next #1 + #8): 20 slots swapped — out
+# the no-oracle HLL slot + 19 thrice-green; in 22 never-checked
+# covering the conditional/functions/pandas/scan families. r5 swapped
+# 14 slots (funnel/cohort/ANN/spatial/TPC-H q3+q17 + carry-partitioned
+# windows); r4 swapped 12 toward IVM/search/ANN/LSH-eval families.
 GATE_ORDER = [
-    # join family — asof kept in-gate: r6 rewrote the value-carry to a
-    # single boxed struct (VERDICT r5 next #3) and the driver should
-    # re-verify the rewritten plan; asof_next_* is its first-time twin
-    "asof_last_click_before_purchase",
+    # --- 38 first-time slots: analytics family -------------------------
+    "price_quantity_regression",
+    "order_value_histogram",
+    "weekday_order_profile",
+    "repeat_purchase_intervals",
+    "clv_cohort_revenue",
+    "order_priority_transitions",
+    "repeat_order_conversion_curve",
+    "duplicate_invoice_screen",
+    "supplier_hhi_by_part",
+    "daily_revenue_decomposition",
+    "fulfillment_latency_percentiles",
+    "return_rate_by_brand",
+    "daily_revenue_interpolated",
+    "entity_resolution_parts",
+    # subquery / window / agg shapes
+    "order_price_ranks",
+    "customer_first_last_orders",
+    "small_quantity_orders",
+    "customer_order_histogram",
+    "orders_above_customer_avg",
+    "daily_orders_vs_events_activity",
+    # profiling / skew / scale
+    "referential_integrity_audit",
+    "key_skew_report",
+    "skewsafe_distinct_customers_by_status",
+    # documents: curation / text / search / multimodal
+    "temperature_resample_sources",
+    "importance_sample_documents",
+    "video_container_catalog",
+    "chunk_documents_sliding",
+    "doc_unigram_logprob",
+    "phrase_search_bigram",
+    # embeddings / ml
+    "knn_label_classifier",
+    # TPC-H classics never driver-checked
+    "q4_late_shipment_priority",
+    "q8_market_share",
+    "q10_returned_revenue_customers",
+    "q11_important_parts",
+    "q14_promo_revenue_ratio",
+    "q15_top_suppliers",
+    "q16_supplier_diversity",
+    "q20_dominant_part_suppliers",
+    # --- 12 family-coverage carry-overs --------------------------------
     "asof_next_click_after_purchase",
-    "spatial_neighbor_pairs",
     "scd2_dimension_lookup",
-    # window family
-    "pareto_revenue_concentration",
-    "trailing_7d_revenue",
-    "daily_revenue_anomalies",
-    "revenue_share_within_nation",
-    "daily_revenue_gapfilled",
-    # events / funnels / cohorts / engagement
+    "sliding_6h_events",
     "funnel_view_click_purchase",
     "weekly_cohort_retention",
-    "dau_wau_stickiness",
-    "sliding_6h_events",
-    # aggregate / analytics family (copurchase_part_pairs rotated out
-    # r6: 3x driver-green; fuzzy matching takes the slot — first driver
-    # row for the entity-resolution 'cleaning' family, new r6)
-    "fuzzy_part_name_matches",
-    "copurchase_pagerank",
-    "salted_revenue_by_status",
-    "weekly_histogram_percentiles",
-    "basket_association_rules",
-    "regional_local_supplier_revenue",
-    # scalar-function families (first driver rows for tags
-    # 'functions', 'conditional', 'scan')
     "order_calendar_features",
-    "part_string_features",
     "q12_late_lines_by_priority_class",
     "q6_forecast_revenue_delta",
-    "q19_disjunctive_brackets",
-    # table layer: format interop + incremental view maintenance +
-    # Delta change feed (new r6: log-derived CDF incl. DV-diff rows)
-    "laketable_format_roundtrip",
-    "incremental_mart_maintenance",
     "delta_change_feed",
-    # decision-support subquery shapes + TPC-H classics
-    "q3_shipping_priority",
-    "q17_small_quantity_revenue",
-    "q7_nation_trade_volume",
-    "q9_profit_by_nation_year",
-    # ids at scale (no global-window reducer)
-    "surrogate_dim_customer_scalable",
-    # documents: dedup + text analysis
-    "lsh_recall_eval",
-    "cross_doc_duplicate_spans",
-    "simhash_band_pairs",
-    "boilerplate_chunk_removal",
-    "paragraph_dedup_reassembled",
-    "doc_tfidf_weights",
-    "bpe_encode_documents",
-    "nb_lang_classifier",
-    # search
-    "inverted_index_postings",
-    "hybrid_rrf_search",
-    "retrieve_then_rerank",
-    # embeddings / similarity search / quantized ANN
-    "semantic_dedup_lsh",
-    "pq_adc_topk",
-    "int8_quantized_topk",
-    "filtered_cosine_topk",
-    # pandas-kernel family (integer-exact applyInPandas — oracle-hashable,
-    # unlike the float-reassociating cosine_topk_pandas which stays
-    # rows-only outside the gate)
+    "incremental_mart_maintenance",
     "lang_doc_profile_pandas",
-    # multimodal
     "image_pixel_stats_color",
-    "video_frame_stats",
 ]
 
 
