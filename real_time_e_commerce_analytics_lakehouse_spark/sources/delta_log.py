@@ -27,11 +27,14 @@ pyarrow only, against the PUBLIC Delta transaction-log specification
 
 - ``read_delta_log(spark, path)`` opens a Delta table — written by this
   module or any Delta writer — from its JSON commits, bootstrapping
-  from the last parquet checkpoint when one exists (``_last_checkpoint``
-  + single-part ``N.checkpoint.parquet`` via pyarrow). Supports
-  VERSION AS OF and the reader-v3 ``deletionVectors`` feature (inline,
-  relative-uuid, and absolute-path storage; roaring bitmaps decoded
-  executor-side, sources/roaring.py). Scale shape: ONE multi-path
+  from the last checkpoint when one exists: single-part and multi-part
+  classic parquet checkpoints, and V2 checkpoints (uuid-named
+  parquet/json + ``_sidecars/`` files, the ``v2Checkpoint`` reader
+  feature). Supports VERSION AS OF, the reader-v3 ``deletionVectors``
+  feature (inline, relative-uuid, and absolute-path storage; roaring
+  bitmaps decoded executor-side, sources/roaring.py), and column
+  mapping in both 'name' (physicalName select) and 'id' (parquet
+  field-id resolution) modes. Scale shape: ONE multi-path
   parquet scan plus a broadcast file→partition-values join (the same
   partition-restore pattern as tables._read_units_raw) and, when DVs
   are live, one broadcast anti-join on (file, _metadata.row_index) —
@@ -219,12 +222,74 @@ class DeltaSnapshot:
                     f"(+{len(missing) - 1} more)"
                 )
         else:
-            cps = [os.path.join(log, f"{v:020d}.checkpoint.parquet")]
+            classic = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+            if os.path.exists(classic):
+                cps = [classic]
+            else:
+                return self._apply_v2_checkpoint(log, v)
         for cp in cps:
-            for row in pq.read_table(cp).to_pylist():
-                for key in ("protocol", "metaData", "add", "remove"):
-                    if row.get(key) is not None:
-                        self._apply({key: row[key]})
+            self._apply_checkpoint_rows(pq.read_table(cp).to_pylist(), log)
+        return v
+
+    def _apply_checkpoint_rows(self, rows: list[dict], log: str) -> None:
+        """Apply one checkpoint (or sidecar) file's action rows; v2
+        ``sidecar`` actions recurse into `_delta_log/_sidecars/`."""
+        import pyarrow.parquet as pq
+
+        for row in rows:
+            for key in ("protocol", "metaData", "add", "remove"):
+                if row.get(key) is not None:
+                    self._apply({key: row[key]})
+            sc = row.get("sidecar")
+            if sc is not None and sc.get("path"):
+                # spec: sidecar paths are file names (or relative paths)
+                # under _delta_log/_sidecars/, parquet, holding ONLY
+                # file actions (add/remove)
+                sp = os.path.join(log, "_sidecars", _decode_path(sc["path"]))
+                self._apply_checkpoint_rows(pq.read_table(sp).to_pylist(), log)
+
+    def _apply_v2_checkpoint(self, log: str, v: int) -> int:
+        """PROTOCOL.md "V2 Checkpoint Table Feature": the checkpoint is
+        ``<v>.checkpoint.<uniqueId>.{parquet|json}`` carrying exactly one
+        ``checkpointMetadata`` action (version must equal v), non-file
+        actions, and EITHER the file actions inline OR ``sidecar``
+        actions pointing at parquet files in ``_delta_log/_sidecars/``
+        that hold them. Multiple writers may race distinct uniqueIds for
+        the same version; any one is complete, so the lexically first is
+        chosen deterministically."""
+        import pyarrow.parquet as pq
+
+        pat = f"{v:020d}.checkpoint."
+        cands = sorted(
+            n
+            for n in os.listdir(log)
+            if n.startswith(pat)
+            and (n.endswith(".parquet") or n.endswith(".json"))
+            # exclude multi-part classic naming N.checkpoint.<i>.<parts>
+            # .parquet: both middle segments are pure digits
+            and not all(
+                s.isdigit() for s in n[len(pat):].split(".")[:-1]
+            )
+        )
+        if not cands:
+            raise FileNotFoundError(
+                f"_last_checkpoint names version {v} but no classic or "
+                f"v2 checkpoint file for it exists in {log}"
+            )
+        cp = os.path.join(log, cands[0])
+        if cp.endswith(".json"):
+            with open(cp) as f:
+                rows = [json.loads(s) for s in (ln.strip() for ln in f) if s]
+        else:
+            rows = pq.read_table(cp).to_pylist()
+        cpm = [r["checkpointMetadata"] for r in rows
+               if r.get("checkpointMetadata") is not None]
+        if len(cpm) != 1 or int(cpm[0].get("version", -1)) != v:
+            raise ValueError(
+                f"v2 checkpoint {cands[0]}: expected exactly one "
+                f"checkpointMetadata action with version={v}, got {cpm}"
+            )
+        self._apply_checkpoint_rows(rows, log)
         return v
 
     def _apply_commit(self, actions: list[dict]) -> None:
@@ -256,12 +321,16 @@ class DeltaSnapshot:
                 # reader v3 is feature-gated: acceptable iff every
                 # required feature is one this reader implements.
                 # deletionVectors: parsed + applied (roaring.py).
-                # columnMapping: 'name' mode applied at read (the 'id'
-                # mode gate lives in the metaData check).
-                # v2Checkpoint deliberately NOT accepted: the reader
-                # only parses classic N.checkpoint.parquet naming
+                # columnMapping: 'name' and 'id' modes applied at read.
+                # v2Checkpoint: uuid-named checkpoint + sidecar parsing
+                # in _apply_v2_checkpoint.
                 set(p.get("readerFeatures") or [])
-                <= {"timestampNtz", "deletionVectors", "columnMapping"}
+                <= {
+                    "timestampNtz",
+                    "deletionVectors",
+                    "columnMapping",
+                    "v2Checkpoint",
+                }
             ):
                 raise NotImplementedError(
                     f"Delta minReaderVersion {p.get('minReaderVersion')} "
@@ -274,14 +343,7 @@ class DeltaSnapshot:
                 raise NotImplementedError("non-parquet Delta format")
             cfg = dict(m.get("configuration") or {})
             cm_mode = cfg.get("delta.columnMapping.mode") or "none"
-            if cm_mode == "id":
-                raise NotImplementedError(
-                    "Delta column mapping mode 'id' requires parquet "
-                    "field-id resolution — only 'name' mode is supported "
-                    "by this minimal reader (rewrite the table, or "
-                    "ALTER ... SET columnMapping.mode = 'name')"
-                )
-            if cm_mode not in ("none", "name"):
+            if cm_mode not in ("none", "name", "id"):
                 raise NotImplementedError(
                     f"Delta column mapping mode {cm_mode!r} is not "
                     "supported by this minimal reader"
@@ -290,7 +352,7 @@ class DeltaSnapshot:
             self.schema_json = json.loads(m["schemaString"])
             self.partition_cols = list(m.get("partitionColumns", []))
             self.meta_id = m.get("id")
-            if cm_mode == "name":
+            if cm_mode in ("name", "id"):
                 for f in self.schema_json.get("fields", []):
                     t = f.get("type")
                     # nested mapping renames fields INSIDE structs/maps/
@@ -335,6 +397,46 @@ class DeltaSnapshot:
                 "delta.columnMapping.physicalName", f["name"]
             )
         return out
+
+    def field_ids(self) -> dict[str, int]:
+        """{logical column: delta.columnMapping.id} from the metaData
+        schema (empty when column mapping is off)."""
+        out: dict[str, int] = {}
+        for f in self.schema_json.get("fields", []):
+            meta = f.get("metadata") or {}
+            if "delta.columnMapping.id" in meta:
+                out[f["name"]] = int(meta["delta.columnMapping.id"])
+        return out
+
+    def resolved_physical_names(self, table_path: str) -> dict[str, str]:
+        """{logical column: column name actually stored in the files}.
+
+        'name' mode (and 'none'): the metaData physicalName map.
+        'id' mode: columns are resolved by parquet field id
+        (PROTOCOL.md "Column Mapping") — ONE live file's footer is read
+        driver-side (O(1), not O(files): the spec fixes each column's
+        field id table-wide at creation and never reuses it, and the
+        stored name for a given id is assigned once, so any footer that
+        carries the id agrees). A column whose id is absent from that
+        footer (added later via ALTER, no rewritten file) falls back to
+        the metaData physicalName, which the merged-scan null-fill path
+        then handles."""
+        phys = self.physical_names()
+        if self.column_mapping_mode != "id" or not self.files:
+            return phys
+        import pyarrow.parquet as pq
+
+        first = next(iter(self.files))
+        sch = pq.read_schema(os.path.join(table_path, first))
+        name_of: dict[int, str] = {}
+        for fld in sch:
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                name_of[int(raw)] = fld.name
+        for logical, fid in self.field_ids().items():
+            if fid in name_of:
+                phys[logical] = name_of[fid]
+        return phys
 
 
 # --------------------------------------------------------------------------
@@ -513,7 +615,7 @@ def read_delta_log(
                 f"not partition columns of {path}: {sorted(unknown)} "
                 f"(table partitions: {snap.partition_cols})"
             )
-        phys0 = snap.physical_names()
+        phys0 = snap.physical_names()  # partitionValues key by physicalName in ALL modes
         want_vals = {
             c: {_canon_partition_value(c, v) for v in vals}
             for c, vals in partitions.items()
@@ -533,7 +635,7 @@ def read_delta_log(
     df = spark.read.option("mergeSchema", "true").parquet(*abs_paths)
     # 'name'-mode column mapping: the files store PHYSICAL column names
     # (col-<uuid>); select physical -> alias logical. Identity when off.
-    phys = snap.physical_names()
+    phys = snap.resolved_physical_names(path)
 
     def _data_col(f):
         # a column added by ALTER TABLE with no rewritten file exists in
@@ -651,7 +753,7 @@ def delta_changes(
         )
     schema = end_snap.spark_schema()
     pcols = end_snap.partition_cols
-    phys = end_snap.physical_names()
+    phys = end_snap.resolved_physical_names(path)
     if starting_version > 0:
         pre = DeltaSnapshot(path, starting_version - 1)
         files_state, dvs_state = dict(pre.files), dict(pre.dvs)

@@ -707,7 +707,96 @@ def test_reader_applies_name_mode_column_mapping(spark, tmp_path):
         convert_delta(spark, path)
 
 
-def test_reader_refuses_id_mode_and_nested_column_mapping(spark, tmp_path):
+def test_reader_applies_id_mode_column_mapping(spark, tmp_path):
+    """columnMapping.mode=id (VERDICT r6 next #4): columns resolve by
+    parquet FIELD ID from the file footers — proven by making the
+    stored column names disagree with the metaData physicalNames, which
+    a name-mode reader would mis-resolve; a renamed logical schema still
+    reads the right data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "idmapped")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    sch = pa.schema(
+        [
+            pa.field("c1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("c2", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    pq.write_table(
+        pa.table({"c1": [1, 2], "c2": ["x", "y"]}, schema=sch),
+        os.path.join(path, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c1": [3], "c2": ["z"]}, schema=sch),
+        os.path.join(path, "f2.parquet"),
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    # logical name renamed after creation; physicalName
+                    # deliberately NOT the stored footer name
+                    "name": "renamed_id", "type": "long", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-stale-a",
+                    },
+                },
+                {
+                    "name": "v", "type": "string", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-stale-b",
+                    },
+                },
+                {
+                    # added by ALTER, in no footer: null-fill via the
+                    # physicalName fallback
+                    "name": "later", "type": "integer", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-ccc",
+                    },
+                },
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "id-mapped-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        },
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    got = read_delta_log(spark, path)
+    assert got.columns == ["renamed_id", "v", "later"]
+    assert _rows(got) == [(1, "x", None), (2, "y", None), (3, "z", None)]
+
+
+def test_reader_refuses_nested_column_mapping(spark, tmp_path):
     def write_log(p, cfg, fields):
         os.makedirs(os.path.join(p, "_delta_log"))
         actions = [
@@ -727,12 +816,6 @@ def test_reader_refuses_id_mode_and_nested_column_mapping(spark, tmp_path):
         with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
-
-    flat = [{"name": "id", "type": "long", "nullable": True, "metadata": {}}]
-    p1 = str(tmp_path / "idmode")
-    write_log(p1, {"delta.columnMapping.mode": "id"}, flat)
-    with pytest.raises(NotImplementedError, match="'id'"):
-        read_delta_log(spark, p1)
 
     nested = [
         {
@@ -1108,3 +1191,173 @@ def test_delta_changes_fold_invariant_random_lifecycles(spark, tmp_path, seed):
     assert all(v in (0, 1) for v in acc.values()), acc
     folded = sorted(k for k, v in acc.items() if v == 1)
     assert folded == sorted((r.id, r.g) for r in t.read().collect())
+
+
+def _v2_meta_actions(schema_fields, partition_cols=(), features=("v2Checkpoint",)):
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": list(features),
+                "writerFeatures": list(features),
+            }
+        },
+        {
+            "metaData": {
+                "id": "v2cp-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": list(schema_fields)}
+                ),
+                "partitionColumns": list(partition_cols),
+                "configuration": {},
+            }
+        },
+    ]
+
+
+def test_reader_bootstraps_from_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """VERDICT r6 next #3: a v2 checkpoint (uuid-named parquet with one
+    checkpointMetadata action and sidecar actions pointing at
+    _delta_log/_sidecars parquet files holding the adds) bootstraps the
+    snapshot row-exactly vs a JSON-replay of the same log — proven by
+    DELETING the covered JSON commits so only the checkpoint can supply
+    them — and later JSON commits still replay on top."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "v2cp")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+    ]
+    data = {
+        "f1.parquet": ([1, 2], "a"),
+        "f2.parquet": ([3, 4], "b"),
+        "f3.parquet": ([5], "a"),
+        "f4.parquet": ([6], "b"),
+    }
+    for fn, (ids, _) in data.items():
+        pq.write_table(pa.table({"id": ids}), os.path.join(path, fn))
+
+    def add(fn):
+        return {
+            "add": {
+                "path": fn,
+                "partitionValues": {"p": data[fn][1]},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    def write_commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    write_commit(0, _v2_meta_actions(fields, ["p"]) + [add("f1.parquet"),
+                                                       add("f2.parquet")])
+    write_commit(1, [add("f3.parquet")])
+    write_commit(2, [add("f4.parquet")])
+
+    json_twin = str(tmp_path / "twin")
+    shutil.copytree(path, json_twin)
+    expect = _rows(read_delta_log(spark, json_twin))
+    assert expect == [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a"), (6, "b")]
+
+    # v2 checkpoint at version 1: metadata + protocol inline, file
+    # actions split across two sidecars
+    os.makedirs(os.path.join(log, "_sidecars"))
+    pq.write_table(
+        pa.Table.from_pylist([add("f1.parquet"), add("f3.parquet")]),
+        os.path.join(log, "_sidecars", "sc-1111.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist([add("f2.parquet")]),
+        os.path.join(log, "_sidecars", "sc-2222.parquet"),
+    )
+    cp_rows = (
+        [{"checkpointMetadata": {"version": 1}}]
+        + _v2_meta_actions(fields, ["p"])
+        + [
+            {"sidecar": {"path": "sc-1111.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}},
+            {"sidecar": {"path": "sc-2222.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}},
+        ]
+    )
+    # pyarrow's from_pylist infers the schema from the FIRST row, so
+    # every row must carry every action column (None where absent), and
+    # empty structs (configuration/options) are uninferable - drop them
+    keys = ["checkpointMetadata", "protocol", "metaData", "sidecar"]
+    for r in cp_rows:
+        if r.get("metaData"):
+            r["metaData"].pop("configuration", None)
+            r["metaData"]["format"].pop("options", None)
+        for k in keys:
+            r.setdefault(k, None)
+    pq.write_table(
+        pa.Table.from_pylist(cp_rows),
+        os.path.join(log, "00000000000000000001.checkpoint.80a083e8.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1}, f)
+    # commits 0-1 are covered by the checkpoint: delete them so the only
+    # way to see f1-f3 is through the sidecars
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    assert _rows(read_delta_log(spark, path)) == expect
+    # time travel to the checkpoint version itself
+    assert _rows(read_delta_log(spark, path, version=1)) == [
+        r for r in expect if r[0] <= 5
+    ]
+
+
+def test_reader_accepts_json_v2_checkpoint_inline_actions(spark, tmp_path):
+    """A v2 checkpoint in JSON format with the file actions INLINE (no
+    sidecars) also bootstraps; a checkpointMetadata/version mismatch is
+    refused loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "v2json")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    pq.write_table(
+        pa.table({"id": [7, 8]}), os.path.join(path, "f1.parquet")
+    )
+    fields = [{"name": "id", "type": "long", "nullable": True, "metadata": {}}]
+    add = {
+        "add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}
+    }
+    cp = os.path.join(log, "00000000000000000000.checkpoint.deadbeef.json")
+    with open(cp, "w") as f:
+        for a in (
+            [{"checkpointMetadata": {"version": 0}}]
+            + _v2_meta_actions(fields)
+            + [add]
+        ):
+            f.write(json.dumps(a) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0}, f)
+
+    assert _rows(read_delta_log(spark, path)) == [(7,), (8,)]
+
+    # version mismatch inside checkpointMetadata -> loud refusal
+    with open(cp, "w") as f:
+        for a in (
+            [{"checkpointMetadata": {"version": 5}}]
+            + _v2_meta_actions(fields)
+            + [add]
+        ):
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="checkpointMetadata"):
+        read_delta_log(spark, path)
