@@ -113,7 +113,9 @@ GATE_ORDER = [
     "delta_change_feed",
     "incremental_mart_maintenance",
     "lang_doc_profile_pandas",
-    "image_pixel_stats_color",
+    # shipped adaptive-cell persistent IVF (new r7, VERDICT r6 next #6;
+    # multimodal family keeps coverage via video_container_catalog)
+    "ivf_index_ann_topk",
 ]
 
 

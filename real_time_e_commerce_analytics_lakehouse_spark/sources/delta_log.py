@@ -709,6 +709,81 @@ def read_delta_log(
 # --------------------------------------------------------------------------
 
 
+def classify_commit_changes(
+    path: str,
+    v: int,
+    files_state: dict[str, dict],
+    dvs_state: dict[str, dict],
+) -> dict:
+    """Parse commit ``v`` and classify its row-level changes against the
+    replayed pre-state, ADVANCING ``files_state``/``dvs_state`` in
+    place. Shared by the batch change feed (:func:`delta_changes`) and
+    the pyds streaming source (sources/delta_stream) so both derive the
+    same semantics from one reading of the spec.
+
+    Returns ``cdcs`` ({rel: partitionValues} — when non-empty the
+    commit's change data comes exclusively from these ``_change_data``
+    files), else ``ins_files``/``ins_dvs`` (new files, active DVs to
+    subtract), ``del_files``/``del_dvs`` (removed files, their prior
+    DVs), ``diffs`` ([(rel, old_dv, new_dv)] for DV re-adds) and
+    ``diff_files`` ({rel: partitionValues} for the diff scan)."""
+    adds: dict[str, tuple[dict, dict | None]] = {}
+    removes: set[str] = set()
+    cdcs: dict[str, dict] = {}
+    with open(_commit_file(path, v)) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if a.get("add") and a["add"].get("dataChange", True):
+                rel = _decode_path(a["add"]["path"])
+                adds[rel] = (
+                    dict(a["add"].get("partitionValues") or {}),
+                    a["add"].get("deletionVector"),
+                )
+            if a.get("remove") and a["remove"].get("dataChange", True):
+                removes.add(_decode_path(a["remove"]["path"]))
+            if a.get("cdc"):
+                cdcs[_decode_path(a["cdc"]["path"])] = dict(
+                    a["cdc"].get("partitionValues") or {}
+                )
+    removes -= set(adds)  # remove+add in one commit = replace
+    ins_files: dict[str, dict] = {}
+    ins_dvs: dict[str, dict] = {}
+    diffs: list[tuple[str, dict | None, dict | None]] = []
+    for rel, (pvals, dv) in adds.items():
+        if rel in files_state:
+            old = dvs_state.get(rel)
+            if (old or None) != (dv or None):
+                diffs.append((rel, old, dv))
+            # identical re-add: no row-level change
+        else:
+            ins_files[rel] = pvals
+            if dv:
+                ins_dvs[rel] = dv
+    out = {
+        "cdcs": cdcs,
+        "ins_files": ins_files,
+        "ins_dvs": ins_dvs,
+        "del_files": {r: files_state[r] for r in removes if r in files_state},
+        "del_dvs": {r: dvs_state[r] for r in removes if r in dvs_state},
+        "diffs": diffs,
+        "diff_files": {r: p for r, (p, _dv) in adds.items()},
+    }
+    # advance the replayed state
+    for rel, (pvals, dv) in adds.items():
+        files_state[rel] = pvals
+        if dv:
+            dvs_state[rel] = dv
+        else:
+            dvs_state.pop(rel, None)
+    for rel in removes:
+        files_state.pop(rel, None)
+        dvs_state.pop(rel, None)
+    return out
+
+
 def delta_changes(
     spark: SparkSession,
     path: str,
@@ -927,29 +1002,8 @@ def delta_changes(
 
     frames: list[DataFrame] = []
     for v in range(starting_version, ending + 1):
-        adds: dict[str, tuple[dict, dict | None]] = {}
-        removes: set[str] = set()
-        cdcs: dict[str, dict] = {}
-        with open(_commit_file(path, v)) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                if a.get("add") and a["add"].get("dataChange", True):
-                    rel = _decode_path(a["add"]["path"])
-                    adds[rel] = (
-                        dict(a["add"].get("partitionValues") or {}),
-                        a["add"].get("deletionVector"),
-                    )
-                if a.get("remove") and a["remove"].get("dataChange", True):
-                    removes.add(_decode_path(a["remove"]["path"]))
-                if a.get("cdc"):
-                    cdcs[_decode_path(a["cdc"]["path"])] = dict(
-                        a["cdc"].get("partitionValues") or {}
-                    )
-        removes -= set(adds)  # remove+add in one commit = replace
-        if cdcs:
+        ch = classify_commit_changes(path, v, files_state, dvs_state)
+        if ch["cdcs"]:
             # PROTOCOL.md "Add CDC File": when a commit carries cdc
             # actions, its change data is read EXCLUSIVELY from the
             # `_change_data` files they name — the files store the data
@@ -958,43 +1012,20 @@ def delta_changes(
             # pairs the add/remove diff cannot reconstruct. The derived
             # path below stays the fallback for cdc-less commits.
             frames.append(
-                project(scan(cdcs), cdcs, F.col("_change_type"), v)
+                project(scan(ch["cdcs"]), ch["cdcs"], F.col("_change_type"), v)
             )
         else:
-            ins_files: dict[str, dict] = {}
-            ins_dvs: dict[str, dict] = {}
-            diffs: list[tuple[str, dict | None, dict | None]] = []
-            for rel, (pvals, dv) in adds.items():
-                if rel in files_state:
-                    old = dvs_state.get(rel)
-                    if (old or None) != (dv or None):
-                        diffs.append((rel, old, dv))
-                    # identical re-add: no row-level change
-                else:
-                    ins_files[rel] = pvals
-                    if dv:
-                        ins_dvs[rel] = dv
-            del_files = {
-                r: files_state[r] for r in removes if r in files_state
-            }
-            del_dvs = {r: dvs_state[r] for r in removes if r in dvs_state}
-            if ins_files:
-                frames.append(whole_files(ins_files, ins_dvs, "insert", v))
-            if del_files:
-                frames.append(whole_files(del_files, del_dvs, "delete", v))
-            d = dv_diff(diffs, {r: p for r, (p, _dv) in adds.items()}, v)
+            if ch["ins_files"]:
+                frames.append(
+                    whole_files(ch["ins_files"], ch["ins_dvs"], "insert", v)
+                )
+            if ch["del_files"]:
+                frames.append(
+                    whole_files(ch["del_files"], ch["del_dvs"], "delete", v)
+                )
+            d = dv_diff(ch["diffs"], ch["diff_files"], v)
             if d is not None:
                 frames.append(d)
-        # advance the replayed state
-        for rel, (pvals, dv) in adds.items():
-            files_state[rel] = pvals
-            if dv:
-                dvs_state[rel] = dv
-            else:
-                dvs_state.pop(rel, None)
-        for rel in removes:
-            files_state.pop(rel, None)
-            dvs_state.pop(rel, None)
     if not frames:
         return empty
     out = frames[0]

@@ -1,0 +1,291 @@
+"""Structured-Streaming source over a FOREIGN Delta log
+(sources/delta_stream): `spark.readStream.format("delta_cdf")` must
+drain any Delta table's change feed with checkpoint resume — VERDICT r6
+next #9, lifting the batch `delta_changes` semantics (the reference's
+S6 streaming-read shape, db_notebooks/02_bronze_to_silver.py) into
+Spark's own offset/commit protocol. Every drain here is pinned
+row-equal to the batch change feed over the same version window."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+    delta_changes,
+    export_delta_log,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_stream import (
+    DeltaCdfStreamReader,
+    register,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _drain(spark, path, ckpt, out, **options):
+    reader = spark.readStream.format("delta_cdf")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+
+def _batch_rows(spark, path, start=0, end=None):
+    return sorted(
+        tuple(r)
+        for r in delta_changes(spark, path, start, end)
+        .select("id", "v", "_change_type", "_commit_version")
+        .collect()
+    )
+
+
+def _stream_rows(spark, out):
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("id", "v", "_change_type", "_commit_version")
+        .collect()
+    )
+
+
+def test_stream_equals_batch_cdf_and_checkpoint_resumes(spark, tmp_path):
+    """availableNow drain == batch delta_changes over the full log —
+    through appends, a MoR delete (DV diff -> row-level deletes) and an
+    overwrite; a second drain picks up ONLY new commits; a third drain
+    with no new commits delivers zero duplicate rows."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "a") for i in range(10)], "id long, v string"
+        )
+    )
+    export_delta_log(t)  # delta v0
+    t.append(
+        spark.createDataFrame([(10, "b"), (11, "b")], "id long, v string")
+    )
+    export_delta_log(t)  # delta v1
+    t.delete(F.col("id").isin(3, 10), mode="mor")
+    export_delta_log(t)  # delta v2: DV re-add -> 2 delete rows
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, t.path, ckpt, out)
+    assert _stream_rows(spark, out) == _batch_rows(spark, t.path, 0)
+    n_after_first = len(_stream_rows(spark, out))
+
+    # incremental: overwrite -> deletes of live rows + one insert,
+    # exactly the batch feed's v3 window, nothing re-read from v0-v2
+    t.overwrite(spark.createDataFrame([(99, "z")], "id long, v string"))
+    export_delta_log(t)  # delta v3
+    _drain(spark, t.path, ckpt, out)
+    assert _stream_rows(spark, out) == _batch_rows(spark, t.path, 0)
+    assert (
+        len(_stream_rows(spark, out)) - n_after_first
+        == len(_batch_rows(spark, t.path, 3))
+    )
+
+    # restart with nothing new: zero duplicates
+    _drain(spark, t.path, ckpt, out)
+    assert _stream_rows(spark, out) == _batch_rows(spark, t.path, 0)
+
+
+def test_stream_reads_cdc_update_images(spark, tmp_path):
+    """A commit carrying cdc actions streams its _change_data files —
+    update_preimage/update_postimage pairs survive and the commit's own
+    add/remove actions are not double-counted (same contract as the
+    batch feed, PROTOCOL.md 'Add CDC File')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cdf")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    os.makedirs(os.path.join(path, "_change_data"))
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]
+
+    def write_commit(ver, actions):
+        with open(os.path.join(log, f"{ver:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    def add(fn):
+        return {"add": {"path": fn, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    pq.write_table(
+        pa.table({"id": [1, 2], "v": ["a", "b"]}),
+        os.path.join(path, "f1.parquet"),
+    )
+    write_commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {
+                "metaData": {
+                    "id": "cdf-stream-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {"delta.enableChangeDataFeed": "true"},
+                }
+            },
+            add("f1.parquet"),
+        ],
+    )
+    pq.write_table(
+        pa.table({"id": [1, 2], "v": ["a", "B"]}),
+        os.path.join(path, "f2.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": [2, 2],
+                "v": ["b", "B"],
+                "_change_type": ["update_preimage", "update_postimage"],
+            }
+        ),
+        os.path.join(path, "_change_data", "cdc-0.parquet"),
+    )
+    write_commit(
+        1,
+        [
+            add("f2.parquet"),
+            {"remove": {"path": "f1.parquet", "dataChange": True}},
+            {"cdc": {"path": "_change_data/cdc-0.parquet",
+                     "partitionValues": {}, "size": 1,
+                     "dataChange": False}},
+        ],
+    )
+    write_commit(2, [{"remove": {"path": "f2.parquet", "dataChange": True}}])
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, path, ckpt, out)
+    assert _stream_rows(spark, out) == _batch_rows(spark, path, 0)
+    assert (1, "update_preimage", 2, "b") in {
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_stream_partitioned_table_restores_typed_values(spark, tmp_path):
+    """Partition columns come back TYPED from the add action's
+    partitionValues strings (long here), not as strings."""
+    t = LakeTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "x", 7), (2, "y", 8)], "id long, v string, p long"
+        )
+    )
+    export_delta_log(t)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, t.path, ckpt, out)
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["p"] == "bigint"
+    assert sorted(
+        (r.id, r.v, r.p, r._change_type) for r in got.collect()
+    ) == [(1, "x", 7, "insert"), (2, "y", 8, "insert")]
+
+
+def test_stream_options_starting_version_and_trigger_budget(spark, tmp_path):
+    """startingVersion subscribes mid-log; maxVersionsPerTrigger bounds
+    every planned window INCLUDING the first (latestOffset never admits
+    more than the budget past the consumed watermark)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+        )
+        export_delta_log(t)
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(spark, t.path, ckpt, out, startingVersion="1")
+    assert _stream_rows(spark, out) == _batch_rows(spark, t.path, 1)
+
+    # unit-level: the offset walk under a 1-version budget
+    r = DeltaCdfStreamReader(
+        t.path,
+        spark.read.parquet(out).schema,
+        starting_version=0,
+        max_versions=1,
+    )
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 0}  # first trigger bounded too
+    r.commit({"version": 0})
+    assert r.latestOffset() == {"version": 1}
+    r.commit({"version": 1})
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 2}  # never past the log head
+
+
+def test_stream_refuses_column_mapping_and_expired_windows(spark, tmp_path):
+    """Protocol-tier limits are loud: a column-mapped table refuses at
+    reader construction naming the batch-path alternative; a window
+    whose JSON commits were expired raises the retention contract."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    export_delta_log(t)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    export_delta_log(t)
+
+    schema = delta_changes(spark, t.path, 0).schema
+    r = DeltaCdfStreamReader(t.path, schema)
+    assert r.partitions({"version": -1}, {"version": 1})  # sanity: plans
+    # expire v0's JSON but keep the table snapshot-readable via a
+    # checkpoint (the real retention shape after log cleanup)
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+
+    write_delta_checkpoint(t.path)
+    os.remove(os.path.join(t.path, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="expired"):
+        r.partitions({"version": -1}, {"version": 1})
+
+    # column mapping: patch a name-mode metaData into a fresh log
+    t2 = LakeTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    export_delta_log(t2)
+    log = os.path.join(t2.path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"].setdefault("configuration", {})[
+                "delta.columnMapping.mode"
+            ] = "name"
+            sch = json.loads(a["metaData"]["schemaString"])
+            for i, f_ in enumerate(sch["fields"], start=1):
+                f_["metadata"] = {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": f_["name"],
+                }
+            a["metaData"]["schemaString"] = json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"].update(
+                minReaderVersion=2, minWriterVersion=5
+            )
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        DeltaCdfStreamReader(t2.path, schema)
