@@ -42,8 +42,23 @@ def assign_cells(
     vecs: DataFrame, cents: DataFrame, id_out: str, keep: int
 ) -> DataFrame:
     """Nearest-`keep` centroid ids per vector (cosine, deterministic
-    tie-break on cell_id). `cents` is broadcast — it is n_cells rows."""
+    tie-break on cell_id). `cents` is broadcast — it is n_cells rows.
+
+    keep=1 (the train/assign hot path, n x n_cells scored rows) is an
+    argmax, spelled ``max_by`` so partial aggregation collapses each
+    map partition's n_local x n_cells rows to n_local BEFORE the
+    shuffle — the row_number window spelling shuffled and sorted the
+    full fan-out (measured: the sqrt(n)-cell index build on the sf1
+    soak corpus pinned one core for >15 min; max_by builds it in
+    seconds). Identical output: max (sim, -cell_id) == order by sim
+    desc, cell_id asc."""
     sims = vecs.crossJoin(F.broadcast(cents)).withColumn("__sim", F.expr(_COS))
+    if keep == 1:
+        return sims.groupBy(id_out).agg(
+            F.expr("max_by(cell_id, struct(__sim, -cell_id))").alias(
+                "cell_id"
+            )
+        )
     w = W.partitionBy(id_out).orderBy(F.desc("__sim"), F.asc("cell_id"))
     return (
         sims.withColumn("__rn", F.row_number().over(w))
@@ -119,6 +134,14 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.expr(f"cast({vec_col} as array<double>)").alias("emb"),
     )
+    # train/assign cost is O(n * n_cells), far above scan cost — a
+    # corpus stored as a few small files plans a few input partitions
+    # and the whole build runs on that many cores. Spread it: at 100 TB
+    # maxPartitionBytes splits naturally; this only rescues the
+    # small-file / local case.
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
     if n_cells is None:
         import math
 

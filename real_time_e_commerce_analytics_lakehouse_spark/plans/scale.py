@@ -181,6 +181,59 @@ def laketable_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_format_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_sum("o_totalprice")} AS revenue
+    FROM orders
+    WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "End-to-end roundtrip through the `delta` Spark format "
+        "(sources/delta_table.py — the reference's NATIVE table API, "
+        "db_notebooks/01_bronze_csv_to_delta.py:49-55, served without "
+        "delta-spark): HIGH-priority orders land via df.write.format("
+        "'delta') partitioned by priority (Hive dirs + one atomic JSON "
+        "commit), MEDIUM-priority orders via a second APPEND commit, "
+        "optimize_delta bin-packs each partition's files with "
+        "dataChange=false swaps, and the aggregate reads the table back "
+        "through spark.read.format('delta'). A wrong byte anywhere — "
+        "add-action shaping, partitionValues canonicalization, commit "
+        "atomicity, compaction rewrite, typed partition restore — "
+        "changes the oracle-checked result. 100 TB: tasks write files, "
+        "the driver appends O(files) JSON lines; reads plan one "
+        "InputPartition per live file."
+    ),
+    tags=("table", "formats", "agg", "delta"),
+)
+def delta_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("delta_fmt", sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.where(F.col("o_orderpriority") == "2-HIGH").write.format(
+        "delta"
+    ).option("partition_by", "o_orderpriority").mode("overwrite").save(path)
+    orders.where(F.col("o_orderpriority") == "3-MEDIUM").write.format(
+        "delta"
+    ).mode("append").save(path)
+    optimize_delta(spark, path)
+    back = spark.read.format("delta").load(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(dec_sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
     "incremental_mart_maintenance",
     oracle="""
     SELECT o_orderstatus,

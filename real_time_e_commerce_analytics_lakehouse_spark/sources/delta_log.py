@@ -153,6 +153,10 @@ class DeltaSnapshot:
         # {relative unquoted path: deletionVector descriptor} for files
         # whose add action carries one (Delta merge-on-read deletes)
         self.dvs: dict[str, dict] = {}
+        # {appId: version} from SetTransaction actions — the spec's
+        # idempotent-writer ledger (streaming sinks record their last
+        # committed epoch here; PROTOCOL.md "Transaction Identifiers")
+        self.txns: dict[str, int] = {}
         self.protocol: dict | None = None
         self.column_mapping_mode: str = "none"
         self.schema_json: dict | None = None
@@ -239,7 +243,7 @@ class DeltaSnapshot:
         import pyarrow.parquet as pq
 
         for row in rows:
-            for key in ("protocol", "metaData", "add", "remove"):
+            for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if row.get(key) is not None:
                     self._apply({key: row[key]})
             sc = row.get("sidecar")
@@ -383,6 +387,10 @@ class DeltaSnapshot:
             rel = _decode_path(action["remove"]["path"])
             self.files.pop(rel, None)
             self.dvs.pop(rel, None)
+        if "txn" in action and action["txn"]:
+            t = action["txn"]
+            if t.get("appId") is not None and t.get("version") is not None:
+                self.txns[str(t["appId"])] = int(t["version"])
 
     def spark_schema(self) -> StructType:
         return StructType.fromJson(self.schema_json)
@@ -1358,14 +1366,27 @@ def write_delta_checkpoint(path: str) -> int:
         "writerFeatures": proto.get("writerFeatures"),
     }
     rows: list[dict] = [
-        {"protocol": proto_row, "metaData": None, "add": None},
-        {"protocol": None, "metaData": meta, "add": None},
+        {"protocol": proto_row, "metaData": None, "add": None, "txn": None},
+        {"protocol": None, "metaData": meta, "add": None, "txn": None},
     ]
+    # SetTransaction ledger survives checkpoints (PROTOCOL.md: txn
+    # actions are part of checkpoint state) — dropping it would reset
+    # every streaming sink's idempotency watermark after log cleanup
+    for app, ver in sorted(snap.txns.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app, "version": int(ver)},
+            }
+        )
     for rel, pvals in sorted(snap.files.items()):
         rows.append(
             {
                 "protocol": None,
                 "metaData": None,
+                "txn": None,
                 "add": {
                     "path": _encode_path(rel),
                     "partitionValues": dict(pvals),
@@ -1436,6 +1457,12 @@ def write_delta_checkpoint(path: str) -> int:
                     ]
                 ),
             ),
+            (
+                "txn",
+                pa.struct(
+                    [("appId", pa.string()), ("version", pa.int64())]
+                ),
+            ),
         ]
     )
     log = os.path.join(path, _DELTA_DIR)
@@ -1466,6 +1493,243 @@ def expire_delta_commits(path: str) -> int:
                 os.remove(os.path.join(log, fn))
                 removed += 1
     return removed
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Compact a FOREIGN Delta table in place (the maintenance op every
+    streaming-ingested Delta table needs — micro-batch sinks write one
+    file per batch per partition, and scan cost degrades with file
+    count, not byte count). Per partition-value combo: every live file
+    smaller than ``target_file_bytes`` — plus any file carrying a
+    deletion vector (compaction MATERIALIZES the DV, Delta's "purge")
+    — is rewritten executor-side into ceil(total/target) files, then
+    one commit swaps them with ``dataChange=false`` add/remove actions,
+    so the change feed and every streaming reader correctly see NO
+    row-level change. Groups below ``min_files`` candidates with no DV
+    are left alone (nothing to win).
+
+    Returns {"version": committed version or None, "rewritten": n_in,
+    "written": n_out}. Never touches the removed parquet files
+    themselves — they stay for time travel until ``vacuum_delta``.
+
+    At 100 TB: each group's rewrite is a plain Spark scan+write
+    (executors stream the bytes; the driver handles only file NAMES),
+    and groups are independent — the commit is one JSON append."""
+    import math
+    import uuid as _uuid
+
+    snap = DeltaSnapshot(path)
+    if snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "optimize_delta on a column-mapped table would need to "
+            "rewrite physical columns — use the engine API"
+        )
+    groups: dict[tuple, list[str]] = {}
+    for rel, pvals in snap.files.items():
+        groups.setdefault(tuple(sorted(pvals.items())), []).append(rel)
+    rewritten: list[str] = []
+    new_adds: list[tuple[str, dict, int, int]] = []  # rel, pvals, rows, size
+    now = int(time.time() * 1000)
+    for combo, rels in sorted(groups.items()):
+        cands = [
+            r
+            for r in rels
+            if os.path.getsize(os.path.join(path, r)) < target_file_bytes
+            or r in snap.dvs
+        ]
+        if len(cands) < min_files and not any(r in snap.dvs for r in cands):
+            continue
+        total = sum(os.path.getsize(os.path.join(path, r)) for r in cands)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, r) for r in cands]
+        )
+        if any(r in snap.dvs for r in cands):
+            sub = DeltaSnapshot(path)
+            sub.dvs = {r: d for r, d in snap.dvs.items() if r in cands}
+            df = df.withColumn(
+                "__od_fp",
+                F.url_decode(
+                    F.replace(
+                        F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
+                    )
+                ),
+            )
+            df = _apply_deletion_vectors(df, sub, "__od_fp").drop("__od_fp")
+        # stage executor-side, then adopt the files by rename (same
+        # volume): Spark writes the bytes, the driver moves names only
+        stage = os.path.join(path, f"_optimize_tmp_{_uuid.uuid4().hex}")
+        df.repartition(n_out).write.parquet(stage)
+        pdir = os.path.dirname(cands[0])
+        for fn in sorted(os.listdir(stage)):
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.join(pdir, f"part-{_uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(stage, fn), os.path.join(path, rel))
+            new_adds.append(
+                (
+                    rel,
+                    dict(combo),
+                    _num_records(os.path.join(path, rel)),
+                    os.path.getsize(os.path.join(path, rel)),
+                )
+            )
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        rewritten.extend(cands)
+    if not rewritten:
+        return {"version": None, "rewritten": 0, "written": 0}
+    actions: list[dict] = []
+    for rel in rewritten:
+        actions.append(
+            {
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+        )
+    for rel, pvals, n_rows, _size in new_adds:
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(rel),
+                    "partitionValues": pvals,
+                    "size": _size,
+                    "modificationTime": now,
+                    "dataChange": False,
+                    "stats": json.dumps({"numRecords": n_rows}),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_bytes)
+                },
+            }
+        }
+    )
+    v = snap.version + 1
+    target = _commit_file(path, v)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit at version {v}; re-run optimize_delta"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return {
+        "version": v,
+        "rewritten": len(rewritten),
+        "written": len(new_adds),
+    }
+
+
+def vacuum_delta(
+    path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+    enforce_retention: bool = True,
+) -> list[str]:
+    """Delete data files no snapshot can reach anymore: parquet /
+    DV-bin / `_change_data` files that are (a) not referenced by the
+    CURRENT snapshot, (b) not referenced by any RETAINED JSON commit
+    (time travel across retained versions keeps working), and (c)
+    older than ``retention_hours`` by mtime — Delta's VACUUM contract.
+    The default 168 h floor guards in-flight readers and uncommitted
+    writer staging (a file younger than retention may belong to a
+    commit about to happen); ``enforce_retention=False`` is the
+    explicit foot-gun override, exactly like upstream's retention
+    check flag. Returns the deleted (or would-delete) relative paths."""
+    if enforce_retention and retention_hours < 168.0:
+        raise ValueError(
+            f"retention {retention_hours}h is below the 168h safety "
+            "floor (in-flight readers / in-flight commits may still "
+            "reference young files); pass enforce_retention=False to "
+            "override deliberately"
+        )
+    snap = DeltaSnapshot(path)
+    live: set[str] = set()
+    log = os.path.join(path, _DELTA_DIR)
+    # every file named by any RETAINED commit (adds AND removes-that-
+    # were-once-adds are resolvable via time travel only through adds)
+    for fn in os.listdir(log):
+        if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+            continue
+        with open(os.path.join(log, fn)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("add"):
+                    rel = _decode_path(a["add"]["path"])
+                    live.add(rel)
+                    dv = a["add"].get("deletionVector")
+                    if dv and dv.get("storageType") in ("u", "p"):
+                        live.add(
+                            os.path.relpath(
+                                _dv_file_path(
+                                    path, dv["pathOrInlineDv"]
+                                )
+                                if dv["storageType"] == "u"
+                                else _decode_path(dv["pathOrInlineDv"]),
+                                os.path.abspath(path),
+                            )
+                        )
+                if a.get("cdc"):
+                    live.add(_decode_path(a["cdc"]["path"]))
+    # the checkpointed snapshot's files (retained commits may start
+    # past them)
+    live.update(snap.files)
+    for dv in snap.dvs.values():
+        if dv.get("storageType") in ("u", "p"):
+            abs_dv = (
+                _dv_file_path(path, dv["pathOrInlineDv"])
+                if dv["storageType"] == "u"
+                else _decode_path(dv["pathOrInlineDv"])
+            )
+            live.add(os.path.relpath(abs_dv, os.path.abspath(path)))
+    cutoff = time.time() - retention_hours * 3600.0
+    doomed: list[str] = []
+    root = os.path.abspath(path)
+    for dirpath, dirs, files in os.walk(root):
+        rel_dir = os.path.relpath(dirpath, root)
+        if rel_dir.split(os.sep)[0] == _DELTA_DIR:
+            dirs[:] = []
+            continue
+        for fn in files:
+            if not (
+                fn.endswith(".parquet")
+                or (fn.startswith("deletion_vector_") and fn.endswith(".bin"))
+            ):
+                continue
+            rel = os.path.normpath(os.path.join(rel_dir, fn))
+            if rel in live:
+                continue
+            if os.stat(os.path.join(dirpath, fn)).st_mtime >= cutoff:
+                continue
+            doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(root, rel))
+    return sorted(doomed)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,864 @@
+"""The ``delta`` Spark format over plain Delta transaction logs — the
+reference's native table API, served without delta-spark on the
+classpath (db_notebooks/01_bronze_csv_to_delta.py writes
+``.format("delta")``; 02_bronze_to_silver.py stream-reads it):
+
+- ``spark.read.format("delta").option("versionAsOf", 3).load(path)`` —
+  snapshot / time-travel batch read (deletion vectors applied, 'name'
+  and 'id' column mapping resolved, typed partition restore).
+- ``spark.readStream.format("delta").load(path)`` — append streaming
+  with checkpoint resume: versions are the offsets; a commit carrying
+  updates/deletes raises by default (upstream Delta's contract) or is
+  skipped wholesale with ``.option("skipChangeCommits", "true")``.
+- ``df.write.format("delta").mode("append"|"overwrite").save(path)`` —
+  batch writer: parquet files land in the table dir, one atomic JSON
+  commit publishes them (exclusive-create claim — a racing writer
+  errors, never clobbers).
+- ``df.writeStream.format("delta").start(path)`` — EXACTLY-ONCE
+  streaming sink: each micro-batch commits a SetTransaction action
+  ``{appId, version=batchId}`` (PROTOCOL.md "Transaction
+  Identifiers"); on checkpoint-replay of an already-committed batch
+  the staged files are dropped and nothing is re-published. Concurrent
+  writers rebase-retry on the next log version.
+
+Everything speaks the public Delta protocol: any foreign Delta reader
+opens what these writers commit, and these readers open what foreign
+writers commit (within the loud protocol-tier refusals below). The
+engine's own `read_delta_log` remains the JVM-scan performance path;
+this format is the drop-in API-parity path.
+
+Protocol-tier limits (loud, not silent): writes refuse column-mapped
+tables, appendOnly-table overwrites, CHECK-invariant columns, and
+writer features beyond the known-safe set; partition values must be
+str/int/bool/date (float and timestamp partition serialization is
+writer-convention-sensitive). Streaming reads refuse column mapping
+(batch reads support it) and expired version windows.
+
+At 100 TB: reads plan one InputPartition per live file (DV row sets
+resolved driver-side from the descriptors' exact offsets) and stream
+Arrow batches executor-side; writes are one parquet file per task plus
+one O(files-in-commit) driver-side JSON append — the same commit-scale
+contract as any Delta writer. The driver never holds row data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from datetime import date
+from typing import Any, Iterator
+from urllib.parse import quote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    IsNull,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+    _DELTA_DIR,
+    DeltaSnapshot,
+    _commit_file,
+    _encode_path,
+    classify_commit_changes,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_stream import (
+    _dv_indexes,
+)
+
+# writer features this minimal writer can coexist with on APPEND (it
+# adds files and never edits existing ones); anything else refuses
+_SAFE_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "deletionVectors",
+    "changeDataFeed",
+    "columnMapping",
+    "v2Checkpoint",
+    "timestampNtz",
+}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _delta_pval(v: Any) -> str | None:
+    """Canonical Delta partition-value serialization (PROTOCOL.md
+    "Partition Value Serialization") for the types whose canonical form
+    is writer-independent; the rest refuse loudly."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, date):  # datetime is a date subclass — reject first
+        if type(v) is not date:
+            raise ValueError(
+                "timestamp partition columns are not supported by the "
+                "delta format writer (serialization is writer-"
+                "convention-sensitive); partition by a date or string"
+            )
+        return v.isoformat()
+    if isinstance(v, (int, str)):
+        return str(v)
+    raise ValueError(
+        f"partition value {v!r} ({type(v).__name__}) has no canonical "
+        "Delta serialization this writer emits; use str/int/bool/date"
+    )
+
+
+def _pdir_segment(col: str, canon: str | None) -> str:
+    """Hive-style directory segment for a written file; values are
+    percent-escaped in the PATH only — add.partitionValues keeps the
+    canonical string (Delta readers take values from the log, not the
+    directory name)."""
+    if canon is None:
+        return f"{col}={_HIVE_NULL}"
+    return f"{col}={quote(canon, safe='')}"
+
+
+# --------------------------------------------------------------------------
+# shared executor-side scan: one live parquet file -> table-schema batches
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _TableSlice(InputPartition):
+    """One live file of the snapshot/commit window: DV-excluded rows
+    dropped, partition columns restored typed, physical->logical column
+    mapping applied."""
+
+    file: str
+    partition: tuple  # ((logical col, canonical value or None), ...)
+    exclude: tuple = ()  # sorted DV row indexes
+    extra: tuple = ()  # ((col, long value), ...) e.g. _commit_version
+
+
+class _SliceScanMixin:
+    """Executor-side read shared by the batch and stream readers; the
+    reader instance (pickled to executors) carries ``schema`` (logical
+    output), ``_phys`` (logical->physical column) and ``_ptypes``
+    (partition col -> simpleString type)."""
+
+    schema: StructType
+    _phys: dict[str, str]
+    _ptypes: dict[str, str]
+
+    def read(self, partition: _TableSlice) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+            _parse_partition_value,
+        )
+
+        part = dict(partition.partition)
+        extra = dict(partition.extra)
+        want_phys = [
+            self._phys.get(f.name, f.name)
+            for f in self.schema.fields
+            if f.name not in part and f.name not in extra
+        ]
+        pf = pq.ParquetFile(partition.file)
+        have = set(pf.schema_arrow.names)
+        t = pf.read(columns=[c for c in want_phys if c in have])
+        if partition.exclude:
+            import numpy as np
+
+            mask = np.ones(t.num_rows, dtype=bool)
+            idx = np.fromiter(partition.exclude, dtype=np.int64)
+            mask[idx[idx < t.num_rows]] = False
+            t = t.filter(pa.array(mask))
+        n = t.num_rows
+        arrays, names = [], []
+        for field in self.schema.fields:
+            pa_type = to_arrow_type(field.dataType)
+            if field.name in extra:
+                arrays.append(pa.array([extra[field.name]] * n, type=pa_type))
+            elif field.name in part:
+                raw = part[field.name]
+                v = (
+                    None
+                    if raw is None
+                    else _parse_partition_value(
+                        raw, self._ptypes.get(field.name, "string")
+                    )
+                )
+                arrays.append(pa.array([v] * n, type=pa_type))
+            else:
+                phys = self._phys.get(field.name, field.name)
+                if phys in t.column_names:
+                    col = t.column(phys).combine_chunks()
+                    if col.type != pa_type:
+                        col = col.cast(pa_type)
+                    arrays.append(col)
+                else:
+                    # additive evolution: column absent from older files
+                    arrays.append(pa.nulls(n, type=pa_type))
+            names.append(field.name)
+        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+
+
+# --------------------------------------------------------------------------
+# batch reader
+# --------------------------------------------------------------------------
+
+
+class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
+    """Snapshot / time-travel scan. Partition pruning: EqualTo / In /
+    IsNull filters on partition columns drop files driver-side (zero
+    I/O); all filters are reported back as "still needs Spark", so
+    double-application keeps exactness."""
+
+    def __init__(self, path: str, schema: StructType, version: int | None):
+        snap = DeltaSnapshot(path, version)
+        self.schema = schema
+        self._phys = snap.resolved_physical_names(path)
+        self._ptypes = {
+            f.name: f.dataType.simpleString()
+            for f in snap.spark_schema().fields
+            if f.name in snap.partition_cols
+        }
+        # logical partition cols; add.partitionValues keys are PHYSICAL
+        self._pcols = list(snap.partition_cols)
+        self._path = path
+        self._files = dict(snap.files)
+        self._dvs = dict(snap.dvs)
+        self._keep: dict[str, set] = {}  # canon-value allowlist per col
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            col = attr[0] if attr is not None and len(attr) == 1 else None
+            if col in self._pcols:
+                try:
+                    if isinstance(flt, EqualTo):
+                        self._keep.setdefault(col, set()).add(
+                            _delta_pval(flt.value)
+                        )
+                    elif isinstance(flt, In):
+                        self._keep.setdefault(col, set()).update(
+                            _delta_pval(v) for v in flt.value
+                        )
+                    elif isinstance(flt, IsNull):
+                        self._keep.setdefault(col, set()).add(None)
+                except ValueError:
+                    pass  # non-canonical value type: no pruning, still exact
+            yield flt  # Spark re-applies everything: pruning only
+
+    def partitions(self) -> list[InputPartition]:
+        out = []
+        phys_of = self._phys
+        for rel, pvals in self._files.items():
+            logical_vals = {
+                c: pvals.get(phys_of.get(c, c)) for c in self._pcols
+            }
+            if any(
+                logical_vals.get(c) not in allowed
+                for c, allowed in self._keep.items()
+            ):
+                continue
+            out.append(
+                _TableSlice(
+                    file=os.path.join(self._path, rel),
+                    partition=tuple(
+                        (c, logical_vals[c]) for c in self._pcols
+                    ),
+                    exclude=tuple(
+                        sorted(_dv_indexes(self._path, self._dvs.get(rel)))
+                    ),
+                )
+            )
+        return out
+
+
+# --------------------------------------------------------------------------
+# streaming reader (append stream, upstream Delta-source semantics)
+# --------------------------------------------------------------------------
+
+
+class DeltaTableStreamReader(_SliceScanMixin, DataSourceStreamReader):
+    """Versions are the offsets ({"version": v} = commits <= v
+    delivered). Each commit must be append-only; a commit carrying
+    deletes, DV diffs, or cdc actions raises (tell the user to read the
+    change feed via format 'delta_cdf' / delta_changes) unless
+    ``skipChangeCommits`` drops such commits wholesale — the exact
+    semantics of upstream Delta's streaming source."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        starting_version: int = 0,
+        max_versions: int | None = None,
+        skip_change_commits: bool = False,
+    ):
+        snap = DeltaSnapshot(path)
+        if snap.column_mapping_mode != "none":
+            raise NotImplementedError(
+                "delta streaming source: column-mapped tables are not "
+                "supported (batch reads are); read through "
+                "read_delta_log or drop the mapping"
+            )
+        self.path = path
+        self.schema = schema
+        self.starting_version = starting_version
+        self.max_versions = max_versions
+        self.skip_change_commits = skip_change_commits
+        self._phys = {f.name: f.name for f in schema.fields}
+        self._pcols = list(snap.partition_cols)
+        self._ptypes = {
+            f.name: f.dataType.simpleString()
+            for f in snap.spark_schema().fields
+            if f.name in self._pcols
+        }
+
+    def _latest_version(self) -> int:
+        log = os.path.join(self.path, _DELTA_DIR)
+        vs = [
+            int(f.split(".")[0])
+            for f in os.listdir(log)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
+        ]
+        return max(vs) if vs else -1
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    _committed: int | None = None
+
+    def latestOffset(self) -> dict:
+        v = self._latest_version()
+        if self.max_versions is not None:
+            base = (
+                self._committed
+                if self._committed is not None
+                else self.starting_version - 1
+            )
+            v = min(v, base + self.max_versions)
+        return {"version": v}
+
+    def commit(self, end: dict) -> None:
+        self._committed = end["version"]
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        v0, v1 = start["version"] + 1, end["version"]
+        if v1 < v0:
+            return []
+        missing = [
+            v
+            for v in range(v0, v1 + 1)
+            if not os.path.exists(_commit_file(self.path, v))
+        ]
+        if missing:
+            raise ValueError(
+                f"delta stream: JSON commits for versions {missing} were "
+                "expired — pass startingVersion at or above the earliest "
+                "retained commit"
+            )
+        if v0 > 0:
+            pre = DeltaSnapshot(self.path, v0 - 1)
+            files_state, dvs_state = dict(pre.files), dict(pre.dvs)
+        else:
+            files_state, dvs_state = {}, {}
+        out: list[InputPartition] = []
+        for v in range(v0, v1 + 1):
+            ch = classify_commit_changes(self.path, v, files_state, dvs_state)
+            changes = bool(ch["cdcs"] or ch["del_files"] or ch["diffs"])
+            if changes:
+                if self.skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"delta stream: version {v} is not append-only "
+                    "(deletes/updates present). Set skipChangeCommits "
+                    "to drop such commits, or consume the change feed "
+                    "via format 'delta_cdf'"
+                )
+            for rel, pvals in ch["ins_files"].items():
+                out.append(
+                    _TableSlice(
+                        file=os.path.join(self.path, rel),
+                        partition=tuple(
+                            (c, pvals.get(c)) for c in self._pcols
+                        ),
+                        exclude=tuple(
+                            sorted(
+                                _dv_indexes(
+                                    self.path, ch["ins_dvs"].get(rel)
+                                )
+                            )
+                        ),
+                    )
+                )
+        return out
+
+
+# --------------------------------------------------------------------------
+# writers
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _AddedFile(WriterCommitMessage):
+    # ((rel path, ((pcol, canonical value), ...), numRecords), ...)
+    files: tuple = ()
+    n_rows: int = 0
+
+
+class _CommitConflict(Exception):
+    pass
+
+
+def _write_commit_lines(path: str, version: int, actions: list[dict]) -> None:
+    """Exclusive-create claim of one log version (os.link is atomic on
+    POSIX): a racing writer gets _CommitConflict, never a clobber."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import uuid_hex
+
+    log = os.path.join(path, _DELTA_DIR)
+    os.makedirs(log, exist_ok=True)
+    target = _commit_file(path, version)
+    tmp = target + f".tmp-{uuid_hex()}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise _CommitConflict(version) from None
+    finally:
+        os.remove(tmp)
+
+
+def _schema_fields(schema: StructType) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
+def _guard_writable(snap: DeltaSnapshot, overwrite: bool) -> None:
+    if snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "delta format writer: column-mapped tables need id "
+            "allocation — write through the engine's LakeTable API"
+        )
+    proto = snap.protocol or {}
+    feats = set(proto.get("writerFeatures") or [])
+    unknown = feats - _SAFE_WRITER_FEATURES
+    if unknown:
+        raise NotImplementedError(
+            f"table requires writer features {sorted(unknown)} this "
+            "writer does not implement — refusing rather than corrupt"
+        )
+    if overwrite and "appendOnly" in feats:
+        raise ValueError("appendOnly table: overwrite is forbidden")
+    for f in snap.schema_json.get("fields", []):
+        if "delta.invariants" in (f.get("metadata") or {}):
+            raise NotImplementedError(
+                f"column {f['name']} carries a CHECK invariant this "
+                "writer cannot validate — write through an engine that "
+                "enforces it"
+            )
+
+
+def _commit_table_change(
+    path: str,
+    schema: StructType,
+    partition_by: list[str],
+    adds: list[tuple[str, dict[str, str | None], int]],
+    overwrite: bool,
+    txn: tuple[str, int] | None = None,
+    retries: int = 0,
+) -> str:
+    """Build + atomically claim one Delta commit; rebase-retry on a
+    version race (stream sink path). Returns 'committed' | 'replayed'
+    (txn watermark already at/above this batch — a checkpoint replay;
+    caller drops its staged files)."""
+    now = int(time.time() * 1000)
+    attempt = 0
+    while True:
+        snap: DeltaSnapshot | None
+        try:
+            snap = DeltaSnapshot(path)
+        except FileNotFoundError:
+            snap = None
+        if snap is not None:
+            _guard_writable(snap, overwrite)
+            if txn is not None:
+                last = snap.txns.get(txn[0])
+                if last is not None and txn[1] <= last:
+                    if txn[1] < last:
+                        raise ValueError(
+                            f"txn app {txn[0]!r}: batch {txn[1]} is below "
+                            f"the committed watermark {last} — two queries "
+                            "share a txn app id, or a fresh checkpoint "
+                            "restarted numbering (set a new txn_app_id)"
+                        )
+                    return "replayed"
+            existing = _schema_fields(snap.spark_schema())
+            ours = _schema_fields(schema)
+            clash = {
+                n: (existing[n], t)
+                for n, t in ours.items()
+                if n in existing and existing[n] != t
+            }
+            if clash:
+                raise ValueError(
+                    f"schema mismatch on {sorted(clash)}: "
+                    f"{clash} (table type, written type)"
+                )
+            if not overwrite and sorted(partition_by) != sorted(
+                snap.partition_cols
+            ):
+                raise ValueError(
+                    f"partition layout {partition_by} does not match the "
+                    f"table's {snap.partition_cols}"
+                )
+            new_cols = set(ours) - set(existing)
+            schema_changed = bool(new_cols) or (
+                overwrite
+                and (
+                    list(partition_by) != list(snap.partition_cols)
+                    or set(existing) - set(ours)
+                )
+            )
+            base = snap.version
+            first = False
+        else:
+            base = -1
+            first = True
+            schema_changed = False
+
+        actions: list[dict] = []
+        if first:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if first or schema_changed:
+            if not first and new_cols:
+                # additive evolution: union schema, table order first
+                merged = [
+                    dict(f)
+                    for f in snap.schema_json.get("fields", [])
+                ] + [
+                    f.jsonValue()
+                    for f in schema.fields
+                    if f.name in new_cols
+                ]
+                schema_json = {"type": "struct", "fields": merged}
+            else:
+                schema_json = schema.jsonValue()
+            actions.append(
+                {
+                    "metaData": {
+                        "id": (
+                            getattr(snap, "meta_id", None)
+                            if snap is not None
+                            else None
+                        )
+                        or f"pyds-delta-{os.path.basename(os.path.abspath(path))}",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(schema_json),
+                        "partitionColumns": list(partition_by),
+                        "configuration": {},
+                        "createdTime": now,
+                    }
+                }
+            )
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": now,
+                    }
+                }
+            )
+        if overwrite and snap is not None:
+            for rel in sorted(snap.files):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": _encode_path(rel),
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        for rel, pvals, n_rows in adds:
+            abs_p = os.path.join(path, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": _encode_path(rel),
+                        "partitionValues": dict(pvals),
+                        "size": os.path.getsize(abs_p),
+                        "modificationTime": int(
+                            os.stat(abs_p).st_mtime * 1000
+                        ),
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": n_rows}),
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": (
+                        "STREAMING UPDATE"
+                        if txn is not None
+                        else ("WRITE" if not overwrite else "OVERWRITE")
+                    ),
+                    "operationParameters": {
+                        "mode": "Overwrite" if overwrite else "Append"
+                    },
+                }
+            }
+        )
+        try:
+            _write_commit_lines(path, base + 1, actions)
+            return "committed"
+        except _CommitConflict:
+            attempt += 1
+            if attempt > retries:
+                raise RuntimeError(
+                    f"version {base + 1} already committed by another "
+                    "writer (optimistic concurrency)"
+                ) from None
+            time.sleep(0.05 * attempt)
+
+
+class _DeltaWriteTask:
+    """Executor-side parquet staging shared by both writers: one file
+    per (task, partition combo), written straight into the table dir —
+    invisible to every reader until the commit names it."""
+
+    def __init__(self, path: str, schema: StructType, partition_by: list[str]):
+        self.path = path
+        self.schema = schema
+        self.partition_by = list(partition_by)
+
+    def write(self, iterator) -> _AddedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import uuid_hex
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _AddedFile(files=(), n_rows=0)
+        t = pa.Table.from_batches(batches)
+        if not self.partition_by:
+            rel = f"part-{uuid_hex()}.parquet"
+            pq.write_table(t, os.path.join(self.path, rel))
+            return _AddedFile(
+                files=((rel, (), t.num_rows),), n_rows=t.num_rows
+            )
+        keys = t.select(self.partition_by).to_pylist()
+        groups: dict[tuple, list[int]] = {}
+        for i, row in enumerate(keys):
+            groups.setdefault(
+                tuple(
+                    (c, _delta_pval(row[c])) for c in self.partition_by
+                ),
+                [],
+            ).append(i)
+        data = t.drop_columns(self.partition_by)
+        written = []
+        for combo, idx in groups.items():
+            segs = [_pdir_segment(c, v) for c, v in combo]
+            os.makedirs(os.path.join(self.path, *segs), exist_ok=True)
+            rel = os.path.join(*segs, f"part-{uuid_hex()}.parquet")
+            pq.write_table(
+                data.take(pa.array(idx, type=pa.int64())),
+                os.path.join(self.path, rel),
+            )
+            written.append((rel, combo, len(idx)))
+        return _AddedFile(files=tuple(written), n_rows=t.num_rows)
+
+
+def _collect_adds(messages) -> list[tuple[str, dict, int]]:
+    return [
+        (rel, dict(combo), n)
+        for m in messages
+        if m
+        for rel, combo, n in m.files
+    ]
+
+
+def _drop_files(path: str, messages) -> None:
+    for m in messages:
+        if not m:
+            continue
+        for rel, _combo, _n in m.files:
+            try:
+                os.remove(os.path.join(path, rel))
+            except OSError:
+                pass
+
+
+class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        overwrite: bool,
+        partition_by: list[str] | None,
+    ):
+        # inherit the table's layout when appending without an explicit
+        # partition_by (same convenience as the laketable writer)
+        snap: DeltaSnapshot | None
+        try:
+            snap = DeltaSnapshot(path)
+        except FileNotFoundError:
+            snap = None
+        if snap is not None:
+            _guard_writable(snap, overwrite)
+            if partition_by is None and not overwrite:
+                partition_by = list(snap.partition_cols)
+        pb = list(partition_by or [])
+        missing = [c for c in pb if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition columns {missing} absent from schema")
+        super().__init__(path, schema, pb)
+        self.overwrite = overwrite
+        self.full_schema = schema
+        os.makedirs(path, exist_ok=True)
+
+    def commit(self, messages) -> None:
+        adds = _collect_adds(messages)
+        _commit_table_change(
+            self.path,
+            self.full_schema,
+            self.partition_by,
+            adds,
+            overwrite=self.overwrite,
+        )
+
+    def abort(self, messages) -> None:
+        _drop_files(self.path, messages)
+
+
+class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
+    """Exactly-once micro-batch sink. The txn app id defaults to a
+    checkpoint-derived name (unique per query — Spark forbids
+    checkpoint sharing) so independent queries never collide; an
+    explicit ``txn_app_id`` keeps idempotency across an intentional
+    checkpoint-reset redeploy."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        explicit = options.get("txn_app_id")
+        ckpt = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        if explicit:
+            self.txn_app = explicit
+        elif ckpt:
+            self.txn_app = "pyds-delta-stream:" + os.path.normpath(ckpt)
+        else:
+            self.txn_app = "pyds-delta-stream"
+        pb = options.get("partition_by")
+        partition_by = [c.strip() for c in pb.split(",")] if pb else []
+        missing = [c for c in partition_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition columns {missing} absent from schema")
+        super().__init__(path, schema, partition_by)
+        self.full_schema = schema
+        os.makedirs(path, exist_ok=True)
+
+    def commit(self, messages, batchId: int) -> None:
+        adds = _collect_adds(messages)
+        outcome = _commit_table_change(
+            self.path,
+            self.full_schema,
+            self.partition_by,
+            adds,
+            overwrite=False,
+            txn=(self.txn_app, batchId),
+            retries=20,
+        )
+        if outcome == "replayed":
+            _drop_files(self.path, messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_files(self.path, messages)
+
+
+# --------------------------------------------------------------------------
+# the DataSource
+# --------------------------------------------------------------------------
+
+
+class DeltaDataSource(DataSource):
+    """``format("delta")`` — reads and writes plain Delta transaction
+    logs through the Python DataSource API (no delta-spark needed)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta"
+
+    def _path(self) -> str:
+        path = self.options.get("path") or self.options.get("table_path")
+        if not path:
+            raise ValueError("delta format requires .load/.save(<table path>)")
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import _fs_path
+
+        return _fs_path(path)
+
+    def _version(self) -> int | None:
+        v = self.options.get("versionasof") or self.options.get("version")
+        return int(v) if v is not None else None
+
+    def schema(self) -> str:
+        snap = DeltaSnapshot(self._path(), self._version())
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in snap.spark_schema().fields
+        )
+
+    def reader(self, schema: StructType) -> DeltaBatchReader:
+        return DeltaBatchReader(self._path(), schema, self._version())
+
+    def streamReader(self, schema: StructType) -> DeltaTableStreamReader:
+        sv = int(self.options.get("startingversion") or 0)
+        mv = self.options.get("maxversionspertrigger")
+        return DeltaTableStreamReader(
+            self._path(),
+            schema,
+            starting_version=sv,
+            max_versions=int(mv) if mv is not None else None,
+            skip_change_commits=(
+                str(self.options.get("skipchangecommits", "false")).lower()
+                == "true"
+            ),
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> DeltaBatchWriter:
+        pb = self.options.get("partition_by") or self.options.get(
+            "partitionby"
+        )
+        return DeltaBatchWriter(
+            self._path(),
+            schema,
+            overwrite,
+            [c.strip() for c in pb.split(",")] if pb else None,
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "delta streaming sink supports append output mode only"
+            )
+        return DeltaStreamWriter(self._path(), schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DeltaDataSource)

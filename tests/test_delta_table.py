@@ -1,0 +1,484 @@
+"""The ``delta`` Spark format (sources/delta_table): the reference's
+native table API — ``format("delta")`` batch/stream read and write
+(db_notebooks/01_bronze_csv_to_delta.py writes it,
+02_bronze_to_silver.py stream-reads it) — served through the Python
+DataSource API over plain `_delta_log`s, no delta-spark needed. Writes
+must be foreign-readable (pinned against the independent
+`read_delta_log` replay) and the streaming sink exactly-once via
+SetTransaction; reads must apply DVs and column mapping."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+    DeltaSnapshot,
+    export_delta_log,
+    read_delta_log,
+    write_delta_checkpoint,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+    DeltaBatchWriter,
+    DeltaStreamWriter,
+    _AddedFile,
+    register,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batch_write_read_roundtrip_partitioned(spark, tmp_path):
+    """overwrite + append through the format; partition layout
+    inherited on append; Hive-style dirs; typed partition restore; time
+    travel; and the INDEPENDENT log replay (read_delta_log) agrees —
+    i.e. the commit is real Delta, not a private convention."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 8)], "id long, v string, p long"
+    ).write.format("delta").option("partition_by", "p").mode(
+        "overwrite"
+    ).save(p)
+    spark.createDataFrame(
+        [(3, "c", 7)], "id long, v string, p long"
+    ).write.format("delta").mode("append").save(p)
+
+    got = spark.read.format("delta").load(p)
+    assert dict(got.dtypes) == {"id": "bigint", "v": "string", "p": "bigint"}
+    assert _rows(got) == [(1, "a", 7), (2, "b", 8), (3, "c", 7)]
+    assert _rows(
+        spark.read.format("delta").option("versionAsOf", 0).load(p)
+    ) == [(1, "a", 7), (2, "b", 8)]
+    assert _rows(read_delta_log(spark, p).select("id", "v", "p")) == _rows(
+        got
+    )
+    assert {d for d in os.listdir(p) if not d.startswith("_")} == {
+        "p=7", "p=8",
+    }
+    # partition pruning happens at planning: only p=7 files are listed
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        DeltaBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    r = DeltaBatchReader(p, got.schema, None)
+    list(r.pushFilters([EqualTo(("p",), 7)]))
+    files = [s.file for s in r.partitions()]
+    assert files and all("p=7" in f for f in files)
+    assert _rows(got.filter("p = 7")) == [(1, "a", 7), (3, "c", 7)]
+
+
+def test_batch_writer_guards(spark, tmp_path):
+    """Loud protocol-tier refusals: schema type clash, mismatched
+    append layout, appendOnly overwrite, unknown writer features."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.format(
+        "delta"
+    ).mode("append").save(p)
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.createDataFrame([("x", "a")], "id string, v string").write.format(
+            "delta"
+        ).mode("append").save(p)
+    with pytest.raises(Exception, match="partition layout"):
+        spark.createDataFrame([(1, "a")], "id long, v string").write.format(
+            "delta"
+        ).option("partition_by", "v").mode("append").save(p)
+    # patch protocol: appendOnly + an unknown writer feature
+    log = os.path.join(p, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"].update(
+                minWriterVersion=7,
+                writerFeatures=["appendOnly"],
+            )
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(Exception, match="appendOnly"):
+        spark.createDataFrame([(9, "z")], "id long, v string").write.format(
+            "delta"
+        ).mode("overwrite").save(p)
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"]["writerFeatures"] = ["identityColumns"]
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(Exception, match="identityColumns"):
+        spark.createDataFrame([(9, "z")], "id long, v string").write.format(
+            "delta"
+        ).mode("append").save(p)
+
+
+def test_batch_append_additive_schema_evolution(spark, tmp_path):
+    """Appending a frame with a NEW column re-emits metaData with the
+    union schema; rows from pre-evolution files read the column NULL."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.format(
+        "delta"
+    ).mode("append").save(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, w double"
+    ).write.format("delta").mode("append").save(p)
+    got = spark.read.format("delta").load(p)
+    assert got.columns == ["id", "v", "w"]
+    assert _rows(got) == [(1, "a", None), (2, "b", 9.5)]
+    assert _rows(read_delta_log(spark, p).select("id", "v", "w")) == _rows(got)
+
+
+def test_batch_read_applies_dv_and_column_mapping(spark, tmp_path):
+    """format('delta') reads a DV-bearing export row-exact (tombstoned
+    rows skipped) and resolves name-mode column mapping with physical
+    partitionValues keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # DV table: laketable MoR delete exported as real deletion vectors
+    t = LakeTable(spark, str(tmp_path / "dv"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "x") for i in range(10)], "id long, v string"
+        )
+    )
+    t.delete(F.col("id").isin(2, 5), mode="mor")
+    export_delta_log(t)
+    got = spark.read.format("delta").load(t.path)
+    assert _rows(got.select("id")) == [(i,) for i in range(10) if i not in (2, 5)]
+
+    # name-mode mapped table (physical col names in files)
+    path = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    os.makedirs(os.path.join(path, "d1"))
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["x", "y"]}),
+        os.path.join(path, "d1", "f1.parquet"),
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aaa"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bbb"}},
+                {"name": "part", "type": "integer", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName": "col-ppp"}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema_str,
+                      "partitionColumns": ["part"],
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "d1/f1.parquet",
+                 "partitionValues": {"col-ppp": "10"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    m = spark.read.format("delta").load(path)
+    assert m.columns == ["id", "v", "part"]
+    assert _rows(m) == [(1, "x", 10), (2, "y", 10)]
+    # mapped tables refuse WRITES through this format
+    with pytest.raises(Exception, match="column-mapped|LakeTable"):
+        spark.createDataFrame([(3, "z", 10)], "id long, v string, part int"
+                              ).write.format("delta").mode("append").save(path)
+
+
+def _drain(spark, src, sink, ckpt, **opts):
+    reader = spark.readStream.format("delta")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(src)
+        .writeStream.format("delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+
+def test_stream_delta_to_delta_exactly_once(spark, tmp_path):
+    """readStream.format('delta') -> writeStream.format('delta'): the
+    reference's bronze->silver shape. Checkpoint restart re-reads
+    nothing; the sink's log carries the SetTransaction ledger; the
+    ledger survives a checkpoint+expiry cycle."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    for i in range(2):
+        spark.createDataFrame(
+            [(i, f"v{i}")], "id long, v string"
+        ).write.format("delta").mode("append").save(src)
+
+    _drain(spark, src, sink, ck)
+    assert _rows(spark.read.format("delta").load(sink)) == [
+        (0, "v0"), (1, "v1"),
+    ]
+    spark.createDataFrame([(2, "v2")], "id long, v string").write.format(
+        "delta"
+    ).mode("append").save(src)
+    _drain(spark, src, sink, ck)
+    _drain(spark, src, sink, ck)  # nothing new: zero duplicates
+    assert _rows(spark.read.format("delta").load(sink)) == [
+        (0, "v0"), (1, "v1"), (2, "v2"),
+    ]
+    snap = DeltaSnapshot(sink)
+    assert len(snap.txns) == 1 and list(snap.txns.values())[0] >= 1
+
+    # ledger survives checkpoint + commit expiry
+    write_delta_checkpoint(sink)
+    app, ver = next(iter(snap.txns.items()))
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        expire_delta_commits,
+    )
+
+    expire_delta_commits(sink)
+    assert DeltaSnapshot(sink).txns.get(app) == ver
+
+
+def test_stream_sink_replay_guard_unit(spark, tmp_path):
+    """Direct writer-protocol exercise (the crash window Spark can't
+    easily simulate): re-committing an already-committed batchId drops
+    the staged files and publishes nothing; a batchId BELOW the
+    watermark raises (colliding txn app / fresh checkpoint)."""
+    p = str(tmp_path / "t")
+    schema = spark.createDataFrame([(1,)], "id long").schema
+    w = DeltaStreamWriter(p, schema, {"txn_app_id": "q1"})
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def stage(val):
+        rel = f"part-manual-{val}.parquet"
+        pq.write_table(pa.table({"id": [val]}), os.path.join(p, rel))
+        return _AddedFile(files=((rel, (), 1),), n_rows=1)
+
+    w.commit([stage(1)], batchId=0)
+    w.commit([stage(2)], batchId=1)
+    assert _rows(spark.read.format("delta").load(p)) == [(1,), (2,)]
+    # replay of batch 1: staged file dropped, no new version
+    m = stage(99)
+    v_before = DeltaSnapshot(p).version
+    w.commit([m], batchId=1)
+    assert DeltaSnapshot(p).version == v_before
+    assert not os.path.exists(os.path.join(p, m.files[0][0]))
+    assert _rows(spark.read.format("delta").load(p)) == [(1,), (2,)]
+    # below the watermark: loud
+    with pytest.raises(ValueError, match="watermark"):
+        w.commit([stage(3)], batchId=0)
+
+
+def test_stream_read_refuses_or_skips_change_commits(spark, tmp_path):
+    """A non-append commit (delete) raises by default — upstream Delta
+    source's contract — and is skipped wholesale with
+    skipChangeCommits; inserts before/after still stream."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    export_delta_log(t)  # v0 insert
+    t.delete(F.col("id") == 1, mode="mor")
+    export_delta_log(t)  # v1 DV delete (change commit)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    export_delta_log(t)  # v2 insert
+
+    sink1 = str(tmp_path / "s1")
+    with pytest.raises(Exception, match="not append-only|skipChangeCommits"):
+        _drain(spark, t.path, sink1, str(tmp_path / "ck1"))
+
+    sink2 = str(tmp_path / "s2")
+    _drain(
+        spark, t.path, sink2, str(tmp_path / "ck2"),
+        skipChangeCommits="true",
+    )
+    assert _rows(spark.read.format("delta").load(sink2)) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_batch_writer_concurrency(spark, tmp_path):
+    """Sequentialized concurrent appends BOTH land (appends commute —
+    each commit re-reads the log and claims the next version), while
+    the raw version claim itself is exclusive-create: a racing writer
+    that lost the claim gets a conflict, never a clobber."""
+    p = str(tmp_path / "t")
+    schema = spark.createDataFrame([(1,)], "id long").schema
+    spark.createDataFrame([(0,)], "id long").write.format("delta").mode(
+        "append"
+    ).save(p)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def stage(val):
+        rel = f"part-manual-{val}.parquet"
+        pq.write_table(pa.table({"id": [val]}), os.path.join(p, rel))
+        return _AddedFile(files=((rel, (), 1),), n_rows=1)
+
+    w1 = DeltaBatchWriter(p, schema, False, None)
+    w2 = DeltaBatchWriter(p, schema, False, None)
+    w1.commit([stage(1)])
+    w2.commit([stage(2)])  # rebases onto w1's version: both appends land
+    assert _rows(spark.read.format("delta").load(p)) == [(0,), (1,), (2,)]
+    assert DeltaSnapshot(p).version == 2
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        _CommitConflict,
+        _write_commit_lines,
+    )
+
+    with pytest.raises(_CommitConflict):
+        _write_commit_lines(p, 2, [{"commitInfo": {"timestamp": 0}}])
+
+
+def test_optimize_delta_compacts_small_files(spark, tmp_path):
+    """optimize_delta bin-packs a partition's small files into one and
+    commits dataChange=false swaps: rows identical, file count drops,
+    time travel to the pre-optimize version still works, and the change
+    feed sees NO row-level change for the optimize version."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+        optimize_delta,
+    )
+
+    p = str(tmp_path / "t")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, "x", 7), (100 + i, "y", 8)], "id long, v string, p long"
+        ).write.format("delta").option("partition_by", "p").mode(
+            "append" if i else "overwrite"
+        ).save(p)
+    before = _rows(spark.read.format("delta").load(p))
+    v_pre = DeltaSnapshot(p).version
+    n_files_pre = len(DeltaSnapshot(p).files)
+    assert n_files_pre == 6  # 3 commits x 2 partitions
+
+    res = optimize_delta(spark, p)
+    assert res["version"] == v_pre + 1
+    assert res["rewritten"] == 6 and res["written"] == 2
+    snap = DeltaSnapshot(p)
+    assert len(snap.files) == 2  # one per partition
+    assert _rows(spark.read.format("delta").load(p)) == before
+    assert _rows(
+        spark.read.format("delta").option("versionAsOf", v_pre).load(p)
+    ) == before
+    # dataChange=false: the optimize version contributes NO changes
+    assert delta_changes(spark, p, res["version"]).count() == 0
+    # idempotent: nothing left to compact
+    assert optimize_delta(spark, p)["rewritten"] == 0
+
+
+def test_optimize_delta_materializes_deletion_vectors(spark, tmp_path):
+    """A DV-carrying file is rewritten without its tombstoned rows and
+    the new add carries no deletionVector (Delta's PURGE)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "x") for i in range(10)], "id long, v string"
+        )
+    )
+    t.delete(F.col("id").isin(2, 5), mode="mor")
+    export_delta_log(t)
+    assert DeltaSnapshot(t.path).dvs  # DV present pre-optimize
+    live = _rows(spark.read.format("delta").load(t.path))
+
+    res = optimize_delta(spark, t.path)
+    assert res["rewritten"] >= 1
+    snap = DeltaSnapshot(t.path)
+    assert not snap.dvs  # purged
+    assert _rows(spark.read.format("delta").load(t.path)) == live
+    # physical rows now equal logical rows (DV materialized)
+    import pyarrow.parquet as pq
+
+    phys = sum(
+        pq.ParquetFile(os.path.join(t.path, r)).metadata.num_rows
+        for r in snap.files
+    )
+    assert phys == 8
+
+
+def test_vacuum_delta_unreachable_and_retention(spark, tmp_path):
+    """vacuum deletes only files no retained snapshot can reach AND
+    older than retention; the 168h floor refuses unless explicitly
+    overridden; files referenced by retained commits survive for time
+    travel until the commits expire."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        expire_delta_commits,
+        vacuum_delta,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.format(
+        "delta"
+    ).mode("overwrite").save(p)
+    old_file = next(iter(DeltaSnapshot(p).files))
+    spark.createDataFrame([(2, "b")], "id long, v string").write.format(
+        "delta"
+    ).mode("overwrite").save(p)  # old_file tombstoned, still on disk
+
+    with pytest.raises(ValueError, match="168h"):
+        vacuum_delta(p, retention_hours=0)
+
+    # an orphan from a failed write, plus ancient mtimes everywhere
+    orphan = "part-orphan.parquet"
+    import shutil
+
+    shutil.copy(
+        os.path.join(p, next(iter(DeltaSnapshot(p).files))),
+        os.path.join(p, orphan),
+    )
+    ancient = time.time() - 10 * 24 * 3600
+    for fn in os.listdir(p):
+        fp = os.path.join(p, fn)
+        if os.path.isfile(fp):
+            os.utime(fp, (ancient, ancient))
+
+    got = vacuum_delta(p, retention_hours=0, enforce_retention=False,
+                       dry_run=True)
+    # orphan is vacuumable; old_file is still referenced by the
+    # retained v0 commit (time travel), so it survives
+    assert got == [orphan]
+    assert os.path.exists(os.path.join(p, orphan))  # dry run
+    vacuum_delta(p, retention_hours=0, enforce_retention=False)
+    assert not os.path.exists(os.path.join(p, orphan))
+    assert os.path.exists(os.path.join(p, old_file))
+    assert _rows(
+        spark.read.format("delta").option("versionAsOf", 0).load(p)
+    ) == [(1, "a")]
+
+    # expire the old commits behind a checkpoint: old_file becomes
+    # unreachable and vacuumable; the current snapshot is untouched
+    write_delta_checkpoint(p)
+    expire_delta_commits(p)
+    os.utime(os.path.join(p, old_file), (ancient, ancient))
+    assert vacuum_delta(
+        p, retention_hours=0, enforce_retention=False
+    ) == [old_file]
+    assert _rows(spark.read.format("delta").load(p)) == [(2, "b")]
