@@ -1495,11 +1495,135 @@ def expire_delta_commits(path: str) -> int:
     return removed
 
 
+def resolve_delta_version_at(path: str, ts_ms: int) -> int:
+    """Largest version whose commit timestamp <= ``ts_ms`` — the
+    resolution rule behind Delta's ``timestampAsOf``. A commit's
+    timestamp is its commitInfo.timestamp when present (what real
+    writers emit), else the commit file's mtime (the spec's documented
+    fallback). Raises if ``ts_ms`` predates the earliest retained
+    commit (same contract as upstream)."""
+    log = os.path.join(path, _DELTA_DIR)
+    best: int | None = None
+    earliest: tuple[int, int] | None = None
+    for fn in os.listdir(log):
+        if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+            continue
+        v = int(fn.split(".")[0])
+        t = None
+        with open(os.path.join(log, fn)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("commitInfo") and a["commitInfo"].get("timestamp"):
+                    t = int(a["commitInfo"]["timestamp"])
+                    break
+        if t is None:
+            t = int(os.stat(os.path.join(log, fn)).st_mtime * 1000)
+        if earliest is None or (t, v) < earliest:
+            earliest = (t, v)
+        if t <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the earliest retained commit "
+            f"of {path}"
+            + (f" (earliest: {earliest[0]})" if earliest else "")
+        )
+    return best
+
+
+def restore_delta(path: str, version: int) -> int:
+    """RESTORE a Delta table to an earlier version as a NEW commit
+    (Delta's own shape: history is preserved, the restore is itself
+    versioned and revertable): files live at the target but not now are
+    re-added with their partitionValues and DV descriptors, files live
+    now but not at the target are removed, and files whose DV state
+    differs are re-added with the target's descriptor. Returns the new
+    version. dataChange=true — a restore IS a data change and streams/
+    change feeds must see it."""
+    cur = DeltaSnapshot(path)
+    tgt = DeltaSnapshot(path, version)
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    if tgt.schema_json != cur.schema_json or (
+        tgt.partition_cols != cur.partition_cols
+    ):
+        actions.append(
+            {
+                "metaData": {
+                    "id": getattr(tgt, "meta_id", None)
+                    or f"laketable-{os.path.basename(path)}",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(tgt.schema_json),
+                    "partitionColumns": list(tgt.partition_cols),
+                    "configuration": {},
+                }
+            }
+        )
+    for rel in sorted(set(cur.files) - set(tgt.files)):
+        actions.append(
+            {
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in sorted(tgt.files):
+        if rel in cur.files and (cur.dvs.get(rel) or None) == (
+            tgt.dvs.get(rel) or None
+        ):
+            continue  # already live with identical DV state
+        missing = not os.path.exists(os.path.join(path, rel))
+        if missing:
+            raise FileNotFoundError(
+                f"restore to version {version} needs {rel}, which was "
+                "vacuumed — unrestorable (same contract as upstream "
+                "RESTORE after VACUUM)"
+            )
+        add: dict[str, Any] = {
+            "path": _encode_path(rel),
+            "partitionValues": dict(tgt.files[rel]),
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        if tgt.dvs.get(rel):
+            add["deletionVector"] = dict(tgt.dvs[rel])
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+            }
+        }
+    )
+    v = cur.version + 1
+    target = _commit_file(path, v)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(f"concurrent commit at version {v}") from None
+    finally:
+        os.remove(tmp)
+    return v
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Compact a FOREIGN Delta table in place (the maintenance op every
     streaming-ingested Delta table needs — micro-batch sinks write one
@@ -1516,6 +1640,12 @@ def optimize_delta(
     Returns {"version": committed version or None, "rewritten": n_in,
     "written": n_out}. Never touches the removed parquet files
     themselves — they stay for time travel until ``vacuum_delta``.
+
+    ``zorder_by``: OPTIMIZE ZORDER parity — every live file in every
+    partition group is rewritten, range-partitioned and sorted by the
+    engine's Morton key (functions/zorder.zorder_key), so each output
+    file covers a small rectangle of the key space and foreign readers'
+    min/max data skipping works on all the z-ordered columns at once.
 
     At 100 TB: each group's rewrite is a plain Spark scan+write
     (executors stream the bytes; the driver handles only file NAMES),
@@ -1539,10 +1669,15 @@ def optimize_delta(
         cands = [
             r
             for r in rels
-            if os.path.getsize(os.path.join(path, r)) < target_file_bytes
+            if zorder_by  # clustering rewrites everything
+            or os.path.getsize(os.path.join(path, r)) < target_file_bytes
             or r in snap.dvs
         ]
-        if len(cands) < min_files and not any(r in snap.dvs for r in cands):
+        if not zorder_by and (
+            len(cands) < min_files and not any(r in snap.dvs for r in cands)
+        ):
+            continue
+        if not cands:
             continue
         total = sum(os.path.getsize(os.path.join(path, r)) for r in cands)
         n_out = max(1, math.ceil(total / target_file_bytes))
@@ -1561,10 +1696,23 @@ def optimize_delta(
                 ),
             )
             df = _apply_deletion_vectors(df, sub, "__od_fp").drop("__od_fp")
+        if zorder_by:
+            from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
+                zorder_key,
+            )
+
+            df = (
+                df.withColumn("__z", zorder_key(df, zorder_by))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.repartition(n_out)
         # stage executor-side, then adopt the files by rename (same
         # volume): Spark writes the bytes, the driver moves names only
         stage = os.path.join(path, f"_optimize_tmp_{_uuid.uuid4().hex}")
-        df.repartition(n_out).write.parquet(stage)
+        df.write.parquet(stage)
         pdir = os.path.dirname(cands[0])
         for fn in sorted(os.listdir(stage)):
             if not fn.endswith(".parquet"):
@@ -1615,7 +1763,12 @@ def optimize_delta(
                 "timestamp": now,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "targetSize": str(target_file_bytes)
+                    "targetSize": str(target_file_bytes),
+                    **(
+                        {"zOrderBy": json.dumps(list(zorder_by))}
+                        if zorder_by
+                        else {}
+                    ),
                 },
             }
         }

@@ -281,6 +281,46 @@ class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
         return out
 
 
+class DeltaCdfBatchReader(DataSourceReader):
+    """Batch change-feed read — upstream Delta's
+    ``spark.read.format("delta").option("readChangeFeed", "true")``
+    API: rows of the table schema + ``_change_type`` (insert / delete /
+    update_preimage / update_postimage, the images from real cdc
+    actions when the writer emitted them) + ``_commit_version``.
+    Delegates planning and scanning to the streaming CDF reader over a
+    fixed [startingVersion, endingVersion] window, so batch and stream
+    are one implementation and cannot drift."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        starting_version: int,
+        ending_version: int | None,
+    ):
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_stream import (
+            DeltaCdfStreamReader,
+        )
+
+        self._sr = DeltaCdfStreamReader(
+            path, schema, starting_version=starting_version
+        )
+        self._start = starting_version
+        self._end = (
+            ending_version
+            if ending_version is not None
+            else self._sr._latest_version()
+        )
+
+    def partitions(self) -> list[InputPartition]:
+        return self._sr.partitions(
+            {"version": self._start - 1}, {"version": self._end}
+        )
+
+    def read(self, partition) -> Iterator:
+        return self._sr.read(partition)
+
+
 # --------------------------------------------------------------------------
 # streaming reader (append stream, upstream Delta-source semantics)
 # --------------------------------------------------------------------------
@@ -815,16 +855,52 @@ class DeltaDataSource(DataSource):
 
     def _version(self) -> int | None:
         v = self.options.get("versionasof") or self.options.get("version")
-        return int(v) if v is not None else None
+        if v is not None:
+            return int(v)
+        ts = self.options.get("timestampasof")
+        if ts is not None:
+            from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+                resolve_delta_version_at,
+            )
+
+            try:
+                ts_ms = int(ts)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(str(ts))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts_ms = int(dt.timestamp() * 1000)
+            return resolve_delta_version_at(self._path(), ts_ms)
+        return None
+
+    def _read_cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
 
     def schema(self) -> str:
         snap = DeltaSnapshot(self._path(), self._version())
-        return ", ".join(
+        cols = [
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in snap.spark_schema().fields
-        )
+        ]
+        if self._read_cdf():
+            cols += ["`_change_type` string", "`_commit_version` bigint"]
+        return ", ".join(cols)
 
-    def reader(self, schema: StructType) -> DeltaBatchReader:
+    def reader(self, schema: StructType):
+        if self._read_cdf():
+            sv = int(self.options.get("startingversion") or 0)
+            ev = self.options.get("endingversion")
+            return DeltaCdfBatchReader(
+                self._path(),
+                schema,
+                sv,
+                int(ev) if ev is not None else None,
+            )
         return DeltaBatchReader(self._path(), schema, self._version())
 
     def streamReader(self, schema: StructType) -> DeltaTableStreamReader:

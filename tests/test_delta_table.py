@@ -482,3 +482,138 @@ def test_vacuum_delta_unreachable_and_retention(spark, tmp_path):
         p, retention_hours=0, enforce_retention=False
     ) == [old_file]
     assert _rows(spark.read.format("delta").load(p)) == [(2, "b")]
+
+
+def test_time_travel_by_timestamp_and_restore(spark, tmp_path):
+    """timestampAsOf resolves via commitInfo timestamps (mtime
+    fallback); restore_delta re-adds the old snapshot as a NEW commit
+    whose changes the change feed sees (dataChange=true)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+        restore_delta,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.format(
+        "delta"
+    ).mode("overwrite").save(p)
+    # pin distinct commitInfo timestamps (writes within one ms tie)
+    log = os.path.join(p, "_delta_log")
+
+    def set_ts(ver, ts):
+        fp = os.path.join(log, f"{ver:020d}.json")
+        lines = [json.loads(x) for x in open(fp) if x.strip()]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(fp, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a) + "\n")
+
+    spark.createDataFrame([(2, "b")], "id long, v string").write.format(
+        "delta"
+    ).mode("overwrite").save(p)
+    set_ts(0, 1_000_000)
+    set_ts(1, 2_000_000)
+
+    assert _rows(
+        spark.read.format("delta").option("timestampAsOf", "1500000").load(p)
+    ) == [(1, "a")]
+    assert _rows(
+        spark.read.format("delta").option("timestampAsOf", "2000000").load(p)
+    ) == [(2, "b")]
+    with pytest.raises(Exception, match="predates"):
+        spark.read.format("delta").option(
+            "timestampAsOf", "999999"
+        ).load(p).collect()
+
+    v = restore_delta(p, 0)
+    assert v == 2
+    assert _rows(spark.read.format("delta").load(p)) == [(1, "a")]
+    # the restore commit IS a data change: delete (2,b), insert (1,a)
+    ch = sorted(
+        (r._change_type, r.id, r.v)
+        for r in delta_changes(spark, p, v, v).collect()
+    )
+    assert ch == [("delete", 2, "b"), ("insert", 1, "a")]
+    # and history is preserved: travel back to the pre-restore version
+    assert _rows(
+        spark.read.format("delta").option("versionAsOf", 1).load(p)
+    ) == [(2, "b")]
+
+
+def test_batch_read_change_feed_option(spark, tmp_path):
+    """readChangeFeed=true: batch CDF through the format equals
+    delta_changes over the same window, update images included."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "a") for i in range(5)], "id long, v string"
+        )
+    )
+    export_delta_log(t)
+    t.delete(F.col("id") == 3, mode="mor")
+    export_delta_log(t)
+    t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    export_delta_log(t)
+
+    got = spark.read.format("delta").option("readChangeFeed", "true").load(
+        t.path
+    )
+    want = delta_changes(spark, t.path, 0)
+    cols = ["id", "v", "_change_type", "_commit_version"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+    # window selection
+    got1 = (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "1")
+        .load(t.path)
+    )
+    assert _rows(got1.select("id", "_change_type")) == [(3, "delete")]
+
+
+def test_optimize_delta_zorder_clusters_files(spark, tmp_path):
+    """zorder_by rewrites every file range-clustered on the Morton key:
+    rows identical, and each output file covers a DISJOINT narrow range
+    of each z-ordered column (the data-skipping win)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    # interleave x/y so pre-optimize files all span the full range
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(400)]
+    for chunk in range(4):
+        spark.createDataFrame(
+            rows[chunk * 100:(chunk + 1) * 100], "id long, x long, y long"
+        ).write.format("delta").mode(
+            "append" if chunk else "overwrite"
+        ).save(p)
+    before = _rows(spark.read.format("delta").load(p))
+    n_files_pre = len(DeltaSnapshot(p).files)
+
+    res = optimize_delta(
+        spark, p, target_file_bytes=4 * 1024, zorder_by=["x", "y"]
+    )
+    assert res["rewritten"] == n_files_pre  # clustering rewrites all
+    assert res["written"] >= 2  # 4 KB target forces a split
+    assert _rows(spark.read.format("delta").load(p)) == before
+    spans = []
+    for rel in DeltaSnapshot(p).files:
+        t_ = pq.read_table(os.path.join(p, rel), columns=["x"])
+        xs = t_.column("x").to_pylist()
+        spans.append((min(xs), max(xs)))
+    spans.sort()
+    # clustered: at least one pair of files has non-overlapping x spans
+    # (pre-optimize every file spanned [0,99])
+    assert any(
+        spans[i][1] < spans[i + 1][0] or spans[i][1] - spans[i][0] < 99
+        for i in range(len(spans) - 1)
+    )
