@@ -110,9 +110,13 @@ GATE_ORDER = [
     "order_calendar_features",
     "q12_late_lines_by_priority_class",
     "q6_forecast_revenue_delta",
-    "delta_change_feed",
     "incremental_mart_maintenance",
-    "lang_doc_profile_pandas",
+    # the 'delta'/'dml' families' first driver rows (new r7): the
+    # format('delta') write/optimize/read roundtrip and foreign-Delta
+    # MERGE + MoR-DV DELETE. delta_change_feed / lang_doc_profile_pandas
+    # rotate out (both driver-green in r6; families stay covered).
+    "delta_format_roundtrip",
+    "delta_merge_dml_roundtrip",
     # shipped adaptive-cell persistent IVF (new r7, VERDICT r6 next #6;
     # multimodal family keeps coverage via video_container_catalog)
     "ivf_index_ann_topk",

@@ -234,6 +234,69 @@ def delta_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_merge_dml_roundtrip",
+    oracle=f"""
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice
+               END AS price
+        FROM orders
+        WHERE (o_orderkey % 3 = 0 OR o_orderkey % 2 = 0)
+          AND o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_sum("price")} AS revenue
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Row-level DML on a FOREIGN Delta table end-to-end "
+        "(sources/delta_dml — the reference's silver MERGE shape, "
+        "db_notebooks/02_bronze_to_silver.py whenMatchedUpdateAll/"
+        "whenNotMatchedInsertAll, without delta-spark and without "
+        "converting the table): seed orders (key%3=0) through "
+        "format('delta'), MERGE a source of every even key (updates "
+        "reprice +1000, the rest insert), then a MERGE-ON-READ DELETE "
+        "of key%5=0 that writes real roaring deletion vectors instead "
+        "of rewriting files; the aggregate reads the final state back "
+        "through the format reader, DVs applied in-scan. A wrong byte "
+        "in file-pruned rewrite, CDC staging, DV framing, or the "
+        "remove+add replace spelling changes the oracle-checked "
+        "result. 100 TB: only files containing matched keys rewrite; "
+        "the MoR delete is O(deleted rows) bitmap bytes."
+    ),
+    tags=("table", "formats", "delta", "dml", "agg"),
+)
+def delta_merge_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        delete_delta,
+        merge_delta,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("delta_dml", sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.where(F.col("o_orderkey") % 3 == 0).write.format("delta").mode(
+        "overwrite"
+    ).save(path)
+    src = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merge_delta(spark, path, src, ["o_orderkey"])
+    delete_delta(spark, path, F.col("o_orderkey") % 5 == 0, mode="mor")
+    back = spark.read.format("delta").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(dec_sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
     "incremental_mart_maintenance",
     oracle="""
     SELECT o_orderstatus,

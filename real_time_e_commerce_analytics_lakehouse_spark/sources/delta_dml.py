@@ -1,0 +1,655 @@
+"""Row-level DML on FOREIGN Delta tables: MERGE / DELETE / UPDATE
+committed straight to a plain `_delta_log` — the reference's central
+silver-layer operation (db_notebooks/02_bronze_to_silver.py runs
+``DeltaTable.forPath(...).merge(...).whenMatchedUpdateAll()
+.whenNotMatchedInsertAll()`` per table) served without delta-spark and
+without converting the table to the engine's own format first.
+
+All three are COPY-ON-WRITE in the standard file-pruned shape:
+
+1. attribute every target row to its parquet file (one scan),
+2. find the files that actually contain affected rows (a distinct on
+   FILE names — bounded by file count, never row count),
+3. rewrite ONLY those files (kept rows + new row versions),
+4. one atomic commit: remove(old, dataChange=true) + add(new) — plus,
+   when the table sets ``delta.enableChangeDataFeed``, real ``cdc``
+   actions over `_change_data/` files carrying insert /
+   update_preimage / update_postimage / delete rows, so any CDF reader
+   (including this engine's own ``delta_changes`` and the
+   ``readChangeFeed`` format option) sees exact row-level images.
+
+``delete_delta(mode="mor")`` is the merge-on-read alternative: instead
+of rewriting files it WRITES deletion vectors (roaring bitmaps, the
+same from-spec codec the export path uses) and re-adds the files with
+their new DV descriptors — O(deleted rows) bitmap bytes, zero data
+rewrite; compaction (`optimize_delta`) later materializes them.
+
+At 100 TB: the scans and rewrites are executor-side Spark jobs; the
+driver handles file NAMES, bounded DV bitmaps, and one JSON commit.
+The one intentionally driver-held structure is a MoR delete's row-index
+bitmaps — bounded by rows deleted in that statement, the same contract
+as the engine's laketable MoR path.
+
+Protocol-tier refusals (loud): column-mapped tables (rewrites would
+need physical-name writes), appendOnly tables, CHECK invariants,
+unknown writer features — same gate as the ``delta`` format writer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+    _DELTA_DIR,
+    DeltaSnapshot,
+    _apply_deletion_vectors,
+    _commit_file,
+    _encode_path,
+    _num_records,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+    _delta_pval,
+    _guard_writable,
+    _pdir_segment,
+)
+
+_FILE = "__dml_file"  # rel-path attribution column during planning
+
+
+def _scan_with_file(
+    spark: SparkSession, path: str, snap: DeltaSnapshot
+) -> DataFrame:
+    """Snapshot scan with logical columns plus ``__dml_file`` (the
+    table-relative parquet file each row lives in). DV tombstones are
+    anti-joined out; partition columns restored typed via the same
+    broadcast file->values join read_delta_log uses."""
+    schema = snap.spark_schema()
+    if not snap.files:
+        return spark.createDataFrame(
+            [], schema.add(_FILE, "string")
+        )
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, p) for p in snap.files]
+    )
+    decoded = F.url_decode(
+        F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
+    )
+    df = df.withColumn("__dml_fp", decoded)
+    if snap.dvs:
+        df = _apply_deletion_vectors(df, snap, "__dml_fp")
+    rows = [
+        (os.path.abspath(os.path.join(path, rel)), rel)
+        + tuple(pvals.get(c) for c in snap.partition_cols)
+        for rel, pvals in snap.files.items()
+    ]
+    meta = spark.createDataFrame(
+        rows,
+        ", ".join(
+            ["__dml_path string", f"`{_FILE}` string"]
+            + [f"`__dml_{c}` string" for c in snap.partition_cols]
+        ),
+    )
+    joined = df.join(
+        F.broadcast(meta),
+        F.col("__dml_fp") == F.concat(F.lit("file:"), F.col("__dml_path")),
+        "left",
+    )
+    ptypes = {
+        f.name: f.dataType.simpleString()
+        for f in schema.fields
+        if f.name in snap.partition_cols
+    }
+    out = []
+    for f in schema.fields:
+        if f.name in snap.partition_cols:
+            out.append(
+                F.col(f"__dml_{f.name}").cast(ptypes[f.name]).alias(f.name)
+            )
+        elif f.name in df.columns:
+            out.append(F.col(f.name))
+        else:  # additive-evolution column absent from every file
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return joined.select(*out, F.col(_FILE))
+
+
+def _cdf_enabled(snap: DeltaSnapshot) -> bool:
+    cfg = getattr(snap, "configuration", None) or {}
+    return str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def _stage_data_files(
+    spark_df: DataFrame, path: str, pcols: list[str]
+) -> list[tuple[str, dict, int]]:
+    """Write a DataFrame's rows as new table data files (Hive layout
+    for partitioned tables) and adopt them under uuid names; returns
+    [(rel, partitionValues, numRecords)]. Executors write the bytes;
+    the driver renames."""
+    import uuid as _uuid
+
+    stage = os.path.join(path, f"_dml_tmp_{_uuid.uuid4().hex}")
+    w = spark_df.write
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(stage)
+    adds: list[tuple[str, dict, int]] = []
+    for dirpath, _dirs, files in os.walk(stage):
+        segs_raw = [
+            s
+            for s in os.path.relpath(dirpath, stage).split(os.sep)
+            if s and s != "."
+        ]
+        pvals: dict[str, str | None] = {}
+        for s in segs_raw:
+            col, _, raw = s.partition("=")
+            from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+                _unescape_hive,
+            )
+
+            v = _unescape_hive(raw)
+            pvals[col] = None if raw == "__HIVE_DEFAULT_PARTITION__" else v
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            segs = [
+                _pdir_segment(c, pvals[c]) for c in pcols
+            ]  # canonical escaping
+            os.makedirs(os.path.join(path, *segs), exist_ok=True)
+            rel = os.path.join(
+                *segs, f"part-{_uuid.uuid4().hex}.parquet"
+            ) if segs else f"part-{_uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(dirpath, fn), os.path.join(path, rel))
+            n = _num_records(os.path.join(path, rel))
+            if n == 0:
+                os.remove(os.path.join(path, rel))
+                continue
+            adds.append((rel, {c: pvals.get(c) for c in pcols}, n))
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return adds
+
+
+def _stage_cdc_files(
+    cdc_df: DataFrame, path: str
+) -> list[tuple[str, dict]]:
+    """Write `_change_data/` parquet files (rows carry _change_type)
+    and return [(rel, partitionValues)] for the cdc actions. Partition
+    values are left empty — cdc actions permit it and every reader
+    takes row values from the stored columns."""
+    import shutil
+    import uuid as _uuid
+
+    stage = os.path.join(path, f"_dml_cdc_tmp_{_uuid.uuid4().hex}")
+    cdc_df.write.parquet(stage)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    out: list[tuple[str, dict]] = []
+    for fn in sorted(os.listdir(stage)):
+        if not fn.endswith(".parquet"):
+            continue
+        src = os.path.join(stage, fn)
+        if _num_records(src) == 0:
+            continue
+        rel = os.path.join("_change_data", f"cdc-{_uuid.uuid4().hex}.parquet")
+        os.replace(src, os.path.join(path, rel))
+        out.append((rel, {}))
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _commit_dml(
+    path: str,
+    base_version: int,
+    removes: Sequence[tuple[str, dict | None]],
+    adds: Sequence[tuple[str, dict, int]],
+    cdcs: Sequence[tuple[str, dict]],
+    operation: str,
+    params: dict[str, str],
+    dv_readds: Sequence[tuple[str, dict, dict]] = (),
+) -> int:
+    """One atomic DML commit. ``removes``: (rel, old DV descriptor or
+    None); ``dv_readds``: (rel, partitionValues, new DV descriptor) for
+    MoR deletes (remove+add of the same path = the spec's DV-replace
+    spelling)."""
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    for rel, _dv in removes:
+        actions.append(
+            {
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel, pvals, n in adds:
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(rel),
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": n}),
+                }
+            }
+        )
+    for rel, pvals, dv in dv_readds:
+        abs_p = os.path.join(path, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(rel),
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(abs_p),
+                    "modificationTime": int(os.stat(abs_p).st_mtime * 1000),
+                    "dataChange": True,
+                    "deletionVector": dict(dv),
+                    "stats": json.dumps(
+                        {"numRecords": _num_records(abs_p),
+                         "tightBounds": False}
+                    ),
+                }
+            }
+        )
+    for rel, pvals in cdcs:
+        actions.append(
+            {
+                "cdc": {
+                    "path": _encode_path(rel),
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": operation,
+                "operationParameters": dict(params),
+            }
+        }
+    )
+    v = base_version + 1
+    target = _commit_file(path, v)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit at version {v}; re-run the statement"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return v
+
+
+def _prep(spark: SparkSession, path: str):
+    snap = DeltaSnapshot(path)
+    _guard_writable(snap, overwrite=True)  # DML removes files
+    if snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "DML on column-mapped tables would need physical-name "
+            "writes — use the engine API"
+        )
+    return snap
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    insert_only: bool = False,
+    guard_col: str | None = None,
+) -> dict:
+    """MERGE (upsert) ``source`` into a foreign Delta table on ``keys``
+    — whenMatchedUpdateAll + whenNotMatchedInsertAll, the reference's
+    exact silver shape; ``insert_only=True`` drops the update branch
+    (bronze file-idempotency), ``guard_col`` makes updates conditional
+    on ``source.guard >= target.guard`` (late-data protection, the
+    reference's event-time guard).
+
+    The source must be unique per key combination (checked with one
+    count — duplicate-key merges are nondeterministic in any engine).
+    Returns {"version", "files_rewritten", "rows_inserted",
+    "rows_updated"}."""
+    keys = list(keys)
+    snap = _prep(spark, path)
+    schema = snap.spark_schema()
+    cols = [f.name for f in schema.fields]
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks table columns {missing}")
+    src = source.select(*cols).persist()
+    dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+    if dup.count():
+        src.unpersist()
+        raise ValueError(
+            f"source is not unique on {keys} — deduplicate first "
+            "(e.g. keep-latest by event time)"
+        )
+    tgt = _scan_with_file(spark, path, snap)
+    inserts = src.join(tgt.select(*keys).distinct(), keys, "leftanti")
+    n_ins = inserts.count()
+    updated = kept = pre = post = None
+    n_upd = 0
+    affected: list[str] = []
+    if not insert_only:
+        if guard_col is not None:
+            # keys whose source row is at-or-after the target row:
+            # ONLY their files rewrite — a purely-stale batch touches
+            # nothing (late data must not churn files)
+            fresh_keys = (
+                src.alias("s")
+                .join(tgt.alias("t"), keys)
+                .filter(
+                    F.col(f"s.`{guard_col}`") >= F.col(f"t.`{guard_col}`")
+                )
+                .select(*keys)
+                .distinct()
+            )
+        else:
+            # matched keys only — insert keys must not reach the
+            # update branch (they'd double-count in new_rows)
+            fresh_keys = (
+                src.select(*keys)
+                .join(tgt.select(*keys).distinct(), keys, "leftsemi")
+                .distinct()
+            )
+        affected = [
+            r[_FILE]
+            for r in tgt.join(fresh_keys, keys, "leftsemi")
+            .select(_FILE)
+            .distinct()
+            .collect()
+        ]
+        if affected:
+            tgt_aff = tgt.filter(F.col(_FILE).isin(affected))
+            # kept = unmatched AND stale-matched rows of rewritten files
+            kept = tgt_aff.join(fresh_keys, keys, "leftanti").drop(_FILE)
+            updated = src.join(fresh_keys, keys, "leftsemi")
+            n_upd = updated.count()
+            pre_src = tgt_aff.join(fresh_keys, keys, "leftsemi").drop(_FILE)
+            pre = pre_src.withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = updated.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+    new_rows = (
+        inserts
+        if updated is None
+        else kept.unionByName(updated).unionByName(inserts)
+    )
+    pcols = list(snap.partition_cols)
+    adds = _stage_data_files(new_rows, path, pcols)
+    cdcs: list[tuple[str, dict]] = []
+    if _cdf_enabled(snap):
+        cdc = inserts.withColumn("_change_type", F.lit("insert"))
+        if pre is not None:
+            cdc = cdc.unionByName(pre).unionByName(post)
+        cdcs = _stage_cdc_files(cdc, path)
+    v = _commit_dml(
+        path,
+        snap.version,
+        [(rel, snap.dvs.get(rel)) for rel in affected],
+        adds,
+        cdcs,
+        "MERGE",
+        {"predicate": json.dumps(keys)},
+    )
+    src.unpersist()
+    return {
+        "version": v,
+        "files_rewritten": len(affected),
+        "rows_inserted": n_ins,
+        "rows_updated": n_upd,
+    }
+
+
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    mode: str = "cow",
+) -> dict:
+    """DELETE rows matching ``predicate`` (a Column or SQL string).
+
+    ``cow``: rewrite affected files without the matching rows.
+    ``mor``: write roaring deletion vectors and re-add the files with
+    their new descriptors — O(deleted rows) bitmap bytes, no rewrite;
+    `optimize_delta` materializes later. Emits cdc delete rows when the
+    table enables CDF (both modes)."""
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    snap = _prep(spark, path)
+    pcols = list(snap.partition_cols)
+    tgt = _scan_with_file(spark, path, snap)
+    doomed = tgt.filter(predicate)
+    if mode == "cow":
+        affected = [
+            r[_FILE] for r in doomed.select(_FILE).distinct().collect()
+        ]
+        if not affected:
+            return {"version": None, "rows_deleted": 0, "files": 0}
+        n_del = doomed.count()
+        kept = (
+            tgt.filter(F.col(_FILE).isin(affected))
+            .filter(~predicate)
+            .drop(_FILE)
+        )
+        adds = _stage_data_files(kept, path, pcols)
+        cdcs = (
+            _stage_cdc_files(
+                doomed.drop(_FILE).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                path,
+            )
+            if _cdf_enabled(snap)
+            else []
+        )
+        v = _commit_dml(
+            path,
+            snap.version,
+            [(rel, snap.dvs.get(rel)) for rel in affected],
+            adds,
+            cdcs,
+            "DELETE",
+            {"mode": "cow"},
+        )
+        return {"version": v, "rows_deleted": n_del, "files": len(affected)}
+    if mode != "mor":
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    # MoR: per-file deleted row indexes -> union with the existing DV
+    import uuid as _uuid
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        dv_payload,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.roaring import (
+        deserialize_rba,
+        serialize_rba,
+        write_dv_file,
+        z85_encode,
+    )
+
+    # re-scan with physical row indexes (the DV coordinate space)
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, p) for p in snap.files]
+    )
+    raw = raw.withColumn(
+        "__fp",
+        F.url_decode(
+            F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
+        ),
+    ).withColumn("__ridx", F.col("_metadata.row_index"))
+    if snap.dvs:
+        raw = _apply_deletion_vectors(raw, snap, "__fp")
+    if pcols:  # restore typed partition cols so the predicate can use them
+        rows = [
+            (os.path.abspath(os.path.join(path, rel)), rel)
+            + tuple(pvals.get(c) for c in pcols)
+            for rel, pvals in snap.files.items()
+        ]
+        meta = spark.createDataFrame(
+            rows,
+            ", ".join(
+                ["__p string", "__rel string"]
+                + [f"`__pm_{c}` string" for c in pcols]
+            ),
+        )
+        raw = raw.join(
+            F.broadcast(meta),
+            F.col("__fp") == F.concat(F.lit("file:"), F.col("__p")),
+            "left",
+        )
+        ptypes = {
+            f.name: f.dataType.simpleString()
+            for f in snap.spark_schema().fields
+            if f.name in pcols
+        }
+        for c in pcols:
+            raw = raw.withColumn(c, F.col(f"__pm_{c}").cast(ptypes[c]))
+    else:
+        rows = [
+            (os.path.abspath(os.path.join(path, rel)), rel)
+            for rel in snap.files
+        ]
+        meta = spark.createDataFrame(rows, "__p string, __rel string")
+        raw = raw.join(
+            F.broadcast(meta),
+            F.col("__fp") == F.concat(F.lit("file:"), F.col("__p")),
+            "left",
+        )
+    hit = (
+        raw.filter(predicate)
+        .groupBy("__rel")
+        .agg(
+            F.collect_list("__ridx").alias("idx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    if not hit:
+        return {"version": None, "rows_deleted": 0, "files": 0}
+    n_del = sum(r["n"] for r in hit)
+    payloads: list[bytes] = []
+    per_file: list[tuple[str, int]] = []  # rel, cardinality
+    for r in hit:
+        rel = r["__rel"]
+        old = set()
+        if snap.dvs.get(rel):
+            old = set(deserialize_rba(dv_payload(path, snap.dvs[rel])))
+        new = sorted(old | {int(i) for i in r["idx"]})
+        payloads.append(serialize_rba(new))
+        per_file.append((rel, len(new)))
+    img, offsets = write_dv_file(payloads)
+    dvu = _uuid.uuid4()
+    with open(
+        os.path.join(path, f"deletion_vector_{dvu}.bin"), "wb"
+    ) as f:
+        f.write(img)
+    poi = z85_encode(dvu.bytes)
+    dv_readds = [
+        (
+            rel,
+            dict(snap.files[rel]),
+            {
+                "storageType": "u",
+                "pathOrInlineDv": poi,
+                "offset": off,
+                "sizeInBytes": len(pl),
+                "cardinality": card,
+            },
+        )
+        for (rel, card), off, pl in zip(per_file, offsets, payloads)
+    ]
+    cdcs = (
+        _stage_cdc_files(
+            tgt.filter(predicate)
+            .drop(_FILE)
+            .withColumn("_change_type", F.lit("delete")),
+            path,
+        )
+        if _cdf_enabled(snap)
+        else []
+    )
+    v = _commit_dml(
+        path,
+        snap.version,
+        [(rel, snap.dvs.get(rel)) for rel, _card in per_file],
+        [],
+        cdcs,
+        "DELETE",
+        {"mode": "mor"},
+        dv_readds=dv_readds,
+    )
+    return {"version": v, "rows_deleted": n_del, "files": len(per_file)}
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict[str, Any],
+) -> dict:
+    """UPDATE SET col=expr WHERE predicate — copy-on-write rewrite of
+    the affected files; cdc update pre/post images when CDF is on."""
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    snap = _prep(spark, path)
+    cols = [f.name for f in snap.spark_schema().fields]
+    unknown = set(exprs) - set(cols)
+    if unknown:
+        raise ValueError(f"not table columns: {sorted(unknown)}")
+    tgt = _scan_with_file(spark, path, snap)
+    hits = tgt.filter(predicate)
+    affected = [r[_FILE] for r in hits.select(_FILE).distinct().collect()]
+    if not affected:
+        return {"version": None, "rows_updated": 0, "files": 0}
+    n_upd = hits.count()
+    aff = tgt.filter(F.col(_FILE).isin(affected))
+    updated = aff.filter(predicate)
+    for c, e in exprs.items():
+        updated = updated.withColumn(c, e.cast(dict(tgt.dtypes)[c]))
+    new_rows = aff.filter(~predicate).unionByName(updated).drop(_FILE)
+    adds = _stage_data_files(new_rows, path, list(snap.partition_cols))
+    cdcs: list[tuple[str, dict]] = []
+    if _cdf_enabled(snap):
+        pre = (
+            aff.filter(predicate)
+            .drop(_FILE)
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        post = updated.drop(_FILE).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        cdcs = _stage_cdc_files(pre.unionByName(post), path)
+    v = _commit_dml(
+        path,
+        snap.version,
+        [(rel, snap.dvs.get(rel)) for rel in affected],
+        adds,
+        cdcs,
+        "UPDATE",
+        {"columns": json.dumps(sorted(exprs))},
+    )
+    return {"version": v, "rows_updated": n_upd, "files": len(affected)}

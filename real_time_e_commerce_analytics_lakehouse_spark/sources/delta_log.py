@@ -158,6 +158,7 @@ class DeltaSnapshot:
         # committed epoch here; PROTOCOL.md "Transaction Identifiers")
         self.txns: dict[str, int] = {}
         self.protocol: dict | None = None
+        self.configuration: dict[str, str] = {}
         self.column_mapping_mode: str = "none"
         self.schema_json: dict | None = None
         self.partition_cols: list[str] = []
@@ -358,6 +359,7 @@ class DeltaSnapshot:
             self.schema_json = json.loads(m["schemaString"])
             self.partition_cols = list(m.get("partitionColumns", []))
             self.meta_id = m.get("id")
+            self.configuration = dict(m.get("configuration") or {})
             if cm_mode in ("name", "id"):
                 for f in self.schema_json.get("fields", []):
                     t = f.get("type")
@@ -1354,6 +1356,8 @@ def write_delta_checkpoint(path: str) -> int:
         "format": {"provider": "parquet"},
         "schemaString": json.dumps(snap.schema_json),
         "partitionColumns": list(snap.partition_cols),
+        # table properties survive the bootstrap (e.g. CDF enablement)
+        "configuration": dict(snap.configuration),
     }
     # replaying readers bootstrap their protocol from the checkpoint: it
     # must carry the log's ACTUAL protocol (a DV-tier log checkpointed
@@ -1558,7 +1562,7 @@ def restore_delta(path: str, version: int) -> int:
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": json.dumps(tgt.schema_json),
                     "partitionColumns": list(tgt.partition_cols),
-                    "configuration": {},
+                    "configuration": dict(tgt.configuration),
                 }
             }
         )

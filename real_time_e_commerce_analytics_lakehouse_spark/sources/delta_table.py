@@ -606,7 +606,14 @@ def _commit_table_change(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": json.dumps(schema_json),
                         "partitionColumns": list(partition_by),
-                        "configuration": {},
+                        # a re-emission (evolution/overwrite) must carry
+                        # the table's properties forward — dropping them
+                        # would silently disable e.g. CDF
+                        "configuration": (
+                            dict(snap.configuration)
+                            if snap is not None
+                            else {}
+                        ),
                         "createdTime": now,
                     }
                 }

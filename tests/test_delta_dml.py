@@ -1,0 +1,257 @@
+"""Row-level DML on foreign Delta tables (sources/delta_dml): MERGE /
+DELETE / UPDATE committed straight to a plain `_delta_log` — the
+reference's central silver operation (db_notebooks/02_bronze_to_silver
+.py: DeltaTable.merge whenMatchedUpdateAll/whenNotMatchedInsertAll,
+insert-only file idempotency, the event-time late-data guard) without
+delta-spark and without converting the table. Every statement is
+re-read through BOTH the format reader and the independent
+read_delta_log replay, and its change feed is pinned — including real
+cdc update pre/post images when the table enables CDF."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+    delete_delta,
+    merge_delta,
+    update_delta,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+    DeltaSnapshot,
+    delta_changes,
+    read_delta_log,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+    register,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _make_cdf_table(spark, path):
+    spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 7), (3, "c", 8)], "id long, v string, p long"
+    ).write.format("delta").option("partition_by", "p").mode(
+        "overwrite"
+    ).save(path)
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_merge_upsert_with_cdc_images(spark, tmp_path):
+    """whenMatchedUpdateAll + whenNotMatchedInsertAll: only files with
+    matched keys rewrite; CDF carries the exact insert + update
+    pre/post image rows; the format reader and the independent log
+    replay agree."""
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)
+    src = spark.createDataFrame(
+        [(2, "B", 7), (9, "z", 8)], "id long, v string, p long"
+    )
+    res = merge_delta(spark, p, src, ["id"])
+    assert res == {
+        "version": 1,
+        "files_rewritten": 1,
+        "rows_inserted": 1,
+        "rows_updated": 1,
+    }
+    want = [(1, "a", 7), (2, "B", 7), (3, "c", 8), (9, "z", 8)]
+    assert _rows(spark.read.format("delta").load(p)) == want
+    assert _rows(read_delta_log(spark, p).select("id", "v", "p")) == want
+    ch = sorted(
+        (r._change_type, r.id, r.v)
+        for r in delta_changes(spark, p, 1, 1).collect()
+    )
+    assert ch == [
+        ("insert", 9, "z"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
+    # duplicate-key sources refuse loudly
+    with pytest.raises(ValueError, match="not unique"):
+        merge_delta(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(5, "x", 7), (5, "y", 7)], "id long, v string, p long"
+            ),
+            ["id"],
+        )
+
+
+def test_merge_late_data_guard_zero_churn(spark, tmp_path):
+    """guard_col: a purely-stale batch rewrites NOTHING (late data must
+    not churn files); a mixed batch updates only the fresh key and
+    keeps the stale key's target row byte-identical."""
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)
+    v0 = DeltaSnapshot(p).version
+    stale = spark.createDataFrame(
+        [(1, "stale", 0)], "id long, v string, p long"
+    )
+    res = merge_delta(spark, p, stale, ["id"], guard_col="p")
+    assert res["files_rewritten"] == 0 and res["rows_updated"] == 0
+    assert DeltaSnapshot(p).version == v0 + 1  # versioned no-op commit
+    assert (1, "a", 7) in _rows(spark.read.format("delta").load(p))
+
+    mixed = spark.createDataFrame(
+        [(1, "x", 0), (2, "NEW", 9)], "id long, v string, p long"
+    )
+    res = merge_delta(spark, p, mixed, ["id"], guard_col="p")
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    got = _rows(spark.read.format("delta").load(p))
+    assert (1, "a", 7) in got and (2, "NEW", 9) in got and len(got) == 3
+
+
+def test_merge_insert_only_idempotent_replay(spark, tmp_path):
+    """insert_only: matched keys are untouched (no rewrite at all) —
+    replaying a batch inserts only its genuinely-new keys, the
+    reference's bronze file-idempotency shape."""
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)
+    batch = spark.createDataFrame(
+        [(1, "dup", 7), (50, "n", 7)], "id long, v string, p long"
+    )
+    res = merge_delta(spark, p, batch, ["id"], insert_only=True)
+    assert res["files_rewritten"] == 0 and res["rows_inserted"] == 1
+    got = _rows(spark.read.format("delta").load(p))
+    assert (1, "a", 7) in got and (50, "n", 7) in got and len(got) == 4
+    res2 = merge_delta(spark, p, batch, ["id"], insert_only=True)
+    assert res2["rows_inserted"] == 0
+    assert len(_rows(spark.read.format("delta").load(p))) == 4
+
+
+def test_update_and_delete_cow(spark, tmp_path):
+    """UPDATE SET + copy-on-write DELETE: affected files only; cdc
+    rows pinned for both."""
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)
+    res = update_delta(spark, p, "id = 1", {"v": "upper(v)"})
+    assert res["rows_updated"] == 1
+    ch = sorted(
+        (r._change_type, r.id, r.v)
+        for r in delta_changes(
+            spark, p, res["version"], res["version"]
+        ).collect()
+    )
+    assert ch == [
+        ("update_postimage", 1, "A"),
+        ("update_preimage", 1, "a"),
+    ]
+    res = delete_delta(spark, p, F.col("id") == 3, mode="cow")
+    assert res["rows_deleted"] == 1 and res["files"] == 1
+    assert _rows(spark.read.format("delta").load(p)) == [
+        (1, "A", 7), (2, "b", 7),
+    ]
+    ch = sorted(
+        (r._change_type, r.id)
+        for r in delta_changes(
+            spark, p, res["version"], res["version"]
+        ).collect()
+    )
+    assert ch == [("delete", 3)]
+    # no-match statements are versionless no-ops
+    assert delete_delta(spark, p, "id = 999")["version"] is None
+    assert update_delta(spark, p, "id = 999", {"v": "'x'"})["version"] is None
+
+
+def test_delete_mor_writes_deletion_vectors(spark, tmp_path):
+    """mode='mor': the file is NOT rewritten — a roaring DV is written
+    and the file re-added with its descriptor; a second MoR delete on
+    the same file UNIONS the bitmaps; reads through every path skip
+    exactly the tombstoned rows; optimize_delta later purges."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    ).coalesce(1).write.format("delta").mode("overwrite").save(p)
+    files_before = set(DeltaSnapshot(p).files)
+
+    res = delete_delta(spark, p, "id IN (2, 5)", mode="mor")
+    assert res["rows_deleted"] == 2 and res["files"] == 1
+    snap = DeltaSnapshot(p)
+    assert set(snap.files) == files_before  # same physical files
+    assert len(snap.dvs) == 1
+    assert next(iter(snap.dvs.values()))["cardinality"] == 2
+    want = [(i, f"v{i}") for i in range(10) if i not in (2, 5)]
+    assert _rows(spark.read.format("delta").load(p)) == want
+    assert _rows(read_delta_log(spark, p)) == want
+
+    res2 = delete_delta(spark, p, "id = 7", mode="mor")
+    snap2 = DeltaSnapshot(p)
+    assert next(iter(snap2.dvs.values()))["cardinality"] == 3  # unioned
+    want = [(i, f"v{i}") for i in range(10) if i not in (2, 5, 7)]
+    assert _rows(spark.read.format("delta").load(p)) == want
+    # change feed: ONLY the newly-deleted row, not the earlier two
+    ch = sorted(
+        (r._change_type, r.id)
+        for r in delta_changes(
+            spark, p, res2["version"], res2["version"]
+        ).collect()
+    )
+    assert ch == [("delete", 7)]
+
+    optimize_delta(spark, p)
+    assert not DeltaSnapshot(p).dvs
+    assert _rows(spark.read.format("delta").load(p)) == want
+
+
+def test_dml_guards(spark, tmp_path):
+    """Protocol-tier refusals: source missing table columns; DML on a
+    column-mapped table."""
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        merge_delta(
+            spark,
+            p,
+            spark.createDataFrame([(1,)], "id long"),
+            ["id"],
+        )
+    log = os.path.join(p, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"][
+                "delta.columnMapping.mode"
+            ] = "name"
+            sch = json.loads(a["metaData"]["schemaString"])
+            for i, f_ in enumerate(sch["fields"], start=1):
+                f_["metadata"] = {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": f_["name"],
+                }
+            a["metaData"]["schemaString"] = json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"].update(
+                minReaderVersion=2,
+                minWriterVersion=5,
+            )
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="column-mapped|physical"):
+        delete_delta(spark, str(p), "id = 1")
