@@ -107,11 +107,16 @@ WORKLOAD_CHANGES: dict[str, str] = {
     ),
     "lsh_candidate_pairs": (
         "r6 bench drains cache leases between runs; steady state now "
-        "recomputes the persisted minhash signatures — protocol change"
+        "recomputes the persisted minhash signatures — protocol change. "
+        "r7 adds the PAIR_BLOCK_CAP eager probe (~0.2 s: one cached "
+        "scan + a counts shuffle; measured in-plan spellings cost 3x "
+        "and were rejected)"
     ),
     "ngram_jaccard_pairs": (
         "r6 bench drains cache leases between runs; steady state now "
-        "recomputes the persisted shingle sets — protocol change"
+        "recomputes the persisted shingle sets — protocol change. "
+        "r7 adds the PAIR_BLOCK_CAP eager probe (~0.2 s, see "
+        "lsh_candidate_pairs)"
     ),
     "asof_last_click_before_purchase": (
         "r5 changed asof_join SEMANTICS (unannotated then — VERDICT r5 "
