@@ -110,13 +110,16 @@ GATE_ORDER = [
     "order_calendar_features",
     "q12_late_lines_by_priority_class",
     "q6_forecast_revenue_delta",
-    "incremental_mart_maintenance",
-    # the 'delta'/'dml' families' first driver rows (new r7): the
-    # format('delta') write/optimize/read roundtrip and foreign-Delta
-    # MERGE + MoR-DV DELETE. delta_change_feed / lang_doc_profile_pandas
-    # rotate out (both driver-green in r6; families stay covered).
+    # first driver rows for the new r7 families: the format('delta')
+    # write/optimize/read roundtrip, foreign-Delta MERGE + MoR-DV
+    # DELETE, and the Auto-Loader-shaped bronze ingestion (cloudFiles
+    # stream -> delta sink, exactly-once across two drains).
+    # delta_change_feed / lang_doc_profile_pandas /
+    # incremental_mart_maintenance rotate out (all driver-green in r6;
+    # their families stay covered).
     "delta_format_roundtrip",
     "delta_merge_dml_roundtrip",
+    "cloudfiles_bronze_roundtrip",
     # shipped adaptive-cell persistent IVF (new r7, VERDICT r6 next #6;
     # multimodal family keeps coverage via video_container_catalog)
     "ivf_index_ann_topk",

@@ -10,6 +10,8 @@ a plan that survives hot keys / avoids single-reducer stages at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -230,6 +232,108 @@ def delta_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_orders"),
         F.expr(dec_sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
+    "cloudfiles_bronze_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_sum("o_totalprice")} AS revenue,
+           CAST(count(DISTINCT source_file) AS BIGINT) AS n_source_files
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(1 AS BIGINT) AS source_file
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 2
+        FROM orders WHERE o_orderkey % 4 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "The reference's bronze ingestion END TO END — Auto Loader "
+        "shape (db_notebooks/01_bronze_csv_to_delta.py:33-55) with the "
+        "exact API strings: two CSV batches staged to a landing dir, "
+        "spark.readStream.format('cloudFiles') with schemaLocation "
+        "tracking + _metadata.file_path lineage, writeStream.format("
+        "'delta') availableNow with checkpoint — drained TWICE (the "
+        "second file arrives after the first drain, proving the ledger "
+        "offsets deliver exactly-once increments) — then the aggregate "
+        "reads the bronze Delta table back, counting distinct "
+        "source_file lineage values per group. A wrong byte in "
+        "discovery order, schema inference, offset resume, the "
+        "exactly-once sink txn, or lineage stamping changes the "
+        "oracle-checked result. 100 TB: discovery is one incremental "
+        "listing per trigger; each file is one executor InputPartition."
+    ),
+    tags=("table", "formats", "streaming", "cloudfiles", "agg"),
+)
+def cloudfiles_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from pyspark.sql.functions import col
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import (
+        cloudfiles,
+        delta_table,
+    )
+
+    cloudfiles.register(spark)
+    delta_table.register(spark)
+    root = _staging_dir("cloudfiles_bronze", sf_dir)
+    src = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ck")
+    tgt = os.path.join(root, "bronze")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def land(batch_no: int, df) -> None:
+        # one CSV file per batch: coalesce(1) keeps the lineage count
+        # deterministic (n_source_files in the oracle)
+        staged = os.path.join(root, f"stage{batch_no}")
+        df.coalesce(1).write.option("header", "true").csv(staged)
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".csv")
+        )
+        os.makedirs(src, exist_ok=True)
+        os.replace(
+            os.path.join(staged, part),
+            os.path.join(src, f"batch_{batch_no}.csv"),
+        )
+
+    def drain() -> None:
+        stream_df = (
+            spark.readStream.format("cloudFiles")
+            .option("cloudFiles.format", "csv")
+            .option("cloudFiles.schemaLocation", os.path.join(ckpt, "schema"))
+            .option("header", "true")
+            .option("inferSchema", "true")
+            .load(src)
+            .withColumn("source_file", col("_metadata.file_path"))
+            .drop("_metadata")
+        )
+        q = (
+            stream_df.writeStream.format("delta")
+            .option("checkpointLocation", os.path.join(ckpt, "checkpoint"))
+            .trigger(availableNow=True)
+            .start(tgt)
+        )
+        q.awaitTermination(120)
+        _time.sleep(0.2)
+
+    land(1, orders.where(F.col("o_orderkey") % 4 == 0))
+    drain()
+    land(2, orders.where(F.col("o_orderkey") % 4 == 1))
+    drain()
+
+    bronze = spark.read.format("delta").load(tgt)
+    return bronze.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(dec_sum("o_totalprice")).alias("revenue"),
+        F.countDistinct("source_file").cast("long").alias("n_source_files"),
     )
 
 
