@@ -307,43 +307,116 @@ def _prep(spark: SparkSession, path: str):
     return snap
 
 
+def _parse_equi_keys(condition: str) -> list[str]:
+    """Extract the key columns from an AND-chained equi-join condition
+    string like ``"t.order_id = s.order_id AND t.item = s.item"`` —
+    the only merge-condition shape the reference uses
+    (02_bronze_to_silver.py:69-72,337-343). The column name must match
+    on both sides; anything else refuses loudly."""
+    import re
+
+    pairs = re.findall(
+        r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", condition
+    )
+    residue = re.sub(
+        r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", "", condition
+    )
+    residue = re.sub(r"\bAND\b", "", residue, flags=re.I).strip()
+    if not pairs or residue:
+        raise NotImplementedError(
+            f"merge condition {condition!r} is not an AND-chain of "
+            "alias.col = alias.col equi-predicates; pass keys= "
+            "explicitly for richer conditions"
+        )
+    keys = []
+    for _a1, c1, _a2, c2 in pairs:
+        if c1 != c2:
+            raise NotImplementedError(
+                f"merge condition equates differently-named columns "
+                f"({c1} = {c2}); pass keys= explicitly"
+            )
+        keys.append(c1)
+    return keys
+
+
 def merge_delta(
     spark: SparkSession,
     path: str,
     source: DataFrame,
-    keys: Sequence[str],
+    keys: Sequence[str] | None = None,
     insert_only: bool = False,
     guard_col: str | None = None,
+    *,
+    condition: str | None = None,
+    matched_condition: str | None = None,
+    set_exprs: dict[str, str] | None = None,
+    target_alias: str = "t",
+    insert_when_not_matched: bool = True,
 ) -> dict:
-    """MERGE (upsert) ``source`` into a foreign Delta table on ``keys``
-    — whenMatchedUpdateAll + whenNotMatchedInsertAll, the reference's
-    exact silver shape; ``insert_only=True`` drops the update branch
-    (bronze file-idempotency), ``guard_col`` makes updates conditional
-    on ``source.guard >= target.guard`` (late-data protection, the
-    reference's event-time guard).
+    """MERGE ``source`` into a foreign Delta table — the reference's
+    silver shapes (db_notebooks/02_bronze_to_silver.py):
 
-    The source must be unique per key combination (checked with one
-    count — duplicate-key merges are nondeterministic in any engine).
+    - default: whenMatchedUpdateAll + whenNotMatchedInsertAll on
+      ``keys``;
+    - ``insert_only=True``: drop the update branch (bronze
+      file-idempotency);
+    - ``guard_col``: update only when ``source.g >= target.g``;
+    - ``matched_condition``: an arbitrary boolean SQL condition over
+      the target (qualified by ``target_alias``) and the source
+      (qualified by ITS OWN DataFrame alias — pass
+      ``source.alias("source")`` like the notebooks do), e.g.
+      ``"source.ingestion_ts > target.ingestion_ts"``;
+    - ``set_exprs``: whenMatchedUpdate(set=...) — {table column:
+      SQL expr over both aliases}; unassigned columns keep the target
+      value. Without it, a matched update takes ALL columns from the
+      source row;
+    - ``condition``: the equi-join condition string (keys parsed from
+      it when ``keys`` is None);
+    - ``insert_when_not_matched=False``: matched-only merge.
+
+    Only files containing rows whose match passes the condition are
+    rewritten — a purely-stale batch rewrites nothing. The source must
+    be unique per key combination (checked with one count —
+    duplicate-key merges are nondeterministic in any engine).
     Returns {"version", "files_rewritten", "rows_inserted",
     "rows_updated"}."""
+    if keys is None:
+        if condition is None:
+            raise ValueError("pass keys= or condition=")
+        keys = _parse_equi_keys(condition)
     keys = list(keys)
     snap = _prep(spark, path)
     schema = snap.spark_schema()
     cols = [f.name for f in schema.fields]
-    missing = [c for c in cols if c not in source.columns]
+    # with set_exprs the update takes unassigned columns from the
+    # TARGET, so the source only has to cover the keys (plus whatever
+    # the exprs reference) — unless InsertAll still needs every column
+    need = cols if (set_exprs is None or insert_when_not_matched) else keys
+    missing = [c for c in need if c not in source.columns]
     if missing:
         raise ValueError(f"source lacks table columns {missing}")
-    src = source.select(*cols).persist()
-    dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+    # NOTE: with set_exprs the source is used UN-projected — a select()
+    # would strip the caller's DataFrame alias and break qualified
+    # references like "source.ingestion_ts" in the exprs
+    src = source.select(*cols).persist() if set_exprs is None else source
+    probe = src.select(*keys)
+    dup = probe.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
     if dup.count():
-        src.unpersist()
+        if set_exprs is None:
+            src.unpersist()
         raise ValueError(
             f"source is not unique on {keys} — deduplicate first "
             "(e.g. keep-latest by event time)"
         )
     tgt = _scan_with_file(spark, path, snap)
-    inserts = src.join(tgt.select(*keys).distinct(), keys, "leftanti")
-    n_ins = inserts.count()
+    inserts = (
+        src.select(*cols).join(
+            tgt.select(*keys).distinct(), keys, "leftanti"
+        )
+        if insert_when_not_matched
+        else None
+    )
+    n_ins = inserts.count() if inserts is not None else 0
     updated = kept = pre = post = None
     n_upd = 0
     affected: list[str] = []
@@ -361,6 +434,11 @@ def merge_delta(
                 .select(*keys)
                 .distinct()
             )
+        elif matched_condition is not None or set_exprs is not None:
+            joined = tgt.alias(target_alias).join(src, keys)
+            if matched_condition is not None:
+                joined = joined.filter(F.expr(matched_condition))
+            fresh_keys = joined.select(*keys).distinct()
         else:
             # matched keys only — insert keys must not reach the
             # update branch (they'd double-count in new_rows)
@@ -380,7 +458,39 @@ def merge_delta(
             tgt_aff = tgt.filter(F.col(_FILE).isin(affected))
             # kept = unmatched AND stale-matched rows of rewritten files
             kept = tgt_aff.join(fresh_keys, keys, "leftanti").drop(_FILE)
-            updated = src.join(fresh_keys, keys, "leftsemi")
+            if set_exprs is not None:
+                unknown = set(set_exprs) - set(cols)
+                if unknown:
+                    raise ValueError(
+                        f"set assigns non-table columns: {sorted(unknown)}"
+                    )
+                types = {f.name: f.dataType.simpleString()
+                         for f in schema.fields}
+                fresh_joined = (
+                    tgt_aff.alias(target_alias)
+                    .join(src, keys)
+                    .join(fresh_keys, keys, "leftsemi")
+                )
+                if matched_condition is not None:
+                    fresh_joined = fresh_joined.filter(
+                        F.expr(matched_condition)
+                    )
+                updated = fresh_joined.select(
+                    *[
+                        F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                        if c in set_exprs
+                        else (
+                            F.col(c)  # key cols: coalesced by the join
+                            if c in keys
+                            else F.expr(f"{target_alias}.`{c}`").alias(c)
+                        )
+                        for c in cols
+                    ]
+                )
+            else:
+                updated = src.select(*cols).join(
+                    fresh_keys, keys, "leftsemi"
+                )
             n_upd = updated.count()
             pre_src = tgt_aff.join(fresh_keys, keys, "leftsemi").drop(_FILE)
             pre = pre_src.withColumn(
@@ -389,19 +499,36 @@ def merge_delta(
             post = updated.withColumn(
                 "_change_type", F.lit("update_postimage")
             )
-    new_rows = (
-        inserts
-        if updated is None
-        else kept.unionByName(updated).unionByName(inserts)
-    )
+    pieces = [
+        p
+        for p in (
+            kept,
+            updated,
+            inserts if inserts is not None else None,
+        )
+        if p is not None
+    ]
+    if not pieces:
+        pieces = [spark.createDataFrame([], schema)]
+    new_rows = pieces[0]
+    for p in pieces[1:]:
+        new_rows = new_rows.unionByName(p)
     pcols = list(snap.partition_cols)
     adds = _stage_data_files(new_rows, path, pcols)
     cdcs: list[tuple[str, dict]] = []
     if _cdf_enabled(snap):
-        cdc = inserts.withColumn("_change_type", F.lit("insert"))
+        parts = []
+        if inserts is not None:
+            parts.append(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
         if pre is not None:
-            cdc = cdc.unionByName(pre).unionByName(post)
-        cdcs = _stage_cdc_files(cdc, path)
+            parts.extend([pre, post])
+        if parts:
+            cdc = parts[0]
+            for p in parts[1:]:
+                cdc = cdc.unionByName(p)
+            cdcs = _stage_cdc_files(cdc, path)
     v = _commit_dml(
         path,
         snap.version,
@@ -411,7 +538,8 @@ def merge_delta(
         "MERGE",
         {"predicate": json.dumps(keys)},
     )
-    src.unpersist()
+    if set_exprs is None:
+        src.unpersist()
     return {
         "version": v,
         "files_rewritten": len(affected),

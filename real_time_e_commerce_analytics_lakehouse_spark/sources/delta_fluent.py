@@ -1,0 +1,201 @@
+"""Fluent ``DeltaTable`` facade over the foreign-Delta DML layer — the
+``delta.tables`` API shape the reference's silver notebooks are written
+against (db_notebooks/02_bronze_to_silver.py:9,65-87: ``DeltaTable
+.forPath(spark, path).alias("target").merge(src.alias("source"),
+"target.k = source.k").whenMatchedUpdate(condition=..., set=...)
+.whenNotMatchedInsertAll().execute()``), served without delta-spark:
+swap the import line
+
+    from delta.tables import DeltaTable
+
+for
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import DeltaTable
+
+and the notebook's merge / delete / update / isDeltaTable / toDF blocks
+run unchanged against any plain `_delta_log` table. Execution is
+sources/delta_dml's file-pruned copy-on-write (only files containing
+condition-passing matches rewrite; cdc actions emitted when the table
+enables CDF).
+
+Supported clause matrix — exactly the reference's usage plus the
+obvious neighbors; anything else refuses loudly rather than
+approximating: one ``whenMatchedUpdate(condition=?, set=?)`` OR
+``whenMatchedUpdateAll(condition=?)``, plus one
+``whenNotMatchedInsertAll()``; ``delete(condition)``;
+``update(condition, set)``; ``vacuum(retentionHours)``;
+``optimizeCompaction()`` / ``history()`` conveniences."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_dml
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+    _DELTA_DIR,
+    read_delta_log,
+)
+
+
+class DeltaMergeBuilder:
+    def __init__(self, table: "DeltaTable", source: DataFrame, condition: str):
+        self._table = table
+        self._source = source
+        self._condition = condition
+        self._matched: dict[str, Any] | None = None
+        self._insert_all = False
+
+    def _one_matched(self) -> None:
+        if self._matched is not None:
+            raise NotImplementedError(
+                "only one whenMatched clause is supported (the "
+                "reference uses exactly one)"
+            )
+
+    def whenMatchedUpdate(
+        self, condition: str | None = None, set: dict[str, str] | None = None
+    ) -> "DeltaMergeBuilder":
+        self._one_matched()
+        if not set:
+            raise ValueError("whenMatchedUpdate requires set={...}")
+        self._matched = {"condition": condition, "set": dict(set)}
+        return self
+
+    def whenMatchedUpdateAll(
+        self, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        self._one_matched()
+        self._matched = {"condition": condition, "set": None}
+        return self
+
+    def whenMatchedDelete(self, condition: str | None = None):
+        raise NotImplementedError(
+            "whenMatchedDelete is not implemented — use "
+            "delete_delta / DeltaTable.delete for predicate deletes"
+        )
+
+    def whenNotMatchedInsertAll(self) -> "DeltaMergeBuilder":
+        self._insert_all = True
+        return self
+
+    def execute(self) -> dict:
+        m = self._matched
+        return delta_dml.merge_delta(
+            self._table._spark,
+            self._table._path,
+            self._source,
+            condition=self._condition,
+            insert_only=(m is None),
+            matched_condition=m["condition"] if m else None,
+            set_exprs=m["set"] if m else None,
+            target_alias=self._table._alias,
+            insert_when_not_matched=self._insert_all,
+        )
+
+
+class DeltaTable:
+    """Path-addressed Delta table handle (``forPath``), mirroring the
+    delta.tables surface the reference uses."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark = spark
+        self._path = path
+        self._alias = "t"
+
+    # ------------------------------------------------------- constructors
+    @classmethod
+    def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+        if not cls.isDeltaTable(spark, path):
+            raise ValueError(f"{path} is not a Delta table (no _delta_log)")
+        return cls(spark, path)
+
+    @staticmethod
+    def isDeltaTable(spark: SparkSession, path: str) -> bool:
+        log = os.path.join(path, _DELTA_DIR)
+        try:
+            return any(
+                f.endswith(".json") or f.endswith(".checkpoint.parquet")
+                for f in os.listdir(log)
+            )
+        except OSError:
+            return False
+
+    # ------------------------------------------------------------- verbs
+    def alias(self, name: str) -> "DeltaTable":
+        out = DeltaTable(self._spark, self._path)
+        out._alias = name
+        return out
+
+    def toDF(self) -> DataFrame:
+        return read_delta_log(self._spark, self._path)
+
+    def merge(self, source: DataFrame, condition: str) -> DeltaMergeBuilder:
+        return DeltaMergeBuilder(self, source, condition)
+
+    def delete(self, condition: str | None = None) -> dict:
+        return delta_dml.delete_delta(
+            self._spark, self._path, condition if condition else "true"
+        )
+
+    def update(self, condition: str, set: dict[str, str]) -> dict:
+        return delta_dml.update_delta(self._spark, self._path, condition, set)
+
+    def vacuum(self, retentionHours: float = 168.0) -> list[str]:
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            vacuum_delta,
+        )
+
+        return vacuum_delta(self._path, retention_hours=retentionHours)
+
+    def optimizeCompaction(self, zorder_by: list[str] | None = None) -> dict:
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            optimize_delta,
+        )
+
+        return optimize_delta(self._spark, self._path, zorder_by=zorder_by)
+
+    def restoreToVersion(self, version: int) -> int:
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            restore_delta,
+        )
+
+        return restore_delta(self._path, version)
+
+    def history(self) -> DataFrame:
+        """One row per commit: version, timestamp, operation,
+        operationParameters — from commitInfo actions."""
+        import json as _json
+
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            _commit_file,
+        )
+
+        log = os.path.join(self._path, _DELTA_DIR)
+        rows = []
+        for fn in sorted(os.listdir(log)):
+            if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+                continue
+            v = int(fn.split(".")[0])
+            op, ts, params = None, None, None
+            with open(_commit_file(self._path, v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = _json.loads(line)
+                    if a.get("commitInfo"):
+                        ci = a["commitInfo"]
+                        op = ci.get("operation")
+                        ts = ci.get("timestamp")
+                        params = _json.dumps(
+                            ci.get("operationParameters") or {}
+                        )
+            rows.append((v, ts, op, params))
+        return self._spark.createDataFrame(
+            rows,
+            "version long, timestamp long, operation string, "
+            "operationParameters string",
+        )

@@ -255,3 +255,137 @@ def test_dml_guards(spark, tmp_path):
             f.write(json.dumps(a) + "\n")
     with pytest.raises(NotImplementedError, match="column-mapped|physical"):
         delete_delta(spark, str(p), "id = 1")
+
+
+def test_fluent_delta_table_reference_merge_block(spark, tmp_path):
+    """The delta.tables-shaped facade (sources/delta_fluent): the
+    reference's silver merge block (02_bronze_to_silver.py:65-87 —
+    alias target/source, whenMatchedUpdate with a strict-greater
+    ingestion_ts condition and explicit set, whenNotMatchedInsertAll)
+    runs with only the import changed. Conditional semantics pinned:
+    fresher source row updates, stale source row leaves the target
+    row byte-identical, new key inserts."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    p = str(tmp_path / "silver")
+    spark.createDataFrame(
+        [(1, "rio", 100), (2, "sp", 100)],
+        "customer_id long, customer_city string, ingestion_ts long",
+    ).write.format("delta").mode("overwrite").save(p)
+    assert DeltaTable.isDeltaTable(spark, p)
+    assert not DeltaTable.isDeltaTable(spark, str(tmp_path))
+
+    src = spark.createDataFrame(
+        [(1, "rio-updated", 200), (2, "sp-stale", 50), (3, "bh", 150)],
+        "customer_id long, customer_city string, ingestion_ts long",
+    )
+    silver_table = DeltaTable.forPath(spark, p)
+    res = (
+        silver_table.alias("target")
+        .merge(
+            src.alias("source"),
+            "target.customer_id = source.customer_id",
+        )
+        .whenMatchedUpdate(
+            condition="source.ingestion_ts > target.ingestion_ts",
+            set={
+                "customer_city": "source.customer_city",
+                "ingestion_ts": "source.ingestion_ts",
+            },
+        )
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    assert _rows(spark.read.format("delta").load(p)) == [
+        (1, "rio-updated", 200),
+        (2, "sp", 100),  # stale source row: target untouched
+        (3, "bh", 150),
+    ]
+
+    # whenMatchedUpdateAll with a guard condition
+    res2 = (
+        DeltaTable.forPath(spark, p)
+        .alias("t")
+        .merge(
+            spark.createDataFrame(
+                [(2, "sp-new", 300)],
+                "customer_id long, customer_city string, ingestion_ts long",
+            ).alias("s"),
+            "t.customer_id = s.customer_id",
+        )
+        .whenMatchedUpdateAll(condition="s.ingestion_ts > t.ingestion_ts")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert res2["rows_updated"] == 1
+    assert (2, "sp-new", 300) in _rows(spark.read.format("delta").load(p))
+
+    # verbs: delete / update / toDF / history
+    DeltaTable.forPath(spark, p).delete("customer_id = 3")
+    DeltaTable.forPath(spark, p).update(
+        "customer_id = 1", {"customer_city": "upper(customer_city)"}
+    )
+    assert _rows(DeltaTable.forPath(spark, p).toDF()) == [
+        (1, "RIO-UPDATED", 200),
+        (2, "sp-new", 300),
+    ]
+    ops = [r.operation for r in DeltaTable.forPath(spark, p).history().collect()]
+    assert ops == ["OVERWRITE", "MERGE", "MERGE", "DELETE", "UPDATE"]
+
+    # refusals: richer conditions, a second whenMatched, matched-delete
+    b = DeltaTable.forPath(spark, p).merge(src.alias("source"), "target.customer_id = source.customer_id")
+    with pytest.raises(NotImplementedError, match="whenMatchedDelete"):
+        b.whenMatchedDelete()
+    b2 = (
+        DeltaTable.forPath(spark, p)
+        .alias("target")
+        .merge(src.alias("source"), "target.customer_id < source.customer_id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+    )
+    with pytest.raises(NotImplementedError, match="equi"):
+        b2.execute()
+
+
+def test_merge_insert_only_via_facade_and_matched_only(spark, tmp_path):
+    """whenNotMatchedInsertAll alone = insert-only (bronze
+    file-idempotency, 01_bronze_csv_to_delta.py:60-69); a matched-only
+    merge (no insert clause) never inserts."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    p = str(tmp_path / "bronze")
+    spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    ).write.format("delta").mode("overwrite").save(p)
+    batch = spark.createDataFrame(
+        [(1, "dup"), (2, "new")], "id long, v string"
+    )
+    res = (
+        DeltaTable.forPath(spark, p)
+        .alias("t")
+        .merge(batch.alias("s"), "t.id = s.id")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert res["rows_inserted"] == 1 and res["files_rewritten"] == 0
+    assert _rows(spark.read.format("delta").load(p)) == [(1, "a"), (2, "new")]
+
+    res2 = (
+        DeltaTable.forPath(spark, p)
+        .alias("t")
+        .merge(
+            spark.createDataFrame([(2, "NEW2"), (9, "x")], "id long, v string").alias("s"),
+            "t.id = s.id",
+        )
+        .whenMatchedUpdateAll()
+        .execute()  # no insert clause: matched-only
+    )
+    assert res2["rows_updated"] == 1 and res2["rows_inserted"] == 0
+    assert _rows(spark.read.format("delta").load(p)) == [
+        (1, "a"), (2, "NEW2"),
+    ]
