@@ -228,7 +228,11 @@ def _commit_dml(
                 }
             }
         )
-    for rel, pvals, n in adds:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        delta_file_stats,
+    )
+
+    for rel, pvals, _n in adds:
         actions.append(
             {
                 "add": {
@@ -237,7 +241,7 @@ def _commit_dml(
                     "size": os.path.getsize(os.path.join(path, rel)),
                     "modificationTime": now,
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": n}),
+                    "stats": delta_file_stats(os.path.join(path, rel)),
                 }
             }
         )

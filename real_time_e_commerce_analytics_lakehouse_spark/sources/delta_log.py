@@ -157,6 +157,10 @@ class DeltaSnapshot:
         # idempotent-writer ledger (streaming sinks record their last
         # committed epoch here; PROTOCOL.md "Transaction Identifiers")
         self.txns: dict[str, int] = {}
+        # {rel path: parsed add.stats dict} for files whose add carries
+        # one (numRecords / minValues / maxValues / nullCount) — the
+        # data-skipping input
+        self.stats: dict[str, dict] = {}
         self.protocol: dict | None = None
         self.configuration: dict[str, str] = {}
         self.column_mapping_mode: str = "none"
@@ -377,6 +381,18 @@ class DeltaSnapshot:
             a = action["add"]
             rel = _decode_path(a["path"])
             self.files[rel] = dict(a.get("partitionValues") or {})
+            raw_stats = a.get("stats")
+            if raw_stats:
+                try:
+                    self.stats[rel] = (
+                        json.loads(raw_stats)
+                        if isinstance(raw_stats, str)
+                        else dict(raw_stats)
+                    )
+                except (ValueError, TypeError):
+                    self.stats.pop(rel, None)
+            else:
+                self.stats.pop(rel, None)
             dv = a.get("deletionVector")
             # a re-add REPLACES the file's DV state: with a new
             # descriptor when present, or clearing it (Delta writers
@@ -389,6 +405,7 @@ class DeltaSnapshot:
             rel = _decode_path(action["remove"]["path"])
             self.files.pop(rel, None)
             self.dvs.pop(rel, None)
+            self.stats.pop(rel, None)
         if "txn" in action and action["txn"]:
             t = action["txn"]
             if t.get("appId") is not None and t.get("version") is not None:
@@ -1294,15 +1311,20 @@ def export_delta_log(table: LakeTable) -> int:
             "modificationTime": int(stat.st_mtime * 1000),
             "dataChange": True,
         }
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+            delta_file_stats,
+        )
+
         if rel in dv_desc:
             add["deletionVector"] = dv_desc[rel]
-            # numRecords stays the file's PHYSICAL row count; the spec
+            # numRecords stays the file's PHYSICAL row count (so are
+            # the min/max, which remain valid outer bounds); the spec
             # requires tightBounds=false whenever a DV is attached
-            add["stats"] = json.dumps(
-                {"numRecords": _num_records(abs_p), "tightBounds": False}
-            )
+            st = json.loads(delta_file_stats(abs_p))
+            st["tightBounds"] = False
+            add["stats"] = json.dumps(st)
         else:
-            add["stats"] = json.dumps({"numRecords": _num_records(abs_p)})
+            add["stats"] = delta_file_stats(abs_p)
         actions.append({"add": add})
     actions.append(
         {
@@ -1748,7 +1770,11 @@ def optimize_delta(
                 }
             }
         )
-    for rel, pvals, n_rows, _size in new_adds:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        delta_file_stats,
+    )
+
+    for rel, pvals, _n_rows, _size in new_adds:
         actions.append(
             {
                 "add": {
@@ -1757,7 +1783,7 @@ def optimize_delta(
                     "size": _size,
                     "modificationTime": now,
                     "dataChange": False,
-                    "stats": json.dumps({"numRecords": n_rows}),
+                    "stats": delta_file_stats(os.path.join(path, rel)),
                 }
             }
         )

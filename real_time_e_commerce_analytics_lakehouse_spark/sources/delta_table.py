@@ -125,6 +125,97 @@ def _pdir_segment(col: str, canon: str | None) -> str:
     return f"{col}={quote(canon, safe='')}"
 
 
+def delta_file_stats(file_path: str) -> str:
+    """Delta ``add.stats`` JSON for a freshly-written parquet file:
+    numRecords + minValues/maxValues/nullCount from the parquet footer
+    (PROTOCOL.md "Per-file Statistics") — the data-skipping input for
+    every Delta reader, including this module's own stats-pruned scan.
+
+    Exactness over coverage: a column is included only when its
+    serialization is unambiguous and the footer min/max are exact —
+    ints, floats (NaN-free), bools, date32 (ISO date), timestamps
+    (UTC ISO-8601 'Z'), and strings up to 64 chars (parquet may
+    truncate longer footer stats, and Delta's truncated-max contract
+    needs the increment-last-char trick — omitted rather than risked).
+    A reader treats a missing column as "no stats": never wrong, just
+    unpruned."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    sch = md.schema.to_arrow_schema()
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    skip: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in skip:  # nested: skip
+                continue
+            st = col.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or st.min is None
+                or st.max is None
+            ):
+                skip.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    skip.add(name)
+                    continue
+            if isinstance(lo, str) and (len(lo) > 64 or len(hi) > 64):
+                skip.add(name)
+                continue
+            if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN
+                skip.add(name)
+                continue
+            if name not in mins or _stat_lt(lo, mins[name]):
+                mins[name] = lo
+            if name not in maxs or _stat_lt(maxs[name], hi):
+                maxs[name] = hi
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                skip.add(name)
+    for name in skip:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+
+    def ser(v):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat(timespec="milliseconds") + "Z"
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
+
+    doc: dict[str, Any] = {"numRecords": md.num_rows}
+    if mins:
+        doc["minValues"] = {k: ser(v) for k, v in mins.items()}
+        doc["maxValues"] = {k: ser(v) for k, v in maxs.items()}
+        doc["nullCount"] = {k: int(nulls.get(k, 0)) for k in mins}
+    _ = sch  # arrow schema kept for future logical-type checks
+    return json.dumps(doc)
+
+
+def _stat_lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
 # --------------------------------------------------------------------------
 # shared executor-side scan: one live parquet file -> table-schema batches
 # --------------------------------------------------------------------------
@@ -161,6 +252,9 @@ class _SliceScanMixin:
             _parse_partition_value,
         )
 
+        if partition is None or not partition.file:
+            # everything pruned: the one sentinel slice yields no rows
+            return
         part = dict(partition.partition)
         extra = dict(partition.extra)
         want_phys = [
@@ -213,29 +307,72 @@ class _SliceScanMixin:
 # --------------------------------------------------------------------------
 
 
+def _stat_typed(v, simple_type: str | None):
+    """Parse one add.stats min/max JSON value into the python type the
+    pushed filter value compares against."""
+    import datetime as _dt
+
+    if simple_type == "date":
+        return _dt.date.fromisoformat(v)
+    if simple_type and simple_type.startswith("timestamp"):
+        s = str(v)
+        if s.endswith("Z"):
+            s = s[:-1]
+        return _dt.datetime.fromisoformat(s)
+    return v
+
+
 class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
-    """Snapshot / time-travel scan. Partition pruning: EqualTo / In /
-    IsNull filters on partition columns drop files driver-side (zero
-    I/O); all filters are reported back as "still needs Spark", so
-    double-application keeps exactness."""
+    """Snapshot / time-travel scan with driver-side (zero I/O) file
+    skipping on BOTH metadata tiers:
+
+    - partition pruning: EqualTo / In / IsNull on partition columns
+      against add.partitionValues;
+    - stats skipping: comparison / IN / null-ness filters on data
+      columns against add.stats minValues/maxValues/nullCount (the
+      footer stats this module's writers emit) — a file whose range
+      cannot satisfy the predicate is never opened. DV-bearing files'
+      physical bounds remain valid OUTER bounds (tightBounds=false),
+      so skipping stays exact.
+
+    All filters are reported back as "still needs Spark": pruning is a
+    strict subset operation, double-application keeps exactness."""
 
     def __init__(self, path: str, schema: StructType, version: int | None):
         snap = DeltaSnapshot(path, version)
         self.schema = schema
         self._phys = snap.resolved_physical_names(path)
-        self._ptypes = {
+        self._dtypes = {
             f.name: f.dataType.simpleString()
             for f in snap.spark_schema().fields
-            if f.name in snap.partition_cols
+        }
+        self._ptypes = {
+            c: self._dtypes[c]
+            for c in snap.partition_cols
+            if c in self._dtypes
         }
         # logical partition cols; add.partitionValues keys are PHYSICAL
         self._pcols = list(snap.partition_cols)
         self._path = path
         self._files = dict(snap.files)
         self._dvs = dict(snap.dvs)
+        self._fstats = dict(snap.stats)
         self._keep: dict[str, set] = {}  # canon-value allowlist per col
+        self._stat_filters: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        comparable = (
+            EqualTo, In, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual,
+        )
         for flt in filters:
             attr = getattr(flt, "attribute", None)
             col = attr[0] if attr is not None and len(attr) == 1 else None
@@ -253,7 +390,45 @@ class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
                         self._keep.setdefault(col, set()).add(None)
                 except ValueError:
                     pass  # non-canonical value type: no pruning, still exact
+            elif col is not None and isinstance(
+                flt, comparable + (IsNull, IsNotNull)
+            ):
+                self._stat_filters.append(flt)
             yield flt  # Spark re-applies everything: pruning only
+
+    def _stats_may_match(self, stats: dict | None) -> bool:
+        from pyspark.sql.datasource import IsNotNull
+
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.pyds import (
+            _range_may_match,
+        )
+
+        if not stats:
+            return True
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        n = stats.get("numRecords")
+        for flt in self._stat_filters:
+            col = flt.attribute[0]
+            if isinstance(flt, IsNull):
+                if col in nulls and nulls[col] == 0:
+                    return False
+                continue
+            if isinstance(flt, IsNotNull):
+                if col in nulls and n is not None and nulls[col] == n:
+                    return False
+                continue
+            if col not in mins or col not in maxs:
+                continue
+            try:
+                lo = _stat_typed(mins[col], self._dtypes.get(col))
+                hi = _stat_typed(maxs[col], self._dtypes.get(col))
+                if not _range_may_match(lo, hi, flt):
+                    return False
+            except Exception:
+                continue  # unparseable/incomparable: no pruning, exact
+        return True
 
     def partitions(self) -> list[InputPartition]:
         out = []
@@ -267,6 +442,10 @@ class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
                 for c, allowed in self._keep.items()
             ):
                 continue
+            if self._stat_filters and not self._stats_may_match(
+                self._fstats.get(rel)
+            ):
+                continue
             out.append(
                 _TableSlice(
                     file=os.path.join(self._path, rel),
@@ -278,6 +457,10 @@ class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
                     ),
                 )
             )
+        if not out:
+            # Spark's Python source path requires >= 1 input partition;
+            # an all-pruned scan ships one sentinel that yields nothing
+            out.append(_TableSlice(file="", partition=()))
         return out
 
 
@@ -639,7 +822,7 @@ def _commit_table_change(
                         }
                     }
                 )
-        for rel, pvals, n_rows in adds:
+        for rel, pvals, _n_rows in adds:
             abs_p = os.path.join(path, rel)
             actions.append(
                 {
@@ -651,7 +834,9 @@ def _commit_table_change(
                             os.stat(abs_p).st_mtime * 1000
                         ),
                         "dataChange": True,
-                        "stats": json.dumps({"numRecords": n_rows}),
+                        # numRecords + footer min/max: the data-skipping
+                        # input for every Delta reader
+                        "stats": delta_file_stats(abs_p),
                     }
                 }
             )

@@ -617,3 +617,72 @@ def test_optimize_delta_zorder_clusters_files(spark, tmp_path):
         spans[i][1] < spans[i + 1][0] or spans[i][1] - spans[i][0] < 99
         for i in range(len(spans) - 1)
     )
+
+
+def test_writer_emits_stats_and_reader_skips_files(spark, tmp_path):
+    """Writers emit add.stats (numRecords + footer minValues/maxValues/
+    nullCount); the batch reader prunes whole files on comparison /
+    null-ness filters driver-side (zero I/O) while results stay exact.
+    DV-bearing files keep valid OUTER bounds (tightBounds=false)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNull
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        DeltaBatchReader,
+    )
+
+    p = str(tmp_path / "t")
+    for i in range(4):  # 4 files with disjoint id ranges
+        spark.createDataFrame(
+            [(i * 100 + j, f"v{j}") for j in range(100)],
+            "id long, v string",
+        ).coalesce(1).write.format("delta").mode(
+            "append" if i else "overwrite"
+        ).save(p)
+    snap = DeltaSnapshot(p)
+    st = snap.stats[sorted(snap.stats)[0]]
+    assert st["numRecords"] == 100
+    assert set(st["minValues"]) == {"id", "v"}
+    assert st["nullCount"] == {"id": 0, "v": 0}
+
+    df = spark.read.format("delta").load(p)
+    r = DeltaBatchReader(p, df.schema, None)
+    list(r.pushFilters([GreaterThan(("id",), 350)]))
+    assert len(r.partitions()) == 1  # 3 of 4 files skipped
+    assert sorted(x.id for x in df.filter("id > 350").collect()) == list(
+        range(351, 400)
+    )
+    r2 = DeltaBatchReader(p, df.schema, None)
+    list(r2.pushFilters([EqualTo(("id",), 150)]))
+    assert len(r2.partitions()) == 1
+    r3 = DeltaBatchReader(p, df.schema, None)
+    list(r3.pushFilters([IsNull(("v",))]))
+    # nullCount 0 everywhere: every real file pruned (one no-row
+    # sentinel remains — Spark needs >= 1 input partition)
+    assert [s.file for s in r3.partitions()] == [""]
+    assert df.filter("v IS NULL").count() == 0
+
+    # export path: a DV-bearing laketable mirror carries outer-bound
+    # stats with tightBounds=false and still reads row-exact
+    t = LakeTable(spark, str(tmp_path / "dv"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "x") for i in range(10)], "id long, v string"
+        )
+    )
+    t.delete(F.col("id") == 0, mode="mor")
+    export_delta_log(t)
+    dv_snap = DeltaSnapshot(t.path)
+    dv_rel = next(iter(dv_snap.dvs))  # the file carrying the DV
+    dv_st = dv_snap.stats[dv_rel]
+    assert dv_st["tightBounds"] is False
+    assert "minValues" in dv_st  # physical outer bounds present
+    got = spark.read.format("delta").load(t.path)
+    assert sorted(x.id for x in got.collect()) == list(range(1, 10))
+    # pruning on the outer bounds never loses the id=5 row (ranges of
+    # the laketable's shuffle-written files may overlap, so only
+    # exactness — not a specific file count — is asserted)
+    r4 = DeltaBatchReader(t.path, got.schema, None)
+    list(r4.pushFilters([EqualTo(("id",), 5)]))
+    kept = [s.file for s in r4.partitions() if s.file]
+    assert kept
+    assert [x.id for x in got.filter("id = 5").collect()] == [5]
