@@ -79,8 +79,21 @@ def _infer_arrow_schema(path: str, fmt: str, header: bool):
         return pq.read_schema(path)
     if fmt == "json":
         return pjson.read_json(path).schema
-    read_opts = pcsv.ReadOptions(autogenerate_column_names=not header)
-    return pcsv.read_csv(path, read_options=read_opts).schema
+    return _read_csv(path, header).schema
+
+
+def _read_csv(path: str, header: bool):
+    import pyarrow.csv as pcsv
+
+    # empty string -> NULL for string columns too (Spark CSV / Auto
+    # Loader semantics; pyarrow's default keeps "" as a value)
+    return pcsv.read_csv(
+        path,
+        read_options=pcsv.ReadOptions(
+            autogenerate_column_names=not header
+        ),
+        convert_options=pcsv.ConvertOptions(strings_can_be_null=True),
+    )
 
 
 def _spark_fields(arrow_fields) -> list:
@@ -263,12 +276,7 @@ class CloudFilesStreamReader(DataSourceStreamReader):
 
             t = pjson.read_json(path)
         else:
-            import pyarrow.csv as pcsv
-
-            read_opts = pcsv.ReadOptions(
-                autogenerate_column_names=not self.header
-            )
-            t = pcsv.read_csv(path, read_options=read_opts)
+            t = _read_csv(path, self.header)
         n = t.num_rows
         st = os.stat(path)
         arrays, names = [], []

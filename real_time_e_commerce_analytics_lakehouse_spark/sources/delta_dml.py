@@ -403,15 +403,21 @@ def merge_delta(
     # would strip the caller's DataFrame alias and break qualified
     # references like "source.ingestion_ts" in the exprs
     src = source.select(*cols).persist() if set_exprs is None else source
-    probe = src.select(*keys)
-    dup = probe.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
-    if dup.count():
-        if set_exprs is None:
-            src.unpersist()
-        raise ValueError(
-            f"source is not unique on {keys} — deduplicate first "
-            "(e.g. keep-latest by event time)"
+    if not insert_only:
+        # updates need one source row per key; an insert-only merge is
+        # well-defined for ANY source (the reference's bronze keys on
+        # source_file, shared by every row of a file — 01:60-69)
+        probe = src.select(*keys)
+        dup = (
+            probe.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
         )
+        if dup.count():
+            if set_exprs is None:
+                src.unpersist()
+            raise ValueError(
+                f"source is not unique on {keys} — deduplicate first "
+                "(e.g. keep-latest by event time)"
+            )
     tgt = _scan_with_file(spark, path, snap)
     inserts = (
         src.select(*cols).join(
