@@ -1129,4 +1129,9 @@ class DeltaDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # self-pin the pushdown conf: DeltaBatchReader implements
+    # pushFilters, which Spark REFUSES to plan when
+    # spark.sql.python.filterPushdown.enabled is false (the default on
+    # a vanilla caller-provided session)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeltaDataSource)

@@ -686,3 +686,20 @@ def test_writer_emits_stats_and_reader_skips_files(spark, tmp_path):
     kept = [s.file for s in r4.partitions() if s.file]
     assert kept
     assert [x.id for x in got.filter("id = 5").collect()] == [5]
+
+
+def test_register_self_pins_pushdown_conf(spark):
+    """The driver hands the engine a VANILLA session (no engine
+    configs): register() must self-pin
+    spark.sql.python.filterPushdown.enabled, or Spark refuses to plan
+    DeltaBatchReader.pushFilters at all (caught live: the r7 gate
+    queries failed on a bare local[8] session before this pin)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        register(spark)
+        assert (
+            spark.conf.get("spark.sql.python.filterPushdown.enabled")
+            == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
