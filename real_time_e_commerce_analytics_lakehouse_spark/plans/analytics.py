@@ -1243,8 +1243,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.o_custkey,
            a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
-           CAST(a.o_totalprice AS DECIMAL(18,2)) AS amount_a,
-           CAST(b.o_totalprice AS DECIMAL(18,2)) AS amount_b,
+           round(a.o_totalprice, 2) AS amount_a,
+           round(b.o_totalprice, 2) AS amount_b,
            CAST(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)
                 AS BIGINT) AS days_apart
     FROM orders a JOIN orders b
@@ -1293,8 +1293,8 @@ def duplicate_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "orderkey_a",
             "orderkey_b",
-            F.col("price_a").cast("decimal(18,2)").alias("amount_a"),
-            F.col("price_b").cast("decimal(18,2)").alias("amount_b"),
+            F.round(F.col("price_a"), 2).alias("amount_a"),
+            F.round(F.col("price_b"), 2).alias("amount_b"),
             F.datediff("date_b", "date_a").cast("long").alias("days_apart"),
         )
     )

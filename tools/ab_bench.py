@@ -126,6 +126,9 @@ def short_commit(tree: str) -> str:
         return Path(tree).name
 
 
+_OUT_NAME = "AB_PAIRED.json"
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
         worker(sys.argv[2], sys.argv[3])
@@ -138,6 +141,11 @@ def main() -> None:
         i = rest.index("--pairs")
         pairs = int(rest[i + 1])
         rest = rest[:i] + rest[i + 2:]
+    only: list[str] | None = None
+    if "--only" in rest:
+        i = rest.index("--only")
+        only = rest[i + 1].split(",")
+        rest = rest[:i] + rest[i + 2:]
     sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
 
     # bench set = B tree's headline queries (B is the tree under test)
@@ -145,6 +153,11 @@ def main() -> None:
     from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
 
     names = [n for n, q in QUERIES.items() if q.bench]
+    if only is not None:
+        names = [n for n in names if n in only]
+        # a targeted triage run must never overwrite the full record
+        global _OUT_NAME
+        _OUT_NAME = "AB_PAIRED_subset.json"
 
     wa, wb = Worker(a_tree, sf_dir), Worker(b_tree, sf_dir)
     out: dict[str, dict] = {}
@@ -193,7 +206,7 @@ def main() -> None:
         "median_paired_ratio": round(med, 3),
         "queries": out,
     }
-    path = Path(b_tree) / "AB_PAIRED.json"
+    path = Path(b_tree) / _OUT_NAME
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"[ab] wrote {path}; median paired ratio (B/A) = {med:.3f}",
