@@ -106,17 +106,18 @@ WORKLOAD_CHANGES: dict[str, str] = {
         "retrains the persisted PQ codebook subsample — protocol change"
     ),
     "lsh_candidate_pairs": (
-        "r6 bench drains cache leases between runs; steady state now "
-        "recomputes the persisted minhash signatures — protocol change. "
-        "r7 adds the PAIR_BLOCK_CAP eager probe (~0.2 s: one cached "
-        "scan + a counts shuffle; measured in-plan spellings cost 3x "
-        "and were rejected)"
+        "r8 rewrote pair generation: single-scan band explode + one "
+        "groupBy-on-blocking-key with the PAIR_BLOCK_CAP guard IN-PLAN "
+        "(row_number+assert_true, zero extra jobs) replacing the "
+        "persisted-sig band self-join + r7's eager probe (which cost a "
+        "whole job, paired 2.7x vs r6 — its '~0.2 s' annotation was "
+        "wrong, VERDICT r7 wrong #2). Measured paired 0.49 vs r7."
     ),
     "ngram_jaccard_pairs": (
-        "r6 bench drains cache leases between runs; steady state now "
-        "recomputes the persisted shingle sets — protocol change. "
-        "r7 adds the PAIR_BLOCK_CAP eager probe (~0.2 s, see "
-        "lsh_candidate_pairs)"
+        "r8 rewrote pair generation: groupBy-on-shingle + in-plan "
+        "PAIR_BLOCK_CAP guard replacing the shingle self-join + r7's "
+        "eager probe (see lsh_candidate_pairs). Measured paired 0.85 "
+        "vs r7."
     ),
     "asof_last_click_before_purchase": (
         "r5 changed asof_join SEMANTICS (unannotated then — VERDICT r5 "
@@ -210,15 +211,32 @@ def _recover_from_tail(doc: dict) -> dict | None:
 
 
 def _latest_recorded() -> tuple[str, dict] | None:
-    """Newest parseable BENCH_r{N}.json in the repo root, by round
-    number (falls back to tail recovery, then to earlier rounds)."""
+    """Newest parseable record of a COMPLETED round, by round number.
+
+    For each driver-recorded round N (a BENCH_r{N}.json exists), prefer
+    the full-fidelity archive bench.py wrote during that round
+    (BENCH_DETAIL_r{N}.json) over the driver's bounded ~2,000-char
+    stdout capture — the r6->r7 prev comparison covered only 13 shared
+    queries because it had to read a truncated tail (VERDICT r7
+    procedural note). Falls back to the driver file's parsed envelope,
+    then tail recovery, then earlier rounds. Rounds without a driver
+    BENCH_r{N}.json are NOT candidates: a mid-round local archive must
+    never become its own round's baseline."""
     here = Path(__file__).resolve().parent
     cands = []
     for p in glob.glob(str(here / "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             cands.append((int(m.group(1)), p))
-    for _, path in sorted(cands, reverse=True):
+    for n, path in sorted(cands, reverse=True):
+        detail_path = here / f"BENCH_DETAIL_r{n:02d}.json"
+        try:
+            with open(detail_path) as f:
+                doc = json.load(f)
+            if doc.get("queries"):
+                return detail_path.name, doc
+        except (OSError, json.JSONDecodeError):
+            pass
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -234,6 +252,17 @@ def _latest_recorded() -> tuple[str, dict] | None:
             doc = recovered
         return os.path.basename(path), doc
     return None
+
+
+def _current_round() -> int:
+    """This run's round number = newest driver-recorded round + 1."""
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(str(here / "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
 
 
 def main() -> None:
@@ -433,7 +462,15 @@ def main() -> None:
         "ab_stale": ab_stale,
         "sf": sf_val,
     }
-    with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
+    here = Path(__file__).resolve().parent
+    with open(here / "BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1)
+    # Per-round archive (VERDICT r7 next #7): the driver's BENCH_r{N}
+    # capture truncates, so cross-round comparisons read this file via
+    # _latest_recorded once the round completes. Overwritten by every
+    # bench run this round; the driver's own end-of-round run writes
+    # last, so the archive matches BENCH_r{N}.json.
+    with open(here / f"BENCH_DETAIL_r{_current_round():02d}.json", "w") as f:
         json.dump(detail, f, indent=1)
     # The driver captures a bounded (~2,000 char) stdout tail: the r6
     # line embedded the full 28-query ab_paired ratio map, overflowed
