@@ -197,20 +197,35 @@ class CloudFilesStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
+    # Highest offset ever COMMITTED, advanced only by commit() (Spark
+    # re-issues commit(lastCommitted) when resuming from a checkpoint,
+    # so a restarted reader re-learns it before new batches plan).
+    # ADVICE r8 #3: with maxFilesPerTrigger set, a freshly-restarted
+    # reader (=None) used to cap latestOffset at 0+max — BELOW the
+    # checkpointed start — Spark then logs the regressed offset and the
+    # following batch re-delivers already-committed files. latestOffset
+    # never returns below the watermark, and partitions() never serves
+    # at or below it. The batch START is NOT a usable watermark: Spark
+    # legally re-plans an UNcommitted earlier batch from its WAL after
+    # a later planning call (observed call order on restart), so only
+    # commit() may advance this.
     _committed: int | None = None
 
     def latestOffset(self) -> dict:
         n = self._discover()
+        base = self._committed if self._committed is not None else 0
         if self.max_files is not None:
-            base = self._committed if self._committed is not None else 0
             n = min(n, base + self.max_files)
-        return {"seq": n}
+        return {"seq": max(n, base)}
 
     def commit(self, end: dict) -> None:
-        self._committed = end["seq"]
+        if self._committed is None or end["seq"] > self._committed:
+            self._committed = end["seq"]
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = start["seq"], end["seq"]
+        if self._committed is not None:
+            s = max(s, self._committed)  # never re-serve committed files
         if e <= s:
             return []
         ledger = self._ledger()

@@ -211,23 +211,32 @@ def _commit_dml(
     operation: str,
     params: dict[str, str],
     dv_readds: Sequence[tuple[str, dict, dict]] = (),
+    protocol_action: dict | None = None,
 ) -> int:
     """One atomic DML commit. ``removes``: (rel, old DV descriptor or
     None); ``dv_readds``: (rel, partitionValues, new DV descriptor) for
     MoR deletes (remove+add of the same path = the spec's DV-replace
-    spelling)."""
+    spelling); ``protocol_action``: a ``{"protocol": ...}`` action to
+    prepend (first DV write on a table below reader 3 — ADVICE r7 #1)."""
     now = int(time.time() * 1000)
     actions: list[dict] = []
+    if protocol_action is not None:
+        actions.append(protocol_action)
     for rel, _dv in removes:
-        actions.append(
-            {
-                "remove": {
-                    "path": _encode_path(rel),
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                }
-            }
-        )
+        rm = {
+            "path": _encode_path(rel),
+            "deletionTimestamp": now,
+            "dataChange": True,
+        }
+        # The spec keys file actions by (path, deletionVector uniqueId):
+        # a remove that omits the old descriptor does not cancel the
+        # prior DV-bearing add under strict replay (delta-spark
+        # InMemoryLogReplay), leaving the stale (path, oldDV) entry
+        # live — a second MoR delete or a CoW rewrite of a DV-bearing
+        # file would then resurrect/duplicate rows (ADVICE r7 #2).
+        if _dv:
+            rm["deletionVector"] = dict(_dv)
+        actions.append({"remove": rm})
     from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
         delta_file_stats,
     )
@@ -298,6 +307,53 @@ def _commit_dml(
     finally:
         os.remove(tmp)
     return v
+
+
+# Legacy protocol versions imply named table features when upgrading to
+# the feature-listing tier (PROTOCOL.md "Table Features"): carrying them
+# forward on the reader-3/writer-7 bump keeps every capability the table
+# already required.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def _dv_protocol_upgrade(snap: "DeltaSnapshot") -> dict | None:
+    """Protocol action enabling ``deletionVectors``, or None if the
+    table already has the feature.
+
+    A writer is forbidden from committing DV descriptors unless the
+    protocol is reader 3 / writer 7 with the feature listed — without
+    the gate, spec-conformant foreign readers see minReader 1, skip the
+    descriptors entirely and silently resurrect deleted rows
+    (ADVICE r7 #1)."""
+    p = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rf = set(p.get("readerFeatures") or [])
+    wf = set(p.get("writerFeatures") or [])
+    mr = int(p.get("minReaderVersion", 1))
+    mw = int(p.get("minWriterVersion", 2))
+    if mr >= 3 and "deletionVectors" in rf:
+        return None
+    if mw < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if mw >= v:
+                wf.update(feats)
+    if 2 <= mr < 3:
+        rf.add("columnMapping")
+    rf.add("deletionVectors")
+    wf.add("deletionVectors")
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf),
+        }
+    }
 
 
 def _prep(spark: SparkSession, path: str):
@@ -735,6 +791,7 @@ def delete_delta(
         "DELETE",
         {"mode": "mor"},
         dv_readds=dv_readds,
+        protocol_action=_dv_protocol_upgrade(snap),
     )
     return {"version": v, "rows_deleted": n_del, "files": len(per_file)}
 

@@ -1292,15 +1292,17 @@ def export_delta_log(table: LakeTable) -> int:
             }
         )
     for rel in removes:
-        actions.append(
-            {
-                "remove": {
-                    "path": _encode_path(rel),
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                }
-            }
-        )
+        rm: dict[str, Any] = {
+            "path": _encode_path(rel),
+            "deletionTimestamp": now,
+            "dataChange": True,
+        }
+        # strict replayers key file actions by (path, dv uniqueId): a
+        # remove of a DV-bearing add must carry the descriptor or the
+        # old entry survives replay (ADVICE r7 #2)
+        if have_dv.get(rel):
+            rm["deletionVector"] = dict(have_dv[rel])
+        actions.append({"remove": rm})
     for rel in adds:
         abs_p = os.path.join(table.path, rel)
         stat = os.stat(abs_p)
@@ -1589,20 +1591,32 @@ def restore_delta(path: str, version: int) -> int:
             }
         )
     for rel in sorted(set(cur.files) - set(tgt.files)):
-        actions.append(
-            {
-                "remove": {
-                    "path": _encode_path(rel),
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                }
-            }
-        )
+        rm: dict[str, Any] = {
+            "path": _encode_path(rel),
+            "deletionTimestamp": now,
+            "dataChange": True,
+        }
+        if cur.dvs.get(rel):  # cancel the (path, dv) entry (ADVICE r7 #2)
+            rm["deletionVector"] = dict(cur.dvs[rel])
+        actions.append({"remove": rm})
     for rel in sorted(tgt.files):
         if rel in cur.files and (cur.dvs.get(rel) or None) == (
             tgt.dvs.get(rel) or None
         ):
             continue  # already live with identical DV state
+        if rel in cur.files:
+            # DV state differs: the spec's replace spelling is
+            # remove(path, old DV) + add(path, restored DV) in ONE
+            # commit — without the remove, strict (path, dvId)-keyed
+            # replay keeps BOTH entries live and duplicates rows
+            rm = {
+                "path": _encode_path(rel),
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+            if cur.dvs.get(rel):
+                rm["deletionVector"] = dict(cur.dvs[rel])
+            actions.append({"remove": rm})
         missing = not os.path.exists(os.path.join(path, rel))
         if missing:
             raise FileNotFoundError(
@@ -1761,15 +1775,14 @@ def optimize_delta(
         return {"version": None, "rewritten": 0, "written": 0}
     actions: list[dict] = []
     for rel in rewritten:
-        actions.append(
-            {
-                "remove": {
-                    "path": _encode_path(rel),
-                    "deletionTimestamp": now,
-                    "dataChange": False,
-                }
-            }
-        )
+        rm: dict[str, Any] = {
+            "path": _encode_path(rel),
+            "deletionTimestamp": now,
+            "dataChange": False,
+        }
+        if snap.dvs.get(rel):  # cancel the (path, dv) entry (ADVICE r7 #2)
+            rm["deletionVector"] = dict(snap.dvs[rel])
+        actions.append({"remove": rm})
     from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
         delta_file_stats,
     )

@@ -131,23 +131,30 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         v = self._latest_version()
+        # bound the very first trigger too: before any commit() the
+        # consumed watermark is the initial offset, not None
+        base = (
+            self._committed
+            if self._committed is not None
+            else self.starting_version - 1
+        )
         if self.max_versions is not None:
-            # bound the very first trigger too: before any commit() the
-            # consumed watermark is the initial offset, not None
-            base = (
-                self._committed
-                if self._committed is not None
-                else self.starting_version - 1
-            )
             v = min(v, base + self.max_versions)
-        return {"version": v}
+        # never regress below the consumed watermark after a checkpoint
+        # restart (ADVICE r8 #3; see delta_table.py)
+        return {"version": max(v, base)}
 
     def commit(self, end: dict) -> None:
-        self._committed = end["version"]
+        if self._committed is None or end["version"] > self._committed:
+            self._committed = end["version"]
 
     # --------------------------------------------------------- planning
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # never re-serve versions at or below the COMMITTED watermark;
+        # commit() alone advances it (ADVICE r8 #3, see delta_table.py)
         v0, v1 = start["version"] + 1, end["version"]
+        if self._committed is not None:
+            v0 = max(v0, self._committed + 1)
         if v1 < v0:
             return []
         missing = [
@@ -276,8 +283,12 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                     v = (
                         None
                         if raw is None
+                        # canonical Delta partitionValues: no Hive
+                        # percent-unquote (ADVICE r8 #4)
                         else _parse_partition_value(
-                            raw, self._ptypes.get(field.name, "string")
+                            raw,
+                            self._ptypes.get(field.name, "string"),
+                            unescape=False,
                         )
                     )
                     arrays.append(pa.array([v] * n, type=pa_type))

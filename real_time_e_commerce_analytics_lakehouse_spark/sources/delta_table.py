@@ -283,8 +283,12 @@ class _SliceScanMixin:
                 v = (
                     None
                     if raw is None
+                    # canonical Delta partitionValues are logical
+                    # strings — no Hive percent-unquote (ADVICE r8 #4)
                     else _parse_partition_value(
-                        raw, self._ptypes.get(field.name, "string")
+                        raw,
+                        self._ptypes.get(field.name, "string"),
+                        unescape=False,
                     )
                 )
                 arrays.append(pa.array([v] * n, type=pa_type))
@@ -561,20 +565,40 @@ class DeltaTableStreamReader(_SliceScanMixin, DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         v = self._latest_version()
+        base = (
+            self._committed
+            if self._committed is not None
+            else self.starting_version - 1
+        )
         if self.max_versions is not None:
-            base = (
-                self._committed
-                if self._committed is not None
-                else self.starting_version - 1
-            )
             v = min(v, base + self.max_versions)
-        return {"version": v}
+        # never regress below the consumed watermark: after a checkpoint
+        # restart _committed is None and the rate-limit cap above would
+        # otherwise return an offset BELOW the checkpointed start —
+        # Spark then commits the regressed offset and re-delivers
+        # already-processed versions (ADVICE r8 #3)
+        return {"version": max(v, base)}
 
     def commit(self, end: dict) -> None:
-        self._committed = end["version"]
+        if self._committed is None or end["version"] > self._committed:
+            self._committed = end["version"]
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # Restart recovery (ADVICE r8 #3): never re-serve versions at or
+        # below the COMMITTED watermark. Sequence being defended:
+        # post-restart trigger 1 caps its latest at (None-committed
+        # fallback)+max_versions = R below the checkpointed start C;
+        # Spark logs the backward batch (C, R) — empty here — then the
+        # NEXT batch starts from Spark's logged R and would re-deliver
+        # the already-committed C-R versions into the sink. Spark
+        # re-issues commit(C) when resuming, so the clamp has the true
+        # watermark by then. The batch START must NOT advance the
+        # watermark: Spark legally re-plans an UNcommitted earlier batch
+        # from its WAL after a later planning call (observed call order
+        # on restart) and that replay must serve its full range.
         v0, v1 = start["version"] + 1, end["version"]
+        if self._committed is not None:
+            v0 = max(v0, self._committed + 1)
         if v1 < v0:
             return []
         missing = [
@@ -679,7 +703,14 @@ def _guard_writable(snap: DeltaSnapshot, overwrite: bool) -> None:
             f"table requires writer features {sorted(unknown)} this "
             "writer does not implement — refusing rather than corrupt"
         )
-    if overwrite and "appendOnly" in feats:
+    # PROTOCOL.md: a feature listed in writerFeatures is SUPPORTED,
+    # not enabled — appendOnly only binds when the table property says
+    # so (legacy writer-2 tables enable via the property alone, so the
+    # property is the single enablement signal at every tier)
+    append_only = (
+        snap.configuration.get("delta.appendOnly", "false").lower() == "true"
+    )
+    if overwrite and append_only:
         raise ValueError("appendOnly table: overwrite is forbidden")
     for f in snap.schema_json.get("fields", []):
         if "delta.invariants" in (f.get("metadata") or {}):
@@ -954,7 +985,14 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             snap = None
         if snap is not None:
             _guard_writable(snap, overwrite)
-            if partition_by is None and not overwrite:
+            if partition_by is None:
+                # inherit on overwrite too: mode('overwrite') without an
+                # explicit partition_by used to silently rewrite a
+                # partitioned table UNPARTITIONED and re-emit metaData
+                # with partitionColumns=[] — upstream delta-spark keeps
+                # the layout unless asked to change it (ADVICE r8 #5).
+                # An explicit differing partition_by on overwrite still
+                # changes the layout (explicit = intentional).
                 partition_by = list(snap.partition_cols)
         pb = list(partition_by or [])
         missing = [c for c in pb if c not in schema.fieldNames()]

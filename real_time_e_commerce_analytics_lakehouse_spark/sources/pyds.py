@@ -84,12 +84,19 @@ def _fs_path(path: str) -> str:
     return path
 
 
-def _parse_partition_value(raw: str, spark_type: str) -> Any:
+def _parse_partition_value(
+    raw: str, spark_type: str, *, unescape: bool = True
+) -> Any:
     """Typed python value of a manifest partition string (None for the
-    Hive NULL sentinel)."""
+    Hive NULL sentinel). ``unescape=False`` for CANONICAL Delta
+    ``add.partitionValues`` — those are already logical strings, and
+    percent-unquoting them corrupts any value containing a literal
+    %XX sequence, e.g. '50%2Boff' -> '50+off' (ADVICE r8 #4; this
+    module's Hive-layout manifests DO escape and need the unquote)."""
     if raw == _HIVE_NULL:
         return None
-    raw = _unescape_hive(raw)
+    if unescape:
+        raw = _unescape_hive(raw)
     t = spark_type.lower()
     if t in ("int", "bigint", "long", "smallint", "tinyint"):
         return int(raw)

@@ -389,3 +389,105 @@ def test_merge_insert_only_via_facade_and_matched_only(spark, tmp_path):
     assert _rows(spark.read.format("delta").load(p)) == [
         (1, "a"), (2, "NEW2"),
     ]
+
+
+def _log_actions(path: str, version: int) -> list[dict]:
+    log = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    return [json.loads(x) for x in open(log) if x.strip()]
+
+
+def test_mor_delete_upgrades_protocol_and_keys_removes_by_dv(
+    spark, tmp_path
+):
+    """ADVICE r8 #1/#2: the FIRST MoR delete on a plain (reader 1)
+    table must gate the DV descriptors behind a reader-3/writer-7
+    protocol action in the SAME commit — otherwise spec-conformant
+    foreign readers see no feature gate and silently resurrect the
+    deleted rows — and every remove of a DV-bearing logical file must
+    carry the old descriptor, because strict replayers key file
+    actions by (path, dv uniqueId)."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    ).coalesce(1).write.format("delta").mode("append").save(p)
+    snap0 = DeltaSnapshot(p)
+    assert int((snap0.protocol or {}).get("minReaderVersion", 1)) == 1
+
+    res1 = delete_delta(spark, p, "id = 2", mode="mor")
+    acts1 = _log_actions(p, res1["version"])
+    protos = [a["protocol"] for a in acts1 if a.get("protocol")]
+    assert len(protos) == 1, "first DV commit must carry the upgrade"
+    assert protos[0]["minReaderVersion"] == 3
+    assert protos[0]["minWriterVersion"] == 7
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    assert "deletionVectors" in protos[0]["writerFeatures"]
+    # legacy writer-2 implied features carried forward
+    assert {"appendOnly", "invariants"} <= set(protos[0]["writerFeatures"])
+    # the first delete's removes carry no DV (the file had none yet)
+    rm1 = [a["remove"] for a in acts1 if a.get("remove")]
+    assert rm1 and all("deletionVector" not in r for r in rm1)
+    dv1 = dict(next(iter(DeltaSnapshot(p).dvs.values())))
+
+    # second MoR delete: no second protocol action; the remove cancels
+    # the prior (path, dv1) entry by carrying dv1 verbatim
+    res2 = delete_delta(spark, p, "id = 7", mode="mor")
+    acts2 = _log_actions(p, res2["version"])
+    assert not any(a.get("protocol") for a in acts2)
+    rm2 = [a["remove"] for a in acts2 if a.get("remove")]
+    assert len(rm2) == 1 and rm2[0].get("deletionVector") == dv1
+    # and the new add replaces it with the unioned descriptor
+    adds2 = [a["add"] for a in acts2 if a.get("add")]
+    assert len(adds2) == 1
+    assert adds2[0]["deletionVector"]["cardinality"] == 2
+
+    # CoW rewrite of the DV-bearing file: remove carries the current DV
+    dv2 = dict(adds2[0]["deletionVector"])
+    res3 = delete_delta(spark, p, "id = 4", mode="cow")
+    acts3 = _log_actions(p, res3["version"])
+    rm3 = [a["remove"] for a in acts3 if a.get("remove")]
+    assert len(rm3) == 1 and rm3[0].get("deletionVector") == dv2
+
+    want = [(i, f"v{i}") for i in range(10) if i not in (2, 4, 7)]
+    assert _rows(spark.read.format("delta").load(p)) == want
+    assert _rows(read_delta_log(spark, p)) == want
+
+    # optimize after the upgrade: its removes also carry the live DV
+    # ... no DVs remain after CoW (the rewrite cleared them), so add one
+    delete_delta(spark, p, "id = 9", mode="mor")
+    snap = DeltaSnapshot(p)
+    (dv_rel,) = list(snap.dvs)
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    reso = optimize_delta(spark, p)
+    actso = _log_actions(p, reso["version"])
+    rmo = {
+        r["remove"]["path"]: r["remove"]
+        for r in [a for a in actso if a.get("remove")]
+    }
+    assert rmo[dv_rel].get("deletionVector") == snap.dvs[dv_rel]
+    want = [(i, f"v{i}") for i in range(10) if i not in (2, 4, 7, 9)]
+    assert _rows(spark.read.format("delta").load(p)) == want
+
+
+def test_append_only_feature_listed_but_not_enabled_allows_overwrite(
+    spark, tmp_path
+):
+    """PROTOCOL.md: a feature in writerFeatures is SUPPORTED, not
+    enabled — appendOnly binds only via delta.appendOnly=true. A table
+    whose protocol was upgraded by a MoR delete (which lists appendOnly
+    as a carried-forward legacy feature) must still accept overwrite."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.format("delta").mode("append").save(p)
+    delete_delta(spark, p, "id = 1", mode="mor")
+    feats = set(
+        (DeltaSnapshot(p).protocol or {}).get("writerFeatures") or []
+    )
+    assert "appendOnly" in feats  # supported/listed ...
+    spark.createDataFrame([(9, "z")], "id long, v string").write.format(
+        "delta"
+    ).mode("overwrite").save(p)  # ... but not enabled: allowed
+    assert _rows(spark.read.format("delta").load(p)) == [(9, "z")]

@@ -289,3 +289,132 @@ def test_stream_refuses_column_mapping_and_expired_windows(spark, tmp_path):
             f.write(json.dumps(a) + "\n")
     with pytest.raises(NotImplementedError, match="column-mapped"):
         DeltaCdfStreamReader(t2.path, schema)
+
+
+def test_restart_offsets_never_regress_with_rate_limit(spark, tmp_path):
+    """ADVICE r8 #3: with maxVersionsPerTrigger set, a reader restarted
+    from a checkpoint (fresh instance, _committed=None) used to cap
+    latestOffset at startingVersion-1+max — BELOW the checkpointed
+    start — so Spark logged a backward batch and the following batch
+    re-delivered already-processed versions. Simulate the exact driver
+    callback sequence on both stream readers."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        DeltaSnapshot,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import (
+        delta_table as dtmod,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        DeltaTableStreamReader,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    for i in range(6):  # versions 0..5
+        spark.createDataFrame([(i,)], "id long").write.format(
+            "delta"
+        ).mode("append").save(p)
+    snap = DeltaSnapshot(p)
+    schema = snap.spark_schema()
+
+    # --- delta (append) stream reader, restarted at watermark C=3.
+    # Spark's resume protocol (observed): it re-issues
+    # commit(lastCommitted) on the fresh reader before new batches plan.
+    r = DeltaTableStreamReader(p, schema, starting_version=0, max_versions=2)
+    off1 = r.latestOffset()  # fresh instance: regresses to 1 (the bug)
+    r.commit({"version": 3})  # Spark resume: last committed offset
+    # Spark planned the backward batch (3, off1): nothing re-read
+    assert r.partitions({"version": 3}, off1) == []
+    r.commit(off1)  # the regressed end commits; watermark must hold 3
+    off2 = r.latestOffset()
+    assert off2["version"] >= 3  # never below the watermark again
+    # next batch starts from Spark's logged regressed offset: the
+    # committed-watermark clamp must keep versions <= 3 out of it
+    served = r.partitions(off1, off2)
+    rels = {os.path.basename(s.file) for s in served}
+    pre = {
+        os.path.basename(os.path.join(p, rel))
+        for rel in DeltaSnapshot(p, 3).files
+    }
+    assert not (rels & pre), "re-delivered files from versions <= 3"
+    # and an UNcommitted WAL replay below the watermark still serves in
+    # a fresh reader that never saw a commit (loss-free replay)
+    r_fresh = DeltaTableStreamReader(
+        p, schema, starting_version=0, max_versions=2
+    )
+    replay = r_fresh.partitions({"version": 1}, {"version": 3})
+    assert len(replay) > 0
+
+    # --- delta_cdf stream reader: same protocol
+    r2 = DeltaCdfStreamReader(p, schema, starting_version=0, max_versions=2)
+    o1 = r2.latestOffset()
+    r2.commit({"version": 3})
+    assert r2.partitions({"version": 3}, o1) == []
+    r2.commit(o1)
+    o2 = r2.latestOffset()
+    assert o2["version"] >= 3
+    served2 = r2.partitions(o1, o2)
+    assert all(s.version > 3 for s in served2)
+
+
+def test_partition_values_with_literal_percent_roundtrip(spark, tmp_path):
+    """ADVICE r8 #4: a string partition value containing a literal %XX
+    sequence ('50%2Boff') must round-trip through format('delta') and
+    the delta_cdf stream unchanged — canonical add.partitionValues are
+    logical strings, not Hive-escaped paths."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import (
+        delta_table as dtmod,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    vals = ["50%2Boff", "a%20b", "plain"]
+    spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "promo string, n long"
+    ).write.format("delta").option("partition_by", "promo").mode(
+        "append"
+    ).save(p)
+    got = sorted(
+        (r.promo, r.n)
+        for r in spark.read.format("delta").load(p).collect()
+    )
+    assert got == sorted((v, i) for i, v in enumerate(vals))
+    # engine-side log reader agrees
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        read_delta_log,
+    )
+
+    got2 = sorted(
+        (r.promo, r.n) for r in read_delta_log(spark, p).collect()
+    )
+    assert got2 == got
+
+
+def test_overwrite_inherits_partition_layout(spark, tmp_path):
+    """ADVICE r8 #5: mode('overwrite') without an explicit partition_by
+    keeps the table's partition layout (upstream delta-spark parity)
+    instead of silently de-partitioning."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import (
+        delta_table as dtmod,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v long"
+    ).write.format("delta").option("partition_by", "k").mode(
+        "append"
+    ).save(p)
+    spark.createDataFrame([("c", 3)], "k string, v long").write.format(
+        "delta"
+    ).mode("overwrite").save(p)
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        DeltaSnapshot,
+    )
+
+    snap = DeltaSnapshot(p)
+    assert snap.partition_cols == ["k"]
+    assert all(pvals.get("k") == "c" for pvals in snap.files.values())
+    assert [(r.k, r.v) for r in spark.read.format("delta").load(p).collect()] == [
+        ("c", 3)
+    ]

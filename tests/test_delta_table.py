@@ -95,7 +95,10 @@ def test_batch_writer_guards(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "id long, v string").write.format(
             "delta"
         ).option("partition_by", "v").mode("append").save(p)
-    # patch protocol: appendOnly + an unknown writer feature
+    # patch protocol: appendOnly ENABLED (feature listed AND the
+    # delta.appendOnly table property true — PROTOCOL.md enablement;
+    # the feature listing alone only means "supported", ADVICE r8),
+    # then an unknown writer feature
     log = os.path.join(p, "_delta_log", f"{0:020d}.json")
     lines = [json.loads(x) for x in open(log) if x.strip()]
     for a in lines:
@@ -104,6 +107,10 @@ def test_batch_writer_guards(spark, tmp_path):
                 minWriterVersion=7,
                 writerFeatures=["appendOnly"],
             )
+        if "metaData" in a:
+            a["metaData"].setdefault("configuration", {})[
+                "delta.appendOnly"
+            ] = "true"
     with open(log, "w") as f:
         for a in lines:
             f.write(json.dumps(a) + "\n")
