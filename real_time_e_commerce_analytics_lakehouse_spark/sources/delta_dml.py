@@ -30,9 +30,11 @@ The one intentionally driver-held structure is a MoR delete's row-index
 bitmaps — bounded by rows deleted in that statement, the same contract
 as the engine's laketable MoR path.
 
-Protocol-tier refusals (loud): column-mapped tables (rewrites would
-need physical-name writes), appendOnly tables, CHECK invariants,
-unknown writer features — same gate as the ``delta`` format writer.
+Protocol-tier refusals (loud): column-mapped tables (DML rewrites
+would need physical-name row rewrites — reads/appends/OPTIMIZE support
+mapping; row-level DML does not yet), appendOnly tables (when the
+delta.appendOnly property enables it), CHECK invariants, unknown
+writer features — same gate as the ``delta`` format writer.
 """
 
 from __future__ import annotations

@@ -364,19 +364,10 @@ class DeltaSnapshot:
             self.partition_cols = list(m.get("partitionColumns", []))
             self.meta_id = m.get("id")
             self.configuration = dict(m.get("configuration") or {})
-            if cm_mode in ("name", "id"):
-                for f in self.schema_json.get("fields", []):
-                    t = f.get("type")
-                    # nested mapping renames fields INSIDE structs/maps/
-                    # arrays — a flat physical->logical select can't
-                    # express that; refuse rather than mis-read
-                    if isinstance(t, dict) and t.get("type") in (
-                        "struct", "array", "map",
-                    ):
-                        raise NotImplementedError(
-                            "column mapping over nested types is not "
-                            "supported by this minimal reader"
-                        )
+            # nested types under name/id mapping are resolved
+            # recursively at read time (sources/colmap.py): struct /
+            # array / map fields rename at every level, missing nested
+            # children null-fill (additive evolution)
         if "add" in action and action["add"]:
             a = action["add"]
             rel = _decode_path(a["path"])
@@ -666,14 +657,29 @@ def read_delta_log(
     # (col-<uuid>); select physical -> alias logical. Identity when off.
     phys = snap.resolved_physical_names(path)
 
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+        is_nested,
+        logical_expr,
+    )
+
+    field_json = {f["name"]: f for f in snap.schema_json.get("fields", [])}
+    actual_types = {af.name: af.dataType for af in df.schema.fields}
+
     def _data_col(f):
         # a column added by ALTER TABLE with no rewritten file exists in
         # the metaData schema but in NO parquet footer: real Delta
         # readers return it as NULL, so null-fill instead of failing
         # resolution against the merged file footprint
-        if phys[f.name] in df.columns:
-            return F.col(phys[f.name]).alias(f.name)
-        return F.lit(None).cast(f.dataType).alias(f.name)
+        if phys[f.name] not in df.columns:
+            return F.lit(None).cast(f.dataType).alias(f.name)
+        fj = field_json.get(f.name) or {}
+        col = F.col(phys[f.name])
+        if snap.column_mapping_mode != "none" and is_nested(fj.get("type")):
+            # nested physical->logical renames (colmap.py)
+            col = logical_expr(
+                col, fj["type"], actual_types.get(phys[f.name])
+            )
+        return col.alias(f.name)
 
     if snap.partition_cols or snap.dvs:
         # Hadoop-style URI: "file:" + absolute path (single slash), with
@@ -1694,11 +1700,11 @@ def optimize_delta(
     import uuid as _uuid
 
     snap = DeltaSnapshot(path)
-    if snap.column_mapping_mode != "none":
-        raise NotImplementedError(
-            "optimize_delta on a column-mapped table would need to "
-            "rewrite physical columns — use the engine API"
-        )
+    # column-mapped tables compact fine: the rewrite scans and writes
+    # the files' PHYSICAL columns verbatim (and stats keys stay
+    # physical, per spec); only user-facing zorder column names need
+    # logical->physical resolution below
+    phys_of = snap.resolved_physical_names(path)
     groups: dict[tuple, list[str]] = {}
     for rel, pvals in snap.files.items():
         groups.setdefault(tuple(sorted(pvals.items())), []).append(rel)
@@ -1742,7 +1748,10 @@ def optimize_delta(
             )
 
             df = (
-                df.withColumn("__z", zorder_key(df, zorder_by))
+                df.withColumn(
+                    "__z",
+                    zorder_key(df, [phys_of.get(c, c) for c in zorder_by]),
+                )
                 .repartitionByRange(n_out, "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")

@@ -101,13 +101,24 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self.starting_version = starting_version
         self.max_versions = max_versions
         snap = DeltaSnapshot(path)
-        if snap.column_mapping_mode != "none":
-            raise NotImplementedError(
-                "delta_cdf stream: column-mapped tables are not supported "
-                "by the executor-side pyarrow scan — consume through "
-                "delta_changes/read_delta_log instead"
-            )
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+            is_nested,
+        )
+
+        # column-mapped parity (VERDICT r7 next #5): physical resolution
+        # as in the batch reader; partitionValues key by PHYSICAL names
+        self._phys = snap.resolved_physical_names(path)
+        self._field_json = (
+            {
+                f["name"]: f
+                for f in snap.schema_json.get("fields", [])
+                if is_nested(f.get("type"))
+            }
+            if snap.column_mapping_mode != "none"
+            else {}
+        )
         self._pcols = list(snap.partition_cols)
+        self._pphys = {c: self._phys.get(c, c) for c in self._pcols}
         self._ptypes = {
             f.name: f.dataType.simpleString()
             for f in snap.spark_schema().fields
@@ -183,7 +194,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 return _ChangeSlice(
                     file=os.path.join(self.path, rel),
                     partition=tuple(
-                        (c, pvals.get(c)) for c in self._pcols
+                        (c, pvals.get(self._pphys[c])) for c in self._pcols
                     ),
                     version=v,
                     **kw,
@@ -292,8 +303,18 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                         )
                     )
                     arrays.append(pa.array([v] * n, type=pa_type))
-                elif field.name in t.column_names:
-                    col = t.column(field.name).combine_chunks()
+                elif self._phys.get(field.name, field.name) in t.column_names:
+                    col = t.column(
+                        self._phys.get(field.name, field.name)
+                    ).combine_chunks()
+                    fj = getattr(self, "_field_json", {}).get(field.name)
+                    if fj is not None:
+                        # column-mapped nested rename (colmap.py)
+                        from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                            relabel_arrow,
+                        )
+
+                        col = relabel_arrow(col, fj["type"])
                     if col.type != pa_type:
                         col = col.cast(pa_type)
                     arrays.append(col)

@@ -796,49 +796,228 @@ def test_reader_applies_id_mode_column_mapping(spark, tmp_path):
     assert _rows(got) == [(1, "x", None), (2, "y", None), (3, "z", None)]
 
 
-def test_reader_refuses_nested_column_mapping(spark, tmp_path):
-    def write_log(p, cfg, fields):
-        os.makedirs(os.path.join(p, "_delta_log"))
-        actions = [
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-            {
-                "metaData": {
-                    "id": "x",
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(
-                        {"type": "struct", "fields": fields}
-                    ),
-                    "partitionColumns": [],
-                    "configuration": cfg,
-                }
-            },
-        ]
-        with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
+def test_reader_applies_nested_column_mapping(spark, tmp_path):
+    """VERDICT r7 next #4: struct / array<struct> / map<long,struct>
+    fields rename recursively under name-mode column mapping — physical
+    parquet names at EVERY nesting level resolve to the logical schema,
+    a nested child missing from the file footprint null-fills, and the
+    result is identical through read_delta_log AND format('delta')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    nested = [
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+
+    dtmod.register(spark)
+    path = str(tmp_path / "nested")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    phys_t = pa.struct([("col-a", pa.int64())])
+    tbl = pa.table(
         {
-            "name": "s",
-            "type": {
-                "type": "struct",
-                "fields": [
-                    {
-                        "name": "a", "type": "long", "nullable": True,
-                        "metadata": {
-                            "delta.columnMapping.physicalName": "col-x"
-                        },
-                    }
-                ],
-            },
-            "nullable": True,
-            "metadata": {"delta.columnMapping.physicalName": "col-s"},
+            "col-s": pa.array(
+                [{"col-a": 1}, None, {"col-a": 3}], type=phys_t
+            ),
+            "col-arr": pa.array(
+                [[{"col-q": "x"}, {"col-q": "y"}], None, []],
+                type=pa.list_(pa.struct([("col-q", pa.string())])),
+            ),
+            "col-m": pa.array(
+                [[(7, {"col-v": "mv"})], None, []],
+                type=pa.map_(pa.int64(), pa.struct([("col-v", pa.string())])),
+            ),
         }
+    )
+    pq.write_table(tbl, os.path.join(path, "f1.parquet"))
+
+    def fmeta(phys, fid):
+        return {
+            "delta.columnMapping.id": fid,
+            "delta.columnMapping.physicalName": phys,
+        }
+
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "a", "type": "long", "nullable": True,
+                             "metadata": fmeta("col-a", 11)},
+                            # ALTER-added nested child: in no file
+                            {"name": "b", "type": "string", "nullable": True,
+                             "metadata": fmeta("col-b", 12)},
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": fmeta("col-s", 1),
+                },
+                {
+                    "name": "arr",
+                    "type": {
+                        "type": "array",
+                        "elementType": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "q", "type": "string",
+                                 "nullable": True,
+                                 "metadata": fmeta("col-q", 21)},
+                            ],
+                        },
+                        "containsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": fmeta("col-arr", 2),
+                },
+                {
+                    "name": "m",
+                    "type": {
+                        "type": "map",
+                        "keyType": "long",
+                        "valueType": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "v", "type": "string",
+                                 "nullable": True,
+                                 "metadata": fmeta("col-v", 31)},
+                            ],
+                        },
+                        "valueContainsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": fmeta("col-m", 3),
+                },
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 2,
+                "minWriterVersion": 5,
+            }
+        },
+        {
+            "metaData": {
+                "id": "nested-mapped",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
     ]
-    p2 = str(tmp_path / "nested")
-    write_log(p2, {"delta.columnMapping.mode": "name"}, nested)
-    with pytest.raises(NotImplementedError, match="nested"):
-        read_delta_log(spark, p2)
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    want = [
+        ({"a": 1, "b": None}, [{"q": "x"}, {"q": "y"}], {7: {"v": "mv"}}),
+        (None, None, None),
+        ({"a": 3, "b": None}, [], {}),
+    ]
+
+    def norm(df):
+        return [
+            (
+                r.s.asDict() if r.s is not None else None,
+                [e.asDict() for e in r.arr] if r.arr is not None else None,
+                {k: v.asDict() for k, v in r.m.items()}
+                if r.m is not None
+                else None,
+            )
+            for r in df.orderBy(F.col("s.a").asc_nulls_last()).collect()
+        ]
+
+    eng = read_delta_log(spark, path)
+    assert eng.columns == ["s", "arr", "m"]
+    got_eng = norm(eng)
+    # row order: s.a 1, 3, then the all-null row
+    assert got_eng == [want[0], want[2], want[1]]
+    pyds = spark.read.format("delta").load(path).select("s", "arr", "m")
+    assert norm(pyds) == got_eng
+
+
+def test_reader_applies_nested_id_mode_column_mapping(spark, tmp_path):
+    """id-mode + nested: the top-level column resolves by parquet field
+    id (stored name disagrees with physicalName); the struct's CHILDREN
+    resolve by their physicalName metadata (the spec requires writers
+    to stamp physicalName in both modes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+
+    dtmod.register(spark)
+    path = str(tmp_path / "idnested")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    sch = pa.schema(
+        [
+            pa.field(
+                "stored-name-s",
+                pa.struct([("col-a", pa.int64())]),
+                metadata={b"PARQUET:field_id": b"1"},
+            )
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"stored-name-s": pa.array([{"col-a": 5}], type=sch[0].type)},
+            schema=sch,
+        ),
+        os.path.join(path, "f1.parquet"),
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "a", "type": "long", "nullable": True,
+                             "metadata": {
+                                 "delta.columnMapping.id": 11,
+                                 "delta.columnMapping.physicalName": "col-a",
+                             }},
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        # stale: id resolution must win at the top level
+                        "delta.columnMapping.physicalName": "col-stale",
+                    },
+                }
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "id-nested-mapped",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        },
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    eng = read_delta_log(spark, path)
+    assert [r.s.asDict() for r in eng.collect()] == [{"a": 5}]
+    pyds = spark.read.format("delta").load(path).select("s")
+    assert [r.s.asDict() for r in pyds.collect()] == [{"a": 5}]
 
 
 def test_delta_changes_batch_cdf_from_log(spark, tmp_path):

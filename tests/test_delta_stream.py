@@ -287,8 +287,10 @@ def test_stream_refuses_column_mapping_and_expired_windows(spark, tmp_path):
     with open(log, "w") as f:
         for a in lines:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        DeltaCdfStreamReader(t2.path, schema)
+    # column-mapped tables stream since r8 (identity physicalNames
+    # here; tests/test_colmap.py covers real col-<uuid> renames)
+    r2 = DeltaCdfStreamReader(t2.path, schema)
+    assert r2.partitions({"version": -1}, {"version": 0})
 
 
 def test_restart_offsets_never_regress_with_rate_limit(spark, tmp_path):

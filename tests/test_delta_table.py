@@ -208,10 +208,13 @@ def test_batch_read_applies_dv_and_column_mapping(spark, tmp_path):
     m = spark.read.format("delta").load(path)
     assert m.columns == ["id", "v", "part"]
     assert _rows(m) == [(1, "x", 10), (2, "y", 10)]
-    # mapped tables refuse WRITES through this format
-    with pytest.raises(Exception, match="column-mapped|LakeTable"):
-        spark.createDataFrame([(3, "z", 10)], "id long, v string, part int"
-                              ).write.format("delta").mode("append").save(path)
+    # mapped tables accept WRITES since r8: physical names + field ids
+    # (tests/test_colmap.py covers the written-file shape)
+    spark.createDataFrame([(3, "z", 10)], "id long, v string, part int"
+                          ).write.format("delta").mode("append").save(path)
+    assert _rows(spark.read.format("delta").load(path)) == [
+        (1, "x", 10), (2, "y", 10), (3, "z", 10)
+    ]
 
 
 def _drain(spark, src, sink, ckpt, **opts):
