@@ -27,8 +27,11 @@ against this engine with its options intact:
 The reference's lineage line ``col("_metadata.file_path")`` is served
 by emitting ``_metadata`` as a REAL struct column (file_path,
 file_name, file_size, file_modification_time) — Python DataSources
-cannot inject the hidden FileSourceStrategy metadata column, so it is
-a visible column here; selecting away is one ``drop``.
+cannot inject the hidden FileSourceStrategy metadata column. The
+``delta`` writers emulate the hidden-column semantics by auto-excluding
+the struct from writes (delta_table.strip_hidden_metadata; keep it with
+.option('keep_metadata_column', 'true')), so the reference's bronze
+block persists the same columns it would on Databricks.
 
 At 100 TB: discovery is one directory listing per trigger (the ledger
 makes it incremental-append only), each file is one InputPartition

@@ -730,6 +730,28 @@ def _schema_fields(schema: StructType) -> dict[str, str]:
     return {f.name: f.dataType.simpleString() for f in schema.fields}
 
 
+def _is_hidden_metadata_field(f) -> bool:
+    """The FileSourceStrategy ``_metadata`` struct (file_path, ...) —
+    hidden in real Spark, a VISIBLE column through the Python
+    DataSource API (cloudfiles.py module doc). Writers auto-exclude it
+    so the reference's bronze notebook block persists the same columns
+    it would on Databricks; keep it deliberately with
+    .option('keep_metadata_column', 'true')."""
+    from pyspark.sql.types import StructType as _St
+
+    return (
+        f.name == "_metadata"
+        and isinstance(f.dataType, _St)
+        and "file_path" in f.dataType.fieldNames()
+    )
+
+
+def strip_hidden_metadata(schema: StructType) -> StructType:
+    from pyspark.sql.types import StructType as _St
+
+    return _St([f for f in schema.fields if not _is_hidden_metadata_field(f)])
+
+
 def _guard_writable(snap: DeltaSnapshot, overwrite: bool) -> None:
     # column-mapped tables are writable: the write tasks rename every
     # level to the physical spelling and stamp parquet field ids
@@ -961,6 +983,8 @@ class _DeltaWriteTask:
         # field jsons per logical column and physical partition names
         self._inv_fields: dict[str, dict] = {}
         self._pphys: dict[str, str] = {}
+        # hidden-_metadata emulation (see _is_hidden_metadata_field)
+        self._drop_meta = False
 
     def _load_mapping(self, snap: "DeltaSnapshot | None") -> None:
         """Driver-side: capture the logical->physical rename plan when
@@ -1018,6 +1042,8 @@ class _DeltaWriteTask:
         if not batches:
             return _AddedFile(files=(), n_rows=0)
         t = pa.Table.from_batches(batches)
+        if self._drop_meta and "_metadata" in t.column_names:
+            t = t.drop_columns(["_metadata"])
         if not self.partition_by:
             out = self._to_physical(t) if self._inv_fields else t
             rel = f"part-{uuid_hex()}.parquet"
@@ -1080,7 +1106,13 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         schema: StructType,
         overwrite: bool,
         partition_by: list[str] | None,
+        keep_metadata: bool = False,
     ):
+        drop_meta = not keep_metadata and any(
+            _is_hidden_metadata_field(f) for f in schema.fields
+        )
+        if drop_meta:
+            schema = strip_hidden_metadata(schema)
         # inherit the table's layout when appending without an explicit
         # partition_by (same convenience as the laketable writer)
         snap: DeltaSnapshot | None
@@ -1104,6 +1136,7 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         if missing:
             raise ValueError(f"partition columns {missing} absent from schema")
         super().__init__(path, schema, pb)
+        self._drop_meta = drop_meta
         self._load_mapping(snap)
         self.overwrite = overwrite
         self.full_schema = schema
@@ -1131,6 +1164,15 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
     checkpoint-reset redeploy."""
 
     def __init__(self, path: str, schema: StructType, options):
+        keep_meta = (
+            str(options.get("keep_metadata_column", "false")).lower()
+            == "true"
+        )
+        self._stream_drop_meta = not keep_meta and any(
+            _is_hidden_metadata_field(f) for f in schema.fields
+        )
+        if self._stream_drop_meta:
+            schema = strip_hidden_metadata(schema)
         explicit = options.get("txn_app_id")
         ckpt = options.get("checkpointlocation") or options.get(
             "checkpointLocation"
@@ -1158,6 +1200,7 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
         if missing:
             raise ValueError(f"partition columns {missing} absent from schema")
         super().__init__(path, schema, partition_by)
+        self._drop_meta = self._stream_drop_meta
         if snap is not None:
             _guard_writable(snap, overwrite=False)
             self._load_mapping(snap)
@@ -1276,6 +1319,12 @@ class DeltaDataSource(DataSource):
             schema,
             overwrite,
             [c.strip() for c in pb.split(",")] if pb else None,
+            keep_metadata=(
+                str(
+                    self.options.get("keep_metadata_column", "false")
+                ).lower()
+                == "true"
+            ),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

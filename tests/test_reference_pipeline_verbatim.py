@@ -14,9 +14,11 @@ strict 'source.ingestion_ts > target.ingestion_ts' guard and explicit
 set, whenNotMatchedInsertAll).
 
 The ONLY deviations from the notebooks: import lines (delta.tables ->
-sources.delta_fluent; formats registered once per session) and
-dropping the visible `_metadata` struct before the bronze write (the
-notebooks rely on `_metadata` being hidden; ours is a real column)."""
+sources.delta_fluent; formats registered once per session). The
+`_metadata` struct — hidden in real Spark, a visible column through the
+Python DataSource API — is auto-excluded by the delta writers
+(delta_table.strip_hidden_metadata) and projected away by MERGE, so the
+notebook blocks run without a .drop."""
 
 from __future__ import annotations
 
@@ -69,7 +71,6 @@ def _bronze_drain(spark, src, ckpt, target_path):
         .load(src)
         .withColumn("ingestion_ts", F.current_timestamp())
         .withColumn("source_file", F.col("_metadata.file_path"))
-        .drop("_metadata")  # ours is a visible column; notebooks' is hidden
     )
 
     def merge_to_bronze(microbatch_df, batch_id):
@@ -231,3 +232,154 @@ def test_bronze_to_silver_medallion_verbatim(spark, tmp_path):
     assert again == {
         "c1": "NITEROI", "c2": "SAO PAULO", "c3": "BELO HORIZONTE",
     }
+
+
+def test_gold_dimensions_and_metrics_revenue_verbatim(spark, tmp_path):
+    """CAPSTONE gold tier (VERDICT r7 next #6): the reference's
+    03_gold_dimensions.py:64-81 (dim_customers first-write + fluent
+    MERGE with explicit whenMatchedUpdate set) and
+    07_gold_metrics_revenue.py:26-78 (revenue base joins + groupBy agg
+    + full-refresh overwrite) run VERBATIM via the fluent facade +
+    format('delta') over the engine pipeline's exported silver/gold
+    tables — and the notebook-built metrics_revenue equals the engine
+    pipeline's own mart row-for-row."""
+    from datetime import datetime
+
+    from real_time_e_commerce_analytics_lakehouse_spark.pipelines.olist import (
+        OlistPipeline,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        export_delta_log,
+    )
+    from tools.make_olist_fixtures import make_fixtures
+
+    landing, lake = str(tmp_path / "landing"), str(tmp_path / "lake")
+    make_fixtures(landing, seed=42)
+    p = OlistPipeline(
+        spark, lake, landing, clock=datetime(2024, 6, 1, 12, 0, 0)
+    )
+    p.run()
+    for layer, name in [
+        ("silver", "customers"),
+        ("gold", "fact_orders"),
+        ("gold", "fact_payments"),
+    ]:
+        export_delta_log(p.table(layer, name))
+
+    # ---- 03_gold_dimensions.py:24-81, verbatim shapes --------------
+    silver_customers_path = p.table("silver", "customers").path
+    gold_customers_path = str(tmp_path / "gold_dim_customers")
+
+    customers_silver = (
+        spark.read.format("delta").load(silver_customers_path)
+    )
+    w = Window.partitionBy("customer_id").orderBy(
+        F.col("ingestion_ts").desc()
+    )
+    customers_dedup = (
+        customers_silver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    dim_customers_df = customers_dedup.select(
+        F.col("customer_id"),
+        F.col("customer_unique_id"),
+        F.col("customer_zip_code_prefix").cast("int"),
+        F.lower(F.trim(F.col("customer_city"))).alias("customer_city"),
+        F.upper(F.trim(F.col("customer_state"))).alias("customer_state"),
+        F.current_timestamp().alias("gold_created_ts"),
+    )
+    if not DeltaTable.isDeltaTable(spark, gold_customers_path):
+        (
+            dim_customers_df.write.format("delta")
+            .mode("overwrite")
+            .save(gold_customers_path)
+        )
+    gold_table = DeltaTable.forPath(spark, gold_customers_path)
+    (
+        gold_table.alias("target")
+        .merge(
+            dim_customers_df.alias("source"),
+            "target.customer_id = source.customer_id",
+        )
+        .whenMatchedUpdate(
+            set={
+                "customer_unique_id": "source.customer_unique_id",
+                "customer_zip_code_prefix": "source.customer_zip_code_prefix",
+                "customer_city": "source.customer_city",
+                "customer_state": "source.customer_state",
+                "gold_created_ts": "source.gold_created_ts",
+            }
+        )
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    dim_rows = spark.read.format("delta").load(gold_customers_path)
+    eng_dim = p.table("gold", "dim_customers").read()
+    assert sorted(
+        (r.customer_id, r.customer_city, r.customer_state)
+        for r in dim_rows.collect()
+    ) == sorted(
+        (r.customer_id, r.customer_city, r.customer_state)
+        for r in eng_dim.collect()
+    )
+
+    # ---- 07_gold_metrics_revenue.py:26-78, verbatim shapes ---------
+    fact_orders = spark.read.format("delta").load(
+        p.table("gold", "fact_orders").path
+    )
+    fact_payments = spark.read.format("delta").load(
+        p.table("gold", "fact_payments").path
+    )
+    dim_customers = spark.read.format("delta").load(gold_customers_path)
+    metrics_revenue_path = str(tmp_path / "metrics_revenue")
+
+    revenue_base = (
+        fact_orders.alias("o")
+        .join(fact_payments.alias("p"), on="order_id", how="inner")
+        .join(dim_customers.alias("c"), on="customer_id", how="left")
+        .select(
+            F.to_date(F.col("o.order_purchase_timestamp")).alias(
+                "order_date"
+            ),
+            F.col("c.customer_state"),
+            F.col("o.order_status"),
+            F.col("o.order_id"),
+            F.col("p.total_payment_value"),
+        )
+    )
+    metrics_revenue = revenue_base.groupBy(
+        "order_date", "customer_state", "order_status"
+    ).agg(
+        F.sum("total_payment_value").alias("total_revenue"),
+        F.countDistinct("order_id").alias("total_orders"),
+    )
+    (
+        metrics_revenue.write.format("delta")
+        .mode("overwrite")
+        .save(metrics_revenue_path)
+    )
+
+    got = {
+        (
+            r.order_date.isoformat() if r.order_date else None,
+            r.customer_state,
+            r.order_status,
+        ): (round(r.total_revenue, 2), r.total_orders)
+        for r in spark.read.format("delta")
+        .load(metrics_revenue_path)
+        .collect()
+    }
+    want = {
+        (
+            r.order_date.isoformat() if r.order_date else None,
+            r.customer_state,
+            r.order_status,
+        ): (round(r.total_revenue, 2), r.order_count)
+        for r in p.table("metrics", "metrics_revenue").read().collect()
+    }
+    assert set(got) == set(want)
+    for k, (rev, n) in got.items():
+        wrev, wn = want[k]
+        assert n == wn, k
+        assert abs(rev - wrev) < 0.011, k
