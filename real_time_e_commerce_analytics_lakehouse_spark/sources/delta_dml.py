@@ -64,6 +64,91 @@ from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
 _FILE = "__dml_file"  # rel-path attribution column during planning
 
 
+def _prune_files_by_source_keys(
+    snap: DeltaSnapshot, source: DataFrame, keys: Sequence[str]
+) -> None:
+    """Drop files whose per-key [min, max] footer-stats range cannot
+    intersect the SOURCE's key range — in place on ``snap``.
+
+    Exact for MERGE both ways: a pruned file overlaps no source key, so
+    it can contain no matched row (nothing to rewrite) AND none of its
+    keys can equal a source key (the insert anti-join loses nothing by
+    not seeing them). Files lacking stats for any key column are kept.
+    This is what makes merge_delta cost ∝ matched-file bytes instead of
+    table bytes at 100 TB: the common merge source (recent keys) spans
+    a narrow key range, and every file outside it is skipped without a
+    read. One bounded agg over the source computes the range."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        _stat_typed,
+    )
+
+    if not snap.stats:
+        return
+    dtypes = {
+        f.name: f.dataType.simpleString()
+        for f in snap.spark_schema().fields
+    }
+    agg = source.agg(
+        *[F.min(k).alias(f"__lo_{k}") for k in keys],
+        *[F.max(k).alias(f"__hi_{k}") for k in keys],
+    ).collect()[0]
+    bounds = {k: (agg[f"__lo_{k}"], agg[f"__hi_{k}"]) for k in keys}
+    if any(lo is None or hi is None for lo, hi in bounds.values()):
+        return  # empty source / all-NULL key: nothing safe to assume
+    keep: dict[str, dict] = {}
+    for rel, pvals in snap.files.items():
+        st = snap.stats.get(rel) or {}
+        mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+        pruned = False
+        for k in keys:
+            if k not in mins or k not in maxs:
+                continue
+            try:
+                f_lo = _stat_typed(mins[k], dtypes.get(k))
+                f_hi = _stat_typed(maxs[k], dtypes.get(k))
+                lo, hi = bounds[k]
+                if f_lo > hi or f_hi < lo:
+                    pruned = True
+                    break
+            except (TypeError, ValueError):
+                continue  # incomparable stats: keep the file, exact
+        if not pruned:
+            keep[rel] = pvals
+    snap.files = keep
+    snap.dvs = {r: d for r, d in snap.dvs.items() if r in keep}
+    snap.stats = {r: s for r, s in snap.stats.items() if r in keep}
+
+
+def _prune_files_by_partitions(
+    snap: DeltaSnapshot, partitions: dict[str, list]
+) -> None:
+    """Restrict ``snap`` to files whose add.partitionValues fall inside
+    the selection — the same contract as read_delta_log(partitions=);
+    driver-side, zero I/O. For DELETE/UPDATE this bounds the scan to
+    the named partitions (the predicate is still applied in full)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        _canon_partition_value,
+    )
+
+    unknown = set(partitions) - set(snap.partition_cols)
+    if unknown:
+        raise ValueError(
+            f"not partition columns: {sorted(unknown)} "
+            f"(table partitions: {snap.partition_cols})"
+        )
+    want = {
+        c: {_canon_partition_value(c, v) for v in vals}
+        for c, vals in partitions.items()
+    }
+    snap.files = {
+        rel: pvals
+        for rel, pvals in snap.files.items()
+        if all(pvals.get(c) in vals for c, vals in want.items())
+    }
+    snap.dvs = {r: d for r, d in snap.dvs.items() if r in snap.files}
+    snap.stats = {r: s for r, s in snap.stats.items() if r in snap.files}
+
+
 def _scan_with_file(
     spark: SparkSession, path: str, snap: DeltaSnapshot
 ) -> DataFrame:
@@ -448,6 +533,10 @@ def merge_delta(
         keys = _parse_equi_keys(condition)
     keys = list(keys)
     snap = _prep(spark, path)
+    # key-range file skipping: files whose footer stats cannot overlap
+    # the source's key range never scan or rewrite (exact for both the
+    # match probe and the insert anti-join — see the helper's proof)
+    _prune_files_by_source_keys(snap, source, keys)
     schema = snap.spark_schema()
     cols = [f.name for f in schema.fields]
     # with set_exprs the update takes unassigned columns from the
@@ -621,8 +710,15 @@ def delete_delta(
     path: str,
     predicate,
     mode: str = "cow",
+    partitions: dict[str, list] | None = None,
 ) -> dict:
     """DELETE rows matching ``predicate`` (a Column or SQL string).
+
+    ``partitions``: {partition col: allowed values} — bounds the scan
+    to the named partitions driver-side (zero I/O), the read_delta_log
+    partition-pruning contract; the predicate still applies in full
+    within them. Without it the scan is necessarily full-table (any
+    engine must find every matching row).
 
     ``cow``: rewrite affected files without the matching rows.
     ``mor``: write roaring deletion vectors and re-add the files with
@@ -632,6 +728,8 @@ def delete_delta(
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     snap = _prep(spark, path)
+    if partitions:
+        _prune_files_by_partitions(snap, partitions)
     pcols = list(snap.partition_cols)
     tgt = _scan_with_file(spark, path, snap)
     doomed = tgt.filter(predicate)
@@ -803,9 +901,11 @@ def update_delta(
     path: str,
     predicate,
     assignments: dict[str, Any],
+    partitions: dict[str, list] | None = None,
 ) -> dict:
     """UPDATE SET col=expr WHERE predicate — copy-on-write rewrite of
-    the affected files; cdc update pre/post images when CDF is on."""
+    the affected files; cdc update pre/post images when CDF is on.
+    ``partitions`` bounds the scan like delete_delta's."""
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     exprs = {
@@ -813,6 +913,8 @@ def update_delta(
         for c, e in assignments.items()
     }
     snap = _prep(spark, path)
+    if partitions:
+        _prune_files_by_partitions(snap, partitions)
     cols = [f.name for f in snap.spark_schema().fields]
     unknown = set(exprs) - set(cols)
     if unknown:

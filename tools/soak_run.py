@@ -147,6 +147,56 @@ def table_layer_soak(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     q.awaitTermination()
     out["stream_sink_batch"] = round(time.perf_counter() - t0, 3)
 
+    # ---- foreign-Delta DML tier (VERDICT r7 next #8): same fixed-
+    # churn protocol over a format('delta') table. The churn-bound
+    # claims under test: merge_delta's key-range file skipping keeps
+    # the probe+rewrite inside the files overlapping the source's key
+    # range (the base copy); delete_delta(partitions=) bounds the scan
+    # to the churn partition; optimize_delta with a small target only
+    # rewrites the churn-touched partition's fragmented/DV files.
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import (
+        delta_table as dtmod,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        delete_delta,
+        merge_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    dtmod.register(spark)
+    dp = f"{workdir}/orders_delta"
+    # setup (untimed): materialize the scaled foreign table
+    orders.write.format("delta").option(
+        "partition_by", "key_bucket"
+    ).mode("append").save(dp)
+    churn3 = (
+        orders.where(
+            (F.col("o_orderkey") % 97 == 0)
+            & (F.col("o_orderkey") < 10_000_000)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 1.03)
+    ).persist()
+    churn3.count()
+    t0 = time.perf_counter()
+    merge_delta(spark, dp, churn3, keys=["o_orderkey"])
+    out["merge_delta_churn"] = round(time.perf_counter() - t0, 3)
+    churn3.unpersist()
+
+    t0 = time.perf_counter()
+    delete_delta(
+        spark,
+        dp,
+        "o_orderkey % 191 = 0",
+        mode="mor",
+        partitions={"key_bucket": [0]},
+    )
+    out["delete_mor_churn"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    optimize_delta(spark, dp, target_file_bytes=1 * 1024 * 1024)
+    out["optimize_delta_churn"] = round(time.perf_counter() - t0, 3)
+
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
@@ -223,7 +273,16 @@ def main() -> None:
             spark, a.big, tempfile.mkdtemp(prefix="soak_tl_b_")
         )
         table_layer = []
-        churn_bound = {"ivm_refresh", "stream_sink_batch"}
+        churn_bound = {
+            "ivm_refresh",
+            "stream_sink_batch",
+            # foreign-Delta DML: fixed churn entirely inside the base
+            # copy -> key-range / partition / small-file pruning keeps
+            # each op's work bounded by the (identical) churn slice
+            "merge_delta_churn",
+            "delete_mor_churn",
+            "optimize_delta_churn",
+        }
         for op in small_tl:
             ts_f, tb_f = max(small_tl[op], 1e-3), max(big_tl[op], 1e-3)
             exp = round(math.log(tb_f / ts_f) / math.log(a.factor), 2)
