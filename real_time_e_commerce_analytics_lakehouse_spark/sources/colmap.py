@@ -319,3 +319,71 @@ def physical_write_schema(arrays, phys_fields: list[dict], with_ids: bool):
             )
         )
     return pa.schema(fields)
+
+
+# ---------------------------------------------------------------------------
+# Spark writer tier: logical DataFrame -> physical layout (for DML
+# rewrites on column-mapped tables, which stage files through Spark's
+# JVM parquet writer rather than the pyds arrow tasks)
+# ---------------------------------------------------------------------------
+
+
+def _physical_spark_type(type_json: Any) -> DataType:
+    if not is_nested(type_json):
+        return logical_type(type_json)
+    kind = type_json["type"]
+    if kind == "struct":
+        return StructType(
+            [physical_spark_field(f) for f in type_json["fields"]]
+        )
+    if kind == "array":
+        return ArrayType(_physical_spark_type(type_json["elementType"]), True)
+    return MapType(
+        _physical_spark_type(type_json["keyType"]),
+        _physical_spark_type(type_json["valueType"]),
+        True,
+    )
+
+
+def physical_spark_field(field_json: dict):
+    """StructField with the PHYSICAL name and ``parquet.field.id``
+    metadata (Spark's parquet writer emits PARQUET:field_id from it at
+    every nesting level when spark.sql.parquet.fieldId.write.enabled,
+    the default)."""
+    from pyspark.sql.types import StructField
+
+    meta = None
+    fid = (field_json.get("metadata") or {}).get("delta.columnMapping.id")
+    if fid is not None:
+        meta = {"parquet.field.id": int(fid)}
+    return StructField(
+        physical_name(field_json),
+        _physical_spark_type(field_json["type"]),
+        True,
+        meta,
+    )
+
+
+def to_physical_df(df, fields_json: list[dict], passthrough: tuple = ()):
+    """Rename a LOGICAL DataFrame to the physical layout: every level's
+    field renamed via the inverted mapping (logical_expr over inverted
+    jsons), then ``.to()`` the field-id-carrying physical schema so the
+    parquet footer records the ids. ``passthrough`` columns (e.g.
+    ``_change_type``) keep their name and type."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    cols, fields = [], []
+    for f in fields_json:
+        if f["name"] not in actual:
+            continue  # projected away by the caller
+        inv = invert_mapping(f)
+        cols.append(
+            logical_expr(
+                F.col(f["name"]), inv["type"], actual[f["name"]]
+            ).alias(physical_name(f))
+        )
+        fields.append(physical_spark_field(f))
+    for c in passthrough:
+        if c in actual:
+            cols.append(F.col(c))
+            fields.append(df.schema[c])
+    return df.select(*cols).to(StructType(fields))

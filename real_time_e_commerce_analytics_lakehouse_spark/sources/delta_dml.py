@@ -30,11 +30,13 @@ The one intentionally driver-held structure is a MoR delete's row-index
 bitmaps — bounded by rows deleted in that statement, the same contract
 as the engine's laketable MoR path.
 
-Protocol-tier refusals (loud): column-mapped tables (DML rewrites
-would need physical-name row rewrites — reads/appends/OPTIMIZE support
-mapping; row-level DML does not yet), appendOnly tables (when the
-delta.appendOnly property enables it), CHECK invariants, unknown
-writer features — same gate as the ``delta`` format writer.
+Column-mapped tables ('name' and 'id', nested types included) are
+fully DML-able: scans resolve logical names recursively
+(sources/colmap.py) and rewrites stage physical names + parquet field
+ids through Spark's fieldId.write path. Protocol-tier refusals (loud):
+appendOnly tables (when the delta.appendOnly property enables it),
+CHECK invariants, unknown writer features — same gate as the ``delta``
+format writer.
 """
 
 from __future__ import annotations
@@ -88,6 +90,8 @@ def _prune_files_by_source_keys(
         f.name: f.dataType.simpleString()
         for f in snap.spark_schema().fields
     }
+    # stats keys use PHYSICAL column names under column mapping
+    phys = snap.physical_names()
     agg = source.agg(
         *[F.min(k).alias(f"__lo_{k}") for k in keys],
         *[F.max(k).alias(f"__hi_{k}") for k in keys],
@@ -101,11 +105,12 @@ def _prune_files_by_source_keys(
         mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
         pruned = False
         for k in keys:
-            if k not in mins or k not in maxs:
+            pk = phys.get(k, k)
+            if pk not in mins or pk not in maxs:
                 continue
             try:
-                f_lo = _stat_typed(mins[k], dtypes.get(k))
-                f_hi = _stat_typed(maxs[k], dtypes.get(k))
+                f_lo = _stat_typed(mins[pk], dtypes.get(k))
+                f_hi = _stat_typed(maxs[pk], dtypes.get(k))
                 lo, hi = bounds[k]
                 if f_lo > hi or f_hi < lo:
                     pruned = True
@@ -170,9 +175,12 @@ def _scan_with_file(
     df = df.withColumn("__dml_fp", decoded)
     if snap.dvs:
         df = _apply_deletion_vectors(df, snap, "__dml_fp")
+    # column mapping: files store physical names; partitionValues key
+    # physically; nested fields rename recursively (sources/colmap.py)
+    phys = snap.resolved_physical_names(path)
     rows = [
         (os.path.abspath(os.path.join(path, rel)), rel)
-        + tuple(pvals.get(c) for c in snap.partition_cols)
+        + tuple(pvals.get(phys.get(c, c)) for c in snap.partition_cols)
         for rel, pvals in snap.files.items()
     ]
     meta = spark.createDataFrame(
@@ -192,14 +200,30 @@ def _scan_with_file(
         for f in schema.fields
         if f.name in snap.partition_cols
     }
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+        is_nested,
+        logical_expr,
+    )
+
+    fjson = {f["name"]: f for f in snap.schema_json.get("fields", [])}
+    actual = {x.name: x.dataType for x in df.schema.fields}
     out = []
     for f in schema.fields:
+        pn = phys.get(f.name, f.name)
         if f.name in snap.partition_cols:
             out.append(
                 F.col(f"__dml_{f.name}").cast(ptypes[f.name]).alias(f.name)
             )
-        elif f.name in df.columns:
-            out.append(F.col(f.name))
+        elif pn in df.columns:
+            col = F.col(pn)
+            fj = fjson.get(f.name)
+            if (
+                snap.column_mapping_mode != "none"
+                and fj is not None
+                and is_nested(fj.get("type"))
+            ):
+                col = logical_expr(col, fj["type"], actual.get(pn))
+            out.append(col.alias(f.name))
         else:  # additive-evolution column absent from every file
             out.append(F.lit(None).cast(f.dataType).alias(f.name))
     return joined.select(*out, F.col(_FILE))
@@ -211,14 +235,31 @@ def _cdf_enabled(snap: DeltaSnapshot) -> bool:
 
 
 def _stage_data_files(
-    spark_df: DataFrame, path: str, pcols: list[str]
+    spark_df: DataFrame,
+    path: str,
+    pcols: list[str],
+    snap: DeltaSnapshot | None = None,
 ) -> list[tuple[str, dict, int]]:
     """Write a DataFrame's rows as new table data files (Hive layout
     for partitioned tables) and adopt them under uuid names; returns
     [(rel, partitionValues, numRecords)]. Executors write the bytes;
-    the driver renames."""
+    the driver renames. Under column mapping (``snap`` given) the
+    LOGICAL frame converts to the physical layout first — physical
+    names at every level, parquet field ids via Spark's
+    fieldId.write path — and pcols/partitionValues come out keyed
+    physically, as the spec requires."""
     import uuid as _uuid
 
+    if snap is not None and snap.column_mapping_mode != "none":
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+            to_physical_df,
+        )
+
+        phys = snap.physical_names()
+        spark_df = to_physical_df(
+            spark_df, snap.schema_json.get("fields", [])
+        )
+        pcols = [phys.get(c, c) for c in pcols]
     stage = os.path.join(path, f"_dml_tmp_{_uuid.uuid4().hex}")
     w = spark_df.write
     if pcols:
@@ -263,15 +304,27 @@ def _stage_data_files(
 
 
 def _stage_cdc_files(
-    cdc_df: DataFrame, path: str
+    cdc_df: DataFrame, path: str, snap: DeltaSnapshot | None = None
 ) -> list[tuple[str, dict]]:
     """Write `_change_data/` parquet files (rows carry _change_type)
     and return [(rel, partitionValues)] for the cdc actions. Partition
     values are left empty — cdc actions permit it and every reader
-    takes row values from the stored columns."""
+    takes row values from the stored columns. Under column mapping the
+    data columns store physically, `_change_type` keeps its name (the
+    spec exempts the CDF virtual columns from mapping)."""
     import shutil
     import uuid as _uuid
 
+    if snap is not None and snap.column_mapping_mode != "none":
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+            to_physical_df,
+        )
+
+        cdc_df = to_physical_df(
+            cdc_df,
+            snap.schema_json.get("fields", []),
+            passthrough=("_change_type",),
+        )
     stage = os.path.join(path, f"_dml_cdc_tmp_{_uuid.uuid4().hex}")
     cdc_df.write.parquet(stage)
     os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
@@ -446,11 +499,9 @@ def _dv_protocol_upgrade(snap: "DeltaSnapshot") -> dict | None:
 def _prep(spark: SparkSession, path: str):
     snap = DeltaSnapshot(path)
     _guard_writable(snap, overwrite=True)  # DML removes files
-    if snap.column_mapping_mode != "none":
-        raise NotImplementedError(
-            "DML on column-mapped tables would need physical-name "
-            "writes — use the engine API"
-        )
+    # column-mapped tables are DML-able: scans resolve logical names
+    # (_scan_with_file / the MoR raw scan), rewrites stage physically
+    # with field ids (_stage_data_files via colmap.to_physical_df)
     return snap
 
 
@@ -671,7 +722,7 @@ def merge_delta(
     for p in pieces[1:]:
         new_rows = new_rows.unionByName(p)
     pcols = list(snap.partition_cols)
-    adds = _stage_data_files(new_rows, path, pcols)
+    adds = _stage_data_files(new_rows, path, pcols, snap)
     cdcs: list[tuple[str, dict]] = []
     if _cdf_enabled(snap):
         parts = []
@@ -685,7 +736,7 @@ def merge_delta(
             cdc = parts[0]
             for p in parts[1:]:
                 cdc = cdc.unionByName(p)
-            cdcs = _stage_cdc_files(cdc, path)
+            cdcs = _stage_cdc_files(cdc, path, snap)
     v = _commit_dml(
         path,
         snap.version,
@@ -745,13 +796,14 @@ def delete_delta(
             .filter(~predicate)
             .drop(_FILE)
         )
-        adds = _stage_data_files(kept, path, pcols)
+        adds = _stage_data_files(kept, path, pcols, snap)
         cdcs = (
             _stage_cdc_files(
                 doomed.drop(_FILE).withColumn(
                     "_change_type", F.lit("delete")
                 ),
                 path,
+                snap,
             )
             if _cdf_enabled(snap)
             else []
@@ -793,10 +845,34 @@ def delete_delta(
     ).withColumn("__ridx", F.col("_metadata.row_index"))
     if snap.dvs:
         raw = _apply_deletion_vectors(raw, snap, "__fp")
+    phys_mor = snap.resolved_physical_names(path)
+    if snap.column_mapping_mode != "none":
+        # physical -> logical for the predicate (sources/colmap.py)
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+            is_nested as _isn,
+            logical_expr as _lexpr,
+        )
+
+        fj_mor = {f["name"]: f for f in snap.schema_json.get("fields", [])}
+        act_mor = {x.name: x.dataType for x in raw.schema.fields}
+        sel = [F.col("__fp"), F.col("__ridx")]
+        for f in snap.spark_schema().fields:
+            if f.name in pcols:
+                continue  # restored from partitionValues below
+            pn = phys_mor.get(f.name, f.name)
+            if pn not in act_mor:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                continue
+            col = F.col(pn)
+            fj = fj_mor.get(f.name)
+            if fj is not None and _isn(fj.get("type")):
+                col = _lexpr(col, fj["type"], act_mor[pn])
+            sel.append(col.alias(f.name))
+        raw = raw.select(*sel)
     if pcols:  # restore typed partition cols so the predicate can use them
         rows = [
             (os.path.abspath(os.path.join(path, rel)), rel)
-            + tuple(pvals.get(c) for c in pcols)
+            + tuple(pvals.get(phys_mor.get(c, c)) for c in pcols)
             for rel, pvals in snap.files.items()
         ]
         meta = spark.createDataFrame(
@@ -878,6 +954,7 @@ def delete_delta(
             .drop(_FILE)
             .withColumn("_change_type", F.lit("delete")),
             path,
+            snap,
         )
         if _cdf_enabled(snap)
         else []
@@ -930,7 +1007,7 @@ def update_delta(
     for c, e in exprs.items():
         updated = updated.withColumn(c, e.cast(dict(tgt.dtypes)[c]))
     new_rows = aff.filter(~predicate).unionByName(updated).drop(_FILE)
-    adds = _stage_data_files(new_rows, path, list(snap.partition_cols))
+    adds = _stage_data_files(new_rows, path, list(snap.partition_cols), snap)
     cdcs: list[tuple[str, dict]] = []
     if _cdf_enabled(snap):
         pre = (
@@ -941,7 +1018,7 @@ def update_delta(
         post = updated.drop(_FILE).withColumn(
             "_change_type", F.lit("update_postimage")
         )
-        cdcs = _stage_cdc_files(pre.unionByName(post), path)
+        cdcs = _stage_cdc_files(pre.unionByName(post), path, snap)
     v = _commit_dml(
         path,
         snap.version,

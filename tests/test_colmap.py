@@ -13,6 +13,7 @@ import time
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_stream as dsmod
 from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
@@ -264,3 +265,81 @@ def test_mapped_schema_evolution_refused(spark, tmp_path):
             [((9,), "q", 10, 1.5)],
             "s struct<a: long>, v string, part int, brand_new double",
         ).write.format("delta").mode("append").save(p)
+
+
+def test_dml_on_column_mapped_table(spark, tmp_path):
+    """Row-level DML on a column-mapped table (the last mapped-table
+    refusal, closed in r8): MERGE upsert, UPDATE, CoW DELETE and MoR
+    DELETE all run with logical column names against physical files;
+    rewritten files keep physical names + field ids; every read tier
+    agrees after each statement."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        delete_delta,
+        merge_delta,
+        update_delta,
+    )
+
+    p = str(tmp_path / "t")
+    _mapped_table(p, "name")  # seed: ({a:1}, 'x', part=10)
+    spark.createDataFrame(
+        [((2,), "y", 20), ((3,), "z", 20)],
+        "s struct<a: long>, v string, part int",
+    ).write.format("delta").mode("append").save(p)
+
+    # MERGE: update a=2's v, insert a=4
+    src = spark.createDataFrame(
+        [((2,), "Y2", 20), ((4,), "w", 30)],
+        "s struct<a: long>, v string, part int",
+    ).withColumn("k", F.col("s.a"))
+    tgt_keyed = merge_delta(
+        spark,
+        p,
+        src.drop("k"),
+        keys=["v"],  # v is unique here; key on a data column
+    )
+    # v-keyed merge matched nothing (Y2/w are new v values) -> inserts
+    assert tgt_keyed["rows_inserted"] == 2
+
+    # UPDATE with a nested predicate + top-level assignment
+    res_u = update_delta(spark, p, "s.a = 3", {"v": "'Z3'"})
+    assert res_u["rows_updated"] == 1
+
+    # CoW DELETE on a nested column
+    res_d = delete_delta(spark, p, "s.a = 1", mode="cow")
+    assert res_d["rows_deleted"] == 1
+
+    got = sorted(
+        (
+            ((r.s.asDict() if r.s else None), r.v, r.part)
+            for r in read_delta_log(spark, p).collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == [
+        ({"a": 2}, "Y2", 20),
+        ({"a": 3}, "Z3", 20),
+        ({"a": 4}, "w", 30),
+        ({"a": 2}, "y", 20),
+    ]
+    # pyds tier agrees
+    got2 = sorted(
+        (((r.s.asDict() if r.s else None), r.v, r.part) for r in spark.read.format("delta").load(p).collect()),
+        key=lambda t: t[1],
+    )
+    assert got2 == got
+
+    # rewritten files keep PHYSICAL names + field ids
+    snap = DeltaSnapshot(p)
+    any_new = next(iter(snap.files))
+    sch = pq.read_schema(os.path.join(p, any_new))
+    assert set(sch.names) <= {"col-s", "col-v"}
+    assert sch.field("col-s").type.field(0).name == "col-a"
+
+    # MoR DELETE with DV on the mapped table
+    res_m = delete_delta(spark, p, "v = 'y'", mode="mor")
+    assert res_m["rows_deleted"] == 1
+    left = sorted(r.v for r in read_delta_log(spark, p).collect())
+    assert left == ["Y2", "Z3", "w"]
+    assert sorted(
+        r.v for r in spark.read.format("delta").load(p).collect()
+    ) == left

@@ -220,8 +220,11 @@ def test_delete_mor_writes_deletion_vectors(spark, tmp_path):
 
 
 def test_dml_guards(spark, tmp_path):
-    """Protocol-tier refusals: source missing table columns; DML on a
-    column-mapped table."""
+    """Protocol-tier refusals: source missing table columns. DML on a
+    column-mapped table is SUPPORTED since r8 (identity physicalNames
+    here; tests/test_colmap.py covers real col-<uuid> renames + the
+    rewritten-file footprint) — the old refusal is now a working
+    delete."""
     p = str(tmp_path / "t")
     _make_cdf_table(spark, p)
     with pytest.raises(ValueError, match="lacks table columns"):
@@ -253,8 +256,12 @@ def test_dml_guards(spark, tmp_path):
     with open(log, "w") as f:
         for a in lines:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(NotImplementedError, match="column-mapped|physical"):
-        delete_delta(spark, str(p), "id = 1")
+    before = {r.id for r in read_delta_log(spark, p).collect()}
+    assert 1 in before
+    res = delete_delta(spark, str(p), "id = 1")
+    assert res["rows_deleted"] >= 1
+    after = {r.id for r in read_delta_log(spark, p).collect()}
+    assert after == before - {1}
 
 
 def test_fluent_delta_table_reference_merge_block(spark, tmp_path):
