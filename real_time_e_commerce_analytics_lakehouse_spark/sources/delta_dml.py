@@ -234,6 +234,49 @@ def _cdf_enabled(snap: DeltaSnapshot) -> bool:
     return str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
 
 
+def _constraint_exprs(snap: DeltaSnapshot) -> list[tuple[str, str]]:
+    """(name, boolean SQL expr) for every table CHECK constraint
+    (``delta.constraints.<name>`` configuration, writer feature
+    checkConstraints) and column invariant (``delta.invariants`` field
+    metadata, legacy writer-2 feature). Unparseable invariants refuse
+    loudly rather than write unvalidated."""
+    out: list[tuple[str, str]] = []
+    for k, v in (snap.configuration or {}).items():
+        if k.startswith("delta.constraints."):
+            out.append((k[len("delta.constraints."):], v))
+    for f in snap.schema_json.get("fields", []):
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError):
+            raise NotImplementedError(
+                f"column {f['name']}: unparseable delta.invariants "
+                f"payload {inv!r} — refusing to write unvalidated"
+            ) from None
+        out.append((f"invariant({f['name']})", expr))
+    return out
+
+
+def _apply_constraints(spark_df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
+    """In-plan CHECK validation on staged rows (delta-spark parity):
+    a row fails only when the expression is FALSE — NULL passes (SQL
+    CHECK semantics) — and the write job aborts naming the constraint
+    before any file is adopted."""
+    for name, expr in _constraint_exprs(snap):
+        spark_df = spark_df.where(
+            F.assert_true(
+                F.expr(f"({expr}) IS NOT FALSE"),
+                F.lit(
+                    f"CHECK constraint {name} violated: ({expr}) "
+                    "is false for a written row"
+                ),
+            ).isNull()
+        )
+    return spark_df
+
+
 def _stage_data_files(
     spark_df: DataFrame,
     path: str,
@@ -250,6 +293,9 @@ def _stage_data_files(
     physically, as the spec requires."""
     import uuid as _uuid
 
+    if snap is not None:
+        # constraints validate on LOGICAL names, before physical rename
+        spark_df = _apply_constraints(spark_df, snap)
     if snap is not None and snap.column_mapping_mode != "none":
         from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
             to_physical_df,
@@ -498,7 +544,9 @@ def _dv_protocol_upgrade(snap: "DeltaSnapshot") -> dict | None:
 
 def _prep(spark: SparkSession, path: str):
     snap = DeltaSnapshot(path)
-    _guard_writable(snap, overwrite=True)  # DML removes files
+    # DML removes files (=overwrite tier); CHECK constraints/invariants
+    # are ENFORCED in-plan during staging rather than refused
+    _guard_writable(snap, overwrite=True, enforce_constraints=True)
     # column-mapped tables are DML-able: scans resolve logical names
     # (_scan_with_file / the MoR raw scan), rewrites stage physically
     # with field ids (_stage_data_files via colmap.to_physical_df)

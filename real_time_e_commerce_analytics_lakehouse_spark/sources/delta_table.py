@@ -752,7 +752,9 @@ def strip_hidden_metadata(schema: StructType) -> StructType:
     return _St([f for f in schema.fields if not _is_hidden_metadata_field(f)])
 
 
-def _guard_writable(snap: DeltaSnapshot, overwrite: bool) -> None:
+def _guard_writable(
+    snap: DeltaSnapshot, overwrite: bool, enforce_constraints: bool = False
+) -> None:
     # column-mapped tables are writable: the write tasks rename every
     # level to the physical spelling and stamp parquet field ids
     # (sources/colmap.py); schema EVOLUTION on a mapped table is the
@@ -760,7 +762,14 @@ def _guard_writable(snap: DeltaSnapshot, overwrite: bool) -> None:
     # _commit_table_change
     proto = snap.protocol or {}
     feats = set(proto.get("writerFeatures") or [])
-    unknown = feats - _SAFE_WRITER_FEATURES
+    safe = set(_SAFE_WRITER_FEATURES)
+    if enforce_constraints:
+        # the DML tier stages rows through Spark and VALIDATES CHECK
+        # constraints + column invariants in-plan (delta_dml
+        # _stage_data_files), so the feature is honored, not just
+        # tolerated
+        safe.add("checkConstraints")
+    unknown = feats - safe
     if unknown:
         raise NotImplementedError(
             f"table requires writer features {sorted(unknown)} this "
@@ -775,13 +784,25 @@ def _guard_writable(snap: DeltaSnapshot, overwrite: bool) -> None:
     )
     if overwrite and append_only:
         raise ValueError("appendOnly table: overwrite is forbidden")
-    for f in snap.schema_json.get("fields", []):
-        if "delta.invariants" in (f.get("metadata") or {}):
+    if not enforce_constraints:
+        # the arrow write tasks cannot evaluate SQL expressions — only
+        # the Spark-staged DML tier enforces these
+        if any(
+            k.startswith("delta.constraints.") for k in snap.configuration
+        ):
             raise NotImplementedError(
-                f"column {f['name']} carries a CHECK invariant this "
-                "writer cannot validate — write through an engine that "
-                "enforces it"
+                "table carries CHECK constraints this writer cannot "
+                "validate — write through merge_delta/DML (which "
+                "enforces them) or an engine that does"
             )
+        for f in snap.schema_json.get("fields", []):
+            if "delta.invariants" in (f.get("metadata") or {}):
+                raise NotImplementedError(
+                    f"column {f['name']} carries a CHECK invariant this "
+                    "writer cannot validate — write through "
+                    "merge_delta/DML (which enforces it) or an engine "
+                    "that does"
+                )
 
 
 def _commit_table_change(

@@ -573,3 +573,92 @@ def test_delete_update_partition_pruning(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not partition columns"):
         delete_delta(spark, p, "id < 4", partitions={"nope": [1]})
+
+
+def test_dml_enforces_check_constraints_and_invariants(spark, tmp_path):
+    """CHECK constraints (delta.constraints.*, checkConstraints writer
+    feature) and column invariants (delta.invariants metadata) are
+    ENFORCED by the DML tier: a violating row aborts the statement
+    naming the constraint BEFORE any file is adopted; NULL passes (SQL
+    CHECK semantics); valid rows write. The arrow writers keep
+    refusing (they cannot evaluate SQL)."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, amount double"
+    ).write.format("delta").mode("append").save(p)
+    # retrofit: CHECK constraint + column invariant + feature listing
+    log = os.path.join(p, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"].setdefault("configuration", {})[
+                "delta.constraints.amount_positive"
+            ] = "amount > 0"
+            sch = json.loads(a["metaData"]["schemaString"])
+            for f_ in sch["fields"]:
+                if f_["name"] == "id":
+                    f_["metadata"] = {
+                        "delta.invariants": json.dumps(
+                            {"expression": {"expression": "id < 1000"}}
+                        )
+                    }
+            a["metaData"]["schemaString"] = json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"].update(
+                minReaderVersion=1,
+                minWriterVersion=7,
+                writerFeatures=["checkConstraints", "invariants"],
+            )
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+
+    # valid merge passes (and a NULL amount passes: CHECK semantics)
+    res = merge_delta(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(3, 30.0), (4, None)], "id long, amount double"
+        ),
+        keys=["id"],
+    )
+    assert res["rows_inserted"] == 2
+    got = sorted(
+        (r.id, r.amount) for r in read_delta_log(spark, p).collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)]
+
+    # violating CHECK aborts naming the constraint; no row lands
+    with pytest.raises(Exception, match="amount_positive"):
+        merge_delta(
+            spark,
+            p,
+            spark.createDataFrame([(5, -1.0)], "id long, amount double"),
+            keys=["id"],
+        )
+    assert read_delta_log(spark, p).count() == 4
+
+    # violating column invariant aborts too
+    with pytest.raises(Exception, match="invariant"):
+        merge_delta(
+            spark,
+            p,
+            spark.createDataFrame([(5000, 1.0)], "id long, amount double"),
+            keys=["id"],
+        )
+    assert read_delta_log(spark, p).count() == 4
+
+    # UPDATE through the same gate
+    with pytest.raises(Exception, match="amount_positive"):
+        update_delta(spark, p, "id = 1", {"amount": "-5.0"})
+    assert update_delta(spark, p, "id = 1", {"amount": "15.0"})[
+        "rows_updated"
+    ] == 1
+
+    # the arrow writer tier still refuses rather than skip validation
+    with pytest.raises(
+        Exception, match="CHECK|checkConstraints|invariant"
+    ):
+        spark.createDataFrame(
+            [(9, 9.0)], "id long, amount double"
+        ).write.format("delta").mode("append").save(p)
