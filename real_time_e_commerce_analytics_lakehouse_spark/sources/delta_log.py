@@ -161,6 +161,10 @@ class DeltaSnapshot:
         # one (numRecords / minValues / maxValues / nullCount) — the
         # data-skipping input
         self.stats: dict[str, dict] = {}
+        # {rel path: remove action dict} — tombstones of files removed
+        # and not re-added, retained for checkpoint emission (the spec
+        # keeps them until delta.deletedFileRetentionDuration elapses)
+        self.tombstones: dict[str, dict] = {}
         self.protocol: dict | None = None
         self.configuration: dict[str, str] = {}
         self.column_mapping_mode: str = "none"
@@ -341,6 +345,11 @@ class DeltaSnapshot:
                     "deletionVectors",
                     "columnMapping",
                     "v2Checkpoint",
+                    # spec: requires NO reader behavior change — it
+                    # exists to force VACUUM implementations through a
+                    # protocol check (vacuum_delta replays the full log
+                    # and honors retention, satisfying the intent)
+                    "vacuumProtocolCheck",
                 }
             ):
                 raise NotImplementedError(
@@ -372,6 +381,7 @@ class DeltaSnapshot:
             a = action["add"]
             rel = _decode_path(a["path"])
             self.files[rel] = dict(a.get("partitionValues") or {})
+            self.tombstones.pop(rel, None)  # re-add cancels the tombstone
             raw_stats = a.get("stats")
             if raw_stats:
                 try:
@@ -397,6 +407,11 @@ class DeltaSnapshot:
             self.files.pop(rel, None)
             self.dvs.pop(rel, None)
             self.stats.pop(rel, None)
+            # retain the tombstone: PROTOCOL.md keeps remove actions as
+            # expired-file tombstones (until deletedFileRetentionDuration)
+            # so checkpoints can carry them and foreign VACUUMs can see
+            # deletion timestamps after JSON log cleanup
+            self.tombstones[rel] = dict(action["remove"])
         if "txn" in action and action["txn"]:
             t = action["txn"]
             if t.get("appId") is not None and t.get("version") is not None:
@@ -1365,14 +1380,48 @@ def _num_records(parquet_path: str) -> int:
     return pq.ParquetFile(parquet_path).metadata.num_rows
 
 
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000,
+}
+
+
+def _deleted_file_retention_ms(configuration: dict[str, str]) -> int:
+    """``delta.deletedFileRetentionDuration`` as milliseconds; the
+    property uses Spark's CalendarInterval prose ("interval 1 week",
+    the spec default). Unparseable values fall back to the default
+    rather than silently shortening retention."""
+    raw = (configuration or {}).get(
+        "delta.deletedFileRetentionDuration", "interval 1 week"
+    )
+    toks = raw.strip().lower().split()
+    if toks and toks[0] == "interval":
+        toks = toks[1:]
+    total = 0
+    try:
+        for qty, unit in zip(toks[0::2], toks[1::2]):
+            total += int(qty) * _INTERVAL_UNIT_MS[unit]
+    except (ValueError, KeyError):
+        return 604_800_000
+    return total if total > 0 else 604_800_000
+
+
 def write_delta_checkpoint(path: str) -> int:
     """Write a Delta parquet checkpoint of the CURRENT log state
     (`NNNN.checkpoint.parquet` + `_last_checkpoint`), the maintenance
     step every long-lived Delta table needs: without one, readers must
     replay every JSON commit from 0 and cleaned-up commits brick the
     table. One flat-schema single-part checkpoint (classic format,
-    protocol/metaData/add struct columns — what DeltaSnapshot and every
-    Delta reader bootstrap from). Returns the checkpointed version.
+    protocol/metaData/add/remove/txn struct columns — what DeltaSnapshot
+    and every Delta reader bootstrap from). Adds carry their ``stats``
+    (data skipping survives the bootstrap) and live DV descriptors;
+    unexpired remove tombstones are retained per
+    ``delta.deletedFileRetentionDuration``. Returns the checkpointed
+    version.
 
     JSON commits at or below the checkpoint become removable
     (`expire_delta_commits`); commits after it keep applying on top."""
@@ -1416,6 +1465,7 @@ def write_delta_checkpoint(path: str) -> int:
             }
         )
     for rel, pvals in sorted(snap.files.items()):
+        st = snap.stats.get(rel)
         rows.append(
             {
                 "protocol": None,
@@ -1429,10 +1479,46 @@ def write_delta_checkpoint(path: str) -> int:
                         os.stat(os.path.join(path, rel)).st_mtime * 1000
                     ),
                     "dataChange": True,
+                    # carry the per-file stats — a checkpoint that drops
+                    # them silently disables min/max data skipping for
+                    # every reader bootstrapping from it
+                    "stats": json.dumps(st) if st else None,
                     # carry the live DV descriptor — a checkpoint that
                     # drops it would resurrect every deleted row for
                     # readers bootstrapping from it
                     "deletionVector": snap.dvs.get(rel),
+                },
+            }
+        )
+    # remove tombstones younger than deletedFileRetentionDuration stay
+    # in the checkpoint (PROTOCOL.md "Add File and Remove File":
+    # tombstones expire only after the retention window; a checkpoint
+    # that drops them early breaks strict (path, dvId)-keyed replay of
+    # later commits and hides deletion timestamps from foreign VACUUM
+    # after JSON log cleanup)
+    retention_ms = _deleted_file_retention_ms(snap.configuration)
+    now_ms = int(time.time() * 1000)
+    for rel, rm in sorted(snap.tombstones.items()):
+        ts = rm.get("deletionTimestamp")
+        if ts is not None and now_ms - int(ts) > retention_ms:
+            continue  # expired tombstone: eligible for omission
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "txn": None,
+                "add": None,
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": int(ts) if ts is not None else None,
+                    # checkpoint file actions never signal data change
+                    "dataChange": False,
+                    "extendedFileMetadata": bool(
+                        rm.get("extendedFileMetadata")
+                    ),
+                    "partitionValues": rm.get("partitionValues"),
+                    "size": rm.get("size"),
+                    "deletionVector": rm.get("deletionVector"),
                 },
             }
         )
@@ -1476,6 +1562,32 @@ def write_delta_checkpoint(path: str) -> int:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("extendedFileMetadata", pa.bool_()),
+                        ("partitionValues", kv),
+                        ("size", pa.int64()),
                         (
                             "deletionVector",
                             pa.struct(
@@ -1532,7 +1644,9 @@ def expire_delta_commits(path: str) -> int:
 def resolve_delta_version_at(path: str, ts_ms: int) -> int:
     """Largest version whose commit timestamp <= ``ts_ms`` — the
     resolution rule behind Delta's ``timestampAsOf``. A commit's
-    timestamp is its commitInfo.timestamp when present (what real
+    timestamp is its commitInfo.inCommitTimestamp when present (the
+    inCommitTimestamp writer feature's monotonic clock, authoritative
+    per spec), else commitInfo.timestamp when present (what real
     writers emit), else the commit file's mtime (the spec's documented
     fallback). Raises if ``ts_ms`` predates the earliest retained
     commit (same contract as upstream)."""
@@ -1550,8 +1664,18 @@ def resolve_delta_version_at(path: str, ts_ms: int) -> int:
                 if not line:
                     continue
                 a = json.loads(line)
-                if a.get("commitInfo") and a["commitInfo"].get("timestamp"):
-                    t = int(a["commitInfo"]["timestamp"])
+                ci = a.get("commitInfo")
+                if ci and (
+                    ci.get("inCommitTimestamp") or ci.get("timestamp")
+                ):
+                    # in-commit timestamps (writer feature
+                    # inCommitTimestamp): when present they are the
+                    # table's authoritative, monotonic commit clock —
+                    # the spec requires time travel to prefer them over
+                    # file-level timestamps
+                    t = int(
+                        ci.get("inCommitTimestamp") or ci["timestamp"]
+                    )
                     break
         if t is None:
             t = int(os.stat(os.path.join(log, fn)).st_mtime * 1000)

@@ -1652,3 +1652,246 @@ def test_delta_changes_prefers_cdc_actions_with_update_images(spark, tmp_path):
         ("update_postimage", 2, "B"),
         ("update_preimage", 2, "b"),
     ]
+
+
+# --------------------------------------------------------------------------
+# checkpoint fidelity: stats + tombstones survive the bootstrap (r8)
+# --------------------------------------------------------------------------
+
+
+def test_checkpoint_carries_stats_and_tombstones(spark, tmp_path):
+    """A checkpoint must not lose add.stats (data skipping would
+    silently die for every reader bootstrapping from it) nor unexpired
+    remove tombstones (strict (path, dvId)-keyed replayers and foreign
+    VACUUMs need the deletion timestamps after JSON log cleanup)."""
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        expire_delta_commits,
+        write_delta_checkpoint,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    export_delta_log(t)
+    # overwrite tombstones the v0 files
+    t.overwrite(
+        spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string")
+    )
+    export_delta_log(t)
+
+    pre = DeltaSnapshot(t.path)
+    assert pre.stats and set(pre.stats) == set(pre.files)
+    assert pre.tombstones  # v0 files are tombstoned, not re-added
+
+    v = write_delta_checkpoint(t.path)
+    cp = os.path.join(
+        t.path, "_delta_log", f"{v:020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(cp).to_pylist()
+    cp_adds = [r["add"] for r in rows if r.get("add")]
+    cp_removes = [r["remove"] for r in rows if r.get("remove")]
+    assert cp_adds and all(
+        a["stats"] is not None
+        and json.loads(a["stats"])["numRecords"] >= 0
+        for a in cp_adds
+    )
+    assert sorted(r["path"] for r in cp_removes) == sorted(pre.tombstones)
+    for r in cp_removes:
+        assert r["deletionTimestamp"] is not None
+        assert r["dataChange"] is False
+
+    # bootstrap from the checkpoint alone: stats + tombstones intact
+    assert expire_delta_commits(t.path) == 2
+    post = DeltaSnapshot(t.path)
+    assert post.files == pre.files
+    assert {k: post.stats[k]["numRecords"] for k in post.stats} == {
+        k: pre.stats[k]["numRecords"] for k in pre.stats
+    }
+    assert set(post.tombstones) == set(pre.tombstones)
+    got = read_delta_log(spark, t.path)
+    assert sorted(r.id for r in got.collect()) == [3, 4]
+
+
+def test_checkpoint_omits_expired_tombstones(spark, tmp_path):
+    """Tombstones older than delta.deletedFileRetentionDuration are
+    eligible for omission — a table configured with a short retention
+    checkpoints without its ancient removes, and re-adding a removed
+    path cancels the tombstone entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+
+    path = str(tmp_path / "f")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    for fn in ("f1.parquet", "f2.parquet"):
+        pq.write_table(pa.table({"id": [1]}), os.path.join(path, fn))
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    commits = [
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": "m", "format": {"provider": "parquet"},
+                "schemaString": schema_str, "partitionColumns": [],
+                "configuration": {
+                    "delta.deletedFileRetentionDuration": "interval 1 second"
+                },
+            }},
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+        [   # ancient remove of f1 (way past the 1 s retention),
+            # remove+re-add of f2 (tombstone must cancel)
+            {"remove": {"path": "f1.parquet", "deletionTimestamp": 1000,
+                        "dataChange": True}},
+            {"remove": {"path": "f2.parquet", "deletionTimestamp": 1000,
+                        "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+    ]
+    for v, acts in enumerate(commits):
+        with open(
+            os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
+        ) as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+
+    snap = DeltaSnapshot(path)
+    assert set(snap.files) == {"f2.parquet"}
+    assert set(snap.tombstones) == {"f1.parquet"}  # f2 re-add cancelled
+
+    v = write_delta_checkpoint(path)
+    cp = os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    rows = pq.read_table(cp).to_pylist()
+    assert [r["remove"] for r in rows if r.get("remove")] == []
+
+
+def test_retention_interval_parsing():
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        _deleted_file_retention_ms,
+    )
+
+    assert _deleted_file_retention_ms({}) == 604_800_000
+    assert _deleted_file_retention_ms(
+        {"delta.deletedFileRetentionDuration": "interval 2 days"}
+    ) == 2 * 86_400_000
+    assert _deleted_file_retention_ms(
+        {"delta.deletedFileRetentionDuration": "interval 1 hour 30 minutes"}
+    ) == 5_400_000
+    # unparseable never silently SHORTENS retention
+    assert _deleted_file_retention_ms(
+        {"delta.deletedFileRetentionDuration": "bogus"}
+    ) == 604_800_000
+
+
+def test_reader_tolerates_vacuum_protocol_check(spark, tmp_path):
+    """vacuumProtocolCheck is a reader feature the spec defines as a
+    reader NO-OP (it gates VACUUM implementations); a table carrying it
+    must open, not refuse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "vpc")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    pq.write_table(pa.table({"id": [1, 2]}), os.path.join(path, "f.parquet"))
+    schema_str = json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}}]}
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["vacuumProtocolCheck"],
+                      "writerFeatures": ["vacuumProtocolCheck"]}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    got = read_delta_log(spark, path)
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+    # an actually-unknown reader feature still refuses loudly
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps(
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["madeUpFeature"],
+                          "writerFeatures": ["madeUpFeature"]}}) + "\n")
+    with pytest.raises(Exception, match="madeUpFeature"):
+        DeltaSnapshot(path)
+
+
+def test_timestamp_as_of_prefers_in_commit_timestamps(tmp_path):
+    """With the inCommitTimestamp writer feature, commitInfo's
+    inCommitTimestamp is the authoritative commit clock: version
+    resolution must use it over the (possibly skewed) file-level
+    timestamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        resolve_delta_version_at,
+    )
+
+    path = str(tmp_path / "ict")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    pq.write_table(pa.table({"id": [1]}), os.path.join(path, "f.parquet"))
+    schema_str = json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}}]}
+    )
+    commits = [
+        [
+            {"commitInfo": {"timestamp": 999_999,
+                            "inCommitTimestamp": 10_000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                          "schemaString": schema_str,
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.enableInCommitTimestamps": "true"}}},
+            {"add": {"path": "f.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+        [
+            # wall-clock skew: file timestamp BELOW v0's, ICT monotonic
+            {"commitInfo": {"timestamp": 500_000,
+                            "inCommitTimestamp": 20_000}},
+        ],
+    ]
+    for v, acts in enumerate(commits):
+        with open(
+            os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
+        ) as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+
+    assert resolve_delta_version_at(path, 10_000) == 0
+    assert resolve_delta_version_at(path, 19_999) == 0
+    assert resolve_delta_version_at(path, 20_000) == 1
+    with pytest.raises(ValueError):
+        resolve_delta_version_at(path, 9_999)
