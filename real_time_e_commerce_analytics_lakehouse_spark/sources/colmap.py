@@ -387,3 +387,91 @@ def to_physical_df(df, fields_json: list[dict], passthrough: tuple = ()):
             cols.append(F.col(c))
             fields.append(df.schema[c])
     return df.select(*cols).to(StructType(fields))
+
+
+# ---------------------------------------------------------------------------
+# mapping allocation (schema evolution on mapped tables)
+# ---------------------------------------------------------------------------
+
+
+def max_column_id(schema_json: dict, configuration: dict | None = None) -> int:
+    """The table's current max delta.columnMapping.id: the
+    ``delta.columnMapping.maxColumnId`` property when present (the
+    authoritative counter real writers maintain), else the max id found
+    by walking the schema (defensive — a table missing the property but
+    carrying ids must never get duplicate allocations)."""
+    best = 0
+    raw = (configuration or {}).get("delta.columnMapping.maxColumnId")
+    if raw is not None:
+        try:
+            best = int(raw)
+        except (TypeError, ValueError):
+            best = 0
+
+    def walk_type(tj: Any) -> None:
+        if not is_nested(tj):
+            return
+        kind = tj["type"]
+        if kind == "struct":
+            for f in tj["fields"]:
+                walk_field(f)
+        elif kind == "array":
+            walk_type(tj["elementType"])
+        else:
+            walk_type(tj["keyType"])
+            walk_type(tj["valueType"])
+
+    def walk_field(f: dict) -> None:
+        nonlocal best
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is not None:
+            best = max(best, int(fid))
+        walk_type(f["type"])
+
+    for f in schema_json.get("fields", []):
+        walk_field(f)
+    return best
+
+
+def allocate_mapping(field_json: dict, next_id: list[int]) -> dict:
+    """A copy of one LOGICAL Spark field json with fresh
+    ``delta.columnMapping.id`` + ``physicalName`` metadata allocated at
+    every struct level (the spec requires both on every field of a
+    mapped table; ids come from the shared counter so nested fields
+    never collide with top-level ones). ``next_id`` is a one-cell
+    counter seeded with maxColumnId+1; after allocating every new field
+    the caller persists ``next_id[0] - 1`` back to
+    ``delta.columnMapping.maxColumnId``."""
+    import uuid
+
+    def walk_type(tj: Any) -> Any:
+        if not is_nested(tj):
+            return tj
+        kind = tj["type"]
+        if kind == "struct":
+            return {
+                "type": "struct",
+                "fields": [alloc(f) for f in tj["fields"]],
+            }
+        if kind == "array":
+            out = dict(tj)
+            out["elementType"] = walk_type(tj["elementType"])
+            return out
+        out = dict(tj)
+        out["keyType"] = walk_type(tj["keyType"])
+        out["valueType"] = walk_type(tj["valueType"])
+        return out
+
+    def alloc(f: dict) -> dict:
+        meta = dict(f.get("metadata") or {})
+        meta["delta.columnMapping.id"] = next_id[0]
+        meta["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+        next_id[0] += 1
+        return {
+            "name": f["name"],
+            "type": walk_type(f["type"]),
+            "nullable": f.get("nullable", True),
+            "metadata": meta,
+        }
+
+    return alloc(field_json)

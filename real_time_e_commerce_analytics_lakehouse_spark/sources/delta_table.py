@@ -813,6 +813,8 @@ def _commit_table_change(
     overwrite: bool,
     txn: tuple[str, int] | None = None,
     retries: int = 0,
+    evolved_fields: list[dict] | None = None,
+    new_max_id: int | None = None,
 ) -> str:
     """Build + atomically claim one Delta commit; rebase-retry on a
     version race (stream sink path). Returns 'committed' | 'replayed'
@@ -860,13 +862,35 @@ def _commit_table_change(
                 )
             new_cols = set(ours) - set(existing)
             if new_cols and snap.column_mapping_mode != "none":
-                raise NotImplementedError(
-                    f"adding columns {sorted(new_cols)} to a column-"
-                    "mapped table needs delta.columnMapping.id "
-                    "allocation (maxColumnId bump + physicalName "
-                    "assignment) — evolve the schema through a writer "
-                    "that manages the mapping, then append here"
+                alloc = {f["name"] for f in (evolved_fields or [])}
+                if alloc < new_cols:
+                    raise NotImplementedError(
+                        f"adding columns {sorted(new_cols - alloc)} to "
+                        "a column-mapped table needs "
+                        "delta.columnMapping.id allocation — only the "
+                        "batch writer plans it (DeltaBatchWriter)"
+                    )
+                # the ids were allocated against the snapshot seen at
+                # write-planning time; a concurrent evolution that
+                # bumped the counter since would make them collide —
+                # that is a metadata conflict, not a rebase
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                    max_column_id,
                 )
+
+                first_id = min(
+                    int(f["metadata"]["delta.columnMapping.id"])
+                    for f in evolved_fields
+                )
+                if (
+                    max_column_id(snap.schema_json, snap.configuration)
+                    >= first_id
+                ):
+                    raise RuntimeError(
+                        "concurrent schema evolution on a column-mapped "
+                        "table: allocated column ids are stale — retry "
+                        "the whole write"
+                    )
             schema_changed = bool(new_cols) or (
                 overwrite
                 and (
@@ -887,19 +911,42 @@ def _commit_table_change(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
         if first or schema_changed:
+            mapped = snap is not None and snap.column_mapping_mode != "none"
+            evolved_by_name = {
+                f["name"]: f for f in (evolved_fields or [])
+            }
             if not first and new_cols:
-                # additive evolution: union schema, table order first
+                # additive evolution: union schema, table order first;
+                # on a mapped table new fields carry their ALLOCATED
+                # id/physicalName metadata (matching the staged files)
                 merged = [
                     dict(f)
                     for f in snap.schema_json.get("fields", [])
                 ] + [
-                    f.jsonValue()
+                    evolved_by_name[f.name]
+                    if f.name in evolved_by_name
+                    else f.jsonValue()
                     for f in schema.fields
                     if f.name in new_cols
                 ]
                 schema_json = {"type": "struct", "fields": merged}
+            elif mapped and not first:
+                # overwrite re-emission on a mapped table: rebuild from
+                # the table's field jsons — schema.jsonValue() would
+                # strip the mapping metadata and corrupt the table
+                by_name = {
+                    f["name"]: f
+                    for f in snap.schema_json.get("fields", [])
+                }
+                schema_json = {
+                    "type": "struct",
+                    "fields": [by_name[f.name] for f in schema.fields],
+                }
             else:
                 schema_json = schema.jsonValue()
+            cfg = dict(snap.configuration) if snap is not None else {}
+            if new_max_id is not None and not first and new_cols:
+                cfg["delta.columnMapping.maxColumnId"] = str(new_max_id)
             actions.append(
                 {
                     "metaData": {
@@ -914,12 +961,9 @@ def _commit_table_change(
                         "partitionColumns": list(partition_by),
                         # a re-emission (evolution/overwrite) must carry
                         # the table's properties forward — dropping them
-                        # would silently disable e.g. CDF
-                        "configuration": (
-                            dict(snap.configuration)
-                            if snap is not None
-                            else {}
-                        ),
+                        # would silently disable e.g. CDF (maxColumnId
+                        # bumped above when mapping ids were allocated)
+                        "configuration": cfg,
                         "createdTime": now,
                     }
                 }
@@ -1007,16 +1051,25 @@ class _DeltaWriteTask:
         # hidden-_metadata emulation (see _is_hidden_metadata_field)
         self._drop_meta = False
 
-    def _load_mapping(self, snap: "DeltaSnapshot | None") -> None:
+    def _load_mapping(
+        self,
+        snap: "DeltaSnapshot | None",
+        extra_fields: "list[dict] | None" = None,
+    ) -> None:
         """Driver-side: capture the logical->physical rename plan when
-        the target table uses column mapping (pickled to executors)."""
+        the target table uses column mapping (pickled to executors).
+        ``extra_fields`` are freshly-ALLOCATED field jsons for columns
+        being added this write (schema evolution): staged files must
+        use the same physical names the commit's metaData will record."""
         if snap is None or snap.column_mapping_mode == "none":
             return
         from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
             invert_mapping,
         )
 
-        fields = snap.schema_json.get("fields", [])
+        fields = list(snap.schema_json.get("fields", [])) + list(
+            extra_fields or []
+        )
         self._inv_fields = {f["name"]: invert_mapping(f) for f in fields}
         unknown = [
             f.name
@@ -1024,12 +1077,13 @@ class _DeltaWriteTask:
             if f.name not in self._inv_fields
         ]
         if unknown:
+            # only the batch writer allocates ids (DeltaBatchWriter);
+            # a streaming sink whose schema drifted mid-stream refuses
             raise NotImplementedError(
                 f"adding columns {unknown} to a column-mapped table "
-                "needs delta.columnMapping.id allocation (maxColumnId "
-                "bump + physicalName assignment) — evolve the schema "
-                "through a writer that manages the mapping, then "
-                "append here"
+                "needs delta.columnMapping.id allocation — batch "
+                "append/overwrite through format('delta') evolves the "
+                "schema; the streaming sink's schema is fixed at start"
             )
         phys = snap.physical_names()
         self._pphys = {c: phys.get(c, c) for c in self.partition_by}
@@ -1158,7 +1212,29 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             raise ValueError(f"partition columns {missing} absent from schema")
         super().__init__(path, schema, pb)
         self._drop_meta = drop_meta
-        self._load_mapping(snap)
+        # schema evolution on a MAPPED table: allocate fresh column ids
+        # + physical names NOW (maxColumnId+1 onward) so the staged
+        # parquet files and the commit's metaData agree on the mapping
+        self._evolved_fields: list[dict] = []
+        self._new_max_id: int | None = None
+        if snap is not None and snap.column_mapping_mode != "none":
+            known = {f["name"] for f in snap.schema_json.get("fields", [])}
+            new_fields = [f for f in schema.fields if f.name not in known]
+            if new_fields:
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                    allocate_mapping,
+                    max_column_id,
+                )
+
+                counter = [
+                    max_column_id(snap.schema_json, snap.configuration) + 1
+                ]
+                self._evolved_fields = [
+                    allocate_mapping(f.jsonValue(), counter)
+                    for f in new_fields
+                ]
+                self._new_max_id = counter[0] - 1
+        self._load_mapping(snap, extra_fields=self._evolved_fields)
         self.overwrite = overwrite
         self.full_schema = schema
         os.makedirs(path, exist_ok=True)
@@ -1171,6 +1247,8 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             self.partition_by,
             adds,
             overwrite=self.overwrite,
+            evolved_fields=self._evolved_fields or None,
+            new_max_id=self._new_max_id,
         )
 
     def abort(self, messages) -> None:

@@ -255,16 +255,65 @@ def test_optimize_compacts_mapped_table(spark, tmp_path):
     assert _norm(spark.read.format("delta").load(p)) == before
 
 
-def test_mapped_schema_evolution_refused(spark, tmp_path):
-    """Appending NEW columns to a mapped table needs id allocation —
-    loud refusal, not a silently unmapped column."""
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_mapped_schema_evolution_allocates_ids(spark, tmp_path, mode):
+    """Appending NEW columns to a mapped table allocates fresh
+    delta.columnMapping ids (maxColumnId+1 onward) + col-<uuid>
+    physical names at every struct level, bumps maxColumnId, stages the
+    files under the allocated physical names, and null-fills the new
+    columns for pre-evolution files."""
     p = str(tmp_path / "t")
-    _mapped_table(p, "name")
-    with pytest.raises(Exception, match="id"):
-        spark.createDataFrame(
-            [((9,), "q", 10, 1.5)],
-            "s struct<a: long>, v string, part int, brand_new double",
-        ).write.format("delta").mode("append").save(p)
+    _mapped_table(p, mode)
+    spark.createDataFrame(
+        [((9,), "q", 10, 1.5, (7,))],
+        "s struct<a: long>, v string, part int, "
+        "brand_new double, nested_new struct<x: long>",
+    ).write.format("delta").mode("append").save(p)
+
+    snap = DeltaSnapshot(p)
+    by_name = {f["name"]: f for f in snap.schema_json["fields"]}
+    # existing fields keep their original mapping untouched
+    assert by_name["v"]["metadata"]["delta.columnMapping.id"] == 2
+    bn = by_name["brand_new"]["metadata"]
+    nn = by_name["nested_new"]["metadata"]
+    nx = by_name["nested_new"]["type"]["fields"][0]["metadata"]
+    ids = sorted(
+        m["delta.columnMapping.id"] for m in (bn, nn, nx)
+    )
+    assert ids == [12, 13, 14]  # fixture maxColumnId=11, no collisions
+    for m in (bn, nn, nx):
+        assert m["delta.columnMapping.physicalName"].startswith("col-")
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "14"
+
+    # the staged file really uses the allocated PHYSICAL names
+    new_files = [f for f in snap.files if f not in ("col-ppp=10/f1.parquet",)]
+    assert len(new_files) == 1
+    foot = pq.read_schema(os.path.join(p, new_files[0]))
+    assert bn["delta.columnMapping.physicalName"] in foot.names
+    if mode == "id":
+        i = foot.get_field_index(bn["delta.columnMapping.physicalName"])
+        assert foot.field(i).metadata[b"PARQUET:field_id"] == b"12"
+
+    # both read tiers agree; pre-evolution rows null-fill the new cols
+    for df in (
+        read_delta_log(spark, p),
+        spark.read.format("delta").load(p),
+    ):
+        got = sorted(
+            (r.v, r.brand_new, r.nested_new) for r in df.collect()
+        )
+        assert got == [("q", 1.5, (7,)), ("x", None, None)]
+
+    # a second evolution continues the counter past the first
+    spark.createDataFrame(
+        [((1,), "r", 10, 0.5, (2,), "z")],
+        "s struct<a: long>, v string, part int, brand_new double, "
+        "nested_new struct<x: long>, later string",
+    ).write.format("delta").mode("append").save(p)
+    snap2 = DeltaSnapshot(p)
+    by2 = {f["name"]: f for f in snap2.schema_json["fields"]}
+    assert by2["later"]["metadata"]["delta.columnMapping.id"] == 15
+    assert snap2.configuration["delta.columnMapping.maxColumnId"] == "15"
 
 
 def test_dml_on_column_mapped_table(spark, tmp_path):
