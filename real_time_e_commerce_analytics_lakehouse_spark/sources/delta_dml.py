@@ -598,6 +598,9 @@ def merge_delta(
     set_exprs: dict[str, str] | None = None,
     target_alias: str = "t",
     insert_when_not_matched: bool = True,
+    not_matched_by_source_delete: bool | str = False,
+    not_matched_by_source_set: dict[str, str] | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> dict:
     """MERGE ``source`` into a foreign Delta table — the reference's
     silver shapes (db_notebooks/02_bronze_to_silver.py):
@@ -619,36 +622,62 @@ def merge_delta(
     - ``condition``: the equi-join condition string (keys parsed from
       it when ``keys`` is None);
     - ``insert_when_not_matched=False``: matched-only merge.
+    - ``not_matched_by_source_delete``: delete target rows whose keys
+      appear in NO source row (Spark SQL MERGE's WHEN NOT MATCHED BY
+      SOURCE THEN DELETE / delta-spark whenNotMatchedBySourceDelete);
+      pass ``True`` or a boolean SQL condition over the target
+      (qualified by ``target_alias``) — SQL semantics: a NULL
+      condition keeps the row.
+    - ``not_matched_by_source_set``: update those rows instead —
+      {table column: SQL expr over the target row}, gated by
+      ``not_matched_by_source_condition`` (delta-spark's
+      whenNotMatchedBySourceUpdate(condition, set)).
 
-    Only files containing rows whose match passes the condition are
-    rewritten — a purely-stale batch rewrites nothing. The source must
-    be unique per key combination (checked with one count —
-    duplicate-key merges are nondeterministic in any engine).
-    Returns {"version", "files_rewritten", "rows_inserted",
-    "rows_updated"}."""
+    Only files containing rows a branch actually touches are rewritten
+    — a purely-stale batch rewrites nothing. The source must be unique
+    per key combination (checked with one count — duplicate-key merges
+    are nondeterministic in any engine). Returns {"version",
+    "files_rewritten", "rows_inserted", "rows_updated",
+    "rows_deleted"}."""
     if keys is None:
         if condition is None:
             raise ValueError("pass keys= or condition=")
         keys = _parse_equi_keys(condition)
     keys = list(keys)
+    nmbs_active = bool(not_matched_by_source_delete) or (
+        not_matched_by_source_set is not None
+    )
+    if (
+        not_matched_by_source_set is not None
+        and not_matched_by_source_delete is True
+    ):
+        raise ValueError(
+            "not_matched_by_source: pass delete OR set, not both"
+        )
     snap = _prep(spark, path)
-    # key-range file skipping: files whose footer stats cannot overlap
-    # the source's key range never scan or rewrite (exact for both the
-    # match probe and the insert anti-join — see the helper's proof)
-    _prune_files_by_source_keys(snap, source, keys)
+    if not nmbs_active:
+        # key-range file skipping: files whose footer stats cannot
+        # overlap the source's key range never scan or rewrite (exact
+        # for both the match probe and the insert anti-join — see the
+        # helper's proof). MUST be disabled when a not-matched-by-
+        # source branch exists: rows it touches live precisely in the
+        # files the source's key range does NOT cover.
+        _prune_files_by_source_keys(snap, source, keys)
     schema = snap.spark_schema()
     cols = [f.name for f in schema.fields]
-    # with set_exprs the update takes unassigned columns from the
-    # TARGET, so the source only has to cover the keys (plus whatever
-    # the exprs reference) — unless InsertAll still needs every column
-    need = cols if (set_exprs is None or insert_when_not_matched) else keys
+    # the source must cover every table column only when a branch
+    # takes whole rows from it (InsertAll, or matched UpdateAll);
+    # keys-only sources are fine for set_exprs updates and for merges
+    # that only delete/update BY SOURCE
+    full = insert_when_not_matched or (set_exprs is None and not insert_only)
+    need = cols if full else keys
     missing = [c for c in need if c not in source.columns]
     if missing:
         raise ValueError(f"source lacks table columns {missing}")
     # NOTE: with set_exprs the source is used UN-projected — a select()
     # would strip the caller's DataFrame alias and break qualified
     # references like "source.ingestion_ts" in the exprs
-    src = source.select(*cols).persist() if set_exprs is None else source
+    src = source.select(*need).persist() if set_exprs is None else source
     if not insert_only:
         # updates need one source row per key; an insert-only merge is
         # well-defined for ANY source (the reference's bronze keys on
@@ -674,8 +703,11 @@ def merge_delta(
     )
     n_ins = inserts.count() if inserts is not None else 0
     updated = kept = pre = post = None
+    nmbs_upd = nmbs_cdc = None
     n_upd = 0
+    n_del = 0
     affected: list[str] = []
+    fresh_keys = None
     if not insert_only:
         if guard_col is not None:
             # keys whose source row is at-or-after the target row:
@@ -710,10 +742,89 @@ def merge_delta(
             .distinct()
             .collect()
         ]
-        if affected:
-            tgt_aff = tgt.filter(F.col(_FILE).isin(affected))
-            # kept = unmatched AND stale-matched rows of rewritten files
-            kept = tgt_aff.join(fresh_keys, keys, "leftanti").drop(_FILE)
+    # -- WHEN NOT MATCHED BY SOURCE: target rows whose keys appear in
+    # NO source row (delete or update them) — their files rewrite too
+    src_keys_d = None
+    nmbs_cond = (
+        not_matched_by_source_delete
+        if isinstance(not_matched_by_source_delete, str)
+        else not_matched_by_source_condition
+    )
+    if nmbs_active:
+        src_keys_d = src.select(*keys).distinct()
+        cand = tgt.join(src_keys_d, keys, "leftanti").alias(target_alias)
+        if nmbs_cond is not None:
+            # SQL branch semantics: a NULL condition keeps the row
+            cand = cand.filter(
+                F.coalesce(F.expr(nmbs_cond), F.lit(False))
+            )
+        nmbs_files = {
+            r[_FILE] for r in cand.select(_FILE).distinct().collect()
+        }
+        affected = sorted(set(affected) | nmbs_files)
+    if affected:
+        tgt_aff = tgt.filter(F.col(_FILE).isin(affected))
+        # kept = rows of rewritten files no branch touches
+        kept = tgt_aff
+        if fresh_keys is not None:
+            kept = kept.join(fresh_keys, keys, "leftanti")
+        if nmbs_active:
+            stale = kept.join(src_keys_d, keys, "leftsemi")
+            cand_aff = kept.join(
+                src_keys_d, keys, "leftanti"
+            ).alias(target_alias)
+            if nmbs_cond is not None:
+                cand_aff = cand_aff.withColumn(
+                    "__nmbs_hit",
+                    F.coalesce(F.expr(nmbs_cond), F.lit(False)),
+                )
+                hit = cand_aff.filter("__nmbs_hit").drop("__nmbs_hit")
+                miss = cand_aff.filter("NOT __nmbs_hit").drop(
+                    "__nmbs_hit"
+                )
+            else:
+                hit, miss = cand_aff, cand_aff.limit(0)
+            kept = stale.unionByName(miss)
+            if not_matched_by_source_set is not None:
+                unknown = set(not_matched_by_source_set) - set(cols)
+                if unknown:
+                    raise ValueError(
+                        "not_matched_by_source_set assigns non-table "
+                        f"columns: {sorted(unknown)}"
+                    )
+                types = {
+                    f.name: f.dataType.simpleString()
+                    for f in schema.fields
+                }
+                nmbs_upd = hit.select(
+                    *[
+                        F.expr(not_matched_by_source_set[c])
+                        .cast(types[c])
+                        .alias(c)
+                        if c in not_matched_by_source_set
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+                n_upd += nmbs_upd.count()
+                nmbs_cdc = (
+                    hit.select(*cols)
+                    .withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    .unionByName(
+                        nmbs_upd.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                )
+            else:
+                n_del = hit.count()
+                nmbs_cdc = hit.select(*cols).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+        kept = kept.drop(_FILE)
+        if fresh_keys is not None:
             if set_exprs is not None:
                 unknown = set(set_exprs) - set(cols)
                 if unknown:
@@ -747,7 +858,7 @@ def merge_delta(
                 updated = src.select(*cols).join(
                     fresh_keys, keys, "leftsemi"
                 )
-            n_upd = updated.count()
+            n_upd += updated.count()
             pre_src = tgt_aff.join(fresh_keys, keys, "leftsemi").drop(_FILE)
             pre = pre_src.withColumn(
                 "_change_type", F.lit("update_preimage")
@@ -760,6 +871,7 @@ def merge_delta(
         for p in (
             kept,
             updated,
+            nmbs_upd,
             inserts if inserts is not None else None,
         )
         if p is not None
@@ -780,6 +892,8 @@ def merge_delta(
             )
         if pre is not None:
             parts.extend([pre, post])
+        if nmbs_cdc is not None:
+            parts.append(nmbs_cdc)
         if parts:
             cdc = parts[0]
             for p in parts[1:]:
@@ -801,6 +915,7 @@ def merge_delta(
         "files_rewritten": len(affected),
         "rows_inserted": n_ins,
         "rows_updated": n_upd,
+        "rows_deleted": n_del,
     }
 
 

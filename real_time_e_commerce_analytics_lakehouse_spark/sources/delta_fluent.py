@@ -47,6 +47,7 @@ class DeltaMergeBuilder:
         self._condition = condition
         self._matched: dict[str, Any] | None = None
         self._insert_all = False
+        self._by_source: dict[str, Any] | None = None
 
     def _one_matched(self) -> None:
         if self._matched is not None:
@@ -81,8 +82,41 @@ class DeltaMergeBuilder:
         self._insert_all = True
         return self
 
+    def _one_by_source(self) -> None:
+        if self._by_source is not None:
+            raise NotImplementedError(
+                "only one whenNotMatchedBySource clause is supported"
+            )
+
+    def whenNotMatchedBySourceDelete(
+        self, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        """Delete target rows no source row matches (optionally gated
+        by a condition over the target alias) — delta-spark's
+        whenNotMatchedBySourceDelete / SQL's WHEN NOT MATCHED BY
+        SOURCE THEN DELETE."""
+        self._one_by_source()
+        self._by_source = {"delete": True, "condition": condition}
+        return self
+
+    def whenNotMatchedBySourceUpdate(
+        self, condition: str | None = None, set: dict[str, str] | None = None
+    ) -> "DeltaMergeBuilder":
+        """Update target rows no source row matches (exprs over the
+        target row only)."""
+        self._one_by_source()
+        if not set:
+            raise ValueError(
+                "whenNotMatchedBySourceUpdate requires set={...}"
+            )
+        self._by_source = {
+            "delete": False, "condition": condition, "set": dict(set)
+        }
+        return self
+
     def execute(self) -> dict:
         m = self._matched
+        bs = self._by_source
         return delta_dml.merge_delta(
             self._table._spark,
             self._table._path,
@@ -93,6 +127,19 @@ class DeltaMergeBuilder:
             set_exprs=m["set"] if m else None,
             target_alias=self._table._alias,
             insert_when_not_matched=self._insert_all,
+            not_matched_by_source_delete=(
+                (bs["condition"] if bs["condition"] is not None else True)
+                if bs is not None and bs["delete"]
+                else False
+            ),
+            not_matched_by_source_set=(
+                bs["set"] if bs is not None and not bs["delete"] else None
+            ),
+            not_matched_by_source_condition=(
+                bs["condition"]
+                if bs is not None and not bs["delete"]
+                else None
+            ),
         )
 
 

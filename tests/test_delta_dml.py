@@ -74,6 +74,7 @@ def test_merge_upsert_with_cdc_images(spark, tmp_path):
         "files_rewritten": 1,
         "rows_inserted": 1,
         "rows_updated": 1,
+        "rows_deleted": 0,
     }
     want = [(1, "a", 7), (2, "B", 7), (3, "c", 8), (9, "z", 8)]
     assert _rows(spark.read.format("delta").load(p)) == want
@@ -662,3 +663,91 @@ def test_dml_enforces_check_constraints_and_invariants(spark, tmp_path):
         spark.createDataFrame(
             [(9, 9.0)], "id long, amount double"
         ).write.format("delta").mode("append").save(p)
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: target rows whose keys
+    appear in no source row are deleted (optionally condition-gated);
+    key-range file pruning is disabled for this shape (the touched
+    rows live OUTSIDE the source's key range); CDF carries delete
+    images; both read tiers agree."""
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)  # rows (1,a,7) (2,b,7) (3,c,8)
+    src = spark.createDataFrame(
+        [(2, "B", 7), (9, "z", 8)], "id long, v string, p long"
+    )
+    res = merge_delta(
+        spark, p, src, keys=["id"],
+        not_matched_by_source_delete=True,
+    )
+    assert res["rows_updated"] == 1  # id 2 updated
+    assert res["rows_inserted"] == 1  # id 9 inserted
+    assert res["rows_deleted"] == 2  # ids 1, 3 gone
+    for df in (
+        spark.read.format("delta").load(p),
+        read_delta_log(spark, p),
+    ):
+        assert _rows(df.select("id", "v")) == [(2, "B"), (9, "z")]
+    ch = delta_changes(spark, p, res["version"], res["version"])
+    got = sorted((r._change_type, r.id) for r in ch.collect())
+    assert got == [
+        ("delete", 1), ("delete", 3),
+        ("insert", 9),
+        ("update_postimage", 2), ("update_preimage", 2),
+    ]
+
+
+def test_merge_not_matched_by_source_conditional_update(spark, tmp_path):
+    """whenNotMatchedBySourceUpdate(condition, set): only unmatched
+    rows passing the condition rewrite; a NULL condition keeps the row
+    (SQL branch semantics); rows in files with no touched rows never
+    churn."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 7), (3, None, 8), (4, "d", 9)],
+        "id long, v string, p long",
+    ).write.format("delta").option("partition_by", "p").mode(
+        "overwrite"
+    ).save(p)
+    src = spark.createDataFrame([(4, "D", 9)], "id long, v string, p long")
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    res = (
+        DeltaTable.forPath(spark, p)
+        .alias("t")
+        .merge(src.alias("s"), "t.id = s.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedBySourceUpdate(
+            condition="t.v = 'a'", set={"v": "'stale'"}
+        )
+        .execute()
+    )
+    # id 1 (v='a') updated by the by-source branch; id 2 (v='b') and
+    # id 3 (v NULL -> condition NULL -> kept) untouched; id 4 matched
+    assert res["rows_updated"] == 2 and res["rows_deleted"] == 0
+    got = _rows(spark.read.format("delta").load(p).select("id", "v"))
+    assert got == [(1, "stale"), (2, "b"), (3, None), (4, "D")]
+    # partition p=7's file rewrote (id 1 lives there); p=8's did not
+    snap = DeltaSnapshot(p)
+    assert any("p=8" in f for f in snap.files)  # untouched file kept
+
+
+def test_merge_by_source_only_no_matched_clause(spark, tmp_path):
+    """A merge with ONLY a by-source delete clause (no matched/insert
+    branch) deletes the unmatched keys and nothing else."""
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)  # (1,a,7) (2,b,7) (3,c,8)
+    src = spark.createDataFrame([(1,), (2,)], "id long")
+    res = merge_delta(
+        spark, p, src, keys=["id"],
+        insert_only=True,
+        insert_when_not_matched=False,
+        not_matched_by_source_delete=True,
+    )
+    assert res["rows_deleted"] == 1 and res["rows_inserted"] == 0
+    assert _rows(
+        spark.read.format("delta").load(p).select("id")
+    ) == [(1,), (2,)]
