@@ -211,6 +211,89 @@ class DeltaTable:
 
         return restore_delta(self._path, version)
 
+    def restoreToTimestamp(self, timestamp: "str | int") -> int:
+        """RESTORE ... TIMESTAMP AS OF — ISO-8601 string (UTC unless an
+        offset is given, delta-spark's convention) or epoch millis."""
+        from datetime import datetime, timezone
+
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            restore_delta_to_timestamp,
+        )
+
+        if isinstance(timestamp, str):
+            dt = datetime.fromisoformat(timestamp)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts_ms = int(dt.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp)
+        return restore_delta_to_timestamp(self._path, ts_ms)
+
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL: one row of table facts (format, id,
+        location, partitionColumns, numFiles, sizeInBytes, properties,
+        protocol versions) from the current snapshot."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            DeltaSnapshot,
+        )
+
+        snap = DeltaSnapshot(self._path)
+        proto = snap.protocol or {}
+        row = {
+            "format": "delta",
+            "id": getattr(snap, "meta_id", None),
+            "location": os.path.abspath(self._path),
+            "partitionColumns": list(snap.partition_cols),
+            "numFiles": len(snap.files),
+            "sizeInBytes": sum(
+                os.path.getsize(os.path.join(self._path, rel))
+                for rel in snap.files
+            ),
+            "properties": dict(snap.configuration),
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        }
+        return self._spark.createDataFrame(
+            [row],
+            "format string, id string, location string, "
+            "partitionColumns array<string>, numFiles long, "
+            "sizeInBytes long, properties map<string,string>, "
+            "minReaderVersion int, minWriterVersion int",
+        )
+
+    def generate(self, mode: str) -> list[str]:
+        """``GENERATE symlink_format_manifest`` (the only mode, same
+        as upstream)."""
+        if mode != "symlink_format_manifest":
+            raise ValueError(f"unknown generate mode {mode!r}")
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            generate_symlink_manifest,
+        )
+
+        return generate_symlink_manifest(self._path)
+
+    @classmethod
+    def convertToDelta(
+        cls,
+        spark: SparkSession,
+        identifier: str,
+        partition_schema: "str | None" = None,
+    ) -> "DeltaTable":
+        """``CONVERT TO DELTA parquet.`/path``` — in-place conversion
+        of a plain (optionally Hive-partitioned) parquet directory;
+        partitioned layouts require ``partition_schema`` (upstream's
+        exact contract)."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            convert_parquet_to_delta,
+        )
+
+        ident = identifier.strip()
+        if ident.lower().startswith("parquet."):
+            ident = ident[len("parquet."):]
+        path = ident.strip("`")
+        convert_parquet_to_delta(spark, path, partition_schema)
+        return cls.forPath(spark, path)
+
     def history(self) -> DataFrame:
         """One row per commit: version, timestamp, operation,
         operationParameters — from commitInfo actions."""

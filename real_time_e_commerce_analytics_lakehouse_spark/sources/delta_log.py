@@ -2221,3 +2221,207 @@ def delta_ack(cursor_file: str, version: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"version": int(version)}, f)
     os.replace(tmp, cursor_file)
+
+
+def convert_parquet_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: "StructType | str | None" = None,
+) -> int:
+    """CONVERT TO DELTA for a plain parquet directory (delta-spark's
+    ``DeltaTable.convertToDelta`` / SQL ``CONVERT TO DELTA parquet.`p```
+    ): write commit 0 referencing the existing files in place — zero
+    bytes copied. Hive-partitioned layouts need ``partition_schema``
+    (DDL string or StructType typing the directory columns, upstream's
+    exact contract); directory values are Hive-unescaped into Delta's
+    canonical logical partitionValues. Every add carries footer stats
+    so data skipping works from the first read. All files must share
+    one schema (checked footer-by-footer — a mixed directory converts
+    wrong silently otherwise, so it refuses loudly). Returns 0."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+        delta_file_stats,
+    )
+
+    root = os.path.abspath(path)
+    log = os.path.join(root, _DELTA_DIR)
+    if os.path.isdir(log) and any(
+        f.endswith(".json") or f.endswith(".parquet")
+        for f in os.listdir(log)
+    ):
+        raise FileExistsError(f"{path} already has a Delta log")
+    if isinstance(partition_schema, str):
+        partition_schema = _parse_datatype_string(partition_schema)
+    pcols = (
+        [f.name for f in partition_schema.fields]
+        if partition_schema is not None
+        else []
+    )
+
+    files: list[tuple[str, dict[str, str | None]]] = []
+    for dirpath, dirs, fnames in os.walk(root):
+        # Spark's layout convention: _-/.-prefixed dirs and files are
+        # metadata, never data
+        dirs[:] = [
+            d for d in dirs if not d.startswith(("_", "."))
+        ]
+        rel_dir = os.path.relpath(dirpath, root)
+        segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+        for fn in sorted(fnames):
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                continue
+            got_cols = []
+            pvals: dict[str, str | None] = {}
+            for s in segs:
+                if "=" not in s:
+                    raise ValueError(
+                        f"non-partition directory {s!r} contains data "
+                        f"file {fn!r} — not a Hive-partitioned layout"
+                    )
+                c, raw = s.split("=", 1)
+                got_cols.append(c)
+                pvals[c] = (
+                    None if raw == _HIVE_NULL else _unescape_hive(raw)
+                )
+            if got_cols != pcols:
+                raise ValueError(
+                    f"file {os.path.join(rel_dir, fn)!r} sits under "
+                    f"partition dirs {got_cols}, expected {pcols} — "
+                    "pass partition_schema matching the layout"
+                )
+            files.append((os.path.join(*segs, fn) if segs else fn, pvals))
+    if not files:
+        raise FileNotFoundError(f"{path}: no parquet data files")
+
+    # one schema for the whole directory (refuse mixed footers loudly)
+    first_arrow = pq.read_schema(os.path.join(root, files[0][0]))
+    for rel, _ in files[1:]:
+        s = pq.read_schema(os.path.join(root, rel))
+        if s.names != first_arrow.names or any(
+            a.type != b.type for a, b in zip(s, first_arrow)
+        ):
+            raise ValueError(
+                f"mixed parquet schemas: {files[0][0]!r} vs {rel!r} — "
+                "unify the files first (convert cannot pick one)"
+            )
+    data_schema = from_arrow_schema(first_arrow)
+    clash = [f.name for f in data_schema.fields if f.name in pcols]
+    if clash:
+        raise ValueError(
+            f"columns {clash} appear in BOTH the files and the "
+            "partition directories"
+        )
+    full = StructType(
+        list(data_schema.fields)
+        + (list(partition_schema.fields) if partition_schema else [])
+    )
+
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": len(files),
+                    "partitionedBy": json.dumps(pcols),
+                },
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": f"converted-{os.path.basename(root)}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(full.jsonValue()),
+                "partitionColumns": pcols,
+                "configuration": {},
+                "createdTime": now,
+            }
+        },
+    ]
+    for rel, pvals in files:
+        abs_p = os.path.join(root, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(rel),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(abs_p),
+                    "modificationTime": int(
+                        os.stat(abs_p).st_mtime * 1000
+                    ),
+                    "dataChange": True,
+                    "stats": delta_file_stats(abs_p),
+                }
+            }
+        )
+    os.makedirs(log, exist_ok=True)
+    target = _commit_file(path, 0)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise FileExistsError(
+            f"{path}: a concurrent CONVERT committed version 0"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return 0
+
+
+def restore_delta_to_timestamp(path: str, ts_ms: int) -> int:
+    """RESTORE ... TIMESTAMP AS OF: resolve the timestamp with the
+    same rule as time travel (in-commit timestamps preferred), then
+    restore to that version as a new commit."""
+    return restore_delta(path, resolve_delta_version_at(path, ts_ms))
+
+
+def generate_symlink_manifest(path: str) -> list[str]:
+    """``GENERATE symlink_format_manifest``: write
+    ``_symlink_format_manifest/<partition dirs>/manifest`` text files,
+    one absolute ``file:`` URI per live data file, per partition (the
+    layout Presto/Trino/Athena external tables read). Regenerates from
+    scratch each call (stale partition manifests are removed — a
+    leftover manifest would resurrect deleted partitions for manifest
+    readers). Refuses DV-bearing snapshots: a manifest reader scans
+    whole files and would resurrect deleted rows. Returns the written
+    manifest paths (relative)."""
+    import shutil
+
+    snap = DeltaSnapshot(path)
+    if snap.dvs:
+        raise NotImplementedError(
+            "snapshot carries deletion vectors — manifest readers scan "
+            "whole files and would resurrect deleted rows; run a "
+            "compacting OPTIMIZE (which materializes DVs) first"
+        )
+    root = os.path.abspath(path)
+    mroot = os.path.join(root, "_symlink_format_manifest")
+    if os.path.isdir(mroot):
+        shutil.rmtree(mroot)
+    by_part: dict[tuple, list[str]] = {}
+    pcols = list(snap.partition_cols)
+    for rel, pvals in sorted(snap.files.items()):
+        segs = tuple(
+            f"{c}={_HIVE_NULL if pvals.get(c) is None else quote(str(pvals[c]), safe='')}"
+            for c in pcols
+        )
+        by_part.setdefault(segs, []).append(
+            "file://" + os.path.join(root, rel)
+        )
+    written = []
+    for segs, uris in sorted(by_part.items()):
+        d = os.path.join(mroot, *segs) if segs else mroot
+        os.makedirs(d, exist_ok=True)
+        mf = os.path.join(d, "manifest")
+        with open(mf, "w") as f:
+            f.write("\n".join(uris) + "\n")
+        written.append(os.path.relpath(mf, root))
+    return written

@@ -1895,3 +1895,164 @@ def test_timestamp_as_of_prefers_in_commit_timestamps(tmp_path):
     assert resolve_delta_version_at(path, 20_000) == 1
     with pytest.raises(ValueError):
         resolve_delta_version_at(path, 9_999)
+
+
+# --------------------------------------------------------------------------
+# CONVERT TO DELTA / RESTORE TIMESTAMP AS OF / GENERATE manifest (r8)
+# --------------------------------------------------------------------------
+
+
+def test_convert_parquet_dir_to_delta(spark, tmp_path):
+    """convert_parquet_to_delta adopts a Hive-partitioned parquet dir
+    in place: dir values (escaped, incl. NULL sentinel) become
+    canonical logical partitionValues, every add carries footer stats,
+    and both read tiers return the original rows."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        convert_parquet_to_delta,
+    )
+
+    p = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", "50%2Boff"), (3, "c", None)],
+        "id long, v string, part string",
+    ).write.partitionBy("part").parquet(p)
+    assert convert_parquet_to_delta(spark, p, "part string") == 0
+
+    snap = DeltaSnapshot(p)
+    assert snap.partition_cols == ["part"]
+    assert snap.stats and set(snap.stats) == set(snap.files)
+    # canonical (unescaped) logical strings in partitionValues
+    vals = sorted(
+        pv["part"] if pv["part"] is not None else "<null>"
+        for pv in snap.files.values()
+    )
+    assert vals == ["50%2Boff", "<null>", "x y"]
+    got = sorted(
+        (r.id, r.v, r.part)
+        for r in read_delta_log(spark, p).collect()
+    )
+    assert got == [(1, "a", "x y"), (2, "b", "50%2Boff"), (3, "c", None)]
+
+    # a second convert refuses (the table is already Delta)
+    with pytest.raises(FileExistsError):
+        convert_parquet_to_delta(spark, p, "part string")
+
+
+def test_convert_refuses_mixed_schemas_and_wrong_layout(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        convert_parquet_to_delta,
+    )
+
+    p = str(tmp_path / "mixed")
+    os.makedirs(p)
+    pq.write_table(pa.table({"id": [1]}), os.path.join(p, "a.parquet"))
+    pq.write_table(pa.table({"id": ["s"]}), os.path.join(p, "b.parquet"))
+    with pytest.raises(ValueError, match="mixed parquet schemas"):
+        convert_parquet_to_delta(spark, p)
+
+    # partitioned layout without partition_schema refuses
+    q = str(tmp_path / "part")
+    os.makedirs(os.path.join(q, "d=1"))
+    pq.write_table(
+        pa.table({"id": [1]}), os.path.join(q, "d=1", "a.parquet")
+    )
+    with pytest.raises(ValueError, match="partition"):
+        convert_parquet_to_delta(spark, q)
+
+
+def test_fluent_convert_detail_restore_timestamp_generate(spark, tmp_path):
+    """The delta-spark verb spellings: convertToDelta('parquet.`p`'),
+    detail(), restoreToTimestamp, generate('symlink_format_manifest')."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    dtmod.register(spark)
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(p)
+    dt = DeltaTable.convertToDelta(spark, f"parquet.`{p}`")
+    assert sorted(r.id for r in dt.toDF().collect()) == [1, 2]
+
+    d = dt.detail().collect()[0]
+    assert d.format == "delta" and d.numFiles >= 1
+    assert d.sizeInBytes > 0 and d.minReaderVersion == 1
+
+    # overwrite at v1, then restore to v0 BY TIMESTAMP (commitInfo
+    # timestamps are written by the converter and the DML tier)
+    import json as _json
+
+    t0 = _json.loads(
+        open(os.path.join(p, "_delta_log", f"{0:020d}.json")).readline()
+    )["commitInfo"]["timestamp"]
+    import time as _time
+
+    _time.sleep(0.05)
+    spark.createDataFrame([(9, "z")], "id long, v string").write.format(
+        "delta"
+    ).mode("overwrite").save(p)
+    assert sorted(r.id for r in dt.toDF().collect()) == [9]
+    v = dt.restoreToTimestamp(t0)
+    assert v == 2
+    assert sorted(r.id for r in dt.toDF().collect()) == [1, 2]
+
+    # manifest generation: one manifest naming exactly the live files
+    rels = dt.generate("symlink_format_manifest")
+    assert rels == ["_symlink_format_manifest/manifest"]
+    uris = open(os.path.join(p, rels[0])).read().strip().splitlines()
+    snap = DeltaSnapshot(p)
+    assert sorted(uris) == sorted(
+        "file://" + os.path.join(os.path.abspath(p), rel)
+        for rel in snap.files
+    )
+
+
+def test_generate_manifest_partitioned_and_dv_refusal(spark, tmp_path):
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    dtmod.register(spark)
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, part string"
+    ).write.format("delta").option("partition_by", "part").mode(
+        "overwrite"
+    ).save(p)
+    dt = DeltaTable.forPath(spark, p)
+    rels = dt.generate("symlink_format_manifest")
+    assert sorted(os.path.dirname(r) for r in rels) == [
+        "_symlink_format_manifest/part=x",
+        "_symlink_format_manifest/part=y",
+    ]
+    # regeneration drops stale partitions (delete partition y)
+    dt.delete("part = 'y'")
+    rels2 = dt.generate("symlink_format_manifest")
+    assert [os.path.dirname(r) for r in rels2] == [
+        "_symlink_format_manifest/part=x"
+    ]
+    assert not os.path.isdir(
+        os.path.join(p, "_symlink_format_manifest", "part=y")
+    )
+
+    # a DV-bearing snapshot refuses (manifest readers scan whole files)
+    t = LakeTable(spark, str(tmp_path / "dv"))
+    t.overwrite(
+        spark.createDataFrame([(i,) for i in range(6)], "id long")
+    )
+    t.delete(F.col("id") == 3, mode="mor")
+    export_delta_log(t)
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        generate_symlink_manifest,
+    )
+
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        generate_symlink_manifest(t.path)
