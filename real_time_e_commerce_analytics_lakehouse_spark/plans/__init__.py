@@ -122,7 +122,11 @@ GATE_ORDER = [
     "weekly_cohort_retention",
     "order_calendar_features",
     "q12_late_lines_by_priority_class",
-    "q6_forecast_revenue_delta",
+    # r8 session-2: CONVERT TO DELTA + WHEN NOT MATCHED BY SOURCE in
+    # one oracle-checked roundtrip (q6_forecast_revenue_delta rotates
+    # out — driver-green r7; the functions family keeps
+    # order_calendar_features)
+    "convert_merge_by_source_roundtrip",
     # first driver rows for the new r7 families: the format('delta')
     # write/optimize/read roundtrip, foreign-Delta MERGE + MoR-DV
     # DELETE, and the Auto-Loader-shaped bronze ingestion (cloudFiles

@@ -236,6 +236,68 @@ def delta_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "convert_merge_by_source_roundtrip",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           {dec_sum("p_retailprice * 2")} AS retail
+    FROM part
+    WHERE p_partkey % 3 = 0
+    GROUP BY p_brand
+    """,
+    doc=(
+        "CONVERT TO DELTA + the MERGE third branch family, end to end "
+        "(both new r8): the part table lands as a PLAIN Hive-"
+        "partitioned parquet dir (p_brand values carry '#', exercising "
+        "dir-value unescaping), DeltaTable.convertToDelta adopts it in "
+        "place (zero copy, footer stats on every add), then one MERGE "
+        "with whenMatchedUpdateAll + whenNotMatchedBySourceDelete "
+        "doubles the price of every key divisible by 3 and deletes the "
+        "rest (WHEN NOT MATCHED BY SOURCE — key-range file pruning "
+        "auto-disabled, its rows live OUTSIDE the source's range), and "
+        "the aggregate reads the table back through format('delta'). "
+        "A wrong byte in conversion, partition unescaping, either "
+        "merge branch, or the pruning gate changes the oracle-checked "
+        "result. 100 TB: conversion is O(files) driver JSON; the merge "
+        "rewrites only files containing touched rows."
+    ),
+    tags=("table", "formats", "delta", "dml", "agg"),
+)
+def convert_merge_by_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("convert_nmbs", sf_dir)
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_brand"
+    )
+    part.write.partitionBy("p_brand").parquet(path)
+    dt = DeltaTable.convertToDelta(
+        spark, f"parquet.`{path}`", "p_brand string"
+    )
+    src = part.where(F.col("p_partkey") % 3 == 0).withColumn(
+        "p_retailprice", F.col("p_retailprice") * 2
+    )
+    (
+        dt.alias("t")
+        .merge(src.alias("s"), "t.p_partkey = s.p_partkey")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedBySourceDelete()
+        .execute()
+    )
+    back = spark.read.format("delta").load(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.expr(dec_sum("p_retailprice")).alias("retail"),
+    )
+
+
+@register(
     "cloudfiles_bronze_roundtrip",
     oracle=f"""
     SELECT o_orderstatus,

@@ -1692,6 +1692,45 @@ def resolve_delta_version_at(path: str, ts_ms: int) -> int:
     return best
 
 
+def resolve_delta_version_from(path: str, ts_ms: int) -> int:
+    """Smallest version whose commit timestamp >= ``ts_ms`` — the rule
+    behind ``startingTimestamp`` (changes committed AT OR AFTER the
+    timestamp are read; note the asymmetry with ``timestampAsOf``,
+    which takes the largest version at or BEFORE). When the timestamp
+    is past every retained commit, returns latest+1 (a stream
+    subscribing from there sees only future commits — upstream's
+    behavior). Same clock as time travel (in-commit timestamps
+    preferred, commitInfo.timestamp, file mtime fallback)."""
+    log = os.path.join(path, _DELTA_DIR)
+    best: int | None = None
+    latest = -1
+    for fn in os.listdir(log):
+        if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+            continue
+        v = int(fn.split(".")[0])
+        latest = max(latest, v)
+        t = None
+        with open(os.path.join(log, fn)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci and (
+                    ci.get("inCommitTimestamp") or ci.get("timestamp")
+                ):
+                    t = int(
+                        ci.get("inCommitTimestamp") or ci["timestamp"]
+                    )
+                    break
+        if t is None:
+            t = int(os.stat(os.path.join(log, fn)).st_mtime * 1000)
+        if t >= ts_ms and (best is None or v < best):
+            best = v
+    return best if best is not None else latest + 1
+
+
 def restore_delta(path: str, version: int) -> int:
     """RESTORE a Delta table to an earlier version as a NEW commit
     (Delta's own shape: history is preserved, the restore is itself

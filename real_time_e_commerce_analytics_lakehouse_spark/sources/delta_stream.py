@@ -351,7 +351,27 @@ class DeltaCdfDataSource(DataSource):
         return ", ".join(parts)
 
     def streamReader(self, schema: StructType) -> DeltaCdfStreamReader:
-        sv = int(self.options.get("startingversion") or 0)
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_table import (
+            _opt_ts_ms,
+        )
+
+        sv_raw = self.options.get("startingversion")
+        if sv_raw is not None and str(sv_raw).lower() == "latest":
+            sv = DeltaSnapshot(self._path()).version + 1
+        elif sv_raw is not None:
+            sv = int(sv_raw)
+        else:
+            ts = self.options.get("startingtimestamp")
+            if ts is not None:
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+                    resolve_delta_version_from,
+                )
+
+                sv = resolve_delta_version_from(
+                    self._path(), _opt_ts_ms(ts)
+                )
+            else:
+                sv = 0
         mv = self.options.get("maxversionspertrigger")
         return DeltaCdfStreamReader(
             self._path(), schema, sv, int(mv) if mv is not None else None

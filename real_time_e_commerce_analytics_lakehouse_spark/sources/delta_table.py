@@ -1329,6 +1329,20 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
 # --------------------------------------------------------------------------
 
 
+def _opt_ts_ms(raw) -> int:
+    """Timestamp option value → epoch ms: epoch-ms int, or ISO-8601
+    (naive = UTC, delta-spark's convention)."""
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(str(raw))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+
 class DeltaDataSource(DataSource):
     """``format("delta")`` — reads and writes plain Delta transaction
     logs through the Python DataSource API (no delta-spark needed)."""
@@ -1355,17 +1369,30 @@ class DeltaDataSource(DataSource):
                 resolve_delta_version_at,
             )
 
-            try:
-                ts_ms = int(ts)
-            except ValueError:
-                from datetime import datetime, timezone
-
-                dt = datetime.fromisoformat(str(ts))
-                if dt.tzinfo is None:
-                    dt = dt.replace(tzinfo=timezone.utc)
-                ts_ms = int(dt.timestamp() * 1000)
-            return resolve_delta_version_at(self._path(), ts_ms)
+            return resolve_delta_version_at(self._path(), _opt_ts_ms(ts))
         return None
+
+    def _starting_version(self) -> int:
+        """``startingVersion`` (int or 'latest' = only future commits)
+        / ``startingTimestamp`` (commits AT OR AFTER) for streams and
+        batch CDF — upstream's exact option semantics."""
+        sv = self.options.get("startingversion")
+        if sv is not None:
+            if str(sv).lower() == "latest":
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+                    DeltaSnapshot,
+                )
+
+                return DeltaSnapshot(self._path()).version + 1
+            return int(sv)
+        ts = self.options.get("startingtimestamp")
+        if ts is not None:
+            from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+                resolve_delta_version_from,
+            )
+
+            return resolve_delta_version_from(self._path(), _opt_ts_ms(ts))
+        return 0
 
     def _read_cdf(self) -> bool:
         return (
@@ -1385,18 +1412,27 @@ class DeltaDataSource(DataSource):
 
     def reader(self, schema: StructType):
         if self._read_cdf():
-            sv = int(self.options.get("startingversion") or 0)
             ev = self.options.get("endingversion")
+            if ev is None:
+                ets = self.options.get("endingtimestamp")
+                if ets is not None:
+                    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+                        resolve_delta_version_at,
+                    )
+
+                    ev = resolve_delta_version_at(
+                        self._path(), _opt_ts_ms(ets)
+                    )
             return DeltaCdfBatchReader(
                 self._path(),
                 schema,
-                sv,
+                self._starting_version(),
                 int(ev) if ev is not None else None,
             )
         return DeltaBatchReader(self._path(), schema, self._version())
 
     def streamReader(self, schema: StructType) -> DeltaTableStreamReader:
-        sv = int(self.options.get("startingversion") or 0)
+        sv = self._starting_version()
         mv = self.options.get("maxversionspertrigger")
         return DeltaTableStreamReader(
             self._path(),

@@ -713,3 +713,69 @@ def test_register_self_pins_pushdown_conf(spark):
         )
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_starting_timestamp_and_latest_options(spark, tmp_path):
+    """startingTimestamp (commits AT OR AFTER — the asymmetric twin of
+    timestampAsOf), startingVersion='latest' (future commits only) and
+    endingTimestamp on batch CDF — upstream's option semantics."""
+    import json as _json
+
+    p = str(tmp_path / "t")
+    for i, mode in ((0, "overwrite"), (1, "append"), (2, "append")):
+        spark.createDataFrame(
+            [(i, f"v{i}")], "id long, v string"
+        ).write.format("delta").mode(mode).save(p)
+    # pin commitInfo timestamps to a known clock: v0=1000, v1=2000, v2=3000
+    for v in range(3):
+        log = os.path.join(p, "_delta_log", f"{v:020d}.json")
+        lines = [_json.loads(x) for x in open(log) if x.strip()]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = 1000 * (v + 1)
+        with open(log, "w") as f:
+            for a in lines:
+                f.write(_json.dumps(a) + "\n")
+
+    # batch CDF: startingTimestamp 1500 -> versions 1..2 only
+    got = (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "1500")
+        .load(p)
+    )
+    assert sorted((r.id, r._commit_version) for r in got.collect()) == [
+        (1, 1), (2, 2),
+    ]
+    # endingTimestamp 2999 -> largest version at or before = 1
+    got = (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "1500")
+        .option("endingTimestamp", "2999")
+        .load(p)
+    )
+    assert [(r.id, r._commit_version) for r in got.collect()] == [(1, 1)]
+
+    # a startingTimestamp past every commit = only future commits
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    _drain(spark, p, sink, ckpt, startingTimestamp="99999")
+    import pyspark.errors
+
+    try:
+        n0 = spark.read.format("delta").load(sink).count()
+    except Exception:
+        n0 = 0  # sink never created: nothing drained
+    assert n0 == 0
+
+    # startingVersion=latest: nothing now, only the NEXT commit later
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ck2")
+    _drain(spark, p, sink2, ckpt2, startingVersion="latest")
+    spark.createDataFrame([(9, "new")], "id long, v string").write.format(
+        "delta"
+    ).mode("append").save(p)
+    _drain(spark, p, sink2, ckpt2, startingVersion="latest")
+    assert [
+        (r.id, r.v)
+        for r in spark.read.format("delta").load(sink2).collect()
+    ] == [(9, "new")]
