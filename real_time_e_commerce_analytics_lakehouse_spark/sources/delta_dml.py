@@ -166,9 +166,16 @@ def _scan_with_file(
         return spark.createDataFrame(
             [], schema.add(_FILE, "string")
         )
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, p) for p in snap.files]
+    # explicit physical schema, not mergeSchema: widens pre-ALTER
+    # narrower footers and null-fills absent columns instead of
+    # throwing on mixed-width files (same contract as read_delta_log)
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        _physical_scan_schema,
     )
+
+    df = spark.read.schema(
+        _physical_scan_schema(snap, snap.resolved_physical_names(path))
+    ).parquet(*[os.path.join(path, p) for p in snap.files])
     decoded = F.url_decode(
         F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
     )
@@ -259,11 +266,26 @@ def _constraint_exprs(snap: DeltaSnapshot) -> list[tuple[str, str]]:
     return out
 
 
+def _generated_exprs(snap: DeltaSnapshot) -> list[tuple[str, str]]:
+    """(column, SQL expr) for every generated column
+    (``delta.generationExpression`` field metadata, writer feature
+    generatedColumns / legacy writer 4)."""
+    out: list[tuple[str, str]] = []
+    for f in snap.schema_json.get("fields", []):
+        gen = (f.get("metadata") or {}).get("delta.generationExpression")
+        if gen:
+            out.append((f["name"], gen))
+    return out
+
+
 def _apply_constraints(spark_df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
     """In-plan CHECK validation on staged rows (delta-spark parity):
     a row fails only when the expression is FALSE — NULL passes (SQL
     CHECK semantics) — and the write job aborts naming the constraint
-    before any file is adopted."""
+    before any file is adopted. Generated columns validate as the
+    implied constraint ``col <=> (genExpr)`` (upstream's enforcement
+    rule: a stored value must null-safe-equal its generation
+    expression over the same row)."""
     for name, expr in _constraint_exprs(snap):
         spark_df = spark_df.where(
             F.assert_true(
@@ -271,6 +293,16 @@ def _apply_constraints(spark_df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
                 F.lit(
                     f"CHECK constraint {name} violated: ({expr}) "
                     "is false for a written row"
+                ),
+            ).isNull()
+        )
+    for col, gen in _generated_exprs(snap):
+        spark_df = spark_df.where(
+            F.assert_true(
+                F.expr(f"`{col}` <=> ({gen})"),
+                F.lit(
+                    f"generated column {col} violated: stored value "
+                    f"does not equal ({gen}) for a written row"
                 ),
             ).isNull()
         )
@@ -997,9 +1029,15 @@ def delete_delta(
     )
 
     # re-scan with physical row indexes (the DV coordinate space)
-    raw = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, p) for p in snap.files]
+    # explicit physical schema: widened tables' pre-ALTER footers read
+    # at the declared width (mergeSchema throws on mixed widths)
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        _physical_scan_schema,
     )
+
+    raw = spark.read.schema(
+        _physical_scan_schema(snap, snap.resolved_physical_names(path))
+    ).parquet(*[os.path.join(path, p) for p in snap.files])
     raw = raw.withColumn(
         "__fp",
         F.url_decode(

@@ -261,6 +261,34 @@ class DeltaTable:
             "minReaderVersion int, minWriterVersion int",
         )
 
+    def upgradeTableProtocol(
+        self, readerVersion: int, writerVersion: int
+    ) -> int:
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            upgrade_delta_protocol,
+        )
+
+        return upgrade_delta_protocol(
+            self._path, readerVersion, writerVersion
+        )
+
+    def setProperties(self, properties: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES (auto-raises the protocol
+        floor a property requires; 'delta.columnMapping.mode'='name'
+        performs the mapping upgrade)."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            alter_delta_properties,
+        )
+
+        return alter_delta_properties(self._path, set_props=properties)
+
+    def unsetProperties(self, keys: list[str]) -> int:
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            alter_delta_properties,
+        )
+
+        return alter_delta_properties(self._path, unset=keys)
+
     def generate(self, mode: str) -> list[str]:
         """``GENERATE symlink_format_manifest`` (the only mode, same
         as upstream)."""

@@ -68,7 +68,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any
+from typing import Any, Sequence
 from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -350,6 +350,12 @@ class DeltaSnapshot:
                     # protocol check (vacuum_delta replays the full log
                     # and honors retention, satisfying the intent)
                     "vacuumProtocolCheck",
+                    # both read tiers scan with the DECLARED schema
+                    # (explicit-schema parquet scan / arrow cast), so
+                    # files written before an ALTER ... TYPE widening
+                    # read back widened — tested in test_delta_log
+                    "typeWidening",
+                    "typeWidening-preview",
                 }
             ):
                 raise NotImplementedError(
@@ -619,6 +625,61 @@ def _canon_partition_value(col: str, v) -> str | None:
     )
 
 
+def _physical_scan_schema(
+    snap: DeltaSnapshot,
+    resolved: dict[str, str],
+    extra: "list | None" = None,
+) -> StructType:
+    """The explicit schema for scanning a snapshot's parquet files:
+    non-partition fields under their RESOLVED stored top-level names
+    (id-mode footer resolution wins over a stale physicalName), nested
+    levels under their physicalName spelling, all at the DECLARED
+    types. Scanning with this schema makes Spark's parquet reader widen
+    pre-ALTER narrower footers (typeWidening) and null-fill columns
+    absent from old files; mergeSchema did neither. No field-id
+    metadata is attached — matching stays name-based, so id-less
+    name-mode files keep reading."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+        physical_spark_field,
+    )
+
+    def strip_ids(dt):
+        # physical_spark_field attaches parquet.field.id metadata (the
+        # WRITE direction needs it); on READ schemas Spark then demands
+        # ids in every footer and errors on id-less name-mode files —
+        # matching must stay name-based here
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(f.name, strip_ids(f.dataType), True)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(strip_ids(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(
+                strip_ids(dt.keyType), strip_ids(dt.valueType), True
+            )
+        return dt
+
+    fields = []
+    for f in snap.schema_json.get("fields", []):
+        if f["name"] in snap.partition_cols:
+            continue
+        sf = physical_spark_field(f)
+        fields.append(
+            StructField(
+                resolved.get(f["name"], sf.name),
+                strip_ids(sf.dataType),
+                True,
+            )
+        )
+    return StructType(fields + list(extra or []))
+
+
 def read_delta_log(
     spark: SparkSession,
     path: str,
@@ -667,10 +728,20 @@ def read_delta_log(
     if not snap.files:
         return spark.createDataFrame([], schema)
     abs_paths = [os.path.join(path, p) for p in snap.files]
-    df = spark.read.option("mergeSchema", "true").parquet(*abs_paths)
     # 'name'-mode column mapping: the files store PHYSICAL column names
-    # (col-<uuid>); select physical -> alias logical. Identity when off.
+    # (col-<uuid>); 'id' mode resolves the STORED top-level names by
+    # parquet field id from a footer (stale physicalName must lose).
     phys = snap.resolved_physical_names(path)
+    # scan with the EXPLICIT physical spelling of the declared schema
+    # (non-partition fields, resolved stored names): Spark's parquet
+    # reader then widens files written before an ALTER ... TYPE change
+    # (typeWidening: int->long, float->double) and null-fills columns
+    # absent from old footers — whereas mergeSchema THROWS on
+    # mixed-width footers and, with agreeing-but-narrower footers,
+    # silently returned the files' types instead of the table's
+    df = spark.read.schema(
+        _physical_scan_schema(snap, phys)
+    ).parquet(*abs_paths)
 
     from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
         is_nested,
@@ -694,6 +765,14 @@ def read_delta_log(
             col = logical_expr(
                 col, fj["type"], actual_types.get(phys[f.name])
             )
+        actual = actual_types.get(phys[f.name])
+        if actual is not None and actual != f.dataType:
+            # the declared schema wins over the files' physical types:
+            # files written before an ALTER ... TYPE widening carry the
+            # narrower type (typeWidening feature), and the merged file
+            # footprint resolves to whatever the footers agree on —
+            # returning it un-cast silently changed the table's dtypes
+            col = col.cast(f.dataType)
         return col.alias(f.name)
 
     if snap.partition_cols or snap.dvs:
@@ -949,10 +1028,22 @@ def delta_changes(
             F.lit(version).cast("long").alias("_commit_version"),
         )
 
-    def scan(files: dict[str, dict]) -> DataFrame:
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, r) for r in files]
+    def scan(files: dict[str, dict], with_ct: bool = False) -> DataFrame:
+        # explicit physical schema (not mergeSchema): a widened table's
+        # pre-ALTER footers read back at the declared width instead of
+        # throwing CANNOT_MERGE_SCHEMAS (same contract as the snapshot
+        # read path). cdc files additionally carry a literal
+        # _change_type column (with_ct).
+        from pyspark.sql.types import StringType, StructField
+
+        extra = (
+            [StructField("_change_type", StringType(), True)]
+            if with_ct
+            else None
         )
+        df = spark.read.schema(
+            _physical_scan_schema(end_snap, phys, extra)
+        ).parquet(*[os.path.join(path, r) for r in files])
         decoded = F.url_decode(
             F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
         )
@@ -1060,7 +1151,12 @@ def delta_changes(
             # pairs the add/remove diff cannot reconstruct. The derived
             # path below stays the fallback for cdc-less commits.
             frames.append(
-                project(scan(ch["cdcs"]), ch["cdcs"], F.col("_change_type"), v)
+                project(
+                    scan(ch["cdcs"], with_ct=True),
+                    ch["cdcs"],
+                    F.col("_change_type"),
+                    v,
+                )
             )
         else:
             if ch["ins_files"]:
@@ -1890,9 +1986,15 @@ def optimize_delta(
             continue
         total = sum(os.path.getsize(os.path.join(path, r)) for r in cands)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, r) for r in cands]
-        )
+        # explicit physical schema: compaction groups mixing pre- and
+        # post-ALTER footer widths read (and rewrite) at the declared
+        # width instead of throwing CANNOT_MERGE_SCHEMAS — OPTIMIZE is
+        # how a widened table retires its narrow footers
+        df = spark.read.schema(
+            _physical_scan_schema(
+                snap, snap.resolved_physical_names(path)
+            )
+        ).parquet(*[os.path.join(path, r) for r in cands])
         if any(r in snap.dvs for r in cands):
             sub = DeltaSnapshot(path)
             sub.dvs = {r: d for r, d in snap.dvs.items() if r in cands}
@@ -2464,3 +2566,208 @@ def generate_symlink_manifest(path: str) -> list[str]:
             f.write("\n".join(uris) + "\n")
         written.append(os.path.relpath(mf, root))
     return written
+
+
+def _claim_commit(path: str, version: int, actions: list[dict]) -> None:
+    """Atomically claim one commit version (exclusive hard-link, the
+    same recipe every writer here uses); raises FileExistsError to the
+    caller on a concurrent commit."""
+    target = _commit_file(path, version)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, target)
+    finally:
+        os.remove(tmp)
+
+
+def upgrade_delta_protocol(
+    path: str, min_reader: int, min_writer: int
+) -> int:
+    """delta-spark's ``upgradeTableProtocol``: raise the table's
+    protocol versions (never lower — upstream refuses downgrades too).
+    Version 3/7 upgrades carry the prior legacy-implied features into
+    the feature lists so nothing silently un-gates. Returns the new
+    log version."""
+    snap = DeltaSnapshot(path)
+    cur = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    cr, cw = int(cur.get("minReaderVersion", 1)), int(
+        cur.get("minWriterVersion", 2)
+    )
+    if min_reader < cr or min_writer < cw:
+        raise ValueError(
+            f"protocol downgrade refused: table is ({cr},{cw}), "
+            f"requested ({min_reader},{min_writer})"
+        )
+    proto: dict[str, Any] = {
+        "minReaderVersion": min_reader,
+        "minWriterVersion": min_writer,
+    }
+    if min_reader >= 3 or min_writer >= 7:
+        proto["readerFeatures"] = sorted(
+            set(cur.get("readerFeatures") or [])
+        ) if min_reader >= 3 else cur.get("readerFeatures")
+        proto["writerFeatures"] = sorted(
+            set(cur.get("writerFeatures") or [])
+            | _legacy_writer_features(cw)
+        )
+    v = snap.version + 1
+    _claim_commit(
+        path,
+        v,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "UPGRADE PROTOCOL",
+                    "operationParameters": {
+                        "newProtocol": json.dumps(proto)
+                    },
+                }
+            },
+            {"protocol": proto},
+        ],
+    )
+    return v
+
+
+def _legacy_writer_features(min_writer: int) -> set[str]:
+    """Features implied by a legacy writer version (PROTOCOL.md
+    feature-to-version mapping) — carried into writerFeatures on a
+    (3,7) upgrade so prior gates survive."""
+    out: set[str] = set()
+    if min_writer >= 2:
+        out |= {"appendOnly", "invariants"}
+    if min_writer >= 3:
+        out |= {"checkConstraints"}
+    if min_writer >= 4:
+        out |= {"changeDataFeed", "generatedColumns"}
+    if min_writer >= 5:
+        out |= {"columnMapping"}
+    return out
+
+
+def alter_delta_properties(
+    path: str,
+    set_props: dict[str, str] | None = None,
+    unset: Sequence[str] = (),
+) -> int:
+    """``ALTER TABLE SET/UNSET TBLPROPERTIES``: re-emit metaData with
+    the updated configuration as a new commit, auto-raising the
+    protocol floor a property requires (CDF → writer 4, appendOnly →
+    writer 2). Special-cased upgrade: setting
+    ``delta.columnMapping.mode`` 'none' → 'name' performs upstream's
+    mapping UPGRADE — every field gets ``physicalName = its current
+    name`` (existing files keep resolving) and a fresh id,
+    maxColumnId is recorded, and the protocol floor rises to (2, 5).
+    Other mode transitions are refused (physical renames would brick
+    existing files). Returns the new log version."""
+    snap = DeltaSnapshot(path)
+    cfg = dict(snap.configuration)
+    schema_json = snap.schema_json
+    set_props = {k: str(v) for k, v in (set_props or {}).items()}
+    old_mode = cfg.get("delta.columnMapping.mode", "none")
+    new_mode = set_props.get("delta.columnMapping.mode", old_mode)
+    if new_mode != old_mode:
+        if old_mode != "none" or new_mode != "name":
+            raise NotImplementedError(
+                f"column mapping mode {old_mode!r} -> {new_mode!r}: only "
+                "the 'none' -> 'name' upgrade is supported (other "
+                "transitions re-key already-written files)"
+            )
+        # upstream's upgrade rule: physicalName = current logical name
+        # (files on disk already store these names), fresh sequential
+        # ids at every struct level
+        counter = [1]
+
+        def upgrade_field(f: dict) -> dict:
+            meta = dict(f.get("metadata") or {})
+            meta["delta.columnMapping.id"] = counter[0]
+            meta["delta.columnMapping.physicalName"] = f["name"]
+            counter[0] += 1
+            t = f["type"]
+            return {
+                "name": f["name"],
+                "type": upgrade_type(t),
+                "nullable": f.get("nullable", True),
+                "metadata": meta,
+            }
+
+        def upgrade_type(t):
+            from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                is_nested,
+            )
+
+            if not is_nested(t):
+                return t
+            if t["type"] == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [upgrade_field(f) for f in t["fields"]],
+                }
+            out = dict(t)
+            if t["type"] == "array":
+                out["elementType"] = upgrade_type(t["elementType"])
+            else:
+                out["keyType"] = upgrade_type(t["keyType"])
+                out["valueType"] = upgrade_type(t["valueType"])
+            return out
+
+        schema_json = {
+            "type": "struct",
+            "fields": [
+                upgrade_field(f) for f in snap.schema_json["fields"]
+            ],
+        }
+        set_props["delta.columnMapping.maxColumnId"] = str(counter[0] - 1)
+    for k in unset:
+        cfg.pop(k, None)
+    cfg.update(set_props)
+
+    # protocol floors the new properties demand (legacy tiers)
+    cur = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    need_r, need_w = int(cur.get("minReaderVersion", 1)), int(
+        cur.get("minWriterVersion", 2)
+    )
+    if cfg.get("delta.enableChangeDataFeed", "").lower() == "true":
+        need_w = max(need_w, 4)
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        need_r, need_w = max(need_r, 2), max(need_w, 5)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(set_props)
+                },
+            }
+        }
+    ]
+    if (need_r, need_w) != (
+        int(cur.get("minReaderVersion", 1)),
+        int(cur.get("minWriterVersion", 2)),
+    ):
+        # a version-3/7 table keeps its feature lists; legacy tiers
+        # just raise the floor
+        proto = dict(cur)
+        proto["minReaderVersion"] = need_r
+        proto["minWriterVersion"] = need_w
+        actions.append({"protocol": proto})
+    actions.append(
+        {
+            "metaData": {
+                "id": getattr(snap, "meta_id", None)
+                or f"laketable-{os.path.basename(path)}",
+                "format": {"provider": "parquet"},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": list(snap.partition_cols),
+                "configuration": cfg,
+            }
+        }
+    )
+    v = snap.version + 1
+    _claim_commit(path, v, actions)
+    return v

@@ -765,10 +765,11 @@ def _guard_writable(
     safe = set(_SAFE_WRITER_FEATURES)
     if enforce_constraints:
         # the DML tier stages rows through Spark and VALIDATES CHECK
-        # constraints + column invariants in-plan (delta_dml
-        # _stage_data_files), so the feature is honored, not just
-        # tolerated
+        # constraints + column invariants + generated columns in-plan
+        # (delta_dml _stage_data_files), so the features are honored,
+        # not just tolerated
         safe.add("checkConstraints")
+        safe.add("generatedColumns")
     unknown = feats - safe
     if unknown:
         raise NotImplementedError(
@@ -802,6 +803,13 @@ def _guard_writable(
                     "writer cannot validate — write through "
                     "merge_delta/DML (which enforces it) or an engine "
                     "that does"
+                )
+            if "delta.generationExpression" in (f.get("metadata") or {}):
+                raise NotImplementedError(
+                    f"column {f['name']} is a GENERATED column this "
+                    "writer cannot compute/validate — write through "
+                    "merge_delta/DML (which enforces value <=> "
+                    "expression) or an engine that does"
                 )
 
 

@@ -751,3 +751,54 @@ def test_merge_by_source_only_no_matched_clause(spark, tmp_path):
     assert _rows(
         spark.read.format("delta").load(p).select("id")
     ) == [(1,), (2,)]
+
+
+def test_generated_columns_enforced(spark, tmp_path):
+    """delta.generationExpression columns: the DML tier enforces
+    value <=> expression on every staged row (upstream's rule); the
+    arrow format writer refuses (it cannot evaluate SQL) with a
+    pointer to the enforcing path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    pq.write_table(
+        pa.table({"id": pa.array([1], type=pa.int64()),
+                  "id2": pa.array([2], type=pa.int64())}),
+        os.path.join(p, "f.parquet"),
+    )
+    schema_str = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "id2", "type": "long", "nullable": True,
+             "metadata": {"delta.generationExpression": "id * 2"}},
+        ]}
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    # valid merge: id2 = id * 2 holds on every staged row
+    src_ok = spark.createDataFrame([(5, 10)], "id long, id2 long")
+    merge_delta(spark, p, src_ok, keys=["id"])
+    assert _rows(read_delta_log(spark, p)) == [(1, 2), (5, 10)]
+
+    # violating merge aborts before any file is adopted
+    src_bad = spark.createDataFrame([(7, 99)], "id long, id2 long")
+    with pytest.raises(Exception, match="generated column id2"):
+        merge_delta(spark, p, src_bad, keys=["id"])
+    assert _rows(read_delta_log(spark, p)) == [(1, 2), (5, 10)]
+
+    # the arrow writer refuses loudly (cannot evaluate SQL exprs)
+    with pytest.raises(Exception, match="GENERATED"):
+        src_ok.write.format("delta").mode("append").save(p)

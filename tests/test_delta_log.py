@@ -2056,3 +2056,196 @@ def test_generate_manifest_partitioned_and_dv_refusal(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="deletion vectors"):
         generate_symlink_manifest(t.path)
+
+
+def test_type_widening_reads_and_verbs(spark, tmp_path):
+    """typeWidening reader feature: files written before an
+    ALTER ... TYPE widening carry narrower footer types (int32 under a
+    long schema, float under double); every tier must read them at the
+    DECLARED width — mixed-width footprints included — and OPTIMIZE
+    must compact across the width boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+        optimize_delta,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], type=pa.int32()),
+                  "x": pa.array([1.5, 2.5], type=pa.float32())}),
+        os.path.join(p, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], type=pa.int64()),
+                  "x": pa.array([3.5], type=pa.float64())}),
+        os.path.join(p, "f2.parquet"),
+    )
+    schema_str = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "x", "type": "double", "nullable": True,
+             "metadata": {}},
+        ]}
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    want = [(1, 1.5), (2, 2.5), (3, 3.5)]
+    for df in (
+        read_delta_log(spark, p),
+        spark.read.format("delta").load(p),
+    ):
+        assert dict(df.dtypes) == {"id": "bigint", "x": "double"}
+        assert sorted((r.id, r.x) for r in df.collect()) == want
+
+    # the log-derived change feed scans the same mixed widths
+    ch = delta_changes(spark, p, 0, 0)
+    assert sorted((r.id, r._change_type) for r in ch.collect()) == [
+        (1, "insert"), (2, "insert"), (3, "insert"),
+    ]
+
+    # OPTIMIZE compacts across the width boundary and the rewritten
+    # footers carry the declared (wide) types
+    res = optimize_delta(spark, p, target_file_bytes=1 << 30)
+    assert res["rewritten"] == 2 and res["written"] == 1
+    snap = DeltaSnapshot(p)
+    (new_rel,) = list(snap.files)
+    foot = pq.read_schema(os.path.join(p, new_rel))
+    assert foot.field(foot.get_field_index("id")).type == pa.int64()
+    assert sorted(
+        (r.id, r.x) for r in read_delta_log(spark, p).collect()
+    ) == want
+
+
+def test_alter_properties_enables_cdf_and_protocol_floor(spark, tmp_path):
+    """ALTER TABLE SET TBLPROPERTIES: enabling CDF on a plain table
+    re-emits metaData with the property, raises the protocol floor to
+    writer 4, and subsequent DML emits real cdc files (no more
+    hand-editing the log to turn CDF on)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        update_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        delta_changes,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.format("delta").mode("overwrite").save(p)
+    dt = DeltaTable.forPath(spark, p)
+    v = dt.setProperties({"delta.enableChangeDataFeed": "true"})
+    assert v == 1
+    snap = DeltaSnapshot(p)
+    assert snap.configuration["delta.enableChangeDataFeed"] == "true"
+    assert snap.protocol["minWriterVersion"] >= 4
+    res = update_delta(spark, p, "id = 2", {"v": "'B'"})
+    ch = delta_changes(spark, p, res["version"], res["version"])
+    assert sorted((r._change_type, r.v) for r in ch.collect()) == [
+        ("update_postimage", "B"), ("update_preimage", "b"),
+    ]
+    # unset round-trips
+    dt.unsetProperties(["delta.enableChangeDataFeed"])
+    assert "delta.enableChangeDataFeed" not in DeltaSnapshot(p).configuration
+
+
+def test_alter_properties_column_mapping_upgrade(spark, tmp_path):
+    """'none' -> 'name' mapping upgrade: every field gets physicalName
+    = its CURRENT name (existing files keep resolving) and a fresh id,
+    maxColumnId recorded, protocol floor (2,5); a post-upgrade append
+    through format('delta') and a post-upgrade read both work; other
+    transitions refuse."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [((1,), "a")], "s struct<a: long>, v string"
+    ).write.format("delta").mode("overwrite").save(p)
+    DeltaTable.forPath(spark, p).setProperties(
+        {"delta.columnMapping.mode": "name"}
+    )
+    snap = DeltaSnapshot(p)
+    assert snap.column_mapping_mode == "name"
+    by = {f["name"]: f for f in snap.schema_json["fields"]}
+    assert by["s"]["metadata"]["delta.columnMapping.physicalName"] == "s"
+    nested = by["s"]["type"]["fields"][0]
+    assert nested["metadata"]["delta.columnMapping.physicalName"] == "a"
+    ids = {
+        by["s"]["metadata"]["delta.columnMapping.id"],
+        by["v"]["metadata"]["delta.columnMapping.id"],
+        nested["metadata"]["delta.columnMapping.id"],
+    }
+    assert ids == {1, 2, 3}
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "3"
+    assert snap.protocol["minReaderVersion"] >= 2
+    assert snap.protocol["minWriterVersion"] >= 5
+
+    # pre-upgrade file still reads; post-upgrade append + evolution work
+    spark.createDataFrame(
+        [((2,), "b")], "s struct<a: long>, v string"
+    ).write.format("delta").mode("append").save(p)
+    got = sorted(
+        (r.s.a, r.v) for r in read_delta_log(spark, p).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+    with pytest.raises(NotImplementedError, match="transitions"):
+        alter_delta_properties(
+            p, {"delta.columnMapping.mode": "id"}
+        )
+
+
+def test_upgrade_protocol_carries_legacy_features(spark, tmp_path):
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "id long").write.format("delta").mode(
+        "overwrite"
+    ).save(p)
+    dt = DeltaTable.forPath(spark, p)
+    dt.upgradeTableProtocol(1, 4)
+    dt.upgradeTableProtocol(3, 7)
+    proto = DeltaSnapshot(p).protocol
+    assert proto["minReaderVersion"] == 3
+    assert "changeDataFeed" in proto["writerFeatures"]  # writer-4 legacy
+    assert "appendOnly" in proto["writerFeatures"]
+    with pytest.raises(ValueError, match="downgrade"):
+        dt.upgradeTableProtocol(1, 2)
+    # the table still reads through both tiers after the upgrade
+    assert read_delta_log(spark, p).count() == 1
