@@ -111,12 +111,12 @@ WORKLOAD_CHANGES: dict[str, str] = {
         "(row_number+assert_true, zero extra jobs) replacing the "
         "persisted-sig band self-join + r7's eager probe (which cost a "
         "whole job, paired 2.7x vs r6 — its '~0.2 s' annotation was "
-        "wrong, VERDICT r7 wrong #2). Measured paired 0.49 vs r7."
+        "wrong, VERDICT r7 wrong #2). Full-record paired 0.62 vs r7."
     ),
     "ngram_jaccard_pairs": (
         "r8 rewrote pair generation: groupBy-on-shingle + in-plan "
         "PAIR_BLOCK_CAP guard replacing the shingle self-join + r7's "
-        "eager probe (see lsh_candidate_pairs). Measured paired 0.85 "
+        "eager probe (see lsh_candidate_pairs). Full-record paired 0.74 "
         "vs r7."
     ),
     "asof_last_click_before_purchase": (

@@ -430,6 +430,7 @@ def _commit_dml(
     params: dict[str, str],
     dv_readds: Sequence[tuple[str, dict, dict]] = (),
     protocol_action: dict | None = None,
+    configuration: dict | None = None,
 ) -> int:
     """One atomic DML commit. ``removes``: (rel, old DV descriptor or
     None); ``dv_readds``: (rel, partitionValues, new DV descriptor) for
@@ -501,10 +502,14 @@ def _commit_dml(
                 }
             }
         )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        commit_time_fields,
+    )
+
     actions.append(
         {
             "commitInfo": {
-                "timestamp": now,
+                **commit_time_fields(path, configuration, now),
                 "operation": operation,
                 "operationParameters": dict(params),
             }
@@ -939,6 +944,7 @@ def merge_delta(
         cdcs,
         "MERGE",
         {"predicate": json.dumps(keys)},
+        configuration=snap.configuration,
     )
     if set_exprs is None:
         src.unpersist()
@@ -1011,6 +1017,7 @@ def delete_delta(
             cdcs,
             "DELETE",
             {"mode": "cow"},
+            configuration=snap.configuration,
         )
         return {"version": v, "rows_deleted": n_del, "files": len(affected)}
     if mode != "mor":
@@ -1170,6 +1177,7 @@ def delete_delta(
         {"mode": "mor"},
         dv_readds=dv_readds,
         protocol_action=_dv_protocol_upgrade(snap),
+        configuration=snap.configuration,
     )
     return {"version": v, "rows_deleted": n_del, "files": len(per_file)}
 
@@ -1228,5 +1236,6 @@ def update_delta(
         cdcs,
         "UPDATE",
         {"columns": json.dumps(sorted(exprs))},
+        configuration=snap.configuration,
     )
     return {"version": v, "rows_updated": n_upd, "files": len(affected)}

@@ -1448,7 +1448,11 @@ def export_delta_log(table: LakeTable) -> int:
     actions.append(
         {
             "commitInfo": {
-                "timestamp": now,
+                **commit_time_fields(
+                    table.path,
+                    None if first else prev.configuration,
+                    now,
+                ),
                 "operation": "LAKETABLE EXPORT" if not first else "CONVERT",
                 "operationParameters": {"laketableVersion": str(v)},
             }
@@ -1715,11 +1719,14 @@ def write_delta_checkpoint(path: str) -> int:
     return snap.version
 
 
-def expire_delta_commits(path: str) -> int:
+def expire_delta_commits(path: str, honor_retention: bool = True) -> int:
     """Delete JSON commits at or below the last checkpoint (Delta's log
     cleanup); returns how many were removed. Safe by construction: the
     checkpoint replays to the identical state, and commits after it are
-    untouched."""
+    untouched. ``honor_retention`` additionally keeps commits younger
+    than ``delta.logRetentionDuration`` (default interval 30 days —
+    upstream's rule: time travel and streams may still need them);
+    pass False to expire purely by checkpoint coverage."""
     log = os.path.join(path, _DELTA_DIR)
     lc = os.path.join(log, "_last_checkpoint")
     if not os.path.exists(lc):
@@ -1728,12 +1735,33 @@ def expire_delta_commits(path: str) -> int:
         )
     with open(lc) as f:
         v = int(json.load(f)["version"])
+    cutoff_ms = None
+    if honor_retention:
+        cfg = DeltaSnapshot(path).configuration
+        raw = cfg.get("delta.logRetentionDuration", "interval 30 days")
+        toks = raw.strip().lower().split()
+        if toks and toks[0] == "interval":
+            toks = toks[1:]
+        ms = 0
+        try:
+            for qty, unit in zip(toks[0::2], toks[1::2]):
+                ms += int(qty) * _INTERVAL_UNIT_MS[unit]
+        except (ValueError, KeyError):
+            ms = 30 * 86_400_000
+        cutoff_ms = time.time() * 1000 - (ms if ms > 0 else 30 * 86_400_000)
     removed = 0
     for fn in os.listdir(log):
         if fn.endswith(".json") and fn.split(".")[0].isdigit():
-            if int(fn.split(".")[0]) <= v:
-                os.remove(os.path.join(log, fn))
-                removed += 1
+            fp = os.path.join(log, fn)
+            if int(fn.split(".")[0]) > v:
+                continue
+            if (
+                cutoff_ms is not None
+                and os.stat(fp).st_mtime * 1000 >= cutoff_ms
+            ):
+                continue  # younger than logRetentionDuration: keep
+            os.remove(fp)
+            removed += 1
     return removed
 
 
@@ -1902,7 +1930,7 @@ def restore_delta(path: str, version: int) -> int:
     actions.append(
         {
             "commitInfo": {
-                "timestamp": now,
+                **commit_time_fields(path, cur.configuration, now),
                 "operation": "RESTORE",
                 "operationParameters": {"version": str(version)},
             }
@@ -2077,7 +2105,7 @@ def optimize_delta(
     actions.append(
         {
             "commitInfo": {
-                "timestamp": now,
+                **commit_time_fields(path, snap.configuration, now),
                 "operation": "OPTIMIZE",
                 "operationParameters": {
                     "targetSize": str(target_file_bytes),
@@ -2620,7 +2648,11 @@ def upgrade_delta_protocol(
         [
             {
                 "commitInfo": {
-                    "timestamp": int(time.time() * 1000),
+                    **commit_time_fields(
+                        path,
+                        snap.configuration,
+                        int(time.time() * 1000),
+                    ),
                     "operation": "UPGRADE PROTOCOL",
                     "operationParameters": {
                         "newProtocol": json.dumps(proto)
@@ -2735,10 +2767,29 @@ def alter_delta_properties(
         need_w = max(need_w, 4)
     if cfg.get("delta.columnMapping.mode", "none") != "none":
         need_r, need_w = max(need_r, 2), max(need_w, 5)
+    ict_newly_on = (
+        cfg.get("delta.enableInCommitTimestamps", "").lower() == "true"
+        and str(
+            snap.configuration.get("delta.enableInCommitTimestamps", "")
+        ).lower()
+        != "true"
+    )
+    if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
+        need_w = max(need_w, 7)  # inCommitTimestamp is a v7 feature
+    v = snap.version + 1
+    time_fields = commit_time_fields(path, cfg, int(time.time() * 1000))
+    if ict_newly_on:
+        # spec provenance: record WHERE the ICT clock starts, so
+        # timestamp resolution knows versions below this one use
+        # file/commitInfo timestamps
+        cfg["delta.inCommitTimestampEnablementVersion"] = str(v)
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
+            time_fields["inCommitTimestamp"]
+        )
     actions: list[dict] = [
         {
             "commitInfo": {
-                "timestamp": int(time.time() * 1000),
+                **time_fields,
                 "operation": "SET TBLPROPERTIES",
                 "operationParameters": {
                     "properties": json.dumps(set_props)
@@ -2750,11 +2801,21 @@ def alter_delta_properties(
         int(cur.get("minReaderVersion", 1)),
         int(cur.get("minWriterVersion", 2)),
     ):
-        # a version-3/7 table keeps its feature lists; legacy tiers
-        # just raise the floor
+        # legacy tiers just raise the floor; a v7 floor needs feature
+        # lists (legacy-implied features carried forward)
         proto = dict(cur)
         proto["minReaderVersion"] = need_r
         proto["minWriterVersion"] = need_w
+        if need_w >= 7:
+            feats = set(cur.get("writerFeatures") or [])
+            feats |= _legacy_writer_features(
+                int(cur.get("minWriterVersion", 2))
+            )
+            if cfg.get(
+                "delta.enableInCommitTimestamps", ""
+            ).lower() == "true":
+                feats.add("inCommitTimestamp")
+            proto["writerFeatures"] = sorted(feats)
         actions.append({"protocol": proto})
     actions.append(
         {
@@ -2768,6 +2829,56 @@ def alter_delta_properties(
             }
         }
     )
-    v = snap.version + 1
     _claim_commit(path, v, actions)
     return v
+
+
+def commit_time_fields(
+    path: str, configuration: dict | None, now_ms: int
+) -> dict:
+    """commitInfo time fields for the NEXT commit of the table at
+    ``path``: always ``timestamp``; plus ``inCommitTimestamp`` when
+    ``delta.enableInCommitTimestamps`` is on (the ICT writer feature's
+    clock — MONOTONIC per spec: max(wall clock, previous commit's ICT
+    + 1), so clock skew can never make history non-monotonic).
+    ``configuration=None`` reads the table's current configuration from
+    the log (callers that already hold a snapshot pass it)."""
+    if configuration is None:
+        try:
+            configuration = DeltaSnapshot(path).configuration
+        except (FileNotFoundError, ValueError):
+            configuration = {}
+    if (
+        str(configuration.get("delta.enableInCommitTimestamps", ""))
+        .lower()
+        != "true"
+    ):
+        return {"timestamp": now_ms}
+    prev_ict = 0
+    log = os.path.join(path, _DELTA_DIR)
+    try:
+        vs = [
+            int(f.split(".")[0])
+            for f in os.listdir(log)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
+        ]
+        if vs:
+            with open(_commit_file(path, max(vs))) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    ci = json.loads(line).get("commitInfo")
+                    if ci:
+                        prev_ict = int(
+                            ci.get("inCommitTimestamp")
+                            or ci.get("timestamp")
+                            or 0
+                        )
+                        break
+    except OSError:
+        pass
+    return {
+        "timestamp": now_ms,
+        "inCommitTimestamp": max(now_ms, prev_ict + 1),
+    }

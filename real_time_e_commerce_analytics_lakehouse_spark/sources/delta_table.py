@@ -91,6 +91,16 @@ _SAFE_WRITER_FEATURES = {
     "columnMapping",
     "v2Checkpoint",
     "timestampNtz",
+    # implemented: every commit site stamps the monotonic
+    # commitInfo.inCommitTimestamp when the property enables it
+    # (delta_log.commit_time_fields)
+    "inCommitTimestamp",
+    # SUPPORTED-not-enabled (PROTOCOL.md): the real gates are the
+    # property/metadata scans below — a listed-but-unenabled feature
+    # must not lock the table (r7 appendOnly lesson); actual
+    # delta.constraints.* / generationExpression entries still refuse
+    "checkConstraints",
+    "generatedColumns",
 }
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -1015,10 +1025,18 @@ def _commit_table_change(
                     }
                 }
             )
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            commit_time_fields,
+        )
+
         actions.append(
             {
                 "commitInfo": {
-                    "timestamp": now,
+                    **commit_time_fields(
+                        path,
+                        snap.configuration if snap is not None else None,
+                        now,
+                    ),
                     "operation": (
                         "STREAMING UPDATE"
                         if txn is not None

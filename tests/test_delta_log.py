@@ -242,7 +242,7 @@ def test_checkpoint_writer_and_commit_expiry_roundtrip(spark, tmp_path):
 
     v = write_delta_checkpoint(t.path)
     assert v == 1
-    assert expire_delta_commits(t.path) == 2  # both JSON commits covered
+    assert expire_delta_commits(t.path, honor_retention=False) == 2  # both JSON commits covered
 
     got = read_delta_log(spark, t.path)
     assert sorted((r.id, r.p) for r in got.collect()) == [
@@ -494,7 +494,7 @@ def test_dv_checkpoint_preserves_protocol_and_tombstones(spark, tmp_path):
     export_delta_log(t)
     expected = _rows(t.read().select("id", "p"))
     assert write_delta_checkpoint(t.path) == 0
-    assert expire_delta_commits(t.path) == 1
+    assert expire_delta_commits(t.path, honor_retention=False) == 1
     # reader now bootstraps purely from the checkpoint: protocol tier and
     # DV descriptors must both survive the round-trip
     snap = DeltaSnapshot(t.path)
@@ -1704,7 +1704,7 @@ def test_checkpoint_carries_stats_and_tombstones(spark, tmp_path):
         assert r["dataChange"] is False
 
     # bootstrap from the checkpoint alone: stats + tombstones intact
-    assert expire_delta_commits(t.path) == 2
+    assert expire_delta_commits(t.path, honor_retention=False) == 2
     post = DeltaSnapshot(t.path)
     assert post.files == pre.files
     assert {k: post.stats[k]["numRecords"] for k in post.stats} == {
@@ -2249,3 +2249,106 @@ def test_upgrade_protocol_carries_legacy_features(spark, tmp_path):
         dt.upgradeTableProtocol(1, 2)
     # the table still reads through both tiers after the upgrade
     assert read_delta_log(spark, p).count() == 1
+
+
+def test_expire_honors_log_retention(spark, tmp_path):
+    """Default log cleanup keeps commits younger than
+    delta.logRetentionDuration even when the checkpoint covers them
+    (time travel / streams may still need them); a short configured
+    retention lets them expire."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        expire_delta_commits,
+        write_delta_checkpoint,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,)], "id long"))
+    export_delta_log(t)
+    write_delta_checkpoint(t.path)
+    # fresh commits stay under the default 30-day retention
+    assert expire_delta_commits(t.path) == 0
+    assert read_delta_log(spark, t.path).count() == 1
+
+    # a 1-second retention lets the covered commits expire
+    alter_delta_properties(
+        t.path, {"delta.logRetentionDuration": "interval 1 second"}
+    )
+    import time as _time
+
+    write_delta_checkpoint(t.path)
+    _time.sleep(1.1)
+    assert expire_delta_commits(t.path) >= 1
+    assert read_delta_log(spark, t.path).count() == 1
+
+
+def test_in_commit_timestamps_written_and_monotonic(spark, tmp_path):
+    """Write-side ICT: enabling delta.enableInCommitTimestamps raises
+    the protocol to writer 7 with the inCommitTimestamp feature,
+    records the enablement provenance properties, and every subsequent
+    commit (format write, DML, OPTIMIZE) carries a MONOTONIC
+    commitInfo.inCommitTimestamp that timestampAsOf resolution
+    prefers."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        update_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    dtmod.register(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    ).write.format("delta").mode("overwrite").save(p)
+    dt = DeltaTable.forPath(spark, p)
+    v1 = dt.setProperties({"delta.enableInCommitTimestamps": "true"})
+    snap = DeltaSnapshot(p)
+    assert snap.protocol["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in snap.protocol["writerFeatures"]
+    assert snap.configuration[
+        "delta.inCommitTimestampEnablementVersion"
+    ] == str(v1)
+
+    spark.createDataFrame([(2, "b")], "id long, v string").write.format(
+        "delta"
+    ).mode("append").save(p)
+    update_delta(spark, p, "id = 1", {"v": "'A'"})
+    optimize_delta(spark, p, target_file_bytes=1 << 30)
+
+    def icts():
+        out = []
+        log = os.path.join(p, "_delta_log")
+        for fn in sorted(os.listdir(log)):
+            if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+                continue
+            for line in open(os.path.join(log, fn)):
+                a = json.loads(line)
+                if a.get("commitInfo"):
+                    out.append(
+                        (int(fn.split(".")[0]),
+                         a["commitInfo"].get("inCommitTimestamp"))
+                    )
+                    break
+        return out
+
+    seq = icts()
+    # versions from the enablement commit onward all carry an ICT,
+    # strictly increasing
+    with_ict = [(v, t) for v, t in seq if v >= v1]
+    assert all(t is not None for _v, t in with_ict)
+    ts = [t for _v, t in with_ict]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    # the table still reads and time travel uses the ICT clock
+    assert sorted(
+        (r.id, r.v) for r in read_delta_log(spark, p).collect()
+    ) == [(1, "A"), (2, "b")]
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        resolve_delta_version_at,
+    )
+
+    assert resolve_delta_version_at(p, ts[-1]) == with_ict[-1][0]

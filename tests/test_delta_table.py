@@ -267,7 +267,7 @@ def test_stream_delta_to_delta_exactly_once(spark, tmp_path):
         expire_delta_commits,
     )
 
-    expire_delta_commits(sink)
+    expire_delta_commits(sink, honor_retention=False)
     assert DeltaSnapshot(sink).txns.get(app) == ver
 
 
@@ -486,7 +486,7 @@ def test_vacuum_delta_unreachable_and_retention(spark, tmp_path):
     # expire the old commits behind a checkpoint: old_file becomes
     # unreachable and vacuumable; the current snapshot is untouched
     write_delta_checkpoint(p)
-    expire_delta_commits(p)
+    expire_delta_commits(p, honor_retention=False)
     os.utime(os.path.join(p, old_file), (ancient, ancient))
     assert vacuum_delta(
         p, retention_hours=0, enforce_retention=False
