@@ -633,6 +633,7 @@ def merge_delta(
     condition: str | None = None,
     matched_condition: str | None = None,
     set_exprs: dict[str, str] | None = None,
+    matched_delete: bool = False,
     target_alias: str = "t",
     insert_when_not_matched: bool = True,
     not_matched_by_source_delete: bool | str = False,
@@ -659,6 +660,10 @@ def merge_delta(
     - ``condition``: the equi-join condition string (keys parsed from
       it when ``keys`` is None);
     - ``insert_when_not_matched=False``: matched-only merge.
+    - ``matched_delete=True``: WHEN MATCHED THEN DELETE — matched
+      target rows (optionally gated by ``matched_condition``, target
+      columns only: the keys-projected source loses its alias) vanish
+      from the rewrite; CDF carries delete images.
     - ``not_matched_by_source_delete``: delete target rows whose keys
       appear in NO source row (Spark SQL MERGE's WHEN NOT MATCHED BY
       SOURCE THEN DELETE / delta-spark whenNotMatchedBySourceDelete);
@@ -684,6 +689,11 @@ def merge_delta(
     nmbs_active = bool(not_matched_by_source_delete) or (
         not_matched_by_source_set is not None
     )
+    if matched_delete and (set_exprs is not None or guard_col is not None):
+        raise ValueError(
+            "matched_delete is one whenMatched clause — it cannot "
+            "combine with set_exprs/guard_col (also matched clauses)"
+        )
     if (
         not_matched_by_source_set is not None
         and not_matched_by_source_delete is True
@@ -706,7 +716,9 @@ def merge_delta(
     # takes whole rows from it (InsertAll, or matched UpdateAll);
     # keys-only sources are fine for set_exprs updates and for merges
     # that only delete/update BY SOURCE
-    full = insert_when_not_matched or (set_exprs is None and not insert_only)
+    full = insert_when_not_matched or (
+        set_exprs is None and not insert_only and not matched_delete
+    )
     need = cols if full else keys
     missing = [c for c in need if c not in source.columns]
     if missing:
@@ -715,7 +727,7 @@ def merge_delta(
     # would strip the caller's DataFrame alias and break qualified
     # references like "source.ingestion_ts" in the exprs
     src = source.select(*need).persist() if set_exprs is None else source
-    if not insert_only:
+    if not insert_only and not matched_delete:
         # updates need one source row per key; an insert-only merge is
         # well-defined for ANY source (the reference's bronze keys on
         # source_file, shared by every row of a file — 01:60-69)
@@ -759,7 +771,11 @@ def merge_delta(
                 .select(*keys)
                 .distinct()
             )
-        elif matched_condition is not None or set_exprs is not None:
+        elif (
+            matched_condition is not None
+            or set_exprs is not None
+            or matched_delete
+        ):
             joined = tgt.alias(target_alias).join(src, keys)
             if matched_condition is not None:
                 joined = joined.filter(F.expr(matched_condition))
@@ -861,7 +877,20 @@ def merge_delta(
                     "_change_type", F.lit("delete")
                 )
         kept = kept.drop(_FILE)
-        if fresh_keys is not None:
+        if fresh_keys is not None and matched_delete:
+            # WHEN MATCHED THEN DELETE: the fresh-matched rows simply
+            # do not reappear in the rewrite; count + CDC images
+            doomed = tgt_aff.join(fresh_keys, keys, "leftsemi")
+            n_del += doomed.count()
+            del_cdc = doomed.drop(_FILE).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            nmbs_cdc = (
+                del_cdc
+                if nmbs_cdc is None
+                else nmbs_cdc.unionByName(del_cdc)
+            )
+        elif fresh_keys is not None:
             if set_exprs is not None:
                 unknown = set(set_exprs) - set(cols)
                 if unknown:

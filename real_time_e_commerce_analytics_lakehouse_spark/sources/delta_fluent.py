@@ -72,11 +72,14 @@ class DeltaMergeBuilder:
         self._matched = {"condition": condition, "set": None}
         return self
 
-    def whenMatchedDelete(self, condition: str | None = None):
-        raise NotImplementedError(
-            "whenMatchedDelete is not implemented — use "
-            "delete_delta / DeltaTable.delete for predicate deletes"
-        )
+    def whenMatchedDelete(
+        self, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        """Delete matched target rows (optionally condition-gated) —
+        WHEN MATCHED THEN DELETE."""
+        self._one_matched()
+        self._matched = {"condition": condition, "delete": True}
+        return self
 
     def whenNotMatchedInsertAll(self) -> "DeltaMergeBuilder":
         self._insert_all = True
@@ -124,7 +127,8 @@ class DeltaMergeBuilder:
             condition=self._condition,
             insert_only=(m is None),
             matched_condition=m["condition"] if m else None,
-            set_exprs=m["set"] if m else None,
+            set_exprs=m.get("set") if m else None,
+            matched_delete=bool(m and m.get("delete")),
             target_alias=self._table._alias,
             insert_when_not_matched=self._insert_all,
             not_matched_by_source_delete=(

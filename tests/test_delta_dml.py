@@ -343,9 +343,14 @@ def test_fluent_delta_table_reference_merge_block(spark, tmp_path):
     ops = [r.operation for r in DeltaTable.forPath(spark, p).history().collect()]
     assert ops == ["OVERWRITE", "MERGE", "MERGE", "DELETE", "UPDATE"]
 
-    # refusals: richer conditions, a second whenMatched, matched-delete
-    b = DeltaTable.forPath(spark, p).merge(src.alias("source"), "target.customer_id = source.customer_id")
-    with pytest.raises(NotImplementedError, match="whenMatchedDelete"):
+    # refusals: richer conditions, a second whenMatched clause
+    # (whenMatchedDelete is implemented since r8 — test_when_matched_delete)
+    b = (
+        DeltaTable.forPath(spark, p)
+        .merge(src.alias("source"), "target.customer_id = source.customer_id")
+        .whenMatchedUpdateAll()
+    )
+    with pytest.raises(NotImplementedError, match="one whenMatched"):
         b.whenMatchedDelete()
     b2 = (
         DeltaTable.forPath(spark, p)
@@ -802,3 +807,43 @@ def test_generated_columns_enforced(spark, tmp_path):
     # the arrow writer refuses loudly (cannot evaluate SQL exprs)
     with pytest.raises(Exception, match="GENERATED"):
         src_ok.write.format("delta").mode("append").save(p)
+
+
+def test_when_matched_delete(spark, tmp_path):
+    """whenMatchedDelete: matched keys (condition-gated) delete, the
+    rest keep; composable with whenNotMatchedInsertAll; CDF carries
+    delete + insert images."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+
+    p = str(tmp_path / "t")
+    _make_cdf_table(spark, p)  # (1,a,7) (2,b,7) (3,c,8)
+    src = spark.createDataFrame(
+        [(1, "x", 7), (3, "y", 8), (9, "z", 8)], "id long, v string, p long"
+    )
+    res = (
+        DeltaTable.forPath(spark, p)
+        .alias("t")
+        .merge(src.alias("s"), "t.id = s.id")
+        .whenMatchedDelete(condition="t.v = 'a'")  # deletes id 1 only
+        .whenNotMatchedInsertAll()                 # inserts id 9
+        .execute()
+    )
+    assert res["rows_deleted"] == 1 and res["rows_inserted"] == 1
+    got = _rows(spark.read.format("delta").load(p).select("id", "v"))
+    assert got == [(2, "b"), (3, "c"), (9, "z")]
+    ch = delta_changes(spark, p, res["version"], res["version"])
+    assert sorted((r._change_type, r.id) for r in ch.collect()) == [
+        ("delete", 1), ("insert", 9),
+    ]
+
+    # unconditional matched delete, keys-only source
+    res2 = merge_delta(
+        spark, p, spark.createDataFrame([(2,), (9,)], "id long"),
+        keys=["id"], matched_delete=True, insert_when_not_matched=False,
+    )
+    assert res2["rows_deleted"] == 2
+    assert _rows(
+        spark.read.format("delta").load(p).select("id")
+    ) == [(3,)]
