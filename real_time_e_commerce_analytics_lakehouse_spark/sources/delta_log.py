@@ -1510,14 +1510,20 @@ def _deleted_file_retention_ms(configuration: dict[str, str]) -> int:
     return total if total > 0 else 604_800_000
 
 
-def write_delta_checkpoint(path: str) -> int:
+def write_delta_checkpoint(path: str, format: str = "classic") -> int:
     """Write a Delta parquet checkpoint of the CURRENT log state
     (`NNNN.checkpoint.parquet` + `_last_checkpoint`), the maintenance
     step every long-lived Delta table needs: without one, readers must
     replay every JSON commit from 0 and cleaned-up commits brick the
-    table. One flat-schema single-part checkpoint (classic format,
-    protocol/metaData/add/remove/txn struct columns — what DeltaSnapshot
-    and every Delta reader bootstrap from). Adds carry their ``stats``
+    table. ``format='classic'``: one flat-schema single-part checkpoint
+    (protocol/metaData/add/remove/txn struct columns — what
+    DeltaSnapshot and every Delta reader bootstrap from).
+    ``format='v2'`` (requires the v2Checkpoint reader feature): a
+    uuid-named top-level checkpoint carrying checkpointMetadata +
+    non-file actions + sidecar pointers, with the file actions sharded
+    into ``_sidecars/`` parquet files — at 100 TB the sidecars are
+    what lets a checkpoint of millions of files write and read with
+    per-shard parallelism. Adds carry their ``stats``
     (data skipping survives the bootstrap) and live DV descriptors;
     unexpired remove tombstones are retained per
     ``delta.deletedFileRetentionDuration``. Returns the checkpointed
@@ -1712,8 +1718,86 @@ def write_delta_checkpoint(path: str) -> int:
         ]
     )
     log = os.path.join(path, _DELTA_DIR)
-    cp = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), cp)
+    if format == "classic":
+        cp = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), cp)
+    elif format == "v2":
+        # PROTOCOL.md "V2 Checkpoint Table Feature": requires the
+        # v2Checkpoint reader feature (readers that don't know the
+        # uuid naming would see no checkpoint at all)
+        proto = snap.protocol or {}
+        if "v2Checkpoint" not in (proto.get("readerFeatures") or []):
+            raise ValueError(
+                "v2 checkpoints need the v2Checkpoint reader feature — "
+                "upgrade_delta_protocol(path, 3, 7) then add the "
+                "feature, or write format='classic'"
+            )
+        import uuid as _uuid
+
+        # file actions go to SIDECARS (parquet, add/remove columns
+        # only); the top-level checkpoint holds checkpointMetadata +
+        # non-file actions + sidecar pointers. Sidecars are sharded so
+        # a 100 TB table's checkpoint can be written and read with
+        # per-shard parallelism.
+        side_dir = os.path.join(log, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        file_rows = [r for r in rows if r.get("add") or r.get("remove")]
+        top_rows = [
+            r for r in rows if not (r.get("add") or r.get("remove"))
+        ]
+        side_schema = pa.schema(
+            [cp_schema.field("add"), cp_schema.field("remove")]
+        )
+        shard = 50_000
+        top: list[dict] = [
+            {"checkpointMetadata": {"version": snap.version}}
+        ] + top_rows
+        for i in range(0, max(len(file_rows), 1), shard):
+            chunk = file_rows[i : i + shard]
+            sname = f"{_uuid.uuid4()}.parquet"
+            spath = os.path.join(side_dir, sname)
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=side_schema), spath
+            )
+            top.append(
+                {
+                    "sidecar": {
+                        "path": sname,
+                        "sizeInBytes": os.path.getsize(spath),
+                        "modificationTime": int(
+                            os.stat(spath).st_mtime * 1000
+                        ),
+                    }
+                }
+            )
+        top_schema = pa.schema(
+            [
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct([("version", pa.int64())]),
+                ),
+                cp_schema.field("protocol"),
+                cp_schema.field("metaData"),
+                cp_schema.field("txn"),
+                pa.field(
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        cp = os.path.join(
+            log,
+            f"{snap.version:020d}.checkpoint.{_uuid.uuid4()}.parquet",
+        )
+        pq.write_table(pa.Table.from_pylist(top, schema=top_schema), cp)
+    else:
+        raise ValueError(f"format must be 'classic' or 'v2', got {format!r}")
     with open(os.path.join(log, "_last_checkpoint"), "w") as f:
         json.dump({"version": snap.version, "size": len(rows)}, f)
     return snap.version
@@ -2612,13 +2696,18 @@ def _claim_commit(path: str, version: int, actions: list[dict]) -> None:
 
 
 def upgrade_delta_protocol(
-    path: str, min_reader: int, min_writer: int
+    path: str,
+    min_reader: int,
+    min_writer: int,
+    add_reader_features: Sequence[str] = (),
+    add_writer_features: Sequence[str] = (),
 ) -> int:
-    """delta-spark's ``upgradeTableProtocol``: raise the table's
-    protocol versions (never lower — upstream refuses downgrades too).
-    Version 3/7 upgrades carry the prior legacy-implied features into
-    the feature lists so nothing silently un-gates. Returns the new
-    log version."""
+    """delta-spark's ``upgradeTableProtocol`` (+ addFeatureSupport):
+    raise the table's protocol versions (never lower — upstream refuses
+    downgrades too), optionally adding named table features. Version
+    3/7 upgrades carry the prior legacy-implied features into the
+    feature lists so nothing silently un-gates. Returns the new log
+    version."""
     snap = DeltaSnapshot(path)
     cur = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     cr, cw = int(cur.get("minReaderVersion", 1)), int(
@@ -2629,6 +2718,12 @@ def upgrade_delta_protocol(
             f"protocol downgrade refused: table is ({cr},{cw}), "
             f"requested ({min_reader},{min_writer})"
         )
+    if (add_reader_features or add_writer_features) and not (
+        min_reader >= 3 or min_writer >= 7
+    ):
+        raise ValueError(
+            "named table features need protocol (3,x) or (x,7)"
+        )
     proto: dict[str, Any] = {
         "minReaderVersion": min_reader,
         "minWriterVersion": min_writer,
@@ -2636,10 +2731,12 @@ def upgrade_delta_protocol(
     if min_reader >= 3 or min_writer >= 7:
         proto["readerFeatures"] = sorted(
             set(cur.get("readerFeatures") or [])
+            | set(add_reader_features)
         ) if min_reader >= 3 else cur.get("readerFeatures")
         proto["writerFeatures"] = sorted(
             set(cur.get("writerFeatures") or [])
             | _legacy_writer_features(cw)
+            | set(add_writer_features)
         )
     v = snap.version + 1
     _claim_commit(

@@ -2352,3 +2352,59 @@ def test_in_commit_timestamps_written_and_monotonic(spark, tmp_path):
     )
 
     assert resolve_delta_version_at(p, ts[-1]) == with_ict[-1][0]
+
+
+def test_v2_checkpoint_writer_roundtrip(spark, tmp_path):
+    """format='v2' checkpoint: uuid-named top-level file with
+    checkpointMetadata + sidecar pointers, file actions sharded into
+    _sidecars/ parquet — the engine's own v2 reader bootstraps from it
+    after every JSON commit expires, stats and tombstones intact."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        expire_delta_commits,
+        upgrade_delta_protocol,
+        write_delta_checkpoint,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    export_delta_log(t)
+    t.overwrite(
+        spark.createDataFrame([(3, "c")], "id long, v string")
+    )
+    export_delta_log(t)
+
+    # v2 needs the reader feature — refusal first, then upgrade
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        write_delta_checkpoint(t.path, format="v2")
+    upgrade_delta_protocol(
+        t.path, 3, 7, add_reader_features=["v2Checkpoint"],
+        add_writer_features=["v2Checkpoint"],
+    )
+    v = write_delta_checkpoint(t.path, format="v2")
+    log = os.path.join(t.path, "_delta_log")
+    tops = [
+        f for f in os.listdir(log)
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+    ]
+    assert len(tops) == 1 and len(tops[0].split(".")) == 4  # uuid-named
+    assert os.listdir(os.path.join(log, "_sidecars"))
+
+    pre = DeltaSnapshot(t.path)
+    assert expire_delta_commits(t.path, honor_retention=False) == 3
+    post = DeltaSnapshot(t.path)
+    assert post.files == pre.files
+    assert set(post.tombstones) == set(pre.tombstones) != set()
+    assert {k: post.stats[k]["numRecords"] for k in post.stats} == {
+        k: pre.stats[k]["numRecords"] for k in pre.stats
+    }
+    assert sorted(
+        r.id for r in read_delta_log(spark, t.path).collect()
+    ) == [3]
+    # commits after the v2 checkpoint keep applying on top
+    t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    export_delta_log(t)
+    assert sorted(
+        r.id for r in read_delta_log(spark, t.path).collect()
+    ) == [3, 4]
