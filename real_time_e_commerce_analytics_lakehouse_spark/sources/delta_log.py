@@ -2729,8 +2729,12 @@ def upgrade_delta_protocol(
         "minWriterVersion": min_writer,
     }
     if min_reader >= 3 or min_writer >= 7:
+        # legacy reader 2 implies columnMapping: a (3,_) upgrade must
+        # carry it into readerFeatures or the mapping gate vanishes
+        legacy_r = {"columnMapping"} if cr >= 2 else set()
         proto["readerFeatures"] = sorted(
             set(cur.get("readerFeatures") or [])
+            | legacy_r
             | set(add_reader_features)
         ) if min_reader >= 3 else cur.get("readerFeatures")
         proto["writerFeatures"] = sorted(

@@ -2408,3 +2408,43 @@ def test_v2_checkpoint_writer_roundtrip(spark, tmp_path):
     assert sorted(
         r.id for r in read_delta_log(spark, t.path).collect()
     ) == [3, 4]
+
+
+def test_upgrade_protocol_carries_legacy_reader_features(spark, tmp_path):
+    """A reader-2 table (legacy columnMapping tier) upgraded to (3,7)
+    must list columnMapping in readerFeatures — dropping it would
+    un-gate the mapping for feature-aware readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        upgrade_delta_protocol,
+    )
+
+    path = str(tmp_path / "m")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    pq.write_table(pa.table({"col-a": [1]}), os.path.join(path, "f.parquet"))
+    schema_str = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}},
+        ]}
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    upgrade_delta_protocol(path, 3, 7)
+    proto = DeltaSnapshot(path).protocol
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    assert sorted(r.a for r in read_delta_log(spark, path).collect()) == [1]
