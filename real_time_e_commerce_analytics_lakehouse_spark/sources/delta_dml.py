@@ -431,6 +431,7 @@ def _commit_dml(
     dv_readds: Sequence[tuple[str, dict, dict]] = (),
     protocol_action: dict | None = None,
     configuration: dict | None = None,
+    snap: "DeltaSnapshot | None" = None,
 ) -> int:
     """One atomic DML commit. ``removes``: (rel, old DV descriptor or
     None); ``dv_readds``: (rel, partitionValues, new DV descriptor) for
@@ -504,8 +505,17 @@ def _commit_dml(
         )
     from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
         commit_time_fields,
+        row_tracking_enabled,
+        stamp_row_tracking,
     )
 
+    # row tracking: fresh baseRowId on rewrite adds, PRESERVED ids on
+    # MoR DV re-adds (same physical file -> stamp copies the prior
+    # base), rowIdHighWaterMark domainMetadata advanced
+    if row_tracking_enabled(configuration):
+        if snap is None:
+            snap = DeltaSnapshot(path)
+        stamp_row_tracking(path, snap, actions, base_version + 1)
     actions.append(
         {
             "commitInfo": {
@@ -974,6 +984,7 @@ def merge_delta(
         "MERGE",
         {"predicate": json.dumps(keys)},
         configuration=snap.configuration,
+        snap=snap,
     )
     if set_exprs is None:
         src.unpersist()
@@ -1047,6 +1058,7 @@ def delete_delta(
             "DELETE",
             {"mode": "cow"},
             configuration=snap.configuration,
+            snap=snap,
         )
         return {"version": v, "rows_deleted": n_del, "files": len(affected)}
     if mode != "mor":
@@ -1207,6 +1219,7 @@ def delete_delta(
         dv_readds=dv_readds,
         protocol_action=_dv_protocol_upgrade(snap),
         configuration=snap.configuration,
+        snap=snap,
     )
     return {"version": v, "rows_deleted": n_del, "files": len(per_file)}
 
@@ -1266,5 +1279,6 @@ def update_delta(
         "UPDATE",
         {"columns": json.dumps(sorted(exprs))},
         configuration=snap.configuration,
+        snap=snap,
     )
     return {"version": v, "rows_updated": n_upd, "files": len(affected)}

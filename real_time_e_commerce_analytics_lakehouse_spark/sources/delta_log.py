@@ -157,6 +157,17 @@ class DeltaSnapshot:
         # idempotent-writer ledger (streaming sinks record their last
         # committed epoch here; PROTOCOL.md "Transaction Identifiers")
         self.txns: dict[str, int] = {}
+        # {domain: domainMetadata action dict} — PROTOCOL.md "Domain
+        # Metadata": string configuration per named domain, replayed
+        # last-writer-wins; ``removed: true`` tombstones delete the
+        # domain. Row tracking keeps its rowIdHighWaterMark here
+        # (domain ``delta.rowTracking``)
+        self.domain_metadata: dict[str, dict] = {}
+        # {rel path: {"baseRowId": int, "defaultRowCommitVersion": int}}
+        # for files whose add action carries row tracking fields
+        # (PROTOCOL.md "Row Tracking": fresh row id of row i in the
+        # file = baseRowId + i)
+        self.row_ids: dict[str, dict] = {}
         # {rel path: parsed add.stats dict} for files whose add carries
         # one (numRecords / minValues / maxValues / nullCount) — the
         # data-skipping input
@@ -252,7 +263,14 @@ class DeltaSnapshot:
         import pyarrow.parquet as pq
 
         for row in rows:
-            for key in ("protocol", "metaData", "add", "remove", "txn"):
+            for key in (
+                "protocol",
+                "metaData",
+                "add",
+                "remove",
+                "txn",
+                "domainMetadata",
+            ):
                 if row.get(key) is not None:
                     self._apply({key: row[key]})
             sc = row.get("sidecar")
@@ -383,10 +401,27 @@ class DeltaSnapshot:
             # recursively at read time (sources/colmap.py): struct /
             # array / map fields rename at every level, missing nested
             # children null-fill (additive evolution)
+        if "domainMetadata" in action and action["domainMetadata"]:
+            dm = action["domainMetadata"]
+            if dm.get("removed"):
+                self.domain_metadata.pop(dm.get("domain"), None)
+            else:
+                self.domain_metadata[dm["domain"]] = dict(dm)
         if "add" in action and action["add"]:
             a = action["add"]
             rel = _decode_path(a["path"])
             self.files[rel] = dict(a.get("partitionValues") or {})
+            if a.get("baseRowId") is not None:
+                self.row_ids[rel] = {
+                    "baseRowId": int(a["baseRowId"]),
+                    "defaultRowCommitVersion": (
+                        int(a["defaultRowCommitVersion"])
+                        if a.get("defaultRowCommitVersion") is not None
+                        else None
+                    ),
+                }
+            else:
+                self.row_ids.pop(rel, None)
             self.tombstones.pop(rel, None)  # re-add cancels the tombstone
             raw_stats = a.get("stats")
             if raw_stats:
@@ -413,6 +448,7 @@ class DeltaSnapshot:
             self.files.pop(rel, None)
             self.dvs.pop(rel, None)
             self.stats.pop(rel, None)
+            self.row_ids.pop(rel, None)
             # retain the tombstone: PROTOCOL.md keeps remove actions as
             # expired-file tombstones (until deletedFileRetentionDuration)
             # so checkpoints can carry them and foreign VACUUMs can see
@@ -685,6 +721,7 @@ def read_delta_log(
     path: str,
     version: int | None = None,
     partitions: dict[str, list] | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Open a Delta table (JSON log (+ single-part checkpoint)) as a
     DataFrame. One multi-path scan; partition columns restored typed via
@@ -701,9 +738,28 @@ def read_delta_log(
     plans one partition's files. Values compare as their canonical
     Delta string serialization (pass strings; bool/int are
     canonicalized, other non-str types rejected — see
-    _canon_partition_value); None selects the NULL partition."""
+    _canon_partition_value); None selects the NULL partition.
+
+    ``with_row_ids``: append ``_row_id`` / ``_row_commit_version``
+    columns (PROTOCOL.md "Row Tracking"): the materialized value when
+    the row carries one (files rewritten by OPTIMIZE), else
+    add.baseRowId + the row's position in its file — NULL on files
+    never stamped. MoR DV deletes never move surviving rows, so their
+    ids are stable by construction."""
     snap = DeltaSnapshot(path, version)
     schema = snap.spark_schema()
+    if with_row_ids:
+        from pyspark.sql.types import LongType, StructField
+
+        out_schema = StructType(
+            list(schema.fields)
+            + [
+                StructField("_row_id", LongType(), True),
+                StructField("_row_commit_version", LongType(), True),
+            ]
+        )
+    else:
+        out_schema = schema
     if partitions:
         unknown = set(partitions) - set(snap.partition_cols)
         if unknown:
@@ -726,7 +782,7 @@ def read_delta_log(
         }
         snap.dvs = {r: d for r, d in snap.dvs.items() if r in snap.files}
     if not snap.files:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], out_schema)
     abs_paths = [os.path.join(path, p) for p in snap.files]
     # 'name'-mode column mapping: the files store PHYSICAL column names
     # (col-<uuid>); 'id' mode resolves the STORED top-level names by
@@ -739,9 +795,30 @@ def read_delta_log(
     # absent from old footers — whereas mergeSchema THROWS on
     # mixed-width footers and, with agreeing-but-narrower footers,
     # silently returned the files' types instead of the table's
-    df = spark.read.schema(
-        _physical_scan_schema(snap, phys)
-    ).parquet(*abs_paths)
+    scan_schema = _physical_scan_schema(snap, phys)
+    mat_cols: tuple[str, str] | None = None
+    if with_row_ids and snap.configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    ):
+        from pyspark.sql.types import LongType, StructField
+
+        # the config-named materialized columns live in (some) footers
+        # but never in the logical schema; files without them null-fill
+        mat_cols = (
+            snap.configuration[
+                "delta.rowTracking.materializedRowIdColumnName"
+            ],
+            snap.configuration.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName",
+                "",
+            ),
+        )
+        for c in mat_cols:
+            if c and c not in scan_schema.fieldNames():
+                scan_schema = scan_schema.add(
+                    StructField(c, LongType(), True)
+                )
+    df = spark.read.schema(scan_schema).parquet(*abs_paths)
 
     from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
         is_nested,
@@ -775,7 +852,7 @@ def read_delta_log(
             col = col.cast(f.dataType)
         return col.alias(f.name)
 
-    if snap.partition_cols or snap.dvs:
+    if snap.partition_cols or snap.dvs or with_row_ids:
         # Hadoop-style URI: "file:" + absolute path (single slash), with
         # URI percent-encoding (space -> %20, '%' -> %25...); decode
         # after protecting literal '+' — same recipe as
@@ -789,10 +866,56 @@ def read_delta_log(
             )
         )
         df = df.withColumn("__dl_fp", decoded)
+    if with_row_ids:
+        # physical in-file position, captured before any join (fresh
+        # row id of row i = baseRowId + i; DV deletes never move the
+        # survivors, so positions — and therefore ids — are stable)
+        df = df.withColumn("__dl_ri", F.col("_metadata.row_index"))
     if snap.dvs:
         df = _apply_deletion_vectors(df, snap, "__dl_fp")
+    row_id_cols: list = []
+    if with_row_ids:
+        rid_rows = [
+            (
+                os.path.abspath(os.path.join(path, rel)),
+                (snap.row_ids.get(rel) or {}).get("baseRowId"),
+                (snap.row_ids.get(rel) or {}).get(
+                    "defaultRowCommitVersion"
+                ),
+            )
+            for rel in snap.files
+        ]
+        rid_meta = spark.createDataFrame(
+            rid_rows, "__dl_rpath string, __dl_base long, __dl_rcv long"
+        )
+        df = df.join(
+            F.broadcast(rid_meta),
+            F.col("__dl_fp")
+            == F.concat(F.lit("file:"), F.col("__dl_rpath")),
+            "left",
+        )
+        mid = (
+            F.col(mat_cols[0])
+            if mat_cols
+            else F.lit(None).cast("long")
+        )
+        mver = (
+            F.col(mat_cols[1])
+            if mat_cols and mat_cols[1]
+            else F.lit(None).cast("long")
+        )
+        row_id_cols = [
+            F.coalesce(mid, F.col("__dl_base") + F.col("__dl_ri")).alias(
+                "_row_id"
+            ),
+            F.coalesce(mver, F.col("__dl_rcv")).alias(
+                "_row_commit_version"
+            ),
+        ]
     if not snap.partition_cols:
-        return df.select(*[_data_col(f) for f in schema.fields])
+        return df.select(
+            *[_data_col(f) for f in schema.fields], *row_id_cols
+        )
     ptypes = {
         f.name: f.dataType.simpleString()
         for f in schema.fields
@@ -828,7 +951,7 @@ def read_delta_log(
             )
         else:
             out_cols.append(_data_col(f))
-    return joined.select(*out_cols)
+    return joined.select(*out_cols, *row_id_cols)
 
 
 # --------------------------------------------------------------------------
@@ -1570,8 +1693,23 @@ def write_delta_checkpoint(path: str, format: str = "classic") -> int:
                 "txn": {"appId": app, "version": int(ver)},
             }
         )
+    # domain metadata survives checkpoints (PROTOCOL.md "Domain
+    # Metadata": checkpoints carry the latest non-removed action per
+    # domain) — dropping delta.rowTracking here would reset the
+    # rowIdHighWaterMark and let a later writer re-issue row ids
+    for domain, dm in sorted(snap.domain_metadata.items()):
+        rows.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": dm.get("configuration"),
+                    "removed": False,
+                }
+            }
+        )
     for rel, pvals in sorted(snap.files.items()):
         st = snap.stats.get(rel)
+        rid = snap.row_ids.get(rel) or {}
         rows.append(
             {
                 "protocol": None,
@@ -1593,6 +1731,13 @@ def write_delta_checkpoint(path: str, format: str = "classic") -> int:
                     # drops it would resurrect every deleted row for
                     # readers bootstrapping from it
                     "deletionVector": snap.dvs.get(rel),
+                    # row tracking fields: a checkpoint that drops them
+                    # would change every row's id for readers
+                    # bootstrapping from it
+                    "baseRowId": rid.get("baseRowId"),
+                    "defaultRowCommitVersion": rid.get(
+                        "defaultRowCommitVersion"
+                    ),
                 },
             }
         )
@@ -1681,6 +1826,8 @@ def write_delta_checkpoint(path: str, format: str = "classic") -> int:
                                 ]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -1713,6 +1860,16 @@ def write_delta_checkpoint(path: str, format: str = "classic") -> int:
                 "txn",
                 pa.struct(
                     [("appId", pa.string()), ("version", pa.int64())]
+                ),
+            ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
                 ),
             ),
         ]
@@ -1779,6 +1936,7 @@ def write_delta_checkpoint(path: str, format: str = "classic") -> int:
                 cp_schema.field("protocol"),
                 cp_schema.field("metaData"),
                 cp_schema.field("txn"),
+                cp_schema.field("domainMetadata"),
                 pa.field(
                     "sidecar",
                     pa.struct(
@@ -2010,7 +2168,15 @@ def restore_delta(path: str, version: int) -> int:
         }
         if tgt.dvs.get(rel):
             add["deletionVector"] = dict(tgt.dvs[rel])
+        if tgt.stats.get(rel):
+            add["stats"] = json.dumps(tgt.stats[rel])
         actions.append({"add": add})
+    # restored files keep the row ids they had at the target version
+    # (same physical files, same positions); preserve_from supplies ids
+    # for files no longer live now
+    stamp_row_tracking(
+        path, cur, actions, cur.version + 1, preserve_from=tgt
+    )
     actions.append(
         {
             "commitInfo": {
@@ -2033,6 +2199,35 @@ def restore_delta(path: str, version: int) -> int:
     finally:
         os.remove(tmp)
     return v
+
+
+def _rt_materialized_names(
+    configuration: dict[str, str],
+) -> tuple[str, str, dict[str, str]]:
+    """The table's materialized row-id / row-commit-version physical
+    column names (PROTOCOL.md "Row Tracking": preserved ids travel in
+    config-named physical columns absent from the logical schema),
+    generating uuid-suffixed names — upstream's collision guard against
+    user columns — when the config doesn't name them yet. Returns
+    (row_id_col, row_commit_version_col, {config keys to record})."""
+    import uuid as _uuid
+
+    mat_id = configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    )
+    mat_ver = configuration.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    new: dict[str, str] = {}
+    if not mat_id:
+        mat_id = f"_row-id-col-{_uuid.uuid4().hex[:12]}"
+        new["delta.rowTracking.materializedRowIdColumnName"] = mat_id
+    if not mat_ver:
+        mat_ver = f"_row-commit-version-col-{_uuid.uuid4().hex[:12]}"
+        new[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = mat_ver
+    return mat_id, mat_ver, new
 
 
 def optimize_delta(
@@ -2076,6 +2271,18 @@ def optimize_delta(
     # physical, per spec); only user-facing zorder column names need
     # logical->physical resolution below
     phys_of = snap.resolved_physical_names(path)
+    # row tracking: compaction MOVES rows between files, so fresh
+    # baseRowId would change their ids — PROTOCOL.md's preserved tier
+    # MATERIALIZES each row's id/commit-version into physical columns
+    # (config-named) that travel with the row; readers coalesce
+    # (materialized, baseRowId + position)
+    rt = row_tracking_enabled(snap.configuration)
+    rt_meta_emit = False
+    if rt:
+        mat_id, mat_ver, rt_cfg_new = _rt_materialized_names(
+            snap.configuration
+        )
+        rt_meta_emit = bool(rt_cfg_new)
     groups: dict[tuple, list[str]] = {}
     for rel, pvals in snap.files.items():
         groups.setdefault(tuple(sorted(pvals.items())), []).append(rel)
@@ -2102,14 +2309,28 @@ def optimize_delta(
         # post-ALTER footer widths read (and rewrite) at the declared
         # width instead of throwing CANNOT_MERGE_SCHEMAS — OPTIMIZE is
         # how a widened table retires its narrow footers
-        df = spark.read.schema(
-            _physical_scan_schema(
-                snap, snap.resolved_physical_names(path)
-            )
-        ).parquet(*[os.path.join(path, r) for r in cands])
-        if any(r in snap.dvs for r in cands):
-            sub = DeltaSnapshot(path)
-            sub.dvs = {r: d for r, d in snap.dvs.items() if r in cands}
+        scan_schema = _physical_scan_schema(
+            snap, snap.resolved_physical_names(path)
+        )
+        if rt:
+            from pyspark.sql.types import LongType, StructField
+
+            # scan the materialized columns too: files from a PRIOR
+            # optimize already carry them, and dropping them here would
+            # re-issue those rows' ids (files without the column
+            # null-fill under the explicit schema)
+            for c in (mat_id, mat_ver):
+                if c not in scan_schema.fieldNames():
+                    scan_schema = scan_schema.add(
+                        StructField(c, LongType(), True)
+                    )
+        df = spark.read.schema(scan_schema).parquet(
+            *[os.path.join(path, r) for r in cands]
+        )
+        has_dv = any(r in snap.dvs for r in cands)
+        if rt or has_dv:
+            # both metadata-derived columns BEFORE any join (hidden
+            # _metadata stops resolving after one)
             df = df.withColumn(
                 "__od_fp",
                 F.url_decode(
@@ -2118,7 +2339,43 @@ def optimize_delta(
                     )
                 ),
             )
-            df = _apply_deletion_vectors(df, sub, "__od_fp").drop("__od_fp")
+        if rt:
+            df = df.withColumn("__rt_ri", F.col("_metadata.row_index"))
+        if has_dv:
+            sub = DeltaSnapshot(path)
+            sub.dvs = {r: d for r, d in snap.dvs.items() if r in cands}
+            df = _apply_deletion_vectors(df, sub, "__od_fp")
+        if rt:
+            rid_rows = [
+                (
+                    os.path.abspath(os.path.join(path, r)),
+                    (snap.row_ids.get(r) or {}).get("baseRowId"),
+                    (snap.row_ids.get(r) or {}).get(
+                        "defaultRowCommitVersion"
+                    ),
+                )
+                for r in cands
+            ]
+            rid_df = spark.createDataFrame(
+                rid_rows, "__rt_path string, __rt_base long, __rt_rcv long"
+            )
+            df = df.join(
+                F.broadcast(rid_df),
+                F.col("__od_fp")
+                == F.concat(F.lit("file:"), F.col("__rt_path")),
+                "left",
+            )
+            df = df.withColumn(
+                mat_id,
+                F.coalesce(
+                    F.col(mat_id), F.col("__rt_base") + F.col("__rt_ri")
+                ),
+            ).withColumn(
+                mat_ver, F.coalesce(F.col(mat_ver), F.col("__rt_rcv"))
+            )
+            df = df.drop("__rt_ri", "__rt_path", "__rt_base", "__rt_rcv")
+        if rt or has_dv:
+            df = df.drop("__od_fp")
         if zorder_by:
             from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
                 zorder_key,
@@ -2186,6 +2443,25 @@ def optimize_delta(
                 }
             }
         )
+    if rt_meta_emit:
+        # first optimize of a foreign row-tracking table that never
+        # named its materialized columns: record the generated names
+        cfg2 = dict(snap.configuration)
+        cfg2.update(rt_cfg_new)
+        actions.insert(
+            0,
+            {
+                "metaData": {
+                    "id": getattr(snap, "meta_id", None)
+                    or f"laketable-{os.path.basename(path)}",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(snap.schema_json),
+                    "partitionColumns": list(snap.partition_cols),
+                    "configuration": cfg2,
+                }
+            },
+        )
+    stamp_row_tracking(path, snap, actions, snap.version + 1)
     actions.append(
         {
             "commitInfo": {
@@ -2782,6 +3058,174 @@ def _legacy_writer_features(min_writer: int) -> set[str]:
     return out
 
 
+# --------------------------------------------------------------------------
+# row tracking (PROTOCOL.md "Row Tracking")
+# --------------------------------------------------------------------------
+
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def row_tracking_enabled(configuration: dict[str, str] | None) -> bool:
+    """``delta.enableRowTracking`` — the property, not the feature, is
+    the enablement signal (a listed writer feature alone means
+    SUPPORTED, PROTOCOL.md "Table Features")."""
+    return (
+        (configuration or {})
+        .get("delta.enableRowTracking", "false")
+        .lower()
+        == "true"
+    )
+
+
+def row_id_high_water_mark(snap: DeltaSnapshot) -> int:
+    """Highest row id ever issued on the table (-1 if none): the
+    ``rowIdHighWaterMark`` of the ``delta.rowTracking`` domain, falling
+    back to the max fresh id any tracked live file could hold (foreign
+    logs that stamped adds before their first domain write)."""
+    dm = snap.domain_metadata.get(ROW_TRACKING_DOMAIN)
+    if dm and dm.get("configuration"):
+        cfg = dm["configuration"]
+        if isinstance(cfg, str):
+            cfg = json.loads(cfg)
+        return int(cfg.get("rowIdHighWaterMark", -1))
+    hwm = -1
+    for rel, rid in snap.row_ids.items():
+        st = snap.stats.get(rel) or {}
+        n = int(st.get("numRecords") or 0)
+        hwm = max(hwm, int(rid["baseRowId"]) + max(n - 1, 0))
+    return hwm
+
+
+def _ensure_row_tracking_protocol(
+    snap: DeltaSnapshot | None, actions: list[dict]
+) -> None:
+    """Make this commit's protocol support rowTracking+domainMetadata
+    (writer 7). A writer is forbidden from stamping baseRowId or
+    committing domainMetadata without the features listed — mirrors the
+    DV gate (delta_dml._dv_protocol_upgrade). Upgrades the commit's own
+    protocol action when it has one (at most one per commit), else
+    prepends one; no-op when the table already lists both features."""
+    holder = None
+    cur = None
+    for x in actions:
+        if x.get("protocol"):
+            holder, cur = x, x["protocol"]
+    if cur is None:
+        cur = (snap.protocol if snap is not None else None) or {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
+    wf = set(cur.get("writerFeatures") or [])
+    if {"rowTracking", "domainMetadata"} <= wf:
+        return
+    mw = int(cur.get("minWriterVersion", 2))
+    if mw < 7:
+        wf |= _legacy_writer_features(mw)
+    wf |= {"rowTracking", "domainMetadata"}
+    proto: dict[str, Any] = {
+        "minReaderVersion": int(cur.get("minReaderVersion", 1)),
+        "minWriterVersion": 7,
+    }
+    if proto["minReaderVersion"] >= 3:
+        proto["readerFeatures"] = sorted(
+            set(cur.get("readerFeatures") or [])
+        )
+    proto["writerFeatures"] = sorted(wf)
+    if holder is not None:
+        holder["protocol"] = proto
+    else:
+        actions.insert(0, {"protocol": proto})
+
+
+def stamp_row_tracking(
+    path: str,
+    snap: DeltaSnapshot | None,
+    actions: list[dict],
+    commit_version: int,
+    *,
+    preserve_from: DeltaSnapshot | None = None,
+) -> None:
+    """Stamp row tracking onto one commit, in place: every add action
+    gets a ``baseRowId``/``defaultRowCommitVersion`` (fresh ids above
+    the table's high-water mark; the fresh id of row i in a file is
+    baseRowId + i), and the ``delta.rowTracking`` domainMetadata
+    advances to the new water mark. No-op unless the effective table
+    configuration (the commit's own metaData when it carries one, else
+    the snapshot's) enables ``delta.enableRowTracking``.
+
+    Re-adds of a file the snapshot (or ``preserve_from`` — RESTORE's
+    source snapshot) already tracks KEEP their original baseRowId: the
+    physical file and row positions are unchanged, so MoR DV replaces
+    and restores preserve row ids by construction. Copy-on-write
+    rewrites move rows to new files and get fresh ids (the spec's
+    fresh-tier; preserved-through-rewrite needs materialized row id
+    columns)."""
+    cfg = None
+    for x in actions:
+        if x.get("metaData"):
+            cfg = x["metaData"].get("configuration")
+    if cfg is None:
+        cfg = snap.configuration if snap is not None else {}
+    if not row_tracking_enabled(cfg):
+        return
+    hwm = row_id_high_water_mark(snap) if snap is not None else -1
+    sources = [s for s in (snap, preserve_from) if s is not None]
+    stamped = False
+    for act in actions:
+        a = act.get("add")
+        if not a:
+            continue
+        stamped = True
+        if a.get("baseRowId") is not None:
+            continue  # caller pre-assigned (preserved ids)
+        rel = _decode_path(a["path"])
+        prior = next(
+            (
+                s.row_ids[rel]
+                for s in sources
+                if rel in s.row_ids
+            ),
+            None,
+        )
+        if prior is not None:
+            a["baseRowId"] = int(prior["baseRowId"])
+            a["defaultRowCommitVersion"] = (
+                int(prior["defaultRowCommitVersion"])
+                if prior.get("defaultRowCommitVersion") is not None
+                else commit_version
+            )
+            continue
+        st = a.get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except (ValueError, TypeError):
+                st = None
+        n = (st or {}).get("numRecords")
+        if n is None:
+            n = _num_records(os.path.join(path, rel))
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = commit_version
+        hwm += max(int(n), 0)
+    has_domain = (
+        snap is not None
+        and ROW_TRACKING_DOMAIN in snap.domain_metadata
+    )
+    if stamped or not has_domain:
+        _ensure_row_tracking_protocol(snap, actions)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+
+
 def alter_delta_properties(
     path: str,
     set_props: dict[str, str] | None = None,
@@ -2877,6 +3321,15 @@ def alter_delta_properties(
     )
     if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
         need_w = max(need_w, 7)  # inCommitTimestamp is a v7 feature
+    rt_newly_on = row_tracking_enabled(cfg) and not row_tracking_enabled(
+        snap.configuration
+    )
+    if row_tracking_enabled(cfg):
+        need_w = max(need_w, 7)  # rowTracking + domainMetadata are v7
+    if rt_newly_on:
+        # name the materialized row-id columns up front so the first
+        # OPTIMIZE/rewrite can preserve ids without a metaData re-emit
+        cfg.update(_rt_materialized_names(cfg)[2])
     v = snap.version + 1
     time_fields = commit_time_fields(path, cfg, int(time.time() * 1000))
     if ict_newly_on:
@@ -2916,6 +3369,8 @@ def alter_delta_properties(
                 "delta.enableInCommitTimestamps", ""
             ).lower() == "true":
                 feats.add("inCommitTimestamp")
+            if row_tracking_enabled(cfg):
+                feats |= {"rowTracking", "domainMetadata"}
             proto["writerFeatures"] = sorted(feats)
         actions.append({"protocol": proto})
     actions.append(
@@ -2930,6 +3385,29 @@ def alter_delta_properties(
             }
         }
     )
+    if rt_newly_on:
+        # BACKFILL: enabling row tracking re-commits every live file
+        # with a fresh baseRowId (delta-spark's separate backfill
+        # commit, folded into the enablement commit here). The re-adds
+        # carry the file's full fidelity — stats, DV descriptor — since
+        # replay treats a re-add as a REPLACEMENT (an add without the
+        # DV would resurrect its deleted rows). dataChange=False: no
+        # rows change, only metadata.
+        for rel in sorted(snap.files):
+            abs_p = os.path.join(path, rel)
+            st = snap.stats.get(rel)
+            add: dict[str, Any] = {
+                "path": _encode_path(rel),
+                "partitionValues": dict(snap.files[rel]),
+                "size": os.path.getsize(abs_p),
+                "modificationTime": int(os.stat(abs_p).st_mtime * 1000),
+                "dataChange": False,
+                "stats": json.dumps(st) if st else None,
+            }
+            if rel in snap.dvs:
+                add["deletionVector"] = dict(snap.dvs[rel])
+            actions.append({"add": add})
+    stamp_row_tracking(path, snap, actions, v)
     _claim_commit(path, v, actions)
     return v
 

@@ -101,6 +101,12 @@ _SAFE_WRITER_FEATURES = {
     # delta.constraints.* / generationExpression entries still refuse
     "checkConstraints",
     "generatedColumns",
+    # implemented: every commit site routes adds through
+    # delta_log.stamp_row_tracking (fresh baseRowId + rowIdHighWaterMark
+    # domainMetadata when delta.enableRowTracking is set); snapshot
+    # replay + checkpoints preserve every domain
+    "rowTracking",
+    "domainMetadata",
 }
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -245,6 +251,10 @@ class _TableSlice(InputPartition):
     partition: tuple  # ((logical col, canonical value or None), ...)
     exclude: tuple = ()  # sorted DV row indexes
     extra: tuple = ()  # ((col, long value), ...) e.g. _commit_version
+    # row tracking (add.baseRowId / add.defaultRowCommitVersion of this
+    # file; None when the file predates enablement)
+    base_row_id: "int | None" = None
+    row_commit_version: "int | None" = None
 
 
 class _SliceScanMixin:
@@ -274,14 +284,32 @@ class _SliceScanMixin:
             return
         part = dict(partition.partition)
         extra = dict(partition.extra)
+        rt_on = bool(getattr(self, "_rt_on", False))
+        mat_id, mat_ver = (
+            getattr(self, "_rt_mat", (None, None)) if rt_on else (None, None)
+        )
+        rt_fields = {"_row_id", "_row_commit_version"} if rt_on else set()
         want_phys = [
             self._phys.get(f.name, f.name)
             for f in self.schema.fields
-            if f.name not in part and f.name not in extra
+            if f.name not in part
+            and f.name not in extra
+            and f.name not in rt_fields
         ]
         pf = pq.ParquetFile(partition.file)
         have = set(pf.schema_arrow.names)
-        t = pf.read(columns=[c for c in want_phys if c in have])
+        cols = [c for c in want_phys if c in have]
+        # materialized row-id columns (config-named, physical-only):
+        # files rewritten by OPTIMIZE carry the row's preserved id here
+        for c in (mat_id, mat_ver):
+            if c and c in have and c not in cols:
+                cols.append(c)
+        t = pf.read(columns=cols)
+        row_idx = None
+        if rt_on:
+            import numpy as np
+
+            row_idx = np.arange(t.num_rows, dtype=np.int64)
         if partition.exclude:
             import numpy as np
 
@@ -289,10 +317,48 @@ class _SliceScanMixin:
             idx = np.fromiter(partition.exclude, dtype=np.int64)
             mask[idx[idx < t.num_rows]] = False
             t = t.filter(pa.array(mask))
+            if row_idx is not None:
+                # survivors keep their PHYSICAL position: fresh row id
+                # = baseRowId + pre-DV index (spec; ids never shift)
+                row_idx = row_idx[mask]
         n = t.num_rows
         arrays, names = [], []
         for field in self.schema.fields:
             pa_type = to_arrow_type(field.dataType)
+            if field.name in rt_fields:
+                import pyarrow.compute as pc
+
+                if field.name == "_row_id":
+                    base = partition.base_row_id
+                    fresh = (
+                        pa.array(base + row_idx, type=pa.int64())
+                        if base is not None
+                        else pa.nulls(n, pa.int64())
+                    )
+                    matc = (
+                        t.column(mat_id).combine_chunks()
+                        if mat_id and mat_id in t.column_names
+                        else None
+                    )
+                else:
+                    rcv = partition.row_commit_version
+                    fresh = (
+                        pa.array([rcv] * n, type=pa.int64())
+                        if rcv is not None
+                        else pa.nulls(n, pa.int64())
+                    )
+                    matc = (
+                        t.column(mat_ver).combine_chunks()
+                        if mat_ver and mat_ver in t.column_names
+                        else None
+                    )
+                arrays.append(
+                    pc.coalesce(matc.cast(pa.int64()), fresh)
+                    if matc is not None
+                    else fresh
+                )
+                names.append(field.name)
+                continue
             if field.name in extra:
                 arrays.append(pa.array([extra[field.name]] * n, type=pa_type))
             elif field.name in part:
@@ -368,13 +434,29 @@ class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
     All filters are reported back as "still needs Spark": pruning is a
     strict subset operation, double-application keeps exactness."""
 
-    def __init__(self, path: str, schema: StructType, version: int | None):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        version: int | None,
+        with_row_ids: bool = False,
+    ):
         from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
             is_nested,
         )
 
         snap = DeltaSnapshot(path, version)
         self.schema = schema
+        self._rt_on = with_row_ids
+        self._rt_mat = (
+            snap.configuration.get(
+                "delta.rowTracking.materializedRowIdColumnName"
+            ),
+            snap.configuration.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            ),
+        )
+        self._row_ids = dict(snap.row_ids)
         self._phys = snap.resolved_physical_names(path)
         self._field_json = (
             {
@@ -489,6 +571,7 @@ class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
                 self._fstats.get(rel)
             ):
                 continue
+            rid = self._row_ids.get(rel) or {}
             out.append(
                 _TableSlice(
                     file=os.path.join(self._path, rel),
@@ -498,6 +581,8 @@ class DeltaBatchReader(_SliceScanMixin, DataSourceReader):
                     exclude=tuple(
                         sorted(_dv_indexes(self._path, self._dvs.get(rel)))
                     ),
+                    base_row_id=rid.get("baseRowId"),
+                    row_commit_version=rid.get("defaultRowCommitVersion"),
                 )
             )
         if not out:
@@ -1027,8 +1112,13 @@ def _commit_table_change(
             )
         from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
             commit_time_fields,
+            stamp_row_tracking,
         )
 
+        # row tracking (PROTOCOL.md "Row Tracking"): fresh baseRowId on
+        # every add + high-water-mark domainMetadata when the table
+        # property enables it
+        stamp_row_tracking(path, snap, actions, base + 1)
         actions.append(
             {
                 "commitInfo": {
@@ -1426,6 +1516,11 @@ class DeltaDataSource(DataSource):
             == "true"
         )
 
+    def _with_row_ids(self) -> bool:
+        return (
+            str(self.options.get("withrowids", "false")).lower() == "true"
+        )
+
     def schema(self) -> str:
         snap = DeltaSnapshot(self._path(), self._version())
         cols = [
@@ -1434,6 +1529,8 @@ class DeltaDataSource(DataSource):
         ]
         if self._read_cdf():
             cols += ["`_change_type` string", "`_commit_version` bigint"]
+        elif self._with_row_ids():
+            cols += ["`_row_id` bigint", "`_row_commit_version` bigint"]
         return ", ".join(cols)
 
     def reader(self, schema: StructType):
@@ -1455,7 +1552,12 @@ class DeltaDataSource(DataSource):
                 self._starting_version(),
                 int(ev) if ev is not None else None,
             )
-        return DeltaBatchReader(self._path(), schema, self._version())
+        return DeltaBatchReader(
+            self._path(),
+            schema,
+            self._version(),
+            with_row_ids=self._with_row_ids(),
+        )
 
     def streamReader(self, schema: StructType) -> DeltaTableStreamReader:
         sv = self._starting_version()
