@@ -309,6 +309,274 @@ def _apply_constraints(spark_df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
     return spark_df
 
 
+# --------------------------------------------------------------------------
+# identity columns (PROTOCOL.md "Identity Columns", legacy writer 6 /
+# table feature identityColumns)
+# --------------------------------------------------------------------------
+
+
+def _identity_specs(snap: DeltaSnapshot) -> dict[str, dict]:
+    """{column: {start, step, hwm, allow_explicit}} for every identity
+    column (``delta.identity.*`` field metadata)."""
+    out: dict[str, dict] = {}
+    for f in snap.schema_json.get("fields", []):
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        out[f["name"]] = {
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": int(md.get("delta.identity.step", 1)),
+            "hwm": (
+                int(md["delta.identity.highWaterMark"])
+                if md.get("delta.identity.highWaterMark") is not None
+                else None
+            ),
+            "allow_explicit": bool(
+                md.get("delta.identity.allowExplicitInsert", False)
+            ),
+        }
+        if out[f["name"]]["step"] == 0:
+            raise ValueError(f"identity column {f['name']}: step 0")
+    return out
+
+
+def _generate_identity(
+    df: DataFrame, name: str, dtype: str, base: int, step: int
+) -> tuple[DataFrame, int]:
+    """Assign ``base + k*step`` (k = 1..N, so the first value after an
+    unset water mark is exactly ``start``) to every row, distributed:
+    per-Spark-partition counts -> prefix offsets (driver sees one row
+    per partition, never data) -> per-partition row_number. No global
+    single-reducer window; the ids are contiguous and unique. Returns
+    (df with the column, new high-water mark)."""
+    from pyspark.sql.window import Window as W
+
+    tagged = df.withColumn("__id_pid", F.spark_partition_id())
+    counts = {
+        r["__id_pid"]: r["cnt"]
+        for r in tagged.groupBy("__id_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for i in sorted(counts):
+        offsets[i] = acc
+        acc += counts[i]
+    if not offsets:
+        return df.withColumn(name, F.lit(None).cast(dtype)), base
+    omap = F.create_map(
+        *[x for i in offsets for x in (F.lit(i), F.lit(offsets[i]))]
+    )
+    w = W.partitionBy("__id_pid").orderBy(F.monotonically_increasing_id())
+    k = F.row_number().over(w).cast("long") + omap[F.col("__id_pid")]
+    out = tagged.withColumn(
+        name, (F.lit(base) + k * F.lit(step)).cast(dtype)
+    ).drop("__id_pid")
+    return out, base + total * step
+
+
+def _apply_identity(
+    df: DataFrame, snap: DeltaSnapshot
+) -> tuple[DataFrame, dict[str, int]]:
+    """Fill / validate identity columns on rows being INSERTED:
+    a column absent from ``df`` is GENERATED (fresh values above the
+    high-water mark, aligned to start/step); a column present must have
+    ``allowExplicitInsert`` (GENERATED BY DEFAULT) — its water mark
+    then SYNCs to the furthest explicit value in the step's direction.
+    Returns (df covering every table column, {column: new hwm})."""
+    specs = _identity_specs(snap)
+    if not specs:
+        return df, {}
+    dtypes = {
+        f.name: f.dataType.simpleString()
+        for f in snap.spark_schema().fields
+    }
+    new_hwm: dict[str, int] = {}
+    for name, sp in specs.items():
+        step = sp["step"]
+        if name in df.columns:
+            if not sp["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS "
+                    "(allowExplicitInsert=false): explicit values are "
+                    "forbidden — drop the column and let the engine "
+                    "assign it"
+                )
+            agg = F.max(name) if step > 0 else F.min(name)
+            ext = df.agg(agg).first()[0]
+            if ext is not None:
+                ext = int(ext)
+                cur = sp["hwm"]
+                if cur is None:
+                    new_hwm[name] = ext
+                else:
+                    new_hwm[name] = (
+                        max(cur, ext) if step > 0 else min(cur, ext)
+                    )
+            continue
+        base = sp["hwm"] if sp["hwm"] is not None else sp["start"] - step
+        df, hwm = _generate_identity(df, name, dtypes[name], base, step)
+        if hwm != base:
+            new_hwm[name] = hwm
+    return df, new_hwm
+
+
+def _identity_metadata_action(
+    snap: DeltaSnapshot, new_hwms: dict[str, int]
+) -> dict | None:
+    """metaData re-emission carrying bumped identity high-water marks
+    (None when nothing moved)."""
+    if not new_hwms:
+        return None
+    fields = []
+    for f in snap.schema_json.get("fields", []):
+        if f["name"] in new_hwms:
+            f = dict(f)
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = int(
+                new_hwms[f["name"]]
+            )
+            f["metadata"] = md
+        fields.append(f)
+    return {
+        "metaData": {
+            "id": getattr(snap, "meta_id", None)
+            or f"laketable-{os.path.basename(snap.path)}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": list(snap.partition_cols),
+            "configuration": dict(snap.configuration),
+        }
+    }
+
+
+def create_delta_table(
+    path: str,
+    schema_ddl: str,
+    partition_by: Sequence[str] = (),
+    identity: dict[str, dict] | None = None,
+    configuration: dict[str, str] | None = None,
+) -> None:
+    """CREATE TABLE: commit version 0 of an empty foreign Delta table.
+    ``identity``: {column: {"start": 1, "step": 1,
+    "allow_explicit_insert": False}} marks BIGINT columns as identity
+    (delta-spark's GENERATED ALWAYS/BY DEFAULT AS IDENTITY) — the
+    protocol floor rises to legacy writer 6 and ``insert_delta`` /
+    ``merge_delta`` generate their values."""
+    from pyspark.sql.types import StructType
+
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        raise FileExistsError(f"{path} is already a Delta table")
+    schema = StructType.fromDDL(schema_ddl)
+    identity = identity or {}
+    unknown = set(identity) - {f.name for f in schema.fields}
+    if unknown:
+        raise ValueError(f"identity on non-schema columns: {sorted(unknown)}")
+    fields = []
+    for f in schema.fields:
+        fj = f.jsonValue()
+        if f.name in identity:
+            if f.dataType.simpleString() not in ("bigint", "long"):
+                raise ValueError(
+                    f"identity column {f.name} must be BIGINT, got "
+                    f"{f.dataType.simpleString()} (upstream contract)"
+                )
+            sp = identity[f.name]
+            md = dict(fj.get("metadata") or {})
+            md["delta.identity.start"] = int(sp.get("start", 1))
+            md["delta.identity.step"] = int(sp.get("step", 1))
+            md["delta.identity.allowExplicitInsert"] = bool(
+                sp.get("allow_explicit_insert", False)
+            )
+            fj["metadata"] = md
+        fields.append(fj)
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    now = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CREATE TABLE",
+                "operationParameters": {},
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 6 if identity else 2,
+            }
+        },
+        {
+            "metaData": {
+                "id": f"pyds-delta-{os.path.basename(os.path.abspath(path))}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": list(partition_by),
+                "configuration": dict(configuration or {}),
+                "createdTime": now,
+            }
+        },
+    ]
+    target = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(f"concurrent CREATE at {path}") from None
+    finally:
+        os.remove(tmp)
+
+
+def insert_delta(spark: SparkSession, path: str, df: DataFrame) -> dict:
+    """INSERT INTO: staged append through the validated DML tier —
+    CHECK constraints, column invariants and generated columns enforce
+    in-plan, identity columns GENERATE (contiguous values above the
+    high-water mark, no global reducer), and the commit re-emits
+    metaData with the bumped marks. The arrow-path
+    ``format('delta').mode('append')`` writer refuses identity tables
+    precisely because it cannot do this."""
+    snap = DeltaSnapshot(path)
+    _guard_writable(snap, overwrite=False, enforce_constraints=True)
+    df, new_hwms = _apply_identity(df, snap)
+    cols = [f.name for f in snap.spark_schema().fields]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"insert lacks table columns {missing}")
+    adds = _stage_data_files(df.select(*cols), path, list(snap.partition_cols), snap)
+    cdcs = (
+        _stage_cdc_files(
+            df.select(*cols).withColumn("_change_type", F.lit("insert")),
+            path,
+            snap,
+        )
+        if _cdf_enabled(snap)
+        else []
+    )
+    n = sum(a[2] for a in adds)
+    v = _commit_dml(
+        path,
+        snap.version,
+        [],
+        adds,
+        cdcs,
+        "WRITE",
+        {"mode": "Append"},
+        configuration=snap.configuration,
+        snap=snap,
+        metadata_action=_identity_metadata_action(snap, new_hwms),
+    )
+    return {"version": v, "rows_inserted": n}
+
+
 def _stage_data_files(
     spark_df: DataFrame,
     path: str,
@@ -432,6 +700,7 @@ def _commit_dml(
     protocol_action: dict | None = None,
     configuration: dict | None = None,
     snap: "DeltaSnapshot | None" = None,
+    metadata_action: dict | None = None,
 ) -> int:
     """One atomic DML commit. ``removes``: (rel, old DV descriptor or
     None); ``dv_readds``: (rel, partitionValues, new DV descriptor) for
@@ -442,6 +711,10 @@ def _commit_dml(
     actions: list[dict] = []
     if protocol_action is not None:
         actions.append(protocol_action)
+    if metadata_action is not None:
+        # identity high-water-mark bumps re-emit metaData in the same
+        # commit (the spec keeps the mark in field metadata)
+        actions.append(metadata_action)
     for rel, _dv in removes:
         rm = {
             "path": _encode_path(rel),
@@ -722,6 +995,29 @@ def merge_delta(
         _prune_files_by_source_keys(snap, source, keys)
     schema = snap.spark_schema()
     cols = [f.name for f in schema.fields]
+    # identity columns the source does not carry are GENERATED on the
+    # insert branch and PRESERVED from the target on update branches
+    id_specs = _identity_specs(snap)
+    gen_ids = [c for c in id_specs if c not in source.columns]
+    if set(keys) & set(gen_ids):
+        raise ValueError(
+            f"merge keys {sorted(set(keys) & set(gen_ids))} are "
+            "identity columns absent from the source — a merge cannot "
+            "match on values it would have to invent"
+        )
+    always_ids = {
+        c for c, sp in id_specs.items() if not sp["allow_explicit"]
+    }
+    for assigns, label in (
+        (set_exprs, "set_exprs"),
+        (not_matched_by_source_set, "not_matched_by_source_set"),
+    ):
+        bad = set(assigns or {}) & always_ids
+        if bad:
+            raise ValueError(
+                f"{label} assigns GENERATED ALWAYS identity columns "
+                f"{sorted(bad)}"
+            )
     # the source must cover every table column only when a branch
     # takes whole rows from it (InsertAll, or matched UpdateAll);
     # keys-only sources are fine for set_exprs updates and for merges
@@ -729,7 +1025,9 @@ def merge_delta(
     full = insert_when_not_matched or (
         set_exprs is None and not insert_only and not matched_delete
     )
-    need = cols if full else keys
+    need = [
+        c for c in (cols if full else keys) if c not in gen_ids
+    ]
     missing = [c for c in need if c not in source.columns]
     if missing:
         raise ValueError(f"source lacks table columns {missing}")
@@ -753,14 +1051,20 @@ def merge_delta(
                 "(e.g. keep-latest by event time)"
             )
     tgt = _scan_with_file(spark, path, snap)
+    id_hwms: dict[str, int] = {}
+    ins_cols = [c for c in cols if c not in gen_ids]
     inserts = (
-        src.select(*cols).join(
+        src.select(*ins_cols).join(
             tgt.select(*keys).distinct(), keys, "leftanti"
         )
         if insert_when_not_matched
         else None
     )
     n_ins = inserts.count() if inserts is not None else 0
+    if inserts is not None and id_specs:
+        # generate absent identity values / validate+sync explicit ones
+        inserts, id_hwms = _apply_identity(inserts, snap)
+        inserts = inserts.select(*cols)
     updated = kept = pre = post = None
     nmbs_upd = nmbs_cdc = None
     n_upd = 0
@@ -930,6 +1234,27 @@ def merge_delta(
                         for c in cols
                     ]
                 )
+            elif gen_ids:
+                # UpdateAll on an identity table whose source does not
+                # carry the identity column: the row KEEPS its id (an
+                # update must never re-issue identity values)
+                updated = (
+                    tgt_aff.alias("__mrg_t")
+                    .join(src.alias("__mrg_s"), keys)
+                    .join(fresh_keys, keys, "leftsemi")
+                    .select(
+                        *[
+                            F.col(c)
+                            if c in keys
+                            else (
+                                F.expr(f"__mrg_t.`{c}`").alias(c)
+                                if c in gen_ids
+                                else F.expr(f"__mrg_s.`{c}`").alias(c)
+                            )
+                            for c in cols
+                        ]
+                    )
+                )
             else:
                 updated = src.select(*cols).join(
                     fresh_keys, keys, "leftsemi"
@@ -985,6 +1310,7 @@ def merge_delta(
         {"predicate": json.dumps(keys)},
         configuration=snap.configuration,
         snap=snap,
+        metadata_action=_identity_metadata_action(snap, id_hwms),
     )
     if set_exprs is None:
         src.unpersist()
@@ -1247,6 +1573,16 @@ def update_delta(
     unknown = set(exprs) - set(cols)
     if unknown:
         raise ValueError(f"not table columns: {sorted(unknown)}")
+    bad_ids = {
+        c
+        for c, sp in _identity_specs(snap).items()
+        if c in exprs and not sp["allow_explicit"]
+    }
+    if bad_ids:
+        raise ValueError(
+            "UPDATE assigns GENERATED ALWAYS identity columns "
+            f"{sorted(bad_ids)}"
+        )
     tgt = _scan_with_file(spark, path, snap)
     hits = tgt.filter(predicate)
     affected = [r[_FILE] for r in hits.select(_FILE).distinct().collect()]

@@ -862,9 +862,11 @@ def _guard_writable(
         # the DML tier stages rows through Spark and VALIDATES CHECK
         # constraints + column invariants + generated columns in-plan
         # (delta_dml _stage_data_files), so the features are honored,
-        # not just tolerated
+        # not just tolerated; identity columns GENERATE there
+        # (delta_dml._apply_identity)
         safe.add("checkConstraints")
         safe.add("generatedColumns")
+        safe.add("identityColumns")
     unknown = feats - safe
     if unknown:
         raise NotImplementedError(
@@ -905,6 +907,16 @@ def _guard_writable(
                     "writer cannot compute/validate — write through "
                     "merge_delta/DML (which enforces value <=> "
                     "expression) or an engine that does"
+                )
+            if any(
+                k.startswith("delta.identity.")
+                for k in (f.get("metadata") or {})
+            ):
+                raise NotImplementedError(
+                    f"column {f['name']} is an IDENTITY column this "
+                    "writer cannot generate — write through "
+                    "insert_delta/merge_delta (which assign fresh "
+                    "values and bump the high-water mark)"
                 )
 
 
