@@ -120,8 +120,14 @@ GATE_ORDER = [
     "sliding_6h_events",
     "funnel_view_click_purchase",
     "weekly_cohort_retention",
-    "order_calendar_features",
-    "q12_late_lines_by_priority_class",
+    # r8 session-3: first driver rows for row tracking (baseRowId /
+    # domainMetadata / MoR preservation / OPTIMIZE materialization)
+    # and identity columns (generation + water mark + merge keep) —
+    # order_calendar_features and q12_late_lines_by_priority_class
+    # rotate out (both driver-green r7; the functions family keeps
+    # identity_merge_roundtrip, TPC-H keeps 8 gate members)
+    "row_tracking_roundtrip",
+    "identity_merge_roundtrip",
     # r8 session-2: CONVERT TO DELTA + WHEN NOT MATCHED BY SOURCE in
     # one oracle-checked roundtrip (q6_forecast_revenue_delta rotates
     # out — driver-green r7; the functions family keeps

@@ -463,6 +463,157 @@ def delta_merge_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "row_tracking_roundtrip",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(row_number() OVER (ORDER BY o_orderkey) - 1
+                    AS BIGINT) AS rid
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), added AS (
+        SELECT o_orderkey, o_orderstatus,
+               (SELECT count(*) FROM seed)
+               + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+    ), unioned AS (
+        SELECT * FROM seed UNION ALL SELECT * FROM added
+    )
+    SELECT o_orderkey, CAST(rid AS BIGINT) AS row_id, o_orderstatus
+    FROM unioned
+    WHERE o_orderkey % 5 <> 0
+    """,
+    doc=(
+        "Row tracking end-to-end on a foreign Delta table (PROTOCOL.md "
+        "'Row Tracking', sources/delta_log stamp_row_tracking): seed a "
+        "single sorted file through format('delta'), enable "
+        "delta.enableRowTracking (protocol -> writer 7 + rowTracking/"
+        "domainMetadata, backfill baseRowId 0), append a second sorted "
+        "file (fresh ids above the high-water mark), MoR-DELETE %5 "
+        "rows (DV re-add preserves the file's baseRowId — survivors "
+        "keep their ids by POSITION), then OPTIMIZE, which must "
+        "MATERIALIZE every surviving row's id into the config-named "
+        "physical column before compaction moves it. The read "
+        "(format('delta').option('withRowIds')) returns "
+        "coalesce(materialized, baseRowId + position): since both "
+        "writes were single sorted files, every id is the row's rank "
+        "at write time and the whole mapping is oracle-exact. A wrong "
+        "byte in the domain water mark, the backfill, DV-keyed "
+        "re-adds, or the materialization column changes a row id. "
+        "100 TB: ids are per-file base + position — assignment is "
+        "driver-side arithmetic over file metadata, never a data scan."
+    ),
+    tags=("table", "formats", "delta", "dml"),
+)
+def row_tracking_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        delete_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        optimize_delta,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("delta_rowtrack", sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    seed = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    seed.write.format("delta").mode("overwrite").save(path)
+    alter_delta_properties(path, {"delta.enableRowTracking": "true"})
+    added = (
+        orders.where(
+            (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 7 == 0)
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    added.write.format("delta").mode("append").save(path)
+    delete_delta(spark, path, F.col("o_orderkey") % 5 == 0, mode="mor")
+    optimize_delta(spark, path, target_file_bytes=1 << 30)
+    back = (
+        spark.read.format("delta").option("withRowIds", "true").load(path)
+    )
+    return back.select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        "o_orderstatus",
+    )
+
+
+@register(
+    "identity_merge_roundtrip",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(90 + 10 * row_number() OVER (ORDER BY o_orderkey)
+                    AS BIGINT) AS sk
+        FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT sk, o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN o_totalprice + 500.0 ELSE o_totalprice
+           END AS price
+    FROM seed
+    """,
+    doc=(
+        "Identity columns end-to-end (PROTOCOL.md 'Identity Columns', "
+        "sources/delta_dml): CREATE TABLE with sk GENERATED ALWAYS AS "
+        "IDENTITY (START 100 STEP 10), insert_delta a single sorted "
+        "partition — generation assigns 100, 110, ... in row order and "
+        "re-emits metaData with the bumped high-water mark — then a "
+        "matched-only MERGE repricing %3 keys, which must KEEP every "
+        "target row's identity value (an update never re-issues "
+        "identity). The surrogate-key mapping is rank-determined, so "
+        "the oracle reproduces it exactly. 100 TB: generation is "
+        "per-partition offsets (one count row per partition to the "
+        "driver) + a per-partition window — no global reducer."
+    ),
+    tags=("table", "formats", "delta", "dml", "functions"),
+)
+def identity_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        create_delta_table,
+        insert_delta,
+        merge_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        read_delta_log,
+    )
+
+    path = _staging_dir("delta_identity", sf_dir)
+    create_delta_table(
+        path,
+        "sk bigint, o_orderkey bigint, o_totalprice double",
+        identity={"sk": {"start": 100, "step": 10}},
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    seed = (
+        orders.where(F.col("o_orderkey") % 4 == 1)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    insert_delta(spark, path, seed)
+    src = seed.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+    )
+    merge_delta(
+        spark, path, src, ["o_orderkey"], insert_when_not_matched=False
+    )
+    back = read_delta_log(spark, path)
+    return back.select(
+        "sk", "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+
+
+@register(
     "incremental_mart_maintenance",
     oracle="""
     SELECT o_orderstatus,
