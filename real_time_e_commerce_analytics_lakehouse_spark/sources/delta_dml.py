@@ -154,18 +154,82 @@ def _prune_files_by_partitions(
     snap.stats = {r: s for r, s in snap.stats.items() if r in snap.files}
 
 
+def _rt_mat_names(snap: DeltaSnapshot) -> tuple[str, str] | None:
+    """(row-id col, row-commit-version col) when row tracking is on AND
+    the table names its materialized columns (set at enablement), else
+    None — the DML preserved-id tier only engages with recorded names."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        row_tracking_enabled,
+    )
+
+    if not row_tracking_enabled(snap.configuration):
+        return None
+    mi = snap.configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    )
+    mv = snap.configuration.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not (mi and mv):
+        return None
+    return mi, mv
+
+
+def _drop_mat(df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
+    """Strip the materialized row-tracking columns (cdc files and
+    branch frames that must carry logical columns only)."""
+    mat = _rt_mat_names(snap)
+    return df.drop(*mat) if mat else df
+
+
+def _with_mat(
+    df: DataFrame,
+    snap: DeltaSnapshot,
+    row_id_from: str | None = None,
+) -> DataFrame:
+    """Align a branch frame with the scan's materialized row-tracking
+    columns so unionByName composes: ``row_id_from`` names a column
+    (a qualified expr is fine) holding the row's PRESERVED id (updates
+    keep their id per the spec); the commit-version column is NULL —
+    readers fall back to the new add's defaultRowCommitVersion, which
+    IS this commit. Inserted rows pass None for both (fresh ids)."""
+    mat = _rt_mat_names(snap)
+    if not mat:
+        return df
+    rid = (
+        F.expr(row_id_from)
+        if row_id_from is not None
+        else F.lit(None).cast("long")
+    )
+    return df.withColumn(mat[0], rid.cast("long")).withColumn(
+        mat[1], F.lit(None).cast("long")
+    )
+
+
 def _scan_with_file(
     spark: SparkSession, path: str, snap: DeltaSnapshot
 ) -> DataFrame:
     """Snapshot scan with logical columns plus ``__dml_file`` (the
     table-relative parquet file each row lives in). DV tombstones are
     anti-joined out; partition columns restored typed via the same
-    broadcast file->values join read_delta_log uses."""
+    broadcast file->values join read_delta_log uses.
+
+    Row-tracking tables additionally carry the two MATERIALIZED
+    columns (config-named), each resolved to the row's CURRENT value —
+    coalesce(stored materialized, baseRowId/defaultRowCommitVersion +
+    position) — so a copy-on-write rewrite that keeps these columns in
+    its staged files PRESERVES every surviving row's id (PROTOCOL.md's
+    preserved tier; fresh-tier readers that ignore them still see
+    valid, unique fresh ids)."""
     schema = snap.spark_schema()
+    mat = _rt_mat_names(snap)
     if not snap.files:
-        return spark.createDataFrame(
-            [], schema.add(_FILE, "string")
-        )
+        base = spark.createDataFrame([], schema.add(_FILE, "string"))
+        if mat:
+            base = base.withColumn(
+                mat[0], F.lit(None).cast("long")
+            ).withColumn(mat[1], F.lit(None).cast("long"))
+        return base
     # explicit physical schema, not mergeSchema: widens pre-ALTER
     # narrower footers and null-fills absent columns instead of
     # throwing on mixed-width files (same contract as read_delta_log)
@@ -173,13 +237,26 @@ def _scan_with_file(
         _physical_scan_schema,
     )
 
-    df = spark.read.schema(
-        _physical_scan_schema(snap, snap.resolved_physical_names(path))
-    ).parquet(*[os.path.join(path, p) for p in snap.files])
+    scan_schema = _physical_scan_schema(
+        snap, snap.resolved_physical_names(path)
+    )
+    if mat:
+        from pyspark.sql.types import LongType, StructField
+
+        for c in mat:
+            if c not in scan_schema.fieldNames():
+                scan_schema = scan_schema.add(StructField(c, LongType(), True))
+    df = spark.read.schema(scan_schema).parquet(
+        *[os.path.join(path, p) for p in snap.files]
+    )
     decoded = F.url_decode(
         F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
     )
     df = df.withColumn("__dml_fp", decoded)
+    if mat:
+        # physical position, captured before any join (hidden _metadata
+        # stops resolving after one); DV apply is itself the first join
+        df = df.withColumn("__dml_ri", F.col("_metadata.row_index"))
     if snap.dvs:
         df = _apply_deletion_vectors(df, snap, "__dml_fp")
     # column mapping: files store physical names; partitionValues key
@@ -187,6 +264,14 @@ def _scan_with_file(
     phys = snap.resolved_physical_names(path)
     rows = [
         (os.path.abspath(os.path.join(path, rel)), rel)
+        + tuple(
+            (
+                (snap.row_ids.get(rel) or {}).get("baseRowId"),
+                (snap.row_ids.get(rel) or {}).get("defaultRowCommitVersion"),
+            )
+            if mat
+            else ()
+        )
         + tuple(pvals.get(phys.get(c, c)) for c in snap.partition_cols)
         for rel, pvals in snap.files.items()
     ]
@@ -194,6 +279,7 @@ def _scan_with_file(
         rows,
         ", ".join(
             ["__dml_path string", f"`{_FILE}` string"]
+            + (["__dml_base long", "__dml_rcv long"] if mat else [])
             + [f"`__dml_{c}` string" for c in snap.partition_cols]
         ),
     )
@@ -202,6 +288,15 @@ def _scan_with_file(
         F.col("__dml_fp") == F.concat(F.lit("file:"), F.col("__dml_path")),
         "left",
     )
+    if mat:
+        joined = joined.withColumn(
+            mat[0],
+            F.coalesce(
+                F.col(mat[0]), F.col("__dml_base") + F.col("__dml_ri")
+            ),
+        ).withColumn(
+            mat[1], F.coalesce(F.col(mat[1]), F.col("__dml_rcv"))
+        )
     ptypes = {
         f.name: f.dataType.simpleString()
         for f in schema.fields
@@ -233,6 +328,8 @@ def _scan_with_file(
             out.append(col.alias(f.name))
         else:  # additive-evolution column absent from every file
             out.append(F.lit(None).cast(f.dataType).alias(f.name))
+    if mat:
+        out.extend([F.col(mat[0]), F.col(mat[1])])
     return joined.select(*out, F.col(_FILE))
 
 
@@ -1163,6 +1260,7 @@ def merge_delta(
                     f.name: f.dataType.simpleString()
                     for f in schema.fields
                 }
+                mat = _rt_mat_names(snap)
                 nmbs_upd = hit.select(
                     *[
                         F.expr(not_matched_by_source_set[c])
@@ -1171,7 +1269,10 @@ def merge_delta(
                         if c in not_matched_by_source_set
                         else F.col(c)
                         for c in cols
-                    ]
+                    ],
+                    # updated rows KEEP their materialized row id;
+                    # commit version re-nulls via the union alignment
+                    *([F.col(mat[0])] if mat else []),
                 )
                 n_upd += nmbs_upd.count()
                 nmbs_cdc = (
@@ -1180,7 +1281,7 @@ def merge_delta(
                         "_change_type", F.lit("update_preimage")
                     )
                     .unionByName(
-                        nmbs_upd.withColumn(
+                        _drop_mat(nmbs_upd, snap).withColumn(
                             "_change_type", F.lit("update_postimage")
                         )
                     )
@@ -1196,7 +1297,7 @@ def merge_delta(
             # do not reappear in the rewrite; count + CDC images
             doomed = tgt_aff.join(fresh_keys, keys, "leftsemi")
             n_del += doomed.count()
-            del_cdc = doomed.drop(_FILE).withColumn(
+            del_cdc = _drop_mat(doomed.drop(_FILE), snap).withColumn(
                 "_change_type", F.lit("delete")
             )
             nmbs_cdc = (
@@ -1222,6 +1323,7 @@ def merge_delta(
                     fresh_joined = fresh_joined.filter(
                         F.expr(matched_condition)
                     )
+                mat = _rt_mat_names(snap)
                 updated = fresh_joined.select(
                     *[
                         F.expr(set_exprs[c]).cast(types[c]).alias(c)
@@ -1232,12 +1334,19 @@ def merge_delta(
                             else F.expr(f"{target_alias}.`{c}`").alias(c)
                         )
                         for c in cols
-                    ]
+                    ],
+                    # updated rows KEEP their materialized row id
+                    *(
+                        [F.expr(f"{target_alias}.`{mat[0]}`").alias(mat[0])]
+                        if mat
+                        else []
+                    ),
                 )
             elif gen_ids:
                 # UpdateAll on an identity table whose source does not
                 # carry the identity column: the row KEEPS its id (an
                 # update must never re-issue identity values)
+                mat = _rt_mat_names(snap)
                 updated = (
                     tgt_aff.alias("__mrg_t")
                     .join(src.alias("__mrg_s"), keys)
@@ -1252,7 +1361,12 @@ def merge_delta(
                                 else F.expr(f"__mrg_s.`{c}`").alias(c)
                             )
                             for c in cols
-                        ]
+                        ],
+                        *(
+                            [F.expr(f"__mrg_t.`{mat[0]}`").alias(mat[0])]
+                            if mat
+                            else []
+                        ),
                     )
                 )
             else:
@@ -1260,11 +1374,14 @@ def merge_delta(
                     fresh_keys, keys, "leftsemi"
                 )
             n_upd += updated.count()
-            pre_src = tgt_aff.join(fresh_keys, keys, "leftsemi").drop(_FILE)
+            pre_src = _drop_mat(
+                tgt_aff.join(fresh_keys, keys, "leftsemi").drop(_FILE),
+                snap,
+            )
             pre = pre_src.withColumn(
                 "_change_type", F.lit("update_preimage")
             )
-            post = updated.withColumn(
+            post = _drop_mat(updated, snap).withColumn(
                 "_change_type", F.lit("update_postimage")
             )
     pieces = [
@@ -1279,6 +1396,25 @@ def merge_delta(
     ]
     if not pieces:
         pieces = [spark.createDataFrame([], schema)]
+    mat = _rt_mat_names(snap)
+    if mat:
+        # align every branch with the scan's materialized row-tracking
+        # columns: kept rows carry id+version, updated rows carry id
+        # (version re-nulls -> readers fall back to this commit's
+        # defaultRowCommitVersion), inserted rows carry neither (fresh)
+        pieces = [
+            p
+            if set(mat) <= set(p.columns)
+            else p.select(
+                "*",
+                *[
+                    F.lit(None).cast("long").alias(c)
+                    for c in mat
+                    if c not in p.columns
+                ],
+            )
+            for p in pieces
+        ]
     new_rows = pieces[0]
     for p in pieces[1:]:
         new_rows = new_rows.unionByName(p)
@@ -1366,7 +1502,7 @@ def delete_delta(
         adds = _stage_data_files(kept, path, pcols, snap)
         cdcs = (
             _stage_cdc_files(
-                doomed.drop(_FILE).withColumn(
+                _drop_mat(doomed.drop(_FILE), snap).withColumn(
                     "_change_type", F.lit("delete")
                 ),
                 path,
@@ -1593,16 +1729,21 @@ def update_delta(
     updated = aff.filter(predicate)
     for c, e in exprs.items():
         updated = updated.withColumn(c, e.cast(dict(tgt.dtypes)[c]))
+    mat = _rt_mat_names(snap)
+    if mat:
+        # updated rows KEEP their materialized row id (an update is the
+        # same logical row); the commit version resets to NULL so
+        # readers fall back to the new add's defaultRowCommitVersion
+        updated = updated.withColumn(mat[1], F.lit(None).cast("long"))
     new_rows = aff.filter(~predicate).unionByName(updated).drop(_FILE)
     adds = _stage_data_files(new_rows, path, list(snap.partition_cols), snap)
     cdcs: list[tuple[str, dict]] = []
     if _cdf_enabled(snap):
         pre = (
-            aff.filter(predicate)
-            .drop(_FILE)
+            _drop_mat(aff.filter(predicate).drop(_FILE), snap)
             .withColumn("_change_type", F.lit("update_preimage"))
         )
-        post = updated.drop(_FILE).withColumn(
+        post = _drop_mat(updated.drop(_FILE), snap).withColumn(
             "_change_type", F.lit("update_postimage")
         )
         cdcs = _stage_cdc_files(pre.unionByName(post), path, snap)

@@ -117,16 +117,57 @@ def test_mor_delete_preserves_ids(spark, tmp_path):
     assert len(snap.row_ids) == len(snap.files)
 
 
-def test_cow_update_unique_ids_and_hwm(spark, tmp_path):
+def test_cow_update_preserves_ids(spark, tmp_path):
+    """Copy-on-write UPDATE materializes row ids into the rewritten
+    files (delta-spark's preserved tier): every row — updated or merely
+    co-located in a rewritten file — keeps its id; the updated row's
+    commit version moves to the update commit."""
     p = str(tmp_path / "t")
     _make(spark, p)
+    before = _ids(spark, p)
     update_delta(spark, p, "id = 1", {"v": "999"})
-    ids = _ids(spark, p)
-    assert set(ids) == set(range(12))
-    rids = [rid for rid, _ in ids.values()]
-    assert len(set(rids)) == 12  # rewritten rows got fresh, unique ids
+    after = _ids(spark, p)
+    assert {k: v[0] for k, v in after.items()} == {
+        k: v[0] for k, v in before.items()
+    }
+    v_now = DeltaSnapshot(p).version
+    assert after[1][1] == v_now  # updated row: this commit's version
     snap = DeltaSnapshot(p)
-    assert row_id_high_water_mark(snap) == max(rids)
+    assert row_id_high_water_mark(snap) >= max(
+        rid for rid, _ in after.values()
+    )
+
+
+def test_cow_delete_preserves_survivor_ids(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _make(spark, p)
+    before = _ids(spark, p)
+    delete_delta(spark, p, "id % 4 = 0", mode="cow")
+    after = _ids(spark, p)
+    assert set(after) == {i for i in range(12) if i % 4 != 0}
+    assert all(before[k] == v for k, v in after.items())
+
+
+def test_merge_preserves_kept_and_set_updated_ids(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _make(spark, p, n=8, files=2)
+    before = _ids(spark, p)
+    merge_delta(
+        spark,
+        p,
+        spark.createDataFrame([(3,)], "id long"),
+        ["id"],
+        set_exprs={"v": "t.v + 1000"},
+        insert_when_not_matched=False,
+    )
+    after = _ids(spark, p)
+    assert set(after) == set(range(8))
+    # kept rows AND the set-exprs-updated row keep their ids
+    assert {k: v[0] for k, v in after.items()} == {
+        k: v[0] for k, v in before.items()
+    }
+    r = read_delta_log(spark, p).where("id = 3").first()
+    assert r["v"] == 3 * 2 + 1000
 
 
 def test_merge_stamps_inserted_rows(spark, tmp_path):
