@@ -557,6 +557,7 @@ def create_delta_table(
     partition_by: Sequence[str] = (),
     identity: dict[str, dict] | None = None,
     configuration: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> None:
     """CREATE TABLE: commit version 0 of an empty foreign Delta table.
     ``identity``: {column: {"start": 1, "step": 1,
@@ -570,12 +571,25 @@ def create_delta_table(
         raise FileExistsError(f"{path} is already a Delta table")
     schema = StructType.fromDDL(schema_ddl)
     identity = identity or {}
-    unknown = set(identity) - {f.name for f in schema.fields}
+    generated = generated or {}
+    unknown = (set(identity) | set(generated)) - {
+        f.name for f in schema.fields
+    }
     if unknown:
         raise ValueError(f"identity on non-schema columns: {sorted(unknown)}")
+    overlap = set(identity) & set(generated)
+    if overlap:
+        raise ValueError(
+            f"columns cannot be both identity and generated: "
+            f"{sorted(overlap)}"
+        )
     fields = []
     for f in schema.fields:
         fj = f.jsonValue()
+        if f.name in generated:
+            md = dict(fj.get("metadata") or {})
+            md["delta.generationExpression"] = generated[f.name]
+            fj["metadata"] = md
         if f.name in identity:
             if f.dataType.simpleString() not in ("bigint", "long"):
                 raise ValueError(
@@ -604,7 +618,11 @@ def create_delta_table(
         {
             "protocol": {
                 "minReaderVersion": 1,
-                "minWriterVersion": 6 if identity else 2,
+                # identity -> legacy writer 6; generated columns ->
+                # legacy writer 4 (PROTOCOL.md feature/version table)
+                "minWriterVersion": (
+                    6 if identity else (4 if generated else 2)
+                ),
             }
         },
         {

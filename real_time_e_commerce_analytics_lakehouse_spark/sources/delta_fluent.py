@@ -163,6 +163,17 @@ class DeltaTable:
             raise ValueError(f"{path} is not a Delta table (no _delta_log)")
         return cls(spark, path)
 
+    @classmethod
+    def create(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        """delta-spark's ``DeltaTable.create(spark)`` builder:
+        ``.location(p).addColumn(...).partitionedBy(...).property(k,v)
+        .clusterBy(...).execute()``. Identity columns via
+        ``addColumn(name, 'bigint', generatedAlwaysAs=
+        IdentityGenerator(start, step))`` (or
+        ``generatedByDefaultAs=``); generated columns via a SQL string
+        ``generatedAlwaysAs='expr'``."""
+        return DeltaTableBuilder(spark)
+
     @staticmethod
     def isDeltaTable(spark: SparkSession, path: str) -> bool:
         log = os.path.join(path, _DELTA_DIR)
@@ -241,6 +252,10 @@ class DeltaTable:
             DeltaSnapshot,
         )
 
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            clustering_columns,
+        )
+
         snap = DeltaSnapshot(self._path)
         proto = snap.protocol or {}
         row = {
@@ -248,6 +263,7 @@ class DeltaTable:
             "id": getattr(snap, "meta_id", None),
             "location": os.path.abspath(self._path),
             "partitionColumns": list(snap.partition_cols),
+            "clusteringColumns": clustering_columns(snap),
             "numFiles": len(snap.files),
             "sizeInBytes": sum(
                 os.path.getsize(os.path.join(self._path, rel))
@@ -260,10 +276,21 @@ class DeltaTable:
         return self._spark.createDataFrame(
             [row],
             "format string, id string, location string, "
-            "partitionColumns array<string>, numFiles long, "
+            "partitionColumns array<string>, "
+            "clusteringColumns array<string>, numFiles long, "
             "sizeInBytes long, properties map<string,string>, "
             "minReaderVersion int, minWriterVersion int",
         )
+
+    def clusterBy(self, *columns: str) -> int:
+        """ALTER TABLE ... CLUSTER BY (liquid clustering); pass no
+        columns for CLUSTER BY NONE. OPTIMIZE re-clusters on these by
+        default."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            cluster_by_delta,
+        )
+
+        return cluster_by_delta(self._path, list(columns))
 
     def upgradeTableProtocol(
         self, readerVersion: int, writerVersion: int
@@ -361,3 +388,106 @@ class DeltaTable:
             "version long, timestamp long, operation string, "
             "operationParameters string",
         )
+
+
+class IdentityGenerator:
+    """delta-spark's identity spec for ``DeltaTableBuilder.addColumn``:
+    ``generatedAlwaysAs=IdentityGenerator(start, step)`` (GENERATED
+    ALWAYS) or ``generatedByDefaultAs=`` (explicit inserts allowed,
+    water mark syncs)."""
+
+    def __init__(self, start: int = 1, step: int = 1):
+        if step == 0:
+            raise ValueError("identity step cannot be 0")
+        self.start = int(start)
+        self.step = int(step)
+
+
+class DeltaTableBuilder:
+    """``DeltaTable.create(spark)`` -> CREATE TABLE builder over
+    delta_dml.create_delta_table: columns (plain / GENERATED ALWAYS AS
+    expr / IDENTITY), partitioning, properties, liquid clustering."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._location: str | None = None
+        self._cols: list[tuple[str, str, bool]] = []
+        self._identity: dict[str, dict] = {}
+        self._generated: dict[str, str] = {}
+        self._partition: list[str] = []
+        self._cluster: list[str] = []
+        self._props: dict[str, str] = {}
+
+    def location(self, path: str) -> "DeltaTableBuilder":
+        self._location = path
+        return self
+
+    def addColumn(
+        self,
+        colName: str,
+        dataType: str,
+        nullable: bool = True,
+        generatedAlwaysAs: "str | IdentityGenerator | None" = None,
+        generatedByDefaultAs: "IdentityGenerator | None" = None,
+    ) -> "DeltaTableBuilder":
+        if generatedAlwaysAs is not None and generatedByDefaultAs is not None:
+            raise ValueError(
+                "a column is GENERATED ALWAYS or BY DEFAULT, not both"
+            )
+        self._cols.append((colName, dataType, nullable))
+        if isinstance(generatedAlwaysAs, IdentityGenerator):
+            self._identity[colName] = {
+                "start": generatedAlwaysAs.start,
+                "step": generatedAlwaysAs.step,
+                "allow_explicit_insert": False,
+            }
+        elif isinstance(generatedAlwaysAs, str):
+            self._generated[colName] = generatedAlwaysAs
+        if generatedByDefaultAs is not None:
+            self._identity[colName] = {
+                "start": generatedByDefaultAs.start,
+                "step": generatedByDefaultAs.step,
+                "allow_explicit_insert": True,
+            }
+        return self
+
+    def partitionedBy(self, *cols: str) -> "DeltaTableBuilder":
+        self._partition = list(cols)
+        return self
+
+    def clusterBy(self, *cols: str) -> "DeltaTableBuilder":
+        self._cluster = list(cols)
+        return self
+
+    def property(self, key: str, value: str) -> "DeltaTableBuilder":
+        self._props[key] = str(value)
+        return self
+
+    def execute(self) -> "DeltaTable":
+        if self._location is None:
+            raise ValueError("call .location(path) before .execute()")
+        if not self._cols:
+            raise ValueError("add at least one column")
+        if self._partition and self._cluster:
+            raise ValueError(
+                "a table partitions OR clusters, not both (upstream "
+                "contract)"
+            )
+        ddl = ", ".join(
+            f"`{n}` {t}" for n, t, _nullable in self._cols
+        )
+        delta_dml.create_delta_table(
+            self._location,
+            ddl,
+            partition_by=self._partition,
+            identity=self._identity or None,
+            configuration=self._props or None,
+            generated=self._generated or None,
+        )
+        if self._cluster:
+            from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+                cluster_by_delta,
+            )
+
+            cluster_by_delta(self._location, self._cluster)
+        return DeltaTable(self._spark, self._location)

@@ -2201,6 +2201,107 @@ def restore_delta(path: str, version: int) -> int:
     return v
 
 
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def cluster_by_delta(path: str, columns: Sequence[str]) -> int:
+    """ALTER TABLE ... CLUSTER BY (liquid clustering on a foreign Delta
+    table, PROTOCOL.md "Clustered Table"): records the clustering
+    columns in the ``delta.clustering`` domain and adds the
+    ``clustering`` (+ ``domainMetadata``) writer features. Data does
+    NOT move here — ``optimize_delta`` picks the domain's columns up
+    as its default clustering key and re-clusters incrementally, the
+    upstream OPTIMIZE-on-clustered-table contract. Pass ``[]`` to
+    un-cluster (``ALTER TABLE ... CLUSTER BY NONE``). Returns the new
+    log version."""
+    snap = DeltaSnapshot(path)
+    logical = {f["name"] for f in snap.schema_json.get("fields", [])}
+    unknown = set(columns) - logical
+    if unknown:
+        raise ValueError(
+            f"CLUSTER BY on non-table columns: {sorted(unknown)}"
+        )
+    overlap = set(columns) & set(snap.partition_cols)
+    if overlap:
+        raise ValueError(
+            f"CLUSTER BY on partition columns: {sorted(overlap)} "
+            "(a clustered table cannot also partition on the key)"
+        )
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                **commit_time_fields(path, snap.configuration, now),
+                "operation": "CLUSTER BY",
+                "operationParameters": {
+                    "clusterBy": json.dumps(list(columns))
+                },
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": CLUSTERING_DOMAIN,
+                # the spec stores PHYSICAL name paths, one array per
+                # (possibly nested) clustering column
+                "configuration": json.dumps(
+                    {
+                        "clusteringColumns": [
+                            [snap.physical_names().get(c, c)]
+                            for c in columns
+                        ]
+                    }
+                ),
+                "removed": False,
+            }
+        },
+    ]
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    wf = set(proto.get("writerFeatures") or [])
+    if not {"clustering", "domainMetadata"} <= wf:
+        mw = int(proto.get("minWriterVersion", 2))
+        if mw < 7:
+            wf |= _legacy_writer_features(mw)
+        wf |= {"clustering", "domainMetadata"}
+        new_proto: dict[str, Any] = {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wf),
+        }
+        if new_proto["minReaderVersion"] >= 3:
+            new_proto["readerFeatures"] = sorted(
+                set(proto.get("readerFeatures") or [])
+            )
+        actions.insert(1, {"protocol": new_proto})
+    v = snap.version + 1
+    _claim_commit(path, v, actions)
+    return v
+
+
+def clustering_columns(snap: DeltaSnapshot) -> list[str]:
+    """The table's LOGICAL clustering columns from the
+    ``delta.clustering`` domain ([] when unclustered)."""
+    dm = snap.domain_metadata.get(CLUSTERING_DOMAIN)
+    if not dm or not dm.get("configuration"):
+        return []
+    cfg = dm["configuration"]
+    if isinstance(cfg, str):
+        cfg = json.loads(cfg)
+    phys_to_logical = {
+        v: k for k, v in snap.physical_names().items()
+    }
+    out = []
+    for path_arr in cfg.get("clusteringColumns") or []:
+        if not path_arr:
+            continue
+        if len(path_arr) > 1:
+            raise NotImplementedError(
+                "nested clustering columns are not supported by this "
+                f"OPTIMIZE (got {path_arr})"
+            )
+        out.append(phys_to_logical.get(path_arr[0], path_arr[0]))
+    return out
+
+
 def _rt_materialized_names(
     configuration: dict[str, str],
 ) -> tuple[str, str, dict[str, str]]:
@@ -2283,6 +2384,12 @@ def optimize_delta(
             snap.configuration
         )
         rt_meta_emit = bool(rt_cfg_new)
+    if zorder_by is None:
+        # liquid clustering: OPTIMIZE on a clustered table re-clusters
+        # on the delta.clustering domain's columns by default
+        cc = clustering_columns(snap)
+        if cc:
+            zorder_by = cc
     groups: dict[tuple, list[str]] = {}
     for rel, pvals in snap.files.items():
         groups.setdefault(tuple(sorted(pvals.items())), []).append(rel)
@@ -2377,15 +2484,19 @@ def optimize_delta(
         if rt or has_dv:
             df = df.drop("__od_fp")
         if zorder_by:
-            from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
-                zorder_key,
-            )
-
-            df = (
-                df.withColumn(
-                    "__z",
-                    zorder_key(df, [phys_of.get(c, c) for c in zorder_by]),
+            zcols = [phys_of.get(c, c) for c in zorder_by]
+            if len(zcols) == 1:
+                # one clustering column: plain range-clustering IS the
+                # optimal layout — no Morton interleave needed
+                zkey = F.col(zcols[0])
+            else:
+                from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
+                    zorder_key,
                 )
+
+                zkey = zorder_key(df, zcols)
+            df = (
+                df.withColumn("__z", zkey)
                 .repartitionByRange(n_out, "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")

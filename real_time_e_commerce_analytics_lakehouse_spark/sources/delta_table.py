@@ -107,6 +107,10 @@ _SAFE_WRITER_FEATURES = {
     # replay + checkpoints preserve every domain
     "rowTracking",
     "domainMetadata",
+    # implemented: the delta.clustering domain is preserved by replay
+    # and checkpoints (the feature's writer obligation); appends need
+    # not cluster data — OPTIMIZE re-clusters on the domain's columns
+    "clustering",
 }
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
