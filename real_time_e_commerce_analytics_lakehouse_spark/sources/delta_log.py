@@ -1294,11 +1294,28 @@ def delta_changes(
             if d is not None:
                 frames.append(d)
     if not frames:
-        return empty
+        return empty.withColumn(
+            "_commit_timestamp", F.lit(None).cast("timestamp")
+        )
     out = frames[0]
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
-    return out
+    # _commit_timestamp (upstream CDF's third virtual column): one
+    # bounded literal map version -> the ICT-preferring commit clock
+    ts_map = F.create_map(
+        *[
+            x
+            for v in range(starting_version, ending + 1)
+            for x in (
+                F.lit(v),
+                F.lit(delta_commit_timestamp_ms(path, v)),
+            )
+        ]
+    )
+    return out.withColumn(
+        "_commit_timestamp",
+        F.timestamp_millis(ts_map[F.col("_commit_version")]),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2005,6 +2022,24 @@ def expire_delta_commits(path: str, honor_retention: bool = True) -> int:
             os.remove(fp)
             removed += 1
     return removed
+
+
+def delta_commit_timestamp_ms(path: str, version: int) -> int:
+    """One commit's timestamp on the same clock time travel uses:
+    commitInfo.inCommitTimestamp when present (the ICT writer feature's
+    monotonic clock, authoritative per spec), else commitInfo.timestamp,
+    else the commit file's mtime (the spec's documented fallback). This
+    is the value Delta CDF surfaces as ``_commit_timestamp``."""
+    fn = _commit_file(path, version)
+    with open(fn) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            ci = json.loads(line).get("commitInfo")
+            if ci and (ci.get("inCommitTimestamp") or ci.get("timestamp")):
+                return int(ci.get("inCommitTimestamp") or ci["timestamp"])
+    return int(os.stat(fn).st_mtime * 1000)
 
 
 def resolve_delta_version_at(path: str, ts_ms: int) -> int:

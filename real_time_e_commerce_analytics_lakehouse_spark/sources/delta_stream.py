@@ -76,6 +76,7 @@ class _ChangeSlice(InputPartition):
     label: str = ""
     exclude: tuple = ()
     include: tuple = ()
+    ts_ms: int = 0  # the commit's timestamp (ICT-preferring clock)
 
 
 def _dv_indexes(table_path: str, desc: dict | None) -> frozenset[int]:
@@ -184,11 +185,16 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             files_state, dvs_state = dict(pre.files), dict(pre.dvs)
         else:
             files_state, dvs_state = {}, {}
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            delta_commit_timestamp_ms,
+        )
+
         out: list[InputPartition] = []
         for v in range(v0, v1 + 1):
             # state BEFORE this commit, needed for delete/diff slices
             pre_dvs = dict(dvs_state)
             ch = classify_commit_changes(self.path, v, files_state, dvs_state)
+            ts_ms = delta_commit_timestamp_ms(self.path, v)
 
             def slice_for(rel, pvals, **kw):
                 return _ChangeSlice(
@@ -197,6 +203,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                         (c, pvals.get(self._pphys[c])) for c in self._pcols
                     ),
                     version=v,
+                    ts_ms=ts_ms,
                     **kw,
                 )
 
@@ -287,6 +294,13 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 arrays.append(
                     pa.array([partition.version] * n, type=pa.int64())
                 )
+            elif field.name == "_commit_timestamp":
+                pa_type = to_arrow_type(field.dataType)
+                arrays.append(
+                    pa.array(
+                        [partition.ts_ms * 1000] * n, type=pa.int64()
+                    ).cast(pa_type)
+                )
             else:
                 pa_type = to_arrow_type(field.dataType)
                 if field.name in part:
@@ -347,7 +361,11 @@ class DeltaCdfDataSource(DataSource):
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in snap.spark_schema().fields
         ]
-        parts += ["`_change_type` string", "`_commit_version` bigint"]
+        parts += [
+            "`_change_type` string",
+            "`_commit_version` bigint",
+            "`_commit_timestamp` timestamp",
+        ]
         return ", ".join(parts)
 
     def streamReader(self, schema: StructType) -> DeltaCdfStreamReader:

@@ -1544,7 +1544,11 @@ class DeltaDataSource(DataSource):
             for f in snap.spark_schema().fields
         ]
         if self._read_cdf():
-            cols += ["`_change_type` string", "`_commit_version` bigint"]
+            cols += [
+            "`_change_type` string",
+            "`_commit_version` bigint",
+            "`_commit_timestamp` timestamp",
+        ]
         elif self._with_row_ids():
             cols += ["`_row_id` bigint", "`_row_commit_version` bigint"]
         return ", ".join(cols)

@@ -420,3 +420,54 @@ def test_overwrite_inherits_partition_layout(spark, tmp_path):
     assert [(r.k, r.v) for r in spark.read.format("delta").load(p).collect()] == [
         ("c", 3)
     ]
+
+
+def test_cdf_commit_timestamp_column(spark, tmp_path):
+    """Upstream CDF's third virtual column: every change row carries
+    its commit's timestamp on the time-travel clock (ICT preferred,
+    else commitInfo.timestamp, else file mtime) — identical between
+    delta_changes and the format('delta') readChangeFeed path, and
+    NON-DECREASING across versions on an ICT table (the feature's
+    monotonic-clock guarantee)."""
+    import datetime
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        delta_commit_timestamp_ms,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        delete_delta,
+    )
+
+    delta_table.register(spark)
+    p = str(tmp_path / "t")
+    spark.range(0, 6).selectExpr("id", "id as v").write.format(
+        "delta"
+    ).mode("append").save(p)
+    alter_delta_properties(p, {"delta.enableInCommitTimestamps": "true"})
+    delete_delta(spark, p, "id = 2", mode="cow")
+    ch = delta_changes(spark, p, 0)
+    assert "_commit_timestamp" in ch.columns
+    pairs = sorted(
+        (r["_commit_version"], r["_commit_timestamp"])
+        for r in ch.select(
+            "_commit_version", "_commit_timestamp"
+        ).distinct().collect()
+    )
+    for v, ts in pairs:
+        want = delta_commit_timestamp_ms(p, v)
+        got = int(
+            ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+        )
+        assert got == want, (v, got, want)
+    assert [ts for _v, ts in pairs] == sorted(ts for _v, ts in pairs)
+    got = (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .load(p)
+    )
+    cols = ["id", "_change_type", "_commit_version", "_commit_timestamp"]
+    assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
+        tuple(r) for r in ch.select(*cols).collect()
+    )
