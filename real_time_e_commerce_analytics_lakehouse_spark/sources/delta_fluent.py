@@ -365,7 +365,11 @@ class DeltaTable:
         log = os.path.join(self._path, _DELTA_DIR)
         rows = []
         for fn in sorted(os.listdir(log)):
-            if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+            if not (
+                fn.endswith(".json")
+                and fn.split(".")[0].isdigit()
+                and len(fn.split(".")) == 2
+            ):
                 continue
             v = int(fn.split(".")[0])
             op, ts, params = None, None, None

@@ -137,7 +137,9 @@ class DeltaSnapshot:
         versions = sorted(
             int(f.split(".")[0])
             for f in os.listdir(log)
-            if f.endswith(".json") and f.split(".")[0].isdigit()
+            if f.endswith(".json")
+            and f.split(".")[0].isdigit()
+            and len(f.split(".")) == 2  # not {s}.{e}.compacted.json
         )
         if not versions and not os.path.exists(
             os.path.join(log, "_last_checkpoint")
@@ -187,15 +189,51 @@ class DeltaSnapshot:
             start = ckpt_meta + 1
         if self.version is None:
             self.version = ckpt_meta
-        for v in versions:
-            if v < start:
+        # log compaction files ({start}.{end}.compacted.json): one file
+        # replaces the reconciled span — at 100 TB the replay cost of a
+        # long JSON tail is metadata latency on EVERY snapshot, and
+        # compactions cut it without the full weight of a checkpoint
+        compactions: dict[int, int] = {}
+        for fn in os.listdir(log):
+            parts = fn.split(".")
+            if (
+                len(parts) == 4
+                and parts[2] == "compacted"
+                and parts[3] == "json"
+                and parts[0].isdigit()
+                and parts[1].isdigit()
+            ):
+                s0, e0 = int(parts[0]), int(parts[1])
+                if e0 > compactions.get(s0, -1):
+                    compactions[s0] = e0
+        have = set(versions)
+        v = start
+        top = self.version if self.version is not None else -1
+        while v <= top:
+            ce = compactions.get(v)
+            if ce is not None and ce <= top:
+                with open(
+                    os.path.join(log, f"{v:020d}.{ce:020d}.compacted.json")
+                ) as f:
+                    # a compacted span is a reconciled SET (removes are
+                    # true tombstones): apply actions directly, without
+                    # _apply_commit's same-commit remove suppression
+                    for ln in f:
+                        s = ln.strip()
+                        if s:
+                            self._apply(json.loads(s))
+                v = ce + 1
                 continue
-            if self.version is not None and v > self.version:
-                break
-            with open(_commit_file(path, v)) as f:
-                self._apply_commit(
-                    [json.loads(s) for s in (ln.strip() for ln in f) if s]
-                )
+            if v in have:
+                with open(_commit_file(path, v)) as f:
+                    self._apply_commit(
+                        [
+                            json.loads(s)
+                            for s in (ln.strip() for ln in f)
+                            if s
+                        ]
+                    )
+            v += 1
         if self._requested is not None:
             known = max(
                 versions[-1] if versions else -1,
@@ -1978,6 +2016,96 @@ def write_delta_checkpoint(path: str, format: str = "classic") -> int:
     return snap.version
 
 
+def compact_delta_log(
+    path: str, start: int | None = None, end: int | None = None
+) -> str:
+    """Write a log compaction file ``{start}.{end}.compacted.json``
+    (Delta's minor compaction): the reconciled action SET of the span —
+    latest metaData/protocol, one txn per appId, one domainMetadata per
+    domain (removal tombstones retained: they must keep deleting),
+    surviving adds (latest state), and removes as tombstones for files
+    added before-or-in the span and gone by its end. Readers that know
+    the file replay it INSTEAD of the span's JSON commits (this
+    module's DeltaSnapshot does); readers that don't keep reading the
+    untouched JSONs — the file is purely additive, commits are not
+    deleted. Defaults: the whole retained log after the last
+    checkpoint. Returns the file path.
+
+    At 100 TB the table's snapshot latency is log-replay bound between
+    checkpoints; a compaction after every N commits caps it at
+    O(live files + N) without a full checkpoint's write cost."""
+    log = os.path.join(path, _DELTA_DIR)
+    versions = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".json")
+        and f.split(".")[0].isdigit()
+        and "compacted" not in f
+    )
+    if not versions:
+        raise FileNotFoundError(f"{path}: no JSON commits to compact")
+    if start is None:
+        start = versions[0]
+    if end is None:
+        end = versions[-1]
+    if start > end:
+        raise ValueError(f"start {start} > end {end}")
+    missing = [
+        v for v in range(start, end + 1) if v not in set(versions)
+    ]
+    if missing:
+        raise ValueError(
+            f"span [{start}, {end}] is missing JSON commits {missing}"
+        )
+    proto = meta = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        with open(_commit_file(path, v)) as f:
+            acts = [json.loads(s) for s in (ln.strip() for ln in f) if s]
+        added_now = {
+            _decode_path(a["add"]["path"]) for a in acts if a.get("add")
+        }
+        for a in acts:
+            if a.get("protocol"):
+                proto = a["protocol"]
+            if a.get("metaData"):
+                meta = a["metaData"]
+            if a.get("txn"):
+                txns[str(a["txn"]["appId"])] = a["txn"]
+            if a.get("domainMetadata"):
+                domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
+            if a.get("add"):
+                rel = _decode_path(a["add"]["path"])
+                adds[rel] = a["add"]
+                removes.pop(rel, None)
+            if a.get("remove"):
+                rel = _decode_path(a["remove"]["path"])
+                if rel in added_now:
+                    continue  # same-commit replace: the add wins
+                adds.pop(rel, None)
+                removes[rel] = a["remove"]
+    out = os.path.join(log, f"{start:020d}.{end:020d}.compacted.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        if proto is not None:
+            f.write(json.dumps({"protocol": proto}) + "\n")
+        if meta is not None:
+            f.write(json.dumps({"metaData": meta}) + "\n")
+        for app in sorted(txns):
+            f.write(json.dumps({"txn": txns[app]}) + "\n")
+        for d in sorted(domains):
+            f.write(json.dumps({"domainMetadata": domains[d]}) + "\n")
+        for rel in sorted(adds):
+            f.write(json.dumps({"add": adds[rel]}) + "\n")
+        for rel in sorted(removes):
+            f.write(json.dumps({"remove": removes[rel]}) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
 def expire_delta_commits(path: str, honor_retention: bool = True) -> int:
     """Delete JSON commits at or below the last checkpoint (Delta's log
     cleanup); returns how many were removed. Safe by construction: the
@@ -2010,7 +2138,11 @@ def expire_delta_commits(path: str, honor_retention: bool = True) -> int:
         cutoff_ms = time.time() * 1000 - (ms if ms > 0 else 30 * 86_400_000)
     removed = 0
     for fn in os.listdir(log):
-        if fn.endswith(".json") and fn.split(".")[0].isdigit():
+        if (
+            fn.endswith(".json")
+            and fn.split(".")[0].isdigit()
+            and len(fn.split(".")) == 2
+        ):
             fp = os.path.join(log, fn)
             if int(fn.split(".")[0]) > v:
                 continue
@@ -2055,7 +2187,11 @@ def resolve_delta_version_at(path: str, ts_ms: int) -> int:
     best: int | None = None
     earliest: tuple[int, int] | None = None
     for fn in os.listdir(log):
-        if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+        if not (
+            fn.endswith(".json")
+            and fn.split(".")[0].isdigit()
+            and len(fn.split(".")) == 2
+        ):
             continue
         v = int(fn.split(".")[0])
         t = None
@@ -2106,7 +2242,11 @@ def resolve_delta_version_from(path: str, ts_ms: int) -> int:
     best: int | None = None
     latest = -1
     for fn in os.listdir(log):
-        if not (fn.endswith(".json") and fn.split(".")[0].isdigit()):
+        if not (
+            fn.endswith(".json")
+            and fn.split(".")[0].isdigit()
+            and len(fn.split(".")) == 2
+        ):
             continue
         v = int(fn.split(".")[0])
         latest = max(latest, v)
@@ -3585,7 +3725,9 @@ def commit_time_fields(
         vs = [
             int(f.split(".")[0])
             for f in os.listdir(log)
-            if f.endswith(".json") and f.split(".")[0].isdigit()
+            if f.endswith(".json")
+            and f.split(".")[0].isdigit()
+            and len(f.split(".")) == 2
         ]
         if vs:
             with open(_commit_file(path, max(vs))) as f:

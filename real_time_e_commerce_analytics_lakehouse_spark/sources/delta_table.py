@@ -693,7 +693,9 @@ class DeltaTableStreamReader(_SliceScanMixin, DataSourceStreamReader):
         vs = [
             int(f.split(".")[0])
             for f in os.listdir(log)
-            if f.endswith(".json") and f.split(".")[0].isdigit()
+            if f.endswith(".json")
+            and f.split(".")[0].isdigit()
+            and len(f.split(".")) == 2
         ]
         return max(vs) if vs else -1
 

@@ -2448,3 +2448,75 @@ def test_upgrade_protocol_carries_legacy_reader_features(spark, tmp_path):
     assert "columnMapping" in proto["readerFeatures"]
     assert "columnMapping" in proto["writerFeatures"]
     assert sorted(r.a for r in read_delta_log(spark, path).collect()) == [1]
+
+
+def test_log_compaction_roundtrip(spark, tmp_path):
+    """Log compaction files ({s}.{e}.compacted.json): the reconciled
+    span replays to the IDENTICAL snapshot state — files, DVs, stats,
+    row ids, domains, protocol, config — and replaces the span's JSON
+    commits (replay works with a mid-span json gone); mid-span time
+    travel and timestamp resolution keep using the raw commits."""
+    import os as _os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        delete_delta,
+        update_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        compact_delta_log,
+        delta_commit_timestamp_ms,
+        resolve_delta_version_at,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+
+    delta_table.register(spark)
+    p = str(tmp_path / "t")
+    for i in range(4):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id", "id as v")
+            .coalesce(1)
+            .write.format("delta")
+            .mode("append")
+            .save(p)
+        )
+    delete_delta(spark, p, "id % 7 = 0", mode="mor")
+    update_delta(spark, p, "id = 11", {"v": "999"})
+    alter_delta_properties(p, {"delta.enableRowTracking": "true"})
+    ref = DeltaSnapshot(p)
+    want = sorted(tuple(r) for r in read_delta_log(spark, p).collect())
+
+    compact_delta_log(p, 0, ref.version)
+    snap = DeltaSnapshot(p)
+    assert snap.files == ref.files
+    assert snap.dvs == ref.dvs
+    assert snap.stats == ref.stats
+    assert snap.row_ids == ref.row_ids
+    assert snap.domain_metadata.keys() == ref.domain_metadata.keys()
+    assert snap.protocol == ref.protocol
+    assert snap.configuration == ref.configuration
+    assert sorted(tuple(r) for r in read_delta_log(spark, p).collect()) == want
+    # mid-span time travel bypasses the compaction (span end > request)
+    assert read_delta_log(spark, p, version=2).count() == 30
+    # timestampAsOf resolution ignores the compacted file
+    assert (
+        resolve_delta_version_at(
+            p, delta_commit_timestamp_ms(p, ref.version) + 1
+        )
+        == ref.version
+    )
+    # a reader that knows compaction needs only the file, not the span
+    moved = str(tmp_path / "moved.json")
+    _os.rename(_os.path.join(p, "_delta_log", f"{2:020d}.json"), moved)
+    assert DeltaSnapshot(p).files == ref.files
+    _os.rename(moved, _os.path.join(p, "_delta_log", f"{2:020d}.json"))
+    # later commits apply on top of the compacted span
+    (
+        spark.range(100, 105)
+        .selectExpr("id", "id as v")
+        .write.format("delta")
+        .mode("append")
+        .save(p)
+    )
+    assert read_delta_log(spark, p).count() == len(want) + 5
