@@ -197,6 +197,61 @@ def table_layer_soak(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     optimize_delta(spark, dp, target_file_bytes=1 * 1024 * 1024)
     out["optimize_delta_churn"] = round(time.perf_counter() - t0, 3)
 
+    # ---- row tracking tier (r8 session-3): the same fixed-churn merge
+    # with delta.enableRowTracking on. Claims under test: stamping is
+    # O(files-in-commit) driver metadata, and the preserved-id rewrite
+    # adds only a row_index column + one broadcast join to the scan of
+    # the files it was already rewriting — cost stays ∝ churn.
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+    )
+
+    alter_delta_properties(dp, {"delta.enableRowTracking": "true"})  # untimed backfill
+    churn5 = (
+        orders.where(
+            (F.col("o_orderkey") % 89 == 0)
+            & (F.col("o_orderkey") < 10_000_000)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+    ).persist()
+    churn5.count()
+    t0 = time.perf_counter()
+    merge_delta(spark, dp, churn5, keys=["o_orderkey"])
+    out["merge_delta_churn_rowtracking"] = round(
+        time.perf_counter() - t0, 3
+    )
+    churn5.unpersist()
+
+    # ---- identity tier: fixed 50k-row insert into a SCALED identity
+    # table. Claim: generation is per-partition offsets over the BATCH
+    # (2 jobs ∝ batch) + an O(log) snapshot replay for the water mark —
+    # table size must not appear in the cost.
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        create_delta_table,
+        insert_delta,
+    )
+
+    ip = f"{workdir}/orders_identity"
+    create_delta_table(
+        ip,
+        "sk bigint, o_orderkey bigint, o_totalprice double",
+        identity={"sk": {"start": 1, "step": 1}},
+    )
+    # untimed setup: seed the scaled table
+    insert_delta(
+        spark, ip, orders.select("o_orderkey", "o_totalprice")
+    )
+    batch = (
+        orders.where(F.col("o_orderkey") < 10_000_000)
+        .limit(50_000)
+        .select("o_orderkey", "o_totalprice")
+        .persist()
+    )
+    batch.count()
+    t0 = time.perf_counter()
+    insert_delta(spark, ip, batch)
+    out["identity_insert_batch"] = round(time.perf_counter() - t0, 3)
+    batch.unpersist()
+
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
@@ -282,6 +337,12 @@ def main() -> None:
             "merge_delta_churn",
             "delete_mor_churn",
             "optimize_delta_churn",
+            # row tracking adds O(files-in-commit) driver metadata +
+            # one broadcast join to the already-churn-bounded rewrite
+            "merge_delta_churn_rowtracking",
+            # identity generation is 2 jobs over the 50k batch + an
+            # O(log) water-mark read
+            "identity_insert_batch",
         }
         for op in small_tl:
             ts_f, tb_f = max(small_tl[op], 1e-3), max(big_tl[op], 1e-3)
