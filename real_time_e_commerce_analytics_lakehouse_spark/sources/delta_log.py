@@ -1018,6 +1018,7 @@ def classify_commit_changes(
     adds: dict[str, tuple[dict, dict | None]] = {}
     removes: set[str] = set()
     cdcs: dict[str, dict] = {}
+    row_ids: dict[str, dict] = {}
     with open(_commit_file(path, v)) as f:
         for line in f:
             line = line.strip()
@@ -1030,6 +1031,16 @@ def classify_commit_changes(
                     dict(a["add"].get("partitionValues") or {}),
                     a["add"].get("deletionVector"),
                 )
+                if a["add"].get("baseRowId") is not None:
+                    row_ids[rel] = {
+                        "baseRowId": int(a["add"]["baseRowId"]),
+                        "defaultRowCommitVersion": (
+                            int(a["add"]["defaultRowCommitVersion"])
+                            if a["add"].get("defaultRowCommitVersion")
+                            is not None
+                            else None
+                        ),
+                    }
             if a.get("remove") and a["remove"].get("dataChange", True):
                 removes.add(_decode_path(a["remove"]["path"]))
             if a.get("cdc"):
@@ -1058,6 +1069,8 @@ def classify_commit_changes(
         "del_dvs": {r: dvs_state[r] for r in removes if r in dvs_state},
         "diffs": diffs,
         "diff_files": {r: p for r, (p, _dv) in adds.items()},
+        # row tracking fields of this commit's adds (streamed row ids)
+        "row_ids": row_ids,
     }
     # advance the replayed state
     for rel, (pvals, dv) in adds.items():

@@ -656,6 +656,7 @@ class DeltaTableStreamReader(_SliceScanMixin, DataSourceStreamReader):
         starting_version: int = 0,
         max_versions: int | None = None,
         skip_change_commits: bool = False,
+        with_row_ids: bool = False,
     ):
         from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
             is_nested,
@@ -667,6 +668,18 @@ class DeltaTableStreamReader(_SliceScanMixin, DataSourceStreamReader):
         self.starting_version = starting_version
         self.max_versions = max_versions
         self.skip_change_commits = skip_change_commits
+        # row tracking: stream rows can carry their stable _row_id /
+        # _row_commit_version — the natural key for incremental
+        # downstream pipelines keyed on "which physical row changed"
+        self._rt_on = with_row_ids
+        self._rt_mat = (
+            snap.configuration.get(
+                "delta.rowTracking.materializedRowIdColumnName"
+            ),
+            snap.configuration.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            ),
+        )
         # column-mapped parity (VERDICT r7 next #5): same physical
         # resolution as the batch reader; add.partitionValues key by
         # PHYSICAL partition names
@@ -772,6 +785,7 @@ class DeltaTableStreamReader(_SliceScanMixin, DataSourceStreamReader):
                     "via format 'delta_cdf'"
                 )
             for rel, pvals in ch["ins_files"].items():
+                rid = ch["row_ids"].get(rel) or {}
                 out.append(
                     _TableSlice(
                         file=os.path.join(self.path, rel),
@@ -785,6 +799,10 @@ class DeltaTableStreamReader(_SliceScanMixin, DataSourceStreamReader):
                                     self.path, ch["ins_dvs"].get(rel)
                                 )
                             )
+                        ),
+                        base_row_id=rid.get("baseRowId"),
+                        row_commit_version=rid.get(
+                            "defaultRowCommitVersion"
                         ),
                     )
                 )
@@ -1593,6 +1611,7 @@ class DeltaDataSource(DataSource):
                 str(self.options.get("skipchangecommits", "false")).lower()
                 == "true"
             ),
+            with_row_ids=self._with_row_ids(),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> DeltaBatchWriter:

@@ -321,3 +321,56 @@ def test_foreign_domain_metadata_round_trips(spark, tmp_path):
             + "\n"
         )
     assert "custom.app" not in DeltaSnapshot(p).domain_metadata
+
+
+def test_stream_read_with_row_ids(spark, tmp_path):
+    """readStream.format('delta').option('withRowIds'): streamed rows
+    carry the same _row_id/_row_commit_version the batch read serves.
+    Rows from commits BEFORE enablement stream with NULL ids (their
+    adds carry no baseRowId; the backfill is dataChange=false and is
+    correctly invisible to the append stream)."""
+    import time
+
+    p = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.range(0, 8)
+        .selectExpr("id", "id as v")
+        .coalesce(1)
+        .write.format("delta")
+        .mode("append")
+        .save(p)
+    )
+    alter_delta_properties(p, {"delta.enableRowTracking": "true"})
+    (
+        spark.range(8, 12)
+        .selectExpr("id", "id as v")
+        .coalesce(1)
+        .write.format("delta")
+        .mode("append")
+        .save(p)
+    )
+    q = (
+        spark.readStream.format("delta")
+        .option("withRowIds", "true")
+        .option("startingVersion", "0")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    got = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta_log(spark, p, with_row_ids=True).collect()
+    }
+    assert {k for k, v in got.items() if v[0] is not None} == {8, 9, 10, 11}
+    assert all(got[k] == want[k] for k in (8, 9, 10, 11))
