@@ -1701,7 +1701,9 @@ def _deleted_file_retention_ms(configuration: dict[str, str]) -> int:
     return total if total > 0 else 604_800_000
 
 
-def write_delta_checkpoint(path: str, format: str = "classic") -> int:
+def write_delta_checkpoint(
+    path: str, format: str = "classic", parts: int | None = None
+) -> int:
     """Write a Delta parquet checkpoint of the CURRENT log state
     (`NNNN.checkpoint.parquet` + `_last_checkpoint`), the maintenance
     step every long-lived Delta table needs: without one, readers must
@@ -1943,6 +1945,32 @@ def write_delta_checkpoint(path: str, format: str = "classic") -> int:
         ]
     )
     log = os.path.join(path, _DELTA_DIR)
+    if format == "classic" and parts:
+        # multi-part classic checkpoint (the shape this reader already
+        # bootstraps from): actions partitioned across
+        # N.checkpoint.<i>.<parts>.parquet, i in 1..parts — at millions
+        # of files the parts write (and read) with per-part parallelism
+        # without needing the v2Checkpoint reader feature
+        if parts < 1:
+            raise ValueError(f"parts must be >= 1, got {parts}")
+        chunk = max(1, -(-len(rows) // parts))
+        for i in range(1, parts + 1):
+            sub = rows[(i - 1) * chunk : i * chunk]
+            pq.write_table(
+                pa.Table.from_pylist(sub, schema=cp_schema),
+                os.path.join(
+                    log,
+                    f"{snap.version:020d}.checkpoint."
+                    f"{i:010d}.{parts:010d}.parquet",
+                ),
+            )
+        with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+            json.dump(
+                {"version": snap.version, "size": len(rows),
+                 "parts": parts},
+                f,
+            )
+        return snap.version
     if format == "classic":
         cp = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
         pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), cp)
@@ -2117,6 +2145,82 @@ def compact_delta_log(
             f.write(json.dumps({"remove": removes[rel]}) + "\n")
     os.replace(tmp, out)
     return out
+
+
+def _version_checksum(path: str, version: int) -> dict:
+    """delta-spark's VersionChecksum payload for one version: counts +
+    byte totals + the exact protocol/metadata/txn/domain state a replay
+    to that version produces."""
+    snap = DeltaSnapshot(path, version)
+    return {
+        "tableSizeBytes": sum(
+            os.path.getsize(os.path.join(path, rel)) for rel in snap.files
+        ),
+        "numFiles": len(snap.files),
+        "numDeletedRecordsOpt": sum(
+            int(d.get("cardinality") or 0) for d in snap.dvs.values()
+        ),
+        "numDeletionVectorsOpt": len(snap.dvs),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": {
+            "id": getattr(snap, "meta_id", None),
+            "schemaString": json.dumps(snap.schema_json),
+            "partitionColumns": list(snap.partition_cols),
+            "configuration": dict(snap.configuration),
+        },
+        "protocol": snap.protocol
+        or {"minReaderVersion": 1, "minWriterVersion": 2},
+        "setTransactions": [
+            {"appId": a, "version": v} for a, v in sorted(snap.txns.items())
+        ],
+        "domainMetadata": [
+            dict(snap.domain_metadata[d])
+            for d in sorted(snap.domain_metadata)
+        ],
+    }
+
+
+def write_delta_crc(path: str, version: int | None = None) -> str:
+    """Write ``<version>.crc`` (delta-spark's per-version checksum
+    file): a JSON snapshot summary foreign readers use to VERIFY a log
+    replay — a replay that disagrees on file count, byte total, DV
+    cardinality, protocol, or metadata has corrupted state. Returns the
+    file path."""
+    if version is None:
+        version = DeltaSnapshot(path).version
+    payload = _version_checksum(path, version)
+    out = os.path.join(path, _DELTA_DIR, f"{version:020d}.crc")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, out)
+    return out
+
+
+def verify_delta_crc(path: str) -> list[str]:
+    """Re-derive every ``<v>.crc`` in the log from a fresh replay and
+    compare; returns the list of mismatch descriptions (empty =
+    verified). The integrity check delta-spark performs on snapshot
+    construction, runnable on demand."""
+    log = os.path.join(path, _DELTA_DIR)
+    problems: list[str] = []
+    for fn in sorted(os.listdir(log)):
+        if not (fn.endswith(".crc") and fn.split(".")[0].isdigit()):
+            continue
+        v = int(fn.split(".")[0])
+        with open(os.path.join(log, fn)) as f:
+            recorded = json.load(f)
+        actual = _version_checksum(path, v)
+        for k, want in recorded.items():
+            if k not in actual:
+                continue  # fields this writer doesn't derive
+            if actual[k] != want:
+                problems.append(
+                    f"version {v}: {k} mismatch (crc {want!r}, "
+                    f"replay {actual[k]!r})"
+                )
+    return problems
 
 
 def expire_delta_commits(path: str, honor_retention: bool = True) -> int:

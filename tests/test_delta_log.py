@@ -2520,3 +2520,76 @@ def test_log_compaction_roundtrip(spark, tmp_path):
         .save(p)
     )
     assert read_delta_log(spark, p).count() == len(want) + 5
+
+
+def test_multipart_checkpoint_write_and_crc(spark, tmp_path):
+    """Multi-part classic checkpoint WRITING (N.checkpoint.<i>.<parts>
+    .parquet — reading existed since r6) bootstraps to the identical
+    snapshot after log cleanup, row tracking and DVs included; .crc
+    version checksums verify a replay and catch tampering."""
+    import json as _json
+    import os as _os
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        delete_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        expire_delta_commits,
+        verify_delta_crc,
+        write_delta_checkpoint,
+        write_delta_crc,
+    )
+
+    delta_table.register(spark)
+    p = str(tmp_path / "t")
+    for i in range(3):
+        (
+            spark.range(i * 100, i * 100 + 100)
+            .selectExpr("id", "id as v")
+            .coalesce(2)
+            .write.format("delta")
+            .mode("append")
+            .save(p)
+        )
+    alter_delta_properties(p, {"delta.enableRowTracking": "true"})
+    delete_delta(spark, p, "id % 7 = 0", mode="mor")
+    for v in range(DeltaSnapshot(p).version + 1):
+        write_delta_crc(p, v)
+    assert verify_delta_crc(p) == []
+    # tampering with a recorded count is detected
+    fn = _os.path.join(p, "_delta_log", f"{2:020d}.crc")
+    d = _json.load(open(fn))
+    d["numFiles"] += 1
+    _json.dump(d, open(fn, "w"))
+    probs = verify_delta_crc(p)
+    assert probs and "numFiles" in probs[0]
+
+    ref = DeltaSnapshot(p)
+    want = sorted(
+        tuple(r)
+        for r in read_delta_log(spark, p, with_row_ids=True).collect()
+    )
+    write_delta_checkpoint(p, parts=3)
+    log = _os.path.join(p, "_delta_log")
+    parts = [
+        f
+        for f in _os.listdir(log)
+        if ".checkpoint." in f and f.endswith(".parquet")
+    ]
+    assert len(parts) == 3, parts
+    expire_delta_commits(p, honor_retention=False)
+    snap = DeltaSnapshot(p)
+    assert snap.files == ref.files
+    assert snap.dvs == ref.dvs
+    assert snap.row_ids == ref.row_ids
+    assert snap.stats == ref.stats
+    assert "delta.rowTracking" in snap.domain_metadata
+    assert (
+        sorted(
+            tuple(r)
+            for r in read_delta_log(spark, p, with_row_ids=True).collect()
+        )
+        == want
+    )
