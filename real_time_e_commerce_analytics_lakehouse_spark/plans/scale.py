@@ -614,6 +614,55 @@ def identity_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustered_optimize_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_sum("o_totalprice")} AS revenue
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc=(
+        "Liquid clustering end-to-end on a foreign Delta table "
+        "(delta_log.cluster_by_delta): seed fragmented files, CLUSTER "
+        "BY (status, priority) — the delta.clustering domain + writer "
+        "feature — then OPTIMIZE with no explicit key, which must pick "
+        "the domain's columns up and rewrite range-clustered on their "
+        "Morton key; the aggregate reads the clustered table back "
+        "through the format reader. Data must be byte-identical under "
+        "re-clustering; a wrong physical->logical column resolution or "
+        "a dropped row in the rewrite diverges from the oracle. "
+        "100 TB: OPTIMIZE groups are independent per partition combo "
+        "and the rewrite is a plain Spark scan+write."
+    ),
+    tags=("table", "formats", "delta"),
+)
+def clustered_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        cluster_by_delta,
+        optimize_delta,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("delta_cluster", sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    orders.where(F.col("o_orderkey") % 3 == 0).repartition(4).write.format(
+        "delta"
+    ).mode("overwrite").save(path)
+    cluster_by_delta(path, ["o_orderstatus", "o_orderpriority"])
+    optimize_delta(spark, path, target_file_bytes=1 << 20)
+    back = spark.read.format("delta").load(path)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(dec_sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
     "incremental_mart_maintenance",
     oracle="""
     SELECT o_orderstatus,

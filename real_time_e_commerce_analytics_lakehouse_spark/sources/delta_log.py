@@ -1636,6 +1636,13 @@ def export_delta_log(table: LakeTable) -> int:
         else:
             add["stats"] = delta_file_stats(abs_p)
         actions.append({"add": add})
+    # a user may have enabled row tracking on the EXPORTED log (the
+    # export target is a real Delta table); adds must then carry
+    # baseRowId — re-exports of unchanged files keep their ids (same
+    # path -> stamp copies the prior base)
+    stamp_row_tracking(
+        table.path, None if first else prev, actions, next_v
+    )
     actions.append(
         {
             "commitInfo": {
@@ -2777,6 +2784,7 @@ def optimize_delta(
             df = df.drop("__od_fp")
         if zorder_by:
             zcols = [phys_of.get(c, c) for c in zorder_by]
+            zkey = None
             if len(zcols) == 1:
                 # one clustering column: plain range-clustering IS the
                 # optimal layout — no Morton interleave needed
@@ -2786,13 +2794,26 @@ def optimize_delta(
                     zorder_key,
                 )
 
-                zkey = zorder_key(df, zcols)
-            df = (
-                df.withColumn("__z", zkey)
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+                try:
+                    zkey = zorder_key(df, zcols)
+                except ValueError:
+                    # non-griddable columns (strings have no linear
+                    # grid): lexicographic multi-column range
+                    # clustering — later columns stay full-width per
+                    # leading-column range, the same tradeoff the
+                    # engine's LakeTable cluster_by documents
+                    zkey = None
+            if zkey is not None:
+                df = (
+                    df.withColumn("__z", zkey)
+                    .repartitionByRange(n_out, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                df = df.repartitionByRange(
+                    n_out, *[F.col(c) for c in zcols]
+                ).sortWithinPartitions(*zcols)
         else:
             df = df.repartition(n_out)
         # stage executor-side, then adopt the files by rename (same

@@ -374,3 +374,40 @@ def test_stream_read_with_row_ids(spark, tmp_path):
     }
     assert {k for k, v in got.items() if v[0] is not None} == {8, 9, 10, 11}
     assert all(got[k] == want[k] for k in (8, 9, 10, 11))
+
+
+def test_export_delta_log_stamps_after_enable(spark, tmp_path):
+    """Enabling row tracking on an EXPORTED log keeps working through
+    later exports: unchanged files keep their ids (same path -> the
+    stamp copies the prior base), new files get fresh ids, and the
+    water mark advances."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        export_delta_log,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "a") for i in range(6)], "id long, v string"
+        )
+    )
+    export_delta_log(t)
+    alter_delta_properties(t.path, {"delta.enableRowTracking": "true"})
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_delta_log(spark, t.path, with_row_ids=True).collect()
+    }
+    t.append(
+        spark.createDataFrame([(10, "z"), (11, "z")], "id long, v string")
+    )
+    export_delta_log(t)
+    snap = DeltaSnapshot(t.path)
+    assert len(snap.row_ids) == len(snap.files)
+    after = {
+        r["id"]: r["_row_id"]
+        for r in read_delta_log(spark, t.path, with_row_ids=True).collect()
+    }
+    assert set(after) == set(range(6)) | {10, 11}
+    assert all(after[k] == v for k, v in before.items())
+    assert len(set(after.values())) == 8
