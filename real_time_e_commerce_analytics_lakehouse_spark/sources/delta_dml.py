@@ -688,6 +688,7 @@ def insert_delta(spark: SparkSession, path: str, df: DataFrame) -> dict:
         configuration=snap.configuration,
         snap=snap,
         metadata_action=_identity_metadata_action(snap, new_hwms),
+        metrics={"numOutputRows": n, "numFiles": len(adds)},
     )
     return {"version": v, "rows_inserted": n}
 
@@ -816,6 +817,7 @@ def _commit_dml(
     configuration: dict | None = None,
     snap: "DeltaSnapshot | None" = None,
     metadata_action: dict | None = None,
+    metrics: dict | None = None,
 ) -> int:
     """One atomic DML commit. ``removes``: (rel, old DV descriptor or
     None); ``dv_readds``: (rel, partitionValues, new DV descriptor) for
@@ -910,6 +912,11 @@ def _commit_dml(
                 **commit_time_fields(path, configuration, now),
                 "operation": operation,
                 "operationParameters": dict(params),
+                # delta-spark's observability contract: history()
+                # surfaces these; values serialize as strings upstream
+                "operationMetrics": {
+                    k: str(v) for k, v in (metrics or {}).items()
+                },
             }
         }
     )
@@ -1465,6 +1472,13 @@ def merge_delta(
         configuration=snap.configuration,
         snap=snap,
         metadata_action=_identity_metadata_action(snap, id_hwms),
+        metrics={
+            "numTargetRowsInserted": n_ins,
+            "numTargetRowsUpdated": n_upd,
+            "numTargetRowsDeleted": n_del,
+            "numTargetFilesRemoved": len(affected),
+            "numTargetFilesAdded": len(adds),
+        },
     )
     if set_exprs is None:
         src.unpersist()
@@ -1539,6 +1553,11 @@ def delete_delta(
             {"mode": "cow"},
             configuration=snap.configuration,
             snap=snap,
+            metrics={
+                "numDeletedRows": n_del,
+                "numRemovedFiles": len(affected),
+                "numAddedFiles": len(adds),
+            },
         )
         return {"version": v, "rows_deleted": n_del, "files": len(affected)}
     if mode != "mor":
@@ -1700,6 +1719,10 @@ def delete_delta(
         protocol_action=_dv_protocol_upgrade(snap),
         configuration=snap.configuration,
         snap=snap,
+        metrics={
+            "numDeletedRows": n_del,
+            "numDeletionVectorsAdded": len(dv_readds),
+        },
     )
     return {"version": v, "rows_deleted": n_del, "files": len(per_file)}
 
@@ -1775,5 +1798,10 @@ def update_delta(
         {"columns": json.dumps(sorted(exprs))},
         configuration=snap.configuration,
         snap=snap,
+        metrics={
+            "numUpdatedRows": n_upd,
+            "numRemovedFiles": len(affected),
+            "numAddedFiles": len(adds),
+        },
     )
     return {"version": v, "rows_updated": n_upd, "files": len(affected)}

@@ -372,7 +372,7 @@ class DeltaTable:
             ):
                 continue
             v = int(fn.split(".")[0])
-            op, ts, params = None, None, None
+            op, ts, params, metrics = None, None, None, None
             with open(_commit_file(self._path, v)) as f:
                 for line in f:
                     line = line.strip()
@@ -386,11 +386,18 @@ class DeltaTable:
                         params = _json.dumps(
                             ci.get("operationParameters") or {}
                         )
-            rows.append((v, ts, op, params))
+                        metrics = {
+                            str(k): str(x)
+                            for k, x in (
+                                ci.get("operationMetrics") or {}
+                            ).items()
+                        }
+            rows.append((v, ts, op, params, metrics))
         return self._spark.createDataFrame(
             rows,
             "version long, timestamp long, operation string, "
-            "operationParameters string",
+            "operationParameters string, "
+            "operationMetrics map<string,string>",
         )
 
 

@@ -2891,6 +2891,10 @@ def optimize_delta(
             "commitInfo": {
                 **commit_time_fields(path, snap.configuration, now),
                 "operation": "OPTIMIZE",
+                "operationMetrics": {
+                    "numRemovedFiles": str(len(rewritten)),
+                    "numAddedFiles": str(len(new_adds)),
+                },
                 "operationParameters": {
                     "targetSize": str(target_file_bytes),
                     **(

@@ -1171,6 +1171,12 @@ def _commit_table_change(
                     "operationParameters": {
                         "mode": "Overwrite" if overwrite else "Append"
                     },
+                    "operationMetrics": {
+                        "numFiles": str(len(adds)),
+                        "numOutputRows": str(
+                            sum(n for _r, _p, n in adds)
+                        ),
+                    },
                 }
             }
         )

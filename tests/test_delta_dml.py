@@ -847,3 +847,43 @@ def test_when_matched_delete(spark, tmp_path):
     assert _rows(
         spark.read.format("delta").load(p).select("id")
     ) == [(3,)]
+
+
+def test_operation_metrics_in_history(spark, tmp_path):
+    """commitInfo.operationMetrics (delta-spark's observability
+    contract, string-valued): WRITE/MERGE/DELETE-MoR/OPTIMIZE each
+    record their row/file counts, surfaced by history()."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    p = str(tmp_path / "t")
+    (
+        spark.range(0, 10)
+        .selectExpr("id", "id as v")
+        .coalesce(2)
+        .write.format("delta")
+        .mode("append")
+        .save(p)
+    )
+    merge_delta(
+        spark,
+        p,
+        spark.createDataFrame([(3, 33), (20, 200)], "id long, v long"),
+        ["id"],
+    )
+    delete_delta(spark, p, "id = 5", mode="mor")
+    optimize_delta(spark, p, target_file_bytes=1 << 30)
+    h = {
+        r["version"]: (r["operation"], r["operationMetrics"])
+        for r in DeltaTable.forPath(spark, p).history().collect()
+    }
+    assert h[0][1]["numOutputRows"] == "10"
+    assert h[1][1]["numTargetRowsInserted"] == "1"
+    assert h[1][1]["numTargetRowsUpdated"] == "1"
+    assert h[2][1]["numDeletedRows"] == "1"
+    assert h[2][1]["numDeletionVectorsAdded"] == "1"
+    assert int(h[3][1]["numRemovedFiles"]) >= 1
