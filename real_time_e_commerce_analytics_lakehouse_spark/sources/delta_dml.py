@@ -607,6 +607,51 @@ def create_delta_table(
         fields.append(fj)
     os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
     now = int(time.time() * 1000)
+    cfg = dict(configuration or {})
+    protocol: dict[str, Any] = {
+        "minReaderVersion": 1,
+        # identity -> legacy writer 6; generated columns -> legacy
+        # writer 4 (PROTOCOL.md feature/version table)
+        "minWriterVersion": (6 if identity else (4 if generated else 2)),
+    }
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        ROW_TRACKING_DOMAIN,
+        _rt_materialized_names,
+        row_tracking_enabled,
+    )
+
+    rt_actions: list[dict] = []
+    if row_tracking_enabled(cfg):
+        # a table BORN with delta.enableRowTracking carries the feature
+        # gate, the materialized column names, and an initial water
+        # mark from version 0 — the property must never outrun the
+        # protocol (same rule as the DV gate)
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            _legacy_writer_features,
+        )
+
+        feats = _legacy_writer_features(
+            int(protocol["minWriterVersion"])
+        ) | {"rowTracking", "domainMetadata"}
+        if identity:
+            feats.add("identityColumns")
+        protocol = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+        cfg.update(_rt_materialized_names(cfg)[2])
+        rt_actions.append(
+            {
+                "domainMetadata": {
+                    "domain": ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": -1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     actions = [
         {
             "commitInfo": {
@@ -615,16 +660,7 @@ def create_delta_table(
                 "operationParameters": {},
             }
         },
-        {
-            "protocol": {
-                "minReaderVersion": 1,
-                # identity -> legacy writer 6; generated columns ->
-                # legacy writer 4 (PROTOCOL.md feature/version table)
-                "minWriterVersion": (
-                    6 if identity else (4 if generated else 2)
-                ),
-            }
-        },
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": f"pyds-delta-{os.path.basename(os.path.abspath(path))}",
@@ -633,10 +669,11 @@ def create_delta_table(
                     {"type": "struct", "fields": fields}
                 ),
                 "partitionColumns": list(partition_by),
-                "configuration": dict(configuration or {}),
+                "configuration": cfg,
                 "createdTime": now,
             }
         },
+        *rt_actions,
     ]
     target = os.path.join(path, "_delta_log", f"{0:020d}.json")
     tmp = target + ".tmp"

@@ -411,3 +411,43 @@ def test_export_delta_log_stamps_after_enable(spark, tmp_path):
     assert set(after) == set(range(6)) | {10, 11}
     assert all(after[k] == v for k, v in before.items())
     assert len(set(after.values())) == 8
+
+
+def test_table_born_with_row_tracking(spark, tmp_path):
+    """A table CREATEd with delta.enableRowTracking carries the writer-7
+    feature gate, the materialized column names, and the rowTracking
+    domain from version 0 (the property never outruns the protocol);
+    the first insert stamps real ids, composing with identity."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        insert_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+        IdentityGenerator,
+    )
+
+    p = str(tmp_path / "t")
+    (
+        DeltaTable.create(spark)
+        .location(p)
+        .addColumn("sk", "bigint", generatedAlwaysAs=IdentityGenerator(1, 1))
+        .addColumn("k", "string")
+        .property("delta.enableRowTracking", "true")
+        .execute()
+    )
+    snap = DeltaSnapshot(p)
+    wf = set(snap.protocol["writerFeatures"])
+    assert {"rowTracking", "domainMetadata", "identityColumns"} <= wf
+    assert "delta.rowTracking" in snap.domain_metadata
+    assert snap.configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    )
+    insert_delta(
+        spark, p, spark.createDataFrame([("a",), ("b",)], "k string")
+    )
+    rows = {
+        r["k"]: (r["sk"], r["_row_id"])
+        for r in read_delta_log(spark, p, with_row_ids=True).collect()
+    }
+    assert rows == {"a": (1, 0), "b": (2, 1)}
+    assert row_id_high_water_mark(DeltaSnapshot(p)) == 1
