@@ -652,10 +652,30 @@ def create_delta_table(
                 }
             }
         )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        _legacy_writer_features as _lwf,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        commit_time_fields,
+    )
+
+    if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
+        # ICT at birth: the writer-7 feature must accompany the
+        # property from version 0 (commit_time_fields stamps the clock)
+        feats0 = set(protocol.get("writerFeatures") or []) or _lwf(
+            int(protocol["minWriterVersion"])
+        )
+        if identity:
+            feats0.add("identityColumns")
+        protocol = {
+            "minReaderVersion": int(protocol["minReaderVersion"]),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats0 | {"inCommitTimestamp"}),
+        }
     actions = [
         {
             "commitInfo": {
-                "timestamp": now,
+                **commit_time_fields(path, cfg, now),
                 "operation": "CREATE TABLE",
                 "operationParameters": {},
             }
