@@ -1340,6 +1340,7 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         overwrite: bool,
         partition_by: list[str] | None,
         keep_metadata: bool = False,
+        txn: tuple[str, int] | None = None,
     ):
         drop_meta = not keep_metadata and any(
             _is_hidden_metadata_field(f) for f in schema.fields
@@ -1395,19 +1396,27 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         self._load_mapping(snap, extra_fields=self._evolved_fields)
         self.overwrite = overwrite
         self.full_schema = schema
+        self._txn = txn
         os.makedirs(path, exist_ok=True)
 
     def commit(self, messages) -> None:
         adds = _collect_adds(messages)
-        _commit_table_change(
+        status = _commit_table_change(
             self.path,
             self.full_schema,
             self.partition_by,
             adds,
             overwrite=self.overwrite,
+            # idempotent batch writes (delta-spark's txnAppId/txnVersion
+            # options): a replayed (appId, version) at-or-below the
+            # table's SetTransaction watermark commits NOTHING
+            txn=self._txn,
+            retries=8 if self._txn is not None else 0,
             evolved_fields=self._evolved_fields or None,
             new_max_id=self._new_max_id,
         )
+        if status == "replayed":
+            _drop_files(self.path, messages)
 
     def abort(self, messages) -> None:
         _drop_files(self.path, messages)
@@ -1624,6 +1633,12 @@ class DeltaDataSource(DataSource):
         pb = self.options.get("partition_by") or self.options.get(
             "partitionby"
         )
+        app = self.options.get("txnappid")
+        ver = self.options.get("txnversion")
+        if (app is None) != (ver is None):
+            raise ValueError(
+                "txnAppId and txnVersion must be set together"
+            )
         return DeltaBatchWriter(
             self._path(),
             schema,
@@ -1635,6 +1650,7 @@ class DeltaDataSource(DataSource):
                 ).lower()
                 == "true"
             ),
+            txn=(app, int(ver)) if app is not None else None,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

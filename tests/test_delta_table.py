@@ -779,3 +779,45 @@ def test_starting_timestamp_and_latest_options(spark, tmp_path):
         (r.id, r.v)
         for r in spark.read.format("delta").load(sink2).collect()
     ] == [(9, "new")]
+
+
+def test_batch_writer_idempotent_txn(spark, tmp_path):
+    """Idempotent batch writes (delta-spark's txnAppId/txnVersion
+    writer options): replaying a (appId, version) at-or-below the
+    table's SetTransaction watermark commits nothing; a higher version
+    appends; a LOWER one errors (two writers sharing an app id)."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "t")
+
+    def write(lo, hi, ver):
+        (
+            spark.range(lo, hi)
+            .selectExpr("id", "id as v")
+            .write.format("delta")
+            .option("txnAppId", "loader-1")
+            .option("txnVersion", str(ver))
+            .mode("append")
+            .save(p)
+        )
+
+    write(0, 5, 1)
+    write(0, 5, 1)  # exact replay: no-op
+    assert spark.read.format("delta").load(p).count() == 5
+    write(5, 8, 2)
+    assert spark.read.format("delta").load(p).count() == 8
+    with _pytest.raises(Exception, match="below the committed"):
+        write(8, 9, 1)
+    # staged files of the replayed batch were dropped, not leaked
+    import os as _os
+
+    orphans = [
+        f
+        for f in _os.listdir(p)
+        if f.endswith(".parquet")
+    ]
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        DeltaSnapshot,
+    )
+
+    assert len(orphans) == len(DeltaSnapshot(p).files)
