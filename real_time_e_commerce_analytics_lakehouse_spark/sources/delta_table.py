@@ -149,6 +149,55 @@ def _pdir_segment(col: str, canon: str | None) -> str:
     return f"{col}={quote(canon, safe='')}"
 
 
+def _parse_replace_where(expr: str) -> dict[str, set[str | None]]:
+    """Parse the classic (partition-predicate) replaceWhere tier:
+    conjunctions of ``col = <literal>`` / ``col IN (<literals>)`` over
+    partition columns — {column: allowed canonical values}. Arbitrary
+    row predicates refuse loudly (use delete_delta + append, or the
+    engine's LakeTable.overwrite(where=...))."""
+    import re
+
+    out: dict[str, set[str | None]] = {}
+
+    def lit(tok: str) -> str | None:
+        tok = tok.strip()
+        if (tok.startswith("'") and tok.endswith("'")) or (
+            tok.startswith('"') and tok.endswith('"')
+        ):
+            return tok[1:-1]
+        if tok.lower() in ("true", "false"):
+            return tok.lower()
+        if tok.lower() == "null":
+            return None
+        if re.fullmatch(r"-?\d+", tok):
+            return tok
+        raise ValueError(
+            f"replaceWhere literal {tok!r} is not a quoted string / "
+            "integer / boolean / NULL"
+        )
+
+    for clause in re.split(r"(?i)\s+AND\s+", expr.strip()):
+        m = re.fullmatch(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*", clause)
+        if m:
+            out.setdefault(m.group(1), set()).add(lit(m.group(2)))
+            continue
+        m = re.fullmatch(
+            r"\s*`?(\w+)`?\s+(?i:IN)\s*\((.+)\)\s*", clause
+        )
+        if m:
+            out.setdefault(m.group(1), set()).update(
+                lit(t) for t in m.group(2).split(",")
+            )
+            continue
+        raise ValueError(
+            f"replaceWhere clause {clause!r} is not a partition "
+            "equality/IN — this writer implements the classic "
+            "partition-predicate tier only (use delete_delta + append "
+            "for arbitrary row predicates)"
+        )
+    return out
+
+
 def delta_file_stats(file_path: str) -> str:
     """Delta ``add.stats`` JSON for a freshly-written parquet file:
     numRecords + minValues/maxValues/nullCount from the parquet footer
@@ -954,6 +1003,7 @@ def _commit_table_change(
     retries: int = 0,
     evolved_fields: list[dict] | None = None,
     new_max_id: int | None = None,
+    replace_where: dict[str, set[str | None]] | None = None,
 ) -> str:
     """Build + atomically claim one Delta commit; rebase-retry on a
     version race (stream sink path). Returns 'committed' | 'replayed'
@@ -1118,16 +1168,40 @@ def _commit_table_change(
                 }
             )
         if overwrite and snap is not None:
+            phys_of = snap.resolved_physical_names(path)
+            rw_phys = (
+                {phys_of.get(c, c): vals for c, vals in replace_where.items()}
+                if replace_where is not None
+                else None
+            )
             for rel in sorted(snap.files):
-                actions.append(
-                    {
-                        "remove": {
-                            "path": _encode_path(rel),
-                            "deletionTimestamp": now,
-                            "dataChange": True,
-                        }
-                    }
-                )
+                if rw_phys is not None and not all(
+                    snap.files[rel].get(c) in vals
+                    for c, vals in rw_phys.items()
+                ):
+                    continue  # replaceWhere: untouched partition stays
+                rm: dict = {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+                # strict (path, dvId)-keyed replayers need the old
+                # descriptor on the remove (ADVICE r7 #2 — this
+                # overwrite path was the one remaining omission)
+                if snap.dvs.get(rel):
+                    rm["deletionVector"] = dict(snap.dvs[rel])
+                actions.append({"remove": rm})
+            if rw_phys is not None:
+                for _rel, pvals, _n in adds:
+                    if not all(
+                        pvals.get(c) in vals for c, vals in rw_phys.items()
+                    ):
+                        raise ValueError(
+                            "replaceWhere: a written file's partition "
+                            f"values {dict(pvals)} fall outside the "
+                            "predicate — refusing (delta-spark's "
+                            "enforcement rule)"
+                        )
         for rel, pvals, _n_rows in adds:
             abs_p = os.path.join(path, rel)
             actions.append(
@@ -1341,6 +1415,7 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         partition_by: list[str] | None,
         keep_metadata: bool = False,
         txn: tuple[str, int] | None = None,
+        replace_where: str | None = None,
     ):
         drop_meta = not keep_metadata and any(
             _is_hidden_metadata_field(f) for f in schema.fields
@@ -1397,6 +1472,23 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         self.overwrite = overwrite
         self.full_schema = schema
         self._txn = txn
+        self._replace_where = None
+        if replace_where is not None:
+            if not overwrite:
+                raise ValueError("replaceWhere needs mode('overwrite')")
+            if snap is None:
+                raise ValueError(
+                    "replaceWhere on a table that does not exist yet"
+                )
+            parsed = _parse_replace_where(replace_where)
+            bad = set(parsed) - set(snap.partition_cols)
+            if bad:
+                raise ValueError(
+                    f"replaceWhere columns {sorted(bad)} are not "
+                    f"partition columns ({snap.partition_cols}) — the "
+                    "classic tier replaces whole partitions"
+                )
+            self._replace_where = parsed
         os.makedirs(path, exist_ok=True)
 
     def commit(self, messages) -> None:
@@ -1414,6 +1506,7 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             retries=8 if self._txn is not None else 0,
             evolved_fields=self._evolved_fields or None,
             new_max_id=self._new_max_id,
+            replace_where=self._replace_where,
         )
         if status == "replayed":
             _drop_files(self.path, messages)
@@ -1651,6 +1744,7 @@ class DeltaDataSource(DataSource):
                 == "true"
             ),
             txn=(app, int(ver)) if app is not None else None,
+            replace_where=self.options.get("replacewhere"),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -821,3 +821,54 @@ def test_batch_writer_idempotent_txn(spark, tmp_path):
     )
 
     assert len(orphans) == len(DeltaSnapshot(p).files)
+
+
+def test_replace_where_partition_overwrite(spark, tmp_path):
+    """option('replaceWhere', 'g = ...') on mode('overwrite'): only the
+    matching partitions' files are replaced (removes carry their DV
+    descriptors), rows outside the predicate refuse, non-partition
+    predicates refuse."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "t")
+    (
+        spark.range(0, 12)
+        .selectExpr("id", "cast(id % 3 as string) as g")
+        .write.format("delta")
+        .option("partition_by", "g")
+        .mode("append")
+        .save(p)
+    )
+    fresh = spark.createDataFrame(
+        [(100, "1"), (101, "1")], "id long, g string"
+    )
+    (
+        fresh.write.format("delta")
+        .option("replaceWhere", "g = '1'")
+        .mode("overwrite")
+        .save(p)
+    )
+    got = {r["id"] for r in spark.read.format("delta").load(p).collect()}
+    assert got == {i for i in range(12) if i % 3 != 1} | {100, 101}
+    # a written row outside the predicate refuses
+    with _pytest.raises(Exception, match="outside the predicate"):
+        spark.createDataFrame([(7, "2")], "id long, g string").write.format(
+            "delta"
+        ).option("replaceWhere", "g = '1'").mode("overwrite").save(p)
+    # non-partition predicate refuses (classic tier)
+    with _pytest.raises(Exception, match="not partition columns"):
+        fresh.write.format("delta").option(
+            "replaceWhere", "id = 5"
+        ).mode("overwrite").save(p)
+    # IN-list spelling
+    (
+        spark.createDataFrame(
+            [(200, "0"), (201, "2")], "id long, g string"
+        )
+        .write.format("delta")
+        .option("replaceWhere", "g IN ('0', '2')")
+        .mode("overwrite")
+        .save(p)
+    )
+    got = {r["id"] for r in spark.read.format("delta").load(p).collect()}
+    assert got == {100, 101, 200, 201}
