@@ -282,6 +282,33 @@ class DeltaTable:
             "minReaderVersion int, minWriterVersion int",
         )
 
+    def addColumns(self, ddl: str) -> int:
+        """ALTER TABLE ADD COLUMNS — metadata-only; old files
+        null-fill."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            alter_delta_schema,
+        )
+
+        return alter_delta_schema(self._path, add=ddl)
+
+    def renameColumn(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only; requires column
+        mapping (upstream's rule)."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            alter_delta_schema,
+        )
+
+        return alter_delta_schema(self._path, rename={old: new})
+
+    def dropColumns(self, *columns: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only; requires column
+        mapping (the physical data stays, invisible)."""
+        from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+            alter_delta_schema,
+        )
+
+        return alter_delta_schema(self._path, drop=list(columns))
+
     def clusterBy(self, *columns: str) -> int:
         """ALTER TABLE ... CLUSTER BY (liquid clustering); pass no
         columns for CLUSTER BY NONE. OPTIMIZE re-clusters on these by

@@ -3486,6 +3486,146 @@ def _legacy_writer_features(min_writer: int) -> set[str]:
     return out
 
 
+def alter_delta_schema(
+    path: str,
+    add: str | None = None,
+    rename: dict[str, str] | None = None,
+    drop: Sequence[str] = (),
+) -> int:
+    """ALTER TABLE ADD / RENAME / DROP COLUMN on a foreign Delta table,
+    metadata-only (one metaData re-emission, zero file rewrites):
+
+    - ``add``: DDL string of new top-level columns (``"c int, d
+      string"``) — appended nullable; existing files null-fill on read
+      (additive evolution). On a column-mapped table fresh ids +
+      physical names allocate at every nested level and maxColumnId
+      bumps.
+    - ``rename``: {old: new} logical renames — REQUIRES column mapping
+      (the physical name stays; without mapping the files' stored
+      names would stop resolving, upstream's exact rule). Partition
+      columns rename too (metaData.partitionColumns is logical).
+    - ``drop``: columns to remove from the logical schema — also
+      requires mapping (the physical data stays in the files,
+      invisible). Partition columns refuse.
+
+    Renames/drops refuse when a CHECK constraint or generation
+    expression mentions the column (the expression would dangle).
+    Returns the new log version."""
+    from pyspark.sql.types import StructType as _ST
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+        allocate_mapping,
+        max_column_id,
+    )
+
+    snap = DeltaSnapshot(path)
+    rename = dict(rename or {})
+    drop = list(drop)
+    fields = [dict(f) for f in snap.schema_json.get("fields", [])]
+    names = {f["name"] for f in fields}
+    cfg = dict(snap.configuration)
+    mapped = snap.column_mapping_mode != "none"
+    if (rename or drop) and not mapped:
+        raise NotImplementedError(
+            "RENAME/DROP COLUMN needs column mapping (files store the "
+            "old physical names) — run alter_delta_properties(path, "
+            "{'delta.columnMapping.mode': 'name'}) first, exactly like "
+            "upstream"
+        )
+    unknown = (set(rename) | set(drop)) - names
+    if unknown:
+        raise ValueError(f"not table columns: {sorted(unknown)}")
+    clash = (set(rename.values()) & (names - set(rename))) | (
+        set(rename.values()) & set(drop)
+    )
+    if clash:
+        raise ValueError(f"rename targets collide: {sorted(clash)}")
+    bad_part = set(drop) & set(snap.partition_cols)
+    if bad_part:
+        raise ValueError(
+            f"cannot DROP partition columns {sorted(bad_part)}"
+        )
+    # a constraint / generation expression mentioning the column would
+    # dangle after a rename/drop — refuse, like upstream
+    import re as _re
+
+    exprs = [
+        v for k, v in cfg.items() if k.startswith("delta.constraints.")
+    ] + [
+        (f.get("metadata") or {}).get("delta.generationExpression")
+        for f in fields
+        if (f.get("metadata") or {}).get("delta.generationExpression")
+    ]
+    for col in list(rename) + drop:
+        for e in exprs:
+            if _re.search(rf"\b{_re.escape(col)}\b", e):
+                raise ValueError(
+                    f"column {col} is referenced by a CHECK constraint "
+                    f"or generation expression ({e!r}) — drop the "
+                    "constraint first"
+                )
+    out_fields: list[dict] = []
+    for f in fields:
+        if f["name"] in drop:
+            continue
+        if f["name"] in rename:
+            f = dict(f)
+            f["name"] = rename[f["name"]]
+        out_fields.append(f)
+    added: list[str] = []
+    if add:
+        dup = {f.name for f in _ST.fromDDL(add).fields} & {
+            f["name"] for f in out_fields
+        }
+        if dup:
+            raise ValueError(f"columns already exist: {sorted(dup)}")
+        counter = [max_column_id(snap.schema_json, cfg) + 1]
+        for f in _ST.fromDDL(add).fields:
+            fj = f.jsonValue()
+            fj["nullable"] = True  # new columns null-fill old files
+            if mapped:
+                fj = allocate_mapping(fj, counter)
+            out_fields.append(fj)
+            added.append(f.name)
+        if mapped and counter[0] - 1 > max_column_id(
+            snap.schema_json, cfg
+        ):
+            cfg["delta.columnMapping.maxColumnId"] = str(counter[0] - 1)
+    pcols = [rename.get(c, c) for c in snap.partition_cols]
+    now = int(time.time() * 1000)
+    v = snap.version + 1
+    _claim_commit(
+        path,
+        v,
+        [
+            {
+                "commitInfo": {
+                    **commit_time_fields(path, cfg, now),
+                    "operation": "ALTER TABLE",
+                    "operationParameters": {
+                        "add": json.dumps(added),
+                        "rename": json.dumps(rename),
+                        "drop": json.dumps(drop),
+                    },
+                }
+            },
+            {
+                "metaData": {
+                    "id": getattr(snap, "meta_id", None)
+                    or f"laketable-{os.path.basename(path)}",
+                    "format": {"provider": "parquet"},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": out_fields}
+                    ),
+                    "partitionColumns": pcols,
+                    "configuration": cfg,
+                }
+            },
+        ],
+    )
+    return v
+
+
 # --------------------------------------------------------------------------
 # row tracking (PROTOCOL.md "Row Tracking")
 # --------------------------------------------------------------------------

@@ -2593,3 +2593,59 @@ def test_multipart_checkpoint_write_and_crc(spark, tmp_path):
         )
         == want
     )
+
+
+def test_alter_schema_add_rename_drop(spark, tmp_path):
+    """ALTER TABLE ADD / RENAME / DROP COLUMN, metadata-only
+    (alter_delta_schema + the fluent spellings): ADD null-fills old
+    files; RENAME/DROP need column mapping and keep old files resolving
+    via physicalName; constraint-referencing columns refuse; partition
+    columns rename but never drop."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_fluent import (
+        DeltaTable,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        alter_delta_schema,
+    )
+
+    delta_table.register(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, k string, v long"
+    ).write.format("delta").option("partition_by", "k").mode(
+        "append"
+    ).save(p)
+    dt = DeltaTable.forPath(spark, p)
+    dt.addColumns("w double")
+    df = read_delta_log(spark, p)
+    assert df.columns == ["id", "v", "w", "k"] or set(df.columns) == {
+        "id", "k", "v", "w"
+    }
+    assert df.where("w IS NULL").count() == 2
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        dt.renameColumn("v", "value")
+    alter_delta_properties(p, {"delta.columnMapping.mode": "name"})
+    dt.renameColumn("v", "value")
+    dt.dropColumns("w")
+    # partition column renames (logical); never drops
+    dt.renameColumn("k", "bucket")
+    snap = DeltaSnapshot(p)
+    assert snap.partition_cols == ["bucket"]
+    with pytest.raises(ValueError, match="partition"):
+        dt.dropColumns("bucket")
+    got = spark.read.format("delta").load(p)
+    rows = {r["id"]: (r["value"], r["bucket"]) for r in got.collect()}
+    assert rows == {1: (10, "a"), 2: (20, "b")}
+    # constraint-referencing column refuses rename
+    alter_delta_properties(p, {"delta.constraints.pos": "value > 0"})
+    with pytest.raises(ValueError, match="constraint"):
+        dt.renameColumn("value", "v2")
+    # mapped ADD allocates fresh ids
+    alter_delta_schema(p, add="extra int")
+    md = {
+        f["name"]: f.get("metadata") or {}
+        for f in DeltaSnapshot(p).schema_json["fields"]
+    }
+    assert "delta.columnMapping.id" in md["extra"]
