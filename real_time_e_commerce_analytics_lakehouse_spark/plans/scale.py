@@ -663,6 +663,64 @@ def clustered_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "alter_evolution_roundtrip",
+    oracle=f"""
+    SELECT o_orderkey, status,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN o_totalprice ELSE NULL
+           END AS amount
+    FROM (
+        SELECT o_orderkey, o_orderstatus AS status, o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0
+    ) t
+    """,
+    doc=(
+        "Metadata-only schema evolution end-to-end "
+        "(delta_log.alter_delta_schema): seed, upgrade to name-mode "
+        "column mapping, ALTER ADD an 'amount' column (old files must "
+        "null-fill), ALTER RENAME o_orderstatus -> status (the "
+        "physical name stays; files written BEFORE the rename must "
+        "keep resolving), then UPDATE fills 'amount' for even keys "
+        "through the DML tier (which writes the new column under its "
+        "allocated physical name). Read back through the format "
+        "reader: any broken physical->logical resolution, dropped "
+        "null-fill, or mis-keyed rewrite diverges from the oracle. "
+        "100 TB: every ALTER is one metaData re-emission — zero file "
+        "rewrites; only the UPDATE's matched files rewrite."
+    ),
+    tags=("table", "formats", "delta", "functions"),
+)
+def alter_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        update_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        alter_delta_schema,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("delta_alter", sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    seed = orders.where(F.col("o_orderkey") % 5 == 0)
+    seed.write.format("delta").mode("overwrite").save(path)
+    alter_delta_properties(path, {"delta.columnMapping.mode": "name"})
+    alter_delta_schema(path, add="amount double")
+    alter_delta_schema(path, rename={"o_orderstatus": "status"})
+    update_delta(
+        spark,
+        path,
+        "o_orderkey % 2 = 0",
+        {"amount": "o_totalprice"},
+    )
+    back = spark.read.format("delta").load(path)
+    return back.select("o_orderkey", "status", "amount")
+
+
+@register(
     "incremental_mart_maintenance",
     oracle="""
     SELECT o_orderstatus,
