@@ -29,7 +29,7 @@ top-level contract.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -433,7 +433,11 @@ def max_column_id(schema_json: dict, configuration: dict | None = None) -> int:
     return best
 
 
-def allocate_mapping(field_json: dict, next_id: list[int]) -> dict:
+def allocate_mapping(
+    field_json: dict,
+    next_id: list[int],
+    name_for: "Callable[[str, int], str] | None" = None,
+) -> dict:
     """A copy of one LOGICAL Spark field json with fresh
     ``delta.columnMapping.id`` + ``physicalName`` metadata allocated at
     every struct level (the spec requires both on every field of a
@@ -441,7 +445,15 @@ def allocate_mapping(field_json: dict, next_id: list[int]) -> dict:
     never collide with top-level ones). ``next_id`` is a one-cell
     counter seeded with maxColumnId+1; after allocating every new field
     the caller persists ``next_id[0] - 1`` back to
-    ``delta.columnMapping.maxColumnId``."""
+    ``delta.columnMapping.maxColumnId``.
+
+    ``name_for(logical_name, id) -> physical name`` overrides the
+    default random ``col-<uuid4>``: callers whose allocation runs in
+    MORE THAN ONE process for the same write (the streaming sink — the
+    Python DataSource API constructs the writer independently on the
+    write path and in the commit runner) must derive the physical name
+    deterministically from stable inputs, or the staged files and the
+    committed metaData disagree on the mapping."""
     import uuid
 
     def walk_type(tj: Any) -> Any:
@@ -465,7 +477,11 @@ def allocate_mapping(field_json: dict, next_id: list[int]) -> dict:
     def alloc(f: dict) -> dict:
         meta = dict(f.get("metadata") or {})
         meta["delta.columnMapping.id"] = next_id[0]
-        meta["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+        meta["delta.columnMapping.physicalName"] = (
+            name_for(f["name"], next_id[0])
+            if name_for is not None
+            else f"col-{uuid.uuid4()}"
+        )
         next_id[0] += 1
         return {
             "name": f["name"],

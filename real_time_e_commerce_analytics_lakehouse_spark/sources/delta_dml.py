@@ -445,10 +445,23 @@ def _generate_identity(
     per-Spark-partition counts -> prefix offsets (driver sees one row
     per partition, never data) -> per-partition row_number. No global
     single-reducer window; the ids are contiguous and unique. Returns
-    (df with the column, new high-water mark)."""
+    (df with the column, new high-water mark).
+
+    The tagged frame is ``localCheckpoint``-ed (eager) BEFORE the count
+    job: both jobs then read the same materialized blocks, so the
+    ``spark_partition_id`` values the offsets were computed from are
+    byte-identical to the ones the row_number pass sees. Without the
+    pin, AQE coalescing or a non-deterministic upstream (e.g. a merge's
+    anti-join inserts) can re-plan between the two evaluations —
+    shifted counts would mint duplicate ids and unmapped pids would
+    silently NULL a GENERATED ALWAYS column. As a belt-and-braces
+    guard the offset lookup also fails loudly in-plan on any pid
+    absent from the map."""
     from pyspark.sql.window import Window as W
 
-    tagged = df.withColumn("__id_pid", F.spark_partition_id())
+    tagged = df.withColumn(
+        "__id_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = {
         r["__id_pid"]: r["cnt"]
         for r in tagged.groupBy("__id_pid")
@@ -466,8 +479,27 @@ def _generate_identity(
     omap = F.create_map(
         *[x for i in offsets for x in (F.lit(i), F.lit(offsets[i]))]
     )
+    # loud in-plan failure on a pid the count job never saw (would
+    # otherwise NULL the identity value): assert_true returns NULL
+    # when the condition holds, so coalesce-through keeps the plan
+    # branch-free while still erroring on the impossible path
+    off = omap[F.col("__id_pid")]
+    off_checked = F.when(
+        F.assert_true(
+            off.isNotNull(),
+            F.concat(
+                F.lit("identity generation: partition id "),
+                F.col("__id_pid").cast("string"),
+                F.lit(
+                    " missing from the offsets map — the plan "
+                    "repartitioned between the count and assign jobs"
+                ),
+            ),
+        ).isNull(),
+        off,
+    )
     w = W.partitionBy("__id_pid").orderBy(F.monotonically_increasing_id())
-    k = F.row_number().over(w).cast("long") + omap[F.col("__id_pid")]
+    k = F.row_number().over(w).cast("long") + off_checked
     out = tagged.withColumn(
         name, (F.lit(base) + k * F.lit(step)).cast(dtype)
     ).drop("__id_pid")
@@ -775,8 +807,16 @@ def _stage_data_files(
         )
 
         phys = snap.physical_names()
+        # the materialized row-tracking columns are NOT part of the
+        # logical schema (fields_json) — pass them through by name so
+        # a mapped + row-tracked table keeps preserved ids through
+        # copy-on-write rewrites (same spelling _stage_cdc_files uses
+        # for _change_type)
+        mat = _rt_mat_names(snap) or ()
         spark_df = to_physical_df(
-            spark_df, snap.schema_json.get("fields", [])
+            spark_df,
+            snap.schema_json.get("fields", []),
+            passthrough=tuple(c for c in mat if c in spark_df.columns),
         )
         pcols = [phys.get(c, c) for c in pcols]
     stage = os.path.join(path, f"_dml_tmp_{_uuid.uuid4().hex}")

@@ -2218,7 +2218,13 @@ def verify_delta_crc(path: str) -> list[str]:
         v = int(fn.split(".")[0])
         with open(os.path.join(log, fn)) as f:
             recorded = json.load(f)
-        actual = _version_checksum(path, v)
+        try:
+            actual = _version_checksum(path, v)
+        except ValueError:
+            # expire_delta_commits may have removed this version's JSON
+            # commit (checkpoint coverage) while its .crc lingers — a
+            # non-replayable version is unverifiable, not a mismatch.
+            continue
         for k, want in recorded.items():
             if k not in actual:
                 continue  # fields this writer doesn't derive
@@ -2276,6 +2282,12 @@ def expire_delta_commits(path: str, honor_retention: bool = True) -> int:
             ):
                 continue  # younger than logRetentionDuration: keep
             os.remove(fp)
+            # drop the version's .crc too: verify_delta_crc cannot
+            # replay an expired commit, so a lingering checksum file
+            # is dead weight (and a trap for strict verifiers)
+            crc = os.path.join(log, fn.split(".")[0] + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
             removed += 1
     return removed
 

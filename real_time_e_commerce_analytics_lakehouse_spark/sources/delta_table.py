@@ -185,9 +185,21 @@ def _parse_replace_where(expr: str) -> dict[str, set[str | None]]:
             r"\s*`?(\w+)`?\s+(?i:IN)\s*\((.+)\)\s*", clause
         )
         if m:
-            out.setdefault(m.group(1), set()).update(
-                lit(t) for t in m.group(2).split(",")
-            )
+            # quote-aware tokenization: a quoted literal may contain
+            # commas ("region IN ('a,b', 'c')"), so split on the token
+            # grammar, not on bare ','
+            toks = [
+                t.strip()
+                for t in re.findall(
+                    r"\s*('[^']*'|\"[^\"]*\"|[^,]+)", m.group(2)
+                )
+                if t.strip()
+            ]
+            if not toks:
+                raise ValueError(
+                    f"replaceWhere IN list {m.group(2)!r} is empty"
+                )
+            out.setdefault(m.group(1), set()).update(lit(t) for t in toks)
             continue
         raise ValueError(
             f"replaceWhere clause {clause!r} is not a partition "
@@ -1309,13 +1321,17 @@ class _DeltaWriteTask:
             if f.name not in self._inv_fields
         ]
         if unknown:
-            # only the batch writer allocates ids (DeltaBatchWriter);
-            # a streaming sink whose schema drifted mid-stream refuses
+            # both writers allocate ids for new TOP-LEVEL columns at
+            # construction (DeltaBatchWriter at write planning, the
+            # stream sink at query start) and pass them here via
+            # extra_fields — reaching this means the drift is one
+            # allocation cannot express (e.g. a new NESTED field
+            # inside an existing struct column)
             raise NotImplementedError(
-                f"adding columns {unknown} to a column-mapped table "
-                "needs delta.columnMapping.id allocation — batch "
-                "append/overwrite through format('delta') evolves the "
-                "schema; the streaming sink's schema is fixed at start"
+                f"columns {unknown} are not in the column-mapped "
+                "table's schema and were not allocated ids at write "
+                "planning — nested additive drift inside an existing "
+                "struct needs ALTER TABLE (alter_delta_schema) first"
             )
         phys = snap.physical_names()
         self._pphys = {c: phys.get(c, c) for c in self.partition_by}
@@ -1560,9 +1576,57 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
             raise ValueError(f"partition columns {missing} absent from schema")
         super().__init__(path, schema, partition_by)
         self._drop_meta = self._stream_drop_meta
+        # schema evolution on a MAPPED table (a restarted stream whose
+        # source drifted additively — the reference's own bronze
+        # pattern): allocate fresh column ids + physical names at
+        # stream construction, exactly like DeltaBatchWriter does at
+        # write-planning time; _commit_table_change re-checks the
+        # allocation against the committed maxColumnId on every batch
+        # (concurrent-evolution staleness), so a racing writer turns
+        # into a loud retry, never an id collision.
+        self._evolved_fields: list[dict] = []
+        self._new_max_id: int | None = None
+        if snap is not None and snap.column_mapping_mode != "none":
+            known = {f["name"] for f in snap.schema_json.get("fields", [])}
+            new_fields = [f for f in schema.fields if f.name not in known]
+            if new_fields:
+                import uuid as _uuid
+
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                    allocate_mapping,
+                    max_column_id,
+                )
+
+                # DETERMINISTIC physical names: the Python DataSource
+                # API constructs this writer independently on the write
+                # path and in the commit runner — a random uuid4 here
+                # would stage files under one physical name and commit
+                # metaData under another. uuid5 over (table, txn app,
+                # logical name, allocated id) is stable across both
+                # constructions and unique within the table (the id is
+                # part of the key).
+                abs_path = os.path.abspath(path)
+
+                def name_for(logical: str, fid: int) -> str:
+                    return "col-" + str(
+                        _uuid.uuid5(
+                            _uuid.NAMESPACE_URL,
+                            f"pyds-colmap:{abs_path}:{self.txn_app}:"
+                            f"{logical}:{fid}",
+                        )
+                    )
+
+                counter = [
+                    max_column_id(snap.schema_json, snap.configuration) + 1
+                ]
+                self._evolved_fields = [
+                    allocate_mapping(f.jsonValue(), counter, name_for)
+                    for f in new_fields
+                ]
+                self._new_max_id = counter[0] - 1
         if snap is not None:
             _guard_writable(snap, overwrite=False)
-            self._load_mapping(snap)
+            self._load_mapping(snap, extra_fields=self._evolved_fields)
         self.full_schema = schema
         os.makedirs(path, exist_ok=True)
 
@@ -1576,6 +1640,8 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
             overwrite=False,
             txn=(self.txn_app, batchId),
             retries=20,
+            evolved_fields=self._evolved_fields or None,
+            new_max_id=self._new_max_id,
         )
         if outcome == "replayed":
             _drop_files(self.path, messages)
