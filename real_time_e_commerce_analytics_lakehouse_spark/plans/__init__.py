@@ -69,18 +69,38 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # daily_revenue_interpolated — their family keeps 8 gate members);
 # they stay CI-verified by tests/test_queries_oracle.py at two SFs.
 GATE_ORDER = [
+    # --- Round-9 rotation (VERDICT r8 next #2 + new-surface rows) ------
+    # IN: the two oracle-backed never-driver-checked backlog queries
+    # (alter_evolution_roundtrip, clustered_optimize_roundtrip —
+    # gate_coverage.py's exact suggestion), the two sketch queries
+    # CONVERTED from rows-only to oracle-matched booleans this round
+    # (approx_price_percentiles, trending_tokens_sketch — VERDICT r8
+    # next #8), and the two new r9-surface roundtrips
+    # (constrained_write_roundtrip = arrow-tier CHECK/generated/
+    # identity enforcement; nested_cluster_optimize_roundtrip = nested
+    # liquid-clustering key through the colmap walk).
+    # OUT (all multi-round driver-green; every family keeps ≥1 checked
+    # member): minhash_signatures (unchanged in r9; the r9-REWRITTEN
+    # pair queries lsh_candidate_pairs / ngram_jaccard_pairs STAY for
+    # re-proof of the O(k)-memory fan-out), weekday_order_profile,
+    # clv_cohort_revenue, knn_label_classifier (embeddings family keeps
+    # ivf_index_ann_topk), q8_market_share, q11_important_parts
+    # (TPC-H keeps 6 gate members).
+    "alter_evolution_roundtrip",
+    "clustered_optimize_roundtrip",
+    "approx_price_percentiles",
+    "trending_tokens_sketch",
+    "constrained_write_roundtrip",
+    "nested_cluster_optimize_roundtrip",
     # --- analytics family ----------------------------------------------
     "price_quantity_regression",
     "order_value_histogram",
-    "weekday_order_profile",
-    "clv_cohort_revenue",
     "duplicate_invoice_screen",
     "supplier_hhi_by_part",
     "fulfillment_latency_percentiles",
     "return_rate_by_brand",
     "entity_resolution_parts",
-    # --- r8-changed dedup/LSH family ------------------------------------
-    "minhash_signatures",
+    # --- r9-changed dedup/LSH family (O(k) pair fan-out re-proof) ------
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "lsh_recall_eval",
@@ -103,13 +123,11 @@ GATE_ORDER = [
     "chunk_documents_sliding",
     "doc_unigram_logprob",
     "phrase_search_bigram",
-    # embeddings / ml
-    "knn_label_classifier",
-    # TPC-H classics never driver-checked
+    # embeddings / ml: knn_label_classifier rotated out in r9
+    # (driver-green r8; the family keeps ivf_index_ann_topk below)
+    # TPC-H classics (q8/q11 rotated out in r9 — driver-green r8)
     "q4_late_shipment_priority",
-    "q8_market_share",
     "q10_returned_revenue_customers",
-    "q11_important_parts",
     "q14_promo_revenue_ratio",
     "q15_top_suppliers",
     "q16_supplier_diversity",

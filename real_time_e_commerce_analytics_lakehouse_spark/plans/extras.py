@@ -424,28 +424,48 @@ def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_price_percentiles",
-    oracle=None,  # t-digest-style sketches are engine-specific; rows-only
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     doc=(
         "percentile_approx (quantile sketch): the constant-memory "
         "quantile path for 100 TB — exact percentiles need the whole "
         "group's values materialized per reducer, a sketch merges "
-        "map-side like any algebraic agg. No oracle: sketch estimates "
-        "are engine-specific by construction; tests assert each "
-        "estimate lands within 1% of the exact percentile (both "
-        "computed in-row for the check)."
+        "map-side like any algebraic agg. The sketch VALUES are "
+        "engine-specific, so the gate row checks the sketch's "
+        "GUARANTEE instead (VERDICT r8 next #8): each estimate must "
+        "lie between the exact percentiles at q∓0.01 — two orders of "
+        "magnitude looser than the sketch's 1/accuracy = 1e-4 rank "
+        "error — emitted as boolean columns the DuckDB oracle matches "
+        "exactly (it asserts TRUE). pytest keeps the tighter 1% "
+        "value-tolerance twin."
     ),
     tags=("agg", "approx"),
 )
 def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.expr(
             "percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("approx_pcts"),
-        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias(
-            "exact_pcts"
-        ),
+        ).alias("ap"),
+        F.expr(
+            "percentile(o_totalprice, array(0.49, 0.89, 0.98))"
+        ).alias("lo"),
+        F.expr(
+            "percentile(o_totalprice, array(0.51, 0.91, 1.0))"
+        ).alias("hi"),
     )
+    ok = [
+        (
+            F.expr(f"ap[{i}] >= lo[{i}] AND ap[{i}] <= hi[{i}]")
+        ).alias(name)
+        for i, name in enumerate(["p50_ok", "p90_ok", "p99_ok"])
+    ]
+    return agg.select("o_orderstatus", "n_orders", *ok)
 
 
 @register(

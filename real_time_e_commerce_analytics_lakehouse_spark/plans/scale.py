@@ -852,3 +852,145 @@ def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.expr(dec_sum("o_totalprice")).alias("revenue"),
     )
+
+
+@register(
+    "constrained_write_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000.0
+                THEN 'high' ELSE 'low' END AS price_band,
+           TRUE AS sk_ok,
+           TRUE AS violation_refused
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    doc=(
+        "Arrow-tier constraint enforcement end-to-end (VERDICT r8 "
+        "missing #3, sources/arrow_enforce.py): create a foreign Delta "
+        "table carrying a CHECK constraint, a GENERATED column, and a "
+        "GENERATED ALWAYS identity column, then write through plain "
+        "df.write.format('delta') — the most natural spelling, refused "
+        "outright before r9. The writer must COMPUTE the generated "
+        "column per arrow batch, GENERATE unique step-aligned identity "
+        "values (per-task disjoint id-blocks; the commit advances the "
+        "water mark), and ABORT a violating batch before any file is "
+        "adopted. Deterministic outputs only reach the oracle: the "
+        "generated band, per-row identity validity booleans (non-null, "
+        "aligned, unique — id VALUES are engine-specific by design, "
+        "like upstream's), and the refusal outcome. 100 TB: "
+        "enforcement is per arrow batch (DuckDB over the batch, "
+        "zero-copy), identity blocks need zero coordination."
+    ),
+    tags=("table", "formats", "delta", "functions"),
+)
+def constrained_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        create_delta_table,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        read_delta_log,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("delta_enforce", sf_dir)
+    create_delta_table(
+        path,
+        "o_orderkey bigint, o_totalprice double, "
+        "price_band string, sk bigint",
+        identity={"sk": {"start": 10, "step": 5}},
+        generated={
+            "price_band": (
+                "CASE WHEN o_totalprice >= 100000.0 "
+                "THEN 'high' ELSE 'low' END"
+            )
+        },
+        configuration={"delta.constraints.pos_price": "o_totalprice > 0"},
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    good = orders.where(F.col("o_orderkey") % 7 == 0)
+    good.write.format("delta").mode("append").save(path)
+    # a violating batch must abort and leave the table untouched
+    bad = good.limit(3).withColumn("o_totalprice", F.lit(-1.0))
+    refused = False
+    try:
+        bad.write.format("delta").mode("append").save(path)
+    except Exception:
+        refused = True
+    back = read_delta_log(spark, path)
+    sk_dupes = F.count(F.lit(1)).over(W.partitionBy("sk"))
+    return back.select(
+        "o_orderkey",
+        "price_band",
+        (
+            F.col("sk").isNotNull()
+            & (F.col("sk") >= 10)
+            & ((F.col("sk") - 10) % 5 == 0)
+            & (sk_dupes == 1)
+        ).alias("sk_ok"),
+        F.lit(refused).alias("violation_refused"),
+    )
+
+
+@register(
+    "nested_cluster_optimize_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "NESTED liquid-clustering key end-to-end (VERDICT r8 missing "
+        "#4): seed a foreign Delta table whose clustering key lives "
+        "INSIDE a struct column, upgrade to name-mode column mapping "
+        "(the nested physical names differ from the logical path), "
+        "CLUSTER BY s.price — recorded as the spec's multi-part "
+        "physical path — then OPTIMIZE with no explicit key: the "
+        "domain's nested key resolves through the colmap walk and the "
+        "rewrite range-clusters on the flattened key (a projected "
+        "temp column that never reaches the files). The aggregate "
+        "reads the table back logically; any dropped row, broken "
+        "nested resolution, or leaked temp column diverges from the "
+        "oracle. 100 TB: identical OPTIMIZE cost shape to the flat "
+        "key — one extra narrow projection."
+    ),
+    tags=("table", "formats", "delta"),
+)
+def nested_cluster_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+        cluster_by_delta,
+        optimize_delta,
+    )
+
+    delta_table.register(spark)
+    path = _staging_dir("delta_nested_cluster", sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("s"),
+    )
+    orders.where(F.col("o_orderkey") % 4 == 0).repartition(4).write.format(
+        "delta"
+    ).mode("overwrite").save(path)
+    alter_delta_properties(path, {"delta.columnMapping.mode": "name"})
+    cluster_by_delta(path, ["s.price"])
+    optimize_delta(spark, path, target_file_bytes=1 << 20)
+    back = spark.read.format("delta").load(path)
+    return back.groupBy(F.col("s.status").alias("status")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(dec_sum("s.price")).alias("revenue"),
+    )

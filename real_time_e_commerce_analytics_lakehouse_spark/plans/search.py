@@ -244,18 +244,27 @@ TOPK_SKETCH_K = 10
 
 @register(
     "trending_tokens_sketch",
-    oracle=None,  # DataSketches frequent-items binary state; rows-only
+    oracle=f"""
+    SELECT CAST(r AS BIGINT) AS rank,
+           TRUE AS count_ok, TRUE AS is_heavy
+    FROM range(1, {TOPK_SKETCH_K} + 1) t(r)
+    """,
     doc=(
         f"Heavy hitters via the approx_top_k frequent-items sketch "
         f"(DataSketches): top-{TOPK_SKETCH_K} corpus tokens with "
-        "approximate counts, serialized token:count per rank. The "
-        "sketch is CONSTANT-MEMORY and mergeable — at 100 TB this "
-        "replaces the exact two-shuffle top-k (full token groupBy + "
-        "global sort) with one pass and a bounded accumulator per "
-        "partition. No oracle (sketch state is engine-specific); "
-        "pytest proves the guarantee that matters: with vocabulary "
-        "far below sketch capacity the counts are EXACT, so the "
-        "result must equal the exact frequency table."
+        "approximate counts. The sketch is CONSTANT-MEMORY and "
+        "mergeable — at 100 TB this replaces the exact two-shuffle "
+        "top-k (full token groupBy + global sort) with one pass and a "
+        "bounded accumulator per partition. The sketch STATE is "
+        "engine-specific, so the gate row checks the frequent-items "
+        "GUARANTEE instead (VERDICT r8 next #8), per rank, as exact "
+        "booleans: the estimate within εN of the token's exact count "
+        "(count_ok) and the returned token genuinely near-top-k "
+        "(is_heavy, exact count ≥ k-th count − εN), ε = 0.01 — vastly "
+        "looser than the default-capacity sketch's real error. The "
+        "exact-count join IS the verification harness (gate scale); "
+        "production runs keep the one-pass sketch alone. pytest keeps "
+        "the exact-below-capacity equivalence twin."
     ),
     tags=("documents", "text", "search", "approx"),
 )
@@ -268,7 +277,7 @@ def trending_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared session is a side effect two concurrently-built plans (or
     # a caller's own view) could clobber — identical plan, no catalog
     # mutation (r4 review)
-    return (
+    sketch = (
         toks.selectExpr(f"approx_top_k(t, {TOPK_SKETCH_K}) AS hits")
         .selectExpr("posexplode(hits) AS (rank0, hit)")
         .select(
@@ -276,6 +285,35 @@ def trending_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hit.item").alias("token"),
             F.col("hit.count").cast("long").alias("approx_count"),
         )
+    )
+    exact = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    # two scalar bounds, computed in-plan and broadcast: total token
+    # count N and the k-th largest exact count
+    bounds = (
+        exact.agg(F.sum("exact_count").alias("n_total"))
+        .crossJoin(
+            exact.orderBy(F.desc("exact_count"))
+            .limit(TOPK_SKETCH_K)
+            .agg(F.min("exact_count").alias("kth"))
+        )
+    )
+    joined = (
+        exact.join(F.broadcast(sketch), exact["t"] == sketch["token"])
+        .crossJoin(F.broadcast(bounds))
+    )
+    eps = 0.01
+    return joined.select(
+        "rank",
+        (
+            F.abs(F.col("approx_count") - F.col("exact_count"))
+            <= eps * F.col("n_total")
+        ).alias("count_ok"),
+        (
+            F.col("exact_count")
+            >= F.col("kth") - eps * F.col("n_total")
+        ).alias("is_heavy"),
     )
 
 

@@ -2515,6 +2515,65 @@ def restore_delta(path: str, version: int) -> int:
 CLUSTERING_DOMAIN = "delta.clustering"
 
 
+def _resolve_physical_path(
+    fields: list[dict], parts: list[str]
+) -> list[str]:
+    """LOGICAL dotted path -> per-level PHYSICAL names (the colmap walk
+    the DML tier uses, applied to a multi-part clustering key). Structs
+    only; refuses loudly on a missing field or a non-struct step."""
+    out: list[str] = []
+    cur = fields
+    for i, part in enumerate(parts):
+        f = next((x for x in cur if x["name"] == part), None)
+        if f is None:
+            raise ValueError(
+                f"clustering path {'.'.join(parts)!r}: no field "
+                f"{part!r} at level {i}"
+            )
+        md = f.get("metadata") or {}
+        out.append(md.get("delta.columnMapping.physicalName", f["name"]))
+        if i < len(parts) - 1:
+            t = f["type"]
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"clustering path {'.'.join(parts)!r}: {part!r} is "
+                    "not a struct"
+                )
+            cur = t["fields"]
+    return out
+
+
+def _resolve_logical_path(fields: list[dict], phys: list[str]) -> str:
+    """PHYSICAL per-level names -> LOGICAL dotted path (inverse walk;
+    an unmapped level resolves to itself)."""
+    out: list[str] = []
+    cur = fields
+    for i, pp in enumerate(phys):
+        f = next(
+            (
+                x
+                for x in cur
+                if (x.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", x["name"]
+                )
+                == pp
+            ),
+            None,
+        )
+        if f is None:
+            out.extend(phys[i:])
+            break
+        out.append(f["name"])
+        if i < len(phys) - 1:
+            t = f["type"]
+            cur = (
+                t["fields"]
+                if isinstance(t, dict) and t.get("type") == "struct"
+                else []
+            )
+    return ".".join(out)
+
+
 def cluster_by_delta(path: str, columns: Sequence[str]) -> int:
     """ALTER TABLE ... CLUSTER BY (liquid clustering on a foreign Delta
     table, PROTOCOL.md "Clustered Table"): records the clustering
@@ -2526,12 +2585,10 @@ def cluster_by_delta(path: str, columns: Sequence[str]) -> int:
     un-cluster (``ALTER TABLE ... CLUSTER BY NONE``). Returns the new
     log version."""
     snap = DeltaSnapshot(path)
-    logical = {f["name"] for f in snap.schema_json.get("fields", [])}
-    unknown = set(columns) - logical
-    if unknown:
-        raise ValueError(
-            f"CLUSTER BY on non-table columns: {sorted(unknown)}"
-        )
+    fields = snap.schema_json.get("fields", [])
+    # dotted paths are NESTED clustering keys (struct.field...) —
+    # resolved level by level; a bad path refuses inside the walk
+    phys_paths = [_resolve_physical_path(fields, c.split(".")) for c in columns]
     overlap = set(columns) & set(snap.partition_cols)
     if overlap:
         raise ValueError(
@@ -2555,12 +2612,7 @@ def cluster_by_delta(path: str, columns: Sequence[str]) -> int:
                 # the spec stores PHYSICAL name paths, one array per
                 # (possibly nested) clustering column
                 "configuration": json.dumps(
-                    {
-                        "clusteringColumns": [
-                            [snap.physical_names().get(c, c)]
-                            for c in columns
-                        ]
-                    }
+                    {"clusteringColumns": phys_paths}
                 ),
                 "removed": False,
             }
@@ -2597,19 +2649,13 @@ def clustering_columns(snap: DeltaSnapshot) -> list[str]:
     cfg = dm["configuration"]
     if isinstance(cfg, str):
         cfg = json.loads(cfg)
-    phys_to_logical = {
-        v: k for k, v in snap.physical_names().items()
-    }
+    fields = snap.schema_json.get("fields", [])
     out = []
     for path_arr in cfg.get("clusteringColumns") or []:
         if not path_arr:
             continue
-        if len(path_arr) > 1:
-            raise NotImplementedError(
-                "nested clustering columns are not supported by this "
-                f"OPTIMIZE (got {path_arr})"
-            )
-        out.append(phys_to_logical.get(path_arr[0], path_arr[0]))
+        # a multi-part path is a NESTED key -> logical dotted path
+        out.append(_resolve_logical_path(fields, list(path_arr)))
     return out
 
 
@@ -2681,8 +2727,8 @@ def optimize_delta(
     # column-mapped tables compact fine: the rewrite scans and writes
     # the files' PHYSICAL columns verbatim (and stats keys stay
     # physical, per spec); only user-facing zorder column names need
-    # logical->physical resolution below
-    phys_of = snap.resolved_physical_names(path)
+    # logical->physical resolution below (the colmap walk in the
+    # zorder_by block — handles nested struct.field keys too)
     # row tracking: compaction MOVES rows between files, so fresh
     # baseRowId would change their ids — PROTOCOL.md's preserved tier
     # MATERIALIZES each row's id/commit-version into physical columns
@@ -2795,19 +2841,38 @@ def optimize_delta(
         if rt or has_dv:
             df = df.drop("__od_fp")
         if zorder_by:
-            zcols = [phys_of.get(c, c) for c in zorder_by]
+            # each key resolves through the colmap walk — a DOTTED
+            # logical path becomes a backticked physical path, then a
+            # projected temp column so the Morton key / range
+            # clustering see flat columns (nested keys included);
+            # temps drop before the files are written
+            flds = snap.schema_json.get("fields", [])
+            zpaths = [
+                "`" + "`.`".join(
+                    _resolve_physical_path(flds, c.split("."))
+                ) + "`"
+                for c in zorder_by
+            ]
+            ztmp = [f"__zc{i}" for i in range(len(zpaths))]
+            df = df.select(
+                "*",
+                *[
+                    F.expr(e).alias(t)
+                    for e, t in zip(zpaths, ztmp)
+                ],
+            )
             zkey = None
-            if len(zcols) == 1:
+            if len(ztmp) == 1:
                 # one clustering column: plain range-clustering IS the
                 # optimal layout — no Morton interleave needed
-                zkey = F.col(zcols[0])
+                zkey = F.col(ztmp[0])
             else:
                 from real_time_e_commerce_analytics_lakehouse_spark.functions.zorder import (
                     zorder_key,
                 )
 
                 try:
-                    zkey = zorder_key(df, zcols)
+                    zkey = zorder_key(df, ztmp)
                 except ValueError:
                     # non-griddable columns (strings have no linear
                     # grid): lexicographic multi-column range
@@ -2820,12 +2885,16 @@ def optimize_delta(
                     df.withColumn("__z", zkey)
                     .repartitionByRange(n_out, "__z")
                     .sortWithinPartitions("__z")
-                    .drop("__z")
+                    .drop("__z", *ztmp)
                 )
             else:
-                df = df.repartitionByRange(
-                    n_out, *[F.col(c) for c in zcols]
-                ).sortWithinPartitions(*zcols)
+                df = (
+                    df.repartitionByRange(
+                        n_out, *[F.col(c) for c in ztmp]
+                    )
+                    .sortWithinPartitions(*ztmp)
+                    .drop(*ztmp)
+                )
         else:
             df = df.repartition(n_out)
         # stage executor-side, then adopt the files by rename (same

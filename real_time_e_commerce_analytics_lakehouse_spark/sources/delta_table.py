@@ -880,6 +880,9 @@ class _AddedFile(WriterCommitMessage):
     # ((rel path, ((pcol, canonical value), ...), numRecords), ...)
     files: tuple = ()
     n_rows: int = 0
+    # ((identity col, lo, hi), ...) observed/generated by this task —
+    # the commit folds these into the identity high-water mark
+    ident_obs: tuple = ()
 
 
 class _CommitConflict(Exception):
@@ -1016,11 +1019,17 @@ def _commit_table_change(
     evolved_fields: list[dict] | None = None,
     new_max_id: int | None = None,
     replace_where: dict[str, set[str | None]] | None = None,
+    enforced: bool = False,
+    enforcer=None,
+    ident_obs: list[dict] | None = None,
 ) -> str:
     """Build + atomically claim one Delta commit; rebase-retry on a
     version race (stream sink path). Returns 'committed' | 'replayed'
     (txn watermark already at/above this batch — a checkpoint replay;
-    caller drops its staged files)."""
+    caller drops its staged files). ``enforced`` marks a writer that
+    validates CHECK/generated/identity per batch (arrow_enforce.py);
+    ``enforcer`` + ``ident_obs`` fold the tasks' identity extremes
+    into a high-water-mark metaData re-emission."""
     now = int(time.time() * 1000)
     attempt = 0
     while True:
@@ -1030,7 +1039,7 @@ def _commit_table_change(
         except FileNotFoundError:
             snap = None
         if snap is not None:
-            _guard_writable(snap, overwrite)
+            _guard_writable(snap, overwrite, enforce_constraints=enforced)
             if txn is not None:
                 last = snap.txns.get(txn[0])
                 if last is not None and txn[1] <= last:
@@ -1044,6 +1053,17 @@ def _commit_table_change(
                     return "replayed"
             existing = _schema_fields(snap.spark_schema())
             ours = _schema_fields(schema)
+            # enforcer-computed columns (generated/identity absent from
+            # the df) are in the staged files: count them as written so
+            # an overwrite doesn't read as "schema narrowed"
+            computed = (
+                set(enforcer.computed_columns())
+                if enforcer is not None
+                else set()
+            )
+            for c in computed:
+                if c in existing:
+                    ours.setdefault(c, existing[c])
             clash = {
                 n: (existing[n], t)
                 for n, t in ours.items()
@@ -1106,12 +1126,32 @@ def _commit_table_change(
             first = True
             schema_changed = False
 
+        # identity high-water marks: merged per ATTEMPT against the
+        # fresh snapshot (merged_hwms refuses when a concurrent writer
+        # advanced a generated column's mark since planning)
+        identity_hwms: dict[str, int] = {}
+        if enforcer is not None and ident_obs and snap is not None:
+            identity_hwms = enforcer.merged_hwms(snap, ident_obs)
+
+        def _bump_identity(fields: list[dict]) -> list[dict]:
+            out = []
+            for f in fields:
+                if f["name"] in identity_hwms:
+                    f = dict(f)
+                    md = dict(f.get("metadata") or {})
+                    md["delta.identity.highWaterMark"] = int(
+                        identity_hwms[f["name"]]
+                    )
+                    f["metadata"] = md
+                out.append(f)
+            return out
+
         actions: list[dict] = []
         if first:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        if first or schema_changed:
+        if first or schema_changed or identity_hwms:
             mapped = snap is not None and snap.column_mapping_mode != "none"
             evolved_by_name = {
                 f["name"]: f for f in (evolved_fields or [])
@@ -1131,6 +1171,16 @@ def _commit_table_change(
                     if f.name in new_cols
                 ]
                 schema_json = {"type": "struct", "fields": merged}
+            elif not first and identity_hwms and not schema_changed:
+                # identity-only re-emission: the TABLE schema verbatim,
+                # only the high-water marks move
+                schema_json = {
+                    "type": "struct",
+                    "fields": [
+                        dict(f)
+                        for f in snap.schema_json.get("fields", [])
+                    ],
+                }
             elif mapped and not first:
                 # overwrite re-emission on a mapped table: rebuild from
                 # the table's field jsons — schema.jsonValue() would
@@ -1139,12 +1189,35 @@ def _commit_table_change(
                     f["name"]: f
                     for f in snap.schema_json.get("fields", [])
                 }
+                written_names = [f.name for f in schema.fields]
+                # enforcer-computed columns (generated/identity) are in
+                # the staged files even though the df lacked them —
+                # keep them in the re-emitted schema, table order
+                extra = [
+                    n
+                    for n in by_name
+                    if n in computed and n not in written_names
+                ]
                 schema_json = {
                     "type": "struct",
-                    "fields": [by_name[f.name] for f in schema.fields],
+                    "fields": [
+                        by_name[n] for n in written_names + extra
+                    ],
                 }
             else:
+                if identity_hwms and not first:
+                    raise NotImplementedError(
+                        "overwrite that changes the schema/layout of "
+                        "an identity table on the arrow tier — write "
+                        "through the DML tier (delete + insert_delta) "
+                        "instead"
+                    )
                 schema_json = schema.jsonValue()
+            if identity_hwms:
+                schema_json = {
+                    "type": "struct",
+                    "fields": _bump_identity(schema_json["fields"]),
+                }
             cfg = dict(snap.configuration) if snap is not None else {}
             if new_max_id is not None and not first and new_cols:
                 cfg["delta.columnMapping.maxColumnId"] = str(new_max_id)
@@ -1294,6 +1367,9 @@ class _DeltaWriteTask:
         self._pphys: dict[str, str] = {}
         # hidden-_metadata emulation (see _is_hidden_metadata_field)
         self._drop_meta = False
+        # CHECK/generated/identity enforcement plan (arrow_enforce.py),
+        # set by the writers when the target table carries any
+        self._enforcer = None
 
     def _load_mapping(
         self,
@@ -1367,12 +1443,23 @@ class _DeltaWriteTask:
         t = pa.Table.from_batches(batches)
         if self._drop_meta and "_metadata" in t.column_names:
             t = t.drop_columns(["_metadata"])
+        ident_obs: tuple = ()
+        if self._enforcer:
+            t, obs = self._enforcer.apply(t)
+            ident_obs = tuple(
+                (c, lo, hi)
+                for c, ext in obs.items()
+                if ext is not None
+                for lo, hi in (ext,)
+            )
         if not self.partition_by:
             out = self._to_physical(t) if self._inv_fields else t
             rel = f"part-{uuid_hex()}.parquet"
             pq.write_table(out, os.path.join(self.path, rel))
             return _AddedFile(
-                files=((rel, (), t.num_rows),), n_rows=t.num_rows
+                files=((rel, (), t.num_rows),),
+                n_rows=t.num_rows,
+                ident_obs=ident_obs,
             )
         keys = t.select(self.partition_by).to_pylist()
         groups: dict[tuple, list[int]] = {}
@@ -1399,7 +1486,9 @@ class _DeltaWriteTask:
                 os.path.join(self.path, rel),
             )
             written.append((rel, combo, len(idx)))
-        return _AddedFile(files=tuple(written), n_rows=t.num_rows)
+        return _AddedFile(
+            files=tuple(written), n_rows=t.num_rows, ident_obs=ident_obs
+        )
 
 
 def _collect_adds(messages) -> list[tuple[str, dict, int]]:
@@ -1408,6 +1497,15 @@ def _collect_adds(messages) -> list[tuple[str, dict, int]]:
         for m in messages
         if m
         for rel, combo, n in m.files
+    ]
+
+
+def _collect_ident_obs(messages) -> list[dict]:
+    """Per-task identity extremes for ArrowEnforcer.merged_hwms."""
+    return [
+        {c: (lo, hi) for c, lo, hi in m.ident_obs}
+        for m in messages
+        if m and getattr(m, "ident_obs", ())
     ]
 
 
@@ -1445,8 +1543,18 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             snap = DeltaSnapshot(path)
         except FileNotFoundError:
             snap = None
+        enforcer = None
         if snap is not None:
-            _guard_writable(snap, overwrite)
+            # CHECK/generated/identity enforcement plan FIRST: a table
+            # carrying expressions this tier cannot evaluate refuses
+            # here (loudly, before any task), everything else is
+            # enforced per arrow batch (arrow_enforce.py)
+            from real_time_e_commerce_analytics_lakehouse_spark.sources.arrow_enforce import (
+                ArrowEnforcer,
+            )
+
+            enforcer = ArrowEnforcer.plan(snap, schema, allow_generate=True)
+            _guard_writable(snap, overwrite, enforce_constraints=True)
             if partition_by is None:
                 # inherit on overwrite too: mode('overwrite') without an
                 # explicit partition_by used to silently rewrite a
@@ -1462,6 +1570,7 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             raise ValueError(f"partition columns {missing} absent from schema")
         super().__init__(path, schema, pb)
         self._drop_meta = drop_meta
+        self._enforcer = enforcer
         # schema evolution on a MAPPED table: allocate fresh column ids
         # + physical names NOW (maxColumnId+1 onward) so the staged
         # parquet files and the commit's metaData agree on the mapping
@@ -1523,6 +1632,9 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             evolved_fields=self._evolved_fields or None,
             new_max_id=self._new_max_id,
             replace_where=self._replace_where,
+            enforced=True,
+            enforcer=self._enforcer,
+            ident_obs=_collect_ident_obs(messages),
         )
         if status == "replayed":
             _drop_files(self.path, messages)
@@ -1625,7 +1737,18 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
                 ]
                 self._new_max_id = counter[0] - 1
         if snap is not None:
-            _guard_writable(snap, overwrite=False)
+            from real_time_e_commerce_analytics_lakehouse_spark.sources.arrow_enforce import (
+                ArrowEnforcer,
+            )
+
+            # CHECK constraints + generated columns enforce per batch;
+            # identity GENERATION refuses on the stream tier (the water
+            # mark would go stale across micro-batches) — explicit
+            # BY-DEFAULT identity values sync the mark instead
+            self._enforcer = ArrowEnforcer.plan(
+                snap, schema, allow_generate=False
+            )
+            _guard_writable(snap, overwrite=False, enforce_constraints=True)
             self._load_mapping(snap, extra_fields=self._evolved_fields)
         self.full_schema = schema
         os.makedirs(path, exist_ok=True)
@@ -1642,6 +1765,9 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
             retries=20,
             evolved_fields=self._evolved_fields or None,
             new_max_id=self._new_max_id,
+            enforced=True,
+            enforcer=self._enforcer,
+            ident_obs=_collect_ident_obs(messages),
         )
         if outcome == "replayed":
             _drop_files(self.path, messages)

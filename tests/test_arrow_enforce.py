@@ -1,0 +1,219 @@
+"""Arrow-tier CHECK / generated-column / identity enforcement
+(VERDICT r8 missing #3, arrow_enforce.py): ``df.write.format("delta")``
+onto a constrained table succeeds on valid rows, fails loudly on
+violations (before any file is adopted), computes absent generated
+columns, generates identity values, and refuses — at write PLANNING
+time — expressions the tier cannot evaluate.
+
+Reference scope note: the reference notebooks never use constraints —
+this is beyond-reference Delta-protocol parity for the foreign-table
+interop layer, closing the last natural-spelling refusal."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_e_commerce_analytics_lakehouse_spark.sources import delta_table as dtmod
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+    create_delta_table,
+)
+from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+    DeltaSnapshot,
+    alter_delta_properties,
+    read_delta_log,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    dtmod.register(spark)
+
+
+def _field_md(path, col):
+    return {
+        f["name"]: f.get("metadata") or {}
+        for f in DeltaSnapshot(path).schema_json["fields"]
+    }[col]
+
+
+def test_check_constraint_enforced_on_arrow_path(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 5)], "id long, v long"
+    ).write.format("delta").mode("append").save(p)
+    alter_delta_properties(p, {"delta.constraints.positive_v": "v > 0"})
+    # valid rows pass; NULL passes (SQL CHECK semantics)
+    spark.createDataFrame(
+        [(2, 7), (3, None)], "id long, v long"
+    ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 3
+    # a violating row aborts the job; nothing is adopted
+    with pytest.raises(Exception, match="positive_v"):
+        spark.createDataFrame(
+            [(4, 8), (5, -1)], "id long, v long"
+        ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 3
+
+
+def test_column_invariant_enforced_on_arrow_path(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 5)], "id long, v long"
+    ).write.format("delta").mode("append").save(p)
+    # splice a legacy delta.invariants payload into the field metadata
+    log = _os.path.join(p, "_delta_log", f"{0:020d}.json")
+    lines = [_json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] == "v":
+                    f["metadata"] = {
+                        "delta.invariants": _json.dumps(
+                            {"expression": {"expression": "v < 100"}}
+                        )
+                    }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(_json.dumps(a) + "\n")
+    spark.createDataFrame(
+        [(2, 50)], "id long, v long"
+    ).write.format("delta").mode("append").save(p)
+    with pytest.raises(Exception, match="invariant"):
+        spark.createDataFrame(
+            [(3, 500)], "id long, v long"
+        ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 2
+
+
+def test_generated_column_computed_and_validated(spark, tmp_path):
+    p = str(tmp_path / "t")
+    create_delta_table(
+        p, "id long, twice long", generated={"twice": "id * 2"}
+    )
+    # absent from the frame -> COMPUTED per batch
+    spark.createDataFrame([(4,), (5,)], "id long").write.format(
+        "delta"
+    ).mode("append").save(p)
+    got = sorted(
+        (r.id, r.twice) for r in read_delta_log(spark, p).collect()
+    )
+    assert got == [(4, 8), (5, 10)]
+    # present and CORRECT -> accepted
+    spark.createDataFrame(
+        [(6, 12)], "id long, twice long"
+    ).write.format("delta").mode("append").save(p)
+    # present and WRONG -> refused, nothing adopted
+    with pytest.raises(Exception, match="twice"):
+        spark.createDataFrame(
+            [(7, 99)], "id long, twice long"
+        ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 3
+
+
+def test_identity_generated_on_arrow_path(spark, tmp_path):
+    p = str(tmp_path / "t")
+    create_delta_table(
+        p,
+        "k string, sk bigint",
+        identity={"sk": {"start": 100, "step": 10}},
+    )
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    ).repartition(2).write.format("delta").mode("append").save(p)
+    sks = [r["sk"] for r in read_delta_log(spark, p).collect()]
+    assert len(set(sks)) == 3
+    assert all(sk >= 100 and (sk - 100) % 10 == 0 for sk in sks)
+    assert _field_md(p, "sk")["delta.identity.highWaterMark"] == max(sks)
+    # BY DEFAULT twin: explicit values sync the mark
+    p2 = str(tmp_path / "t2")
+    create_delta_table(
+        p2,
+        "k string, sk bigint",
+        identity={
+            "sk": {"start": 1, "step": 1, "allow_explicit_insert": True}
+        },
+    )
+    spark.createDataFrame(
+        [("x", 40), ("y", 55)], "k string, sk long"
+    ).write.format("delta").mode("append").save(p2)
+    assert _field_md(p2, "sk")["delta.identity.highWaterMark"] == 55
+
+
+def test_unevaluable_expression_refuses_at_planning(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    ).write.format("delta").mode("append").save(p)
+    # xxhash64 is Spark-only — DuckDB cannot evaluate it; the write
+    # must refuse at PLANNING (loudly, with DML-tier guidance), not
+    # silently skip enforcement
+    alter_delta_properties(
+        p, {"delta.constraints.weird": "xxhash64(v) != 0"}
+    )
+    with pytest.raises(Exception, match="not evaluable|merge_delta"):
+        spark.createDataFrame(
+            [(2, "b")], "id long, v string"
+        ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 1
+
+
+def test_stream_sink_enforces_checks_refuses_identity_gen(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, 5)], "id long, v long"
+    ).write.format("delta").mode("append").save(src)
+    spark.createDataFrame(
+        [], "id long, v long"
+    ).write.format("delta").mode("append").save(sink)
+    alter_delta_properties(sink, {"delta.constraints.pos": "v > 0"})
+
+    def drain():
+        q = (
+            spark.readStream.format("delta")
+            .load(src)
+            .writeStream.format("delta")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+
+    drain()
+    assert read_delta_log(spark, sink).count() == 1
+    # violating micro-batch fails the query; nothing adopted
+    spark.createDataFrame(
+        [(2, -9)], "id long, v long"
+    ).write.format("delta").mode("append").save(src)
+    with pytest.raises(Exception, match="pos|StreamingQuery"):
+        drain()
+    assert read_delta_log(spark, sink).count() == 1
+
+    # identity GENERATION refuses on the stream tier (stale mark)
+    sink2 = str(tmp_path / "sink2")
+    create_delta_table(
+        sink2, "id long, v long, sk bigint", identity={"sk": {}}
+    )
+    ck2 = str(tmp_path / "ck2")
+    with pytest.raises(Exception, match="STREAMING|insert_delta"):
+        q = (
+            spark.readStream.format("delta")
+            .load(src)
+            .writeStream.format("delta")
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True)
+            .start(sink2)
+        )
+        q.awaitTermination(120)

@@ -118,13 +118,17 @@ def test_batch_writer_guards(spark, tmp_path):
         spark.createDataFrame([(9, "z")], "id long, v string").write.format(
             "delta"
         ).mode("overwrite").save(p)
+    # a writer feature this engine genuinely does not implement still
+    # refuses (identityColumns/checkConstraints/generatedColumns are
+    # ENFORCED on the arrow tier since r9 — arrow_enforce.py — so they
+    # no longer refuse)
     for a in lines:
         if "protocol" in a:
-            a["protocol"]["writerFeatures"] = ["identityColumns"]
+            a["protocol"]["writerFeatures"] = ["icebergCompatV3"]
     with open(log, "w") as f:
         for a in lines:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(Exception, match="identityColumns"):
+    with pytest.raises(Exception, match="icebergCompatV3"):
         spark.createDataFrame([(9, "z")], "id long, v string").write.format(
             "delta"
         ).mode("append").save(p)

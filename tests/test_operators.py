@@ -257,10 +257,28 @@ def test_distributed_cumsum_matches_global_window(spark):
 
 def test_approx_percentiles_within_tolerance(spark, sf_dir):
     from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
 
+    # the registered gate query emits the sketch guarantee as booleans
     rows = QUERIES["approx_price_percentiles"].builder(spark, sf_dir).collect()
     assert rows
     for r in rows:
+        assert r.p50_ok and r.p90_ok and r.p99_ok, r
+    # tighter pytest twin: each estimate within 1% of the exact value
+    raw = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("approx_pcts"),
+            F.expr(
+                "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+            ).alias("exact_pcts"),
+        )
+        .collect()
+    )
+    for r in raw:
         for approx, exact in zip(r.approx_pcts, r.exact_pcts):
             assert abs(approx - exact) <= 0.01 * abs(exact) + 1e-9
 
@@ -465,22 +483,39 @@ def test_hll_audience_overlap_accuracy(spark, sf_dir):
 def test_trending_tokens_sketch_exact_below_capacity(spark, sf_dir):
     """Frequent-items sketches are exact while distinct items fit the
     sketch; the corpus vocabulary (~31) is far below capacity, so the
-    sketch top-k must EQUAL the exact frequency table (counts and
-    membership; order can tie-break differently at equal counts)."""
+    raw sketch top-k must EQUAL the exact frequency table (counts and
+    membership; order can tie-break differently at equal counts), and
+    the registered gate query's guarantee booleans must all be TRUE."""
     from pyspark.sql import functions as F
 
     from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
     from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
     from real_time_e_commerce_analytics_lakehouse_spark.plans.search import TOPK_SKETCH_K
 
+    # the registered query emits per-rank guarantee booleans
+    gate = QUERIES["trending_tokens_sketch"].builder(spark, sf_dir).collect()
+    assert sorted(r.rank for r in gate) == list(
+        range(1, TOPK_SKETCH_K + 1)
+    )
+    assert all(r.count_ok and r.is_heavy for r in gate), gate
+
+    # raw sketch vs exact frequency table (below-capacity exactness)
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("split(trim(lower(text)), '\\\\s+')")
+        ).alias("t")
+    )
     got = {
         r.token: r.approx_count
-        for r in QUERIES["trending_tokens_sketch"].builder(spark, sf_dir).collect()
+        for r in toks.selectExpr(
+            f"approx_top_k(t, {TOPK_SKETCH_K}) AS hits"
+        )
+        .selectExpr("inline(hits)")
+        .selectExpr("item as token", "cast(count as long) as approx_count")
+        .collect()
     }
     exact = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("t"))
-        .groupBy("t")
+        toks.groupBy("t")
         .count()
         .orderBy(F.desc("count"), "t")
         .limit(TOPK_SKETCH_K * 2)

@@ -252,6 +252,55 @@ def table_layer_soak(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     out["identity_insert_batch"] = round(time.perf_counter() - t0, 3)
     batch.unpersist()
 
+    # ---- column-mapping tier (VERDICT r8 next #7): name-mode mapped
+    # table with a NESTED struct column. Claims under test:
+    # relabel_arrow runs per batch per column and costs O(schema) +
+    # O(batch bytes), never O(table); the mapped fixed-churn merge
+    # rewrites only fresh-match files like the unmapped twin (the
+    # logical->physical projection is one extra select on the rows it
+    # was already rewriting).
+    mp = f"{workdir}/orders_mapped"
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("s"),
+        "key_bucket",
+    )
+    # untimed setup: seed, then upgrade none -> name (metadata-only)
+    nested.write.format("delta").option(
+        "partition_by", "key_bucket"
+    ).mode("append").save(mp)
+    alter_delta_properties(mp, {"delta.columnMapping.mode": "name"})
+    mbatch = (
+        nested.where(F.col("o_orderkey") < 10_000_000)
+        .limit(50_000)
+        .persist()
+    )
+    mbatch.count()
+    t0 = time.perf_counter()
+    mbatch.write.format("delta").mode("append").save(mp)
+    out["mapped_append_batch"] = round(time.perf_counter() - t0, 3)
+    mchurn = (
+        nested.where(
+            (F.col("o_orderkey") % 97 == 0)
+            & (F.col("o_orderkey") < 10_000_000)
+        ).withColumn(
+            "s",
+            F.struct(
+                (F.col("s.price") * 1.1).alias("price"),
+                F.col("s.status").alias("status"),
+            ),
+        )
+    ).persist()
+    mchurn.count()
+    t0 = time.perf_counter()
+    merge_delta(spark, mp, mchurn, keys=["o_orderkey"])
+    out["mapped_merge_churn"] = round(time.perf_counter() - t0, 3)
+    mbatch.unpersist()
+    mchurn.unpersist()
+
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
