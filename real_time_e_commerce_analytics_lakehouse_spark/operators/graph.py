@@ -75,7 +75,7 @@ def connected_components(
     dst: str = "dst",
     vertex_col: str = "vertex",
     component_col: str = "component",
-    max_rounds: int = 25,
+    max_rounds: int = 64,
     use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
@@ -86,6 +86,16 @@ def connected_components(
     with no edges are not emitted — left-join the result back onto the
     full vertex set and coalesce to the vertex id for singleton
     clusters. Vertex ids must be orderable and non-null.
+
+    ``max_rounds`` defaults to 64: real duplicate clusters have tiny
+    diameter (2-4 rounds), but adversarial chain-shaped graphs whose
+    vertex ids are uncorrelated with chain position (the sf0.1
+    levenshtein name graph: 190-vertex chains) measured ~26-40 rounds
+    — hop moves the wavefront one edge and the jump only halves the
+    chase to the CURRENT label holder, so the log bound carries a
+    structure-dependent constant. Each round is two small joins over
+    checkpointed labels; a generous bound costs nothing when
+    convergence is early (the digest fixpoint exits the loop).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -95,9 +105,26 @@ def connected_components(
     )
 
     def _materialize(df: DataFrame) -> DataFrame:
-        if use_local_checkpoint:
-            return df.localCheckpoint(eager=True)
-        return df.checkpoint(eager=True)
+        # checkpoint truncates LINEAGE, persist fixes STATS: Spark's
+        # localCheckpoint copies the origin plan's ESTIMATED
+        # sizeInBytes into the new LogicalRDD
+        # (LogicalRDD.rewriteStatsAndConstraints), and the jump step's
+        # self-join SQUARES that estimate — left uncorrected, the
+        # BigInt doubles its digit count every round and by round ~18
+        # the driver burns MINUTES inside BigInteger.multiply costing
+        # a single plan (found by the r9 full-suite sf0.1 run).
+        # Caching each round's labels substitutes an InMemoryRelation
+        # with the REAL materialized size into every later plan, so
+        # per-round estimates stay grounded and checkpoint-time stats
+        # rewriting is O(plan), not O(2^round) digit arithmetic. The
+        # digest action right after each _materialize call fills the
+        # cache; the caller unpersists the previous round.
+        cp = (
+            df.localCheckpoint(eager=True)
+            if use_local_checkpoint
+            else df.checkpoint(eager=True)
+        )
+        return cp.persist()
 
     labels = _materialize(
         sym.select(F.col("a").alias("v")).distinct().withColumn("comp", F.col("v"))
@@ -138,6 +165,7 @@ def connected_components(
                 ).alias("comp"),
             )
         )
+        prev_labels = labels
         labels = _materialize(jumped)
         # convergence witness must work for ANY orderable id type:
         # F.sum over STRING comps casts to NULL (non-ANSI), making
@@ -148,6 +176,7 @@ def connected_components(
         # seeded digests guard against a single-digest collision
         # certifying a false fixpoint (see _label_digests).
         new_sum = tuple(labels.agg(*_label_digests()).collect()[0])
+        prev_labels.unpersist()
         if new_sum == prev_sum:  # labels only decrease: fixpoint reached
             break
         prev_sum = new_sum
@@ -157,6 +186,9 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     sym.unpersist()
+    # the fixpoint lives in the checkpoint blocks; the cache layer was
+    # only needed to ground per-round stats — release it
+    labels.unpersist()
     return labels.select(
         F.col("v").alias(vertex_col), F.col("comp").alias(component_col)
     )

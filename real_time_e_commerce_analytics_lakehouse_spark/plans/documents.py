@@ -1207,7 +1207,7 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE toks AS (
         SELECT doc_id, {tx.tokens('text', 'duck')} AS t FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT DISTINCT doc_id, unnest({tx.shingles('t', SHINGLE_N, 'duck')}) AS s
         FROM toks
     ),
@@ -1217,14 +1217,14 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT doc_a, doc_b
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL
         SELECT doc_b, doc_a FROM pairs

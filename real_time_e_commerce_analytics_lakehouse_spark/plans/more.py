@@ -783,13 +783,13 @@ def lang_doc_profile_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recipe (Fellegi-Sunter style blocking). levenshtein() runs JVM-side
 # in both engines.
 _FUZZY_EDGES_SQL = """
-    p AS (
+    p AS MATERIALIZED (
         SELECT p_partkey AS id,
                p_name || ' ' || p_type AS nm,
                split_part(p_name, ' ', 1) AS blk
         FROM part
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT a.id AS src, b.id AS dst,
                levenshtein(a.nm, b.nm) AS dist
         FROM p a JOIN p b
@@ -850,7 +850,7 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entity_resolution_parts",
     oracle=f"""
     WITH RECURSIVE {_FUZZY_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
         SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
     ),
     reach(node, lab) AS (

@@ -661,13 +661,17 @@ def test_dml_enforces_check_constraints_and_invariants(spark, tmp_path):
         "rows_updated"
     ] == 1
 
-    # the arrow writer tier still refuses rather than skip validation
-    with pytest.raises(
-        Exception, match="CHECK|checkConstraints|invariant"
-    ):
+    # the arrow writer tier ENFORCES since r9 (arrow_enforce.py):
+    # valid rows write, a violating batch aborts naming the constraint
+    spark.createDataFrame(
+        [(9, 9.0)], "id long, amount double"
+    ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 5
+    with pytest.raises(Exception, match="amount_positive"):
         spark.createDataFrame(
-            [(9, 9.0)], "id long, amount double"
+            [(10, -2.0)], "id long, amount double"
         ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 5
 
 
 def test_merge_not_matched_by_source_delete(spark, tmp_path):
@@ -804,9 +808,17 @@ def test_generated_columns_enforced(spark, tmp_path):
         merge_delta(spark, p, src_bad, keys=["id"])
     assert _rows(read_delta_log(spark, p)) == [(1, 2), (5, 10)]
 
-    # the arrow writer refuses loudly (cannot evaluate SQL exprs)
-    with pytest.raises(Exception, match="GENERATED"):
-        src_ok.write.format("delta").mode("append").save(p)
+    # the arrow writer ENFORCES since r9 (arrow_enforce.py): a correct
+    # stored value writes; a wrong one aborts naming the column
+    spark.createDataFrame(
+        [(8, 16)], "id long, id2 long"
+    ).write.format("delta").mode("append").save(p)
+    assert _rows(read_delta_log(spark, p)) == [(1, 2), (5, 10), (8, 16)]
+    with pytest.raises(Exception, match="id2"):
+        spark.createDataFrame(
+            [(9, 99)], "id long, id2 long"
+        ).write.format("delta").mode("append").save(p)
+    assert read_delta_log(spark, p).count() == 3
 
 
 def test_when_matched_delete(spark, tmp_path):
