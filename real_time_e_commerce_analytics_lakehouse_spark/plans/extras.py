@@ -581,14 +581,20 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS order_date,
-               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS day_rev
         FROM orders GROUP BY 1
     ),
     framed AS (
         SELECT order_date,
                CAST(day_rev AS DOUBLE) AS x,
                CAST(sum(day_rev) OVER w AS DOUBLE) AS s,
-               CAST(sum(day_rev * day_rev) OVER w AS DOUBLE) AS ss,
+               -- operands widened to DECIMAL(19,2): DuckDB 1.0 keeps
+               -- width-18 multiplies int64-backed and overflows; 19
+               -- forces hugeint, result decimal(38,4), still exact
+               CAST(sum(CAST(day_rev AS DECIMAL(19,2))
+                        * CAST(day_rev AS DECIMAL(19,2))) OVER w
+                    AS DOUBLE) AS ss,
                CAST(count(day_rev) OVER w AS BIGINT) AS n
         FROM daily
         WINDOW w AS (ORDER BY order_date
@@ -614,13 +620,19 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame, so missing days shrink the window rather than "
         "stretching it), |z| > 2 flagged. Cross-engine exactness: the "
         "windowed sum and sum-of-squares accumulate DECIMAL (exact, "
-        "order-independent; the 18,6 x 18,6 product stays inside "
-        "decimal38), and every double step after that — mean, "
-        "population variance via E[X^2]-E[X]^2 clamped at 0, sqrt, "
-        "ratio — is the same IEEE expression tree on identical inputs "
-        "on both engines, so even the boolean flag hash-matches. The "
-        "window runs over the ~2.4k-row daily pre-agg, not the fact "
-        "table (the 100 TB-safe shape shared with trailing_7d_revenue)."
+        "order-independent) — day_rev is pinned to DECIMAL(18,2) (the "
+        "cent-exact price grid, zero rounding) so its square is "
+        "decimal(37,4), INSIDE decimal38 on BOTH engines; the r8 "
+        "(18,6) spelling overflowed the product differently per "
+        "engine at sf0.1 (found by the r9 full-suite sf0.1 run: the "
+        "one-day window's variance came out exactly 0 on one engine "
+        "and ~1e-2 on the other, flipping z between NULL and 0.0). "
+        "Every double step after the exact decimals — mean, population "
+        "variance via E[X^2]-E[X]^2 clamped at 0, sqrt, ratio — is "
+        "the same IEEE expression tree on identical inputs on both "
+        "engines, so even the boolean flag hash-matches. The window "
+        "runs over the ~2.4k-row daily pre-agg, not the fact table "
+        "(the 100 TB-safe shape shared with trailing_7d_revenue)."
     ),
     tags=("window", "events"),
 )
@@ -628,7 +640,7 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("day_rev"))
         .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
     aug = carried_range_buckets(daily, "__day", lookback=27)

@@ -209,9 +209,13 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _als_sql() -> str:
     """Rank-1 alternating least squares on the customer x part quantity
     matrix — valid in both dialects. Ratings are integer-valued (exact
-    in any summation order); each alternation's products are decimal-cast
-    pre-sum (the pagerank/logreg discipline), so the factors stay
-    bit-identical across engines through all three half-steps."""
+    in any summation order); each alternation's products are ROUNDED
+    THEN decimal-cast pre-sum (the _nb_sql discipline — a bare
+    double->decimal cast quantizes the last scale digit under each
+    engine's own rounding mode, which flipped 3 of 61k factors in the
+    9th decimal at sf0.1; found by the r9 full-suite sf0.1 run), and
+    the emitted factor rounds to 6 decimals so the remaining pure-IEEE
+    ratio carries no boundary sensitivity into the value hash."""
     return """
     WITH r AS (
         SELECT o.o_custkey AS c, l.l_partkey AS p,
@@ -225,21 +229,21 @@ def _als_sql() -> str:
     ),
     v1 AS (
         SELECT p,
-               CAST(sum(CAST(r.r * u1.u AS DECIMAL(28,9))) AS DOUBLE)
-             / CAST(sum(CAST(u1.u * u1.u AS DECIMAL(28,9))) AS DOUBLE) AS v
+               CAST(sum(CAST(round(r.r * u1.u, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(sum(CAST(round(u1.u * u1.u, 9) AS DECIMAL(28,9))) AS DOUBLE) AS v
         FROM r JOIN u1 ON r.c = u1.c
         GROUP BY p
     ),
     u2 AS (
         SELECT c,
-               CAST(sum(CAST(r.r * v1.v AS DECIMAL(28,9))) AS DOUBLE)
-             / CAST(sum(CAST(v1.v * v1.v AS DECIMAL(28,9))) AS DOUBLE) AS u
+               CAST(sum(CAST(round(r.r * v1.v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(sum(CAST(round(v1.v * v1.v, 9) AS DECIMAL(28,9))) AS DOUBLE) AS u
         FROM r JOIN v1 ON r.p = v1.p
         GROUP BY c
     )
-    SELECT 'customer' AS entity, c AS entity_id, u AS factor FROM u2
+    SELECT 'customer' AS entity, c AS entity_id, round(u, 6) AS factor FROM u2
     UNION ALL
-    SELECT 'part' AS entity, p AS entity_id, v AS factor FROM v1
+    SELECT 'part' AS entity, p AS entity_id, round(v, 6) AS factor FROM v1
     """
 
 
@@ -256,8 +260,8 @@ def _als_sql() -> str:
         "key — the exact communication pattern distributed ALS runs at "
         "100 TB (factors are |users|+|items|, tiny next to ratings). "
         "Integer-valued ratings sum exactly in any order; alternation "
-        "products are decimal-cast pre-sum, so the learned factors are "
-        "bit-identical cross-engine and emitted unrounded."
+        "products are rounded-then-decimal-cast pre-sum, so the learned "
+        "factors are cross-engine identical and emitted at 6 decimals."
     ),
     tags=("ml", "join", "agg", "analytics"),
 )

@@ -392,6 +392,11 @@ def main() -> None:
             # identity generation is 2 jobs over the 50k batch + an
             # O(log) water-mark read
             "identity_insert_batch",
+            # colmap tier (VERDICT r8 next #7): relabel_arrow is
+            # O(schema)+O(batch bytes); the mapped merge rewrites only
+            # fresh-match files like the unmapped twin
+            "mapped_append_batch",
+            "mapped_merge_churn",
         }
         for op in small_tl:
             ts_f, tb_f = max(small_tl[op], 1e-3), max(big_tl[op], 1e-3)
