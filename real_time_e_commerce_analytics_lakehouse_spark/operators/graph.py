@@ -206,7 +206,10 @@ def connected_components(
             break
         prev_sum = new_sum
     else:
+        # release BOTH cached frames before raising — a leaked persist
+        # pins executor storage for the rest of the session (r9 advice)
         sym.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
@@ -361,7 +364,11 @@ def connected_components_star(
             break
         prev = new
     else:
+        # release BOTH cached frames before raising — leaving the last
+        # round's edge set persisted holds executor storage until
+        # session GC (r9 advice)
         verts.unpersist()
+        e.unpersist()
         raise RuntimeError(
             f"connected_components_star did not converge in "
             f"{max_rounds} rounds"

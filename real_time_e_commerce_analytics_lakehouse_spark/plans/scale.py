@@ -919,8 +919,11 @@ def constrained_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     refused = False
     try:
         bad.write.format("delta").mode("append").save(path)
-    except Exception:
-        refused = True
+    except Exception as exc:
+        # the oracle's TRUE must prove CONSTRAINT refusal, not any
+        # write failure (r9 advice): accept only an error that names
+        # the violated constraint
+        refused = "pos_price" in str(exc)
     back = read_delta_log(spark, path)
     sk_dupes = F.count(F.lit(1)).over(W.partitionBy("sk"))
     return back.select(

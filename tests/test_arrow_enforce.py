@@ -217,3 +217,128 @@ def test_stream_sink_enforces_checks_refuses_identity_gen(
             .start(sink2)
         )
         q.awaitTermination(120)
+
+
+def test_duck_expr_tokenizer_quote_aware():
+    """r9 advice: the old global replace('`','\"') rewrote backticks
+    INSIDE string literals too, corrupting the expression. The
+    tokenizer must keep literal text verbatim and handle both escape
+    forms (`` in identifiers, '' in literals)."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.arrow_enforce import (
+        _duck_expr,
+    )
+
+    assert _duck_expr("v = 'a`b'") == "v = 'a`b'"
+    assert _duck_expr("`my col` > 0") == '"my col" > 0'
+    assert _duck_expr("`we``ird` > 0") == '"we`ird" > 0'
+    assert _duck_expr('`q"uote` > 0') == '"q""uote" > 0'
+    assert _duck_expr("v = 'it''s `fine`'") == "v = 'it''s `fine`'"
+    assert (
+        _duck_expr("coalesce(`a`, 'x`y') || `b`")
+        == 'coalesce("a", \'x`y\') || "b"'
+    )
+
+
+def test_screen_refuses_divergent_constructs(spark, tmp_path):
+    """r9 advice (medium): expressions that PARSE in both dialects but
+    EVALUATE differently must refuse at write planning, not silently
+    enforce different semantics than the DML tier. concat() skips
+    NULLs in DuckDB but propagates in Spark; / yields NULL on zero
+    divisors in DuckDB but raises under ANSI Spark; fractional->int
+    CAST rounds in DuckDB but truncates in Spark."""
+    cases = [
+        ("concat", "concat(v, 'x') != 'x'"),
+        ("division", "id / 2 >= 0"),
+        ("modulo", "id % 2 = 0"),
+        ("xor_vs_power", "id ^ 2 >= 0"),
+        ("int_cast", "CAST(v AS BIGINT) IS NOT NULL"),
+    ]
+    for i, (tag, expr) in enumerate(cases):
+        p = str(tmp_path / f"t{i}")
+        spark.createDataFrame(
+            [(1, "2")], "id long, v string"
+        ).write.format("delta").mode("append").save(p)
+        alter_delta_properties(p, {"delta.constraints.c": expr})
+        with pytest.raises(Exception, match="not evaluable|merge_delta"):
+            spark.createDataFrame(
+                [(2, "3")], "id long, v string"
+            ).write.format("delta").mode("append").save(p)
+        assert read_delta_log(spark, p).count() == 1, tag
+
+
+def test_vetted_subset_is_semantics_identical(spark):
+    """The proof behind screen_expression's vet list: every admitted
+    construct evaluates identically in Spark and DuckDB over corner
+    values (NULLs, zeros, negatives, empty strings, backtick-carrying
+    strings) — and the excluded constructs really do diverge, so the
+    refusals are justified, not paranoid."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.arrow_enforce import (
+        probe_expression_parity,
+    )
+
+    schema = spark.createDataFrame(
+        [],
+        "i bigint, d double, s string, b boolean, dt date, "
+        "ts timestamp, dec decimal(12,2)",
+    ).schema
+    vetted = [
+        "i > 0", "i * 2", "i + 1", "i - 1", "-i", "i + d",
+        "coalesce(s, 'x')", "nullif(i, 0)", "abs(i)", "abs(d)",
+        "upper(s)", "lower(s)", "trim(s)", "ltrim(s)", "rtrim(s)",
+        "length(s)", "year(dt)", "month(dt)", "day(dt)", "year(ts)",
+        "floor(d)", "ceil(d)", "ceiling(d)", "least(i, 5)",
+        "greatest(i, 5)", "replace(s, 'a', 'b')",
+        "CASE WHEN i >= 1 THEN 'hot' ELSE 'cold' END",
+        "i BETWEEN 0 AND 10", "i IN (1, 2, 3)", "s LIKE 'a%'",
+        "s IS NULL", "s IS NOT NULL", "i IS DISTINCT FROM 2",
+        "i IS NOT DISTINCT FROM 2", "s || 'x'", "NOT b",
+        "b AND true", "b OR false",
+        "CAST(dt AS STRING)", "CAST(ts AS DATE)", "CAST(i AS DOUBLE)",
+        "CAST(i AS STRING)", "CAST(d AS DECIMAL(12,2))",
+        "dec * 2", "dec > 1.0",
+    ]
+    res = probe_expression_parity(spark, schema, vetted)
+    bad = {e: m for e, m in res.items() if m is not None}
+    assert not bad, f"vetted constructs diverged: {bad}"
+
+    divergent = [
+        "concat(s, 'x')",      # NULL: Spark -> NULL, DuckDB -> 'x'
+        "i / 0",               # ANSI Spark raises, DuckDB -> NULL
+        "i % 0",               # same family
+        "CAST(d AS BIGINT)",   # 1.5: Spark truncates 1, DuckDB rounds 2
+        "i ^ 2",               # Spark xor, DuckDB power
+    ]
+    res2 = probe_expression_parity(spark, schema, divergent)
+    agreeing = [e for e, m in res2.items() if m is None]
+    assert not agreeing, (
+        f"exclusions no longer diverge — consider vetting: {agreeing}"
+    )
+
+
+def test_identity_block_overflow_refuses():
+    """r9 advice: per-task id-blocks are now 2^20 rows (not 2^33); a
+    task exceeding its block must refuse loudly instead of silently
+    colliding with the next task's block."""
+    import pyarrow as pa
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import arrow_enforce as ae
+
+    enf = ae.ArrowEnforcer(
+        checks=[], gens_present=[], gens_absent=[],
+        ident_generate={
+            "sk": {"step": 1, "base": 0, "plan_hwm": None,
+                   "atype": pa.int64()}
+        },
+        ident_sync={},
+    )
+    small = pa.table({"k": pa.array(["a", "b"])})
+    t, obs = enf.apply(small)
+    assert t.column("sk").to_pylist() == [1, 2]
+    assert obs["sk"] == (1, 2)
+    old = ae._IDENT_BLOCK
+    ae._IDENT_BLOCK = 4
+    try:
+        with pytest.raises(ValueError, match="id-block"):
+            enf.apply(pa.table({"k": pa.array(list("abcdef"))}))
+    finally:
+        ae._IDENT_BLOCK = old

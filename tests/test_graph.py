@@ -98,6 +98,29 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(df, max_rounds=2, algorithm="jump")
 
 
+def test_nonconvergence_raise_unpersists_everything(spark):
+    """r9 advice: the non-convergence raise paths used to leak cached
+    frames (star left the last edge set persisted; jump left the last
+    labels), pinning executor storage until session GC. Both paths must
+    leave the DataFrame cache manager exactly as empty as before."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    for run in (
+        lambda: connected_components(df, max_rounds=2, algorithm="jump"),
+        lambda: connected_components_star(df, max_rounds=1),
+    ):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            run()
+        assert cache_mgr.isEmpty(), "cached frame leaked on raise path"
+
+
 def test_star_and_jump_agree(spark):
     """r9: connected_components dispatches to the large-star/small-star
     edge-rewiring algorithm by default (published O(log^2 n) bound,

@@ -12,7 +12,9 @@ plans/ development; the pytest suite wraps it for CI.
 
 from __future__ import annotations
 
+import json
 import math
+import re
 import sys
 from pathlib import Path
 
@@ -93,22 +95,48 @@ def check(name: str, sf_dir: str, spark) -> tuple[bool, str]:
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out, round_no = None, None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    if "--round" in args:
+        i = args.index("--round")
+        round_no = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
     sf_dir = DEFAULT_SF_DIR
     if args and Path(args[0]).is_dir():
         sf_dir, args = args[0], args[1:]
     names = args or list(QUERIES)
     spark = get_spark()
     failed = []
+    results: dict[str, dict] = {}
     for name in names:
         try:
             ok, msg = check(name, sf_dir, spark)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         status = "PASS" if ok else "FAIL"
-        print(f"[{status}] {name}: {msg}")
+        print(f"[{status}] {name}: {msg}", flush=True)
+        m = re.search(r"\((\d+) rows\)", msg)
+        results[name] = {
+            "pass": ok,
+            "rows": int(m.group(1)) if m else None,
+            "msg": None if ok else msg,
+        }
         if not ok:
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed ({sf_dir})")
+    if json_out:
+        artifact = {
+            "sf_dir": sf_dir,
+            "round": round_no,
+            "passed": len(names) - len(failed),
+            "total": len(names),
+            "queries": results,
+        }
+        Path(json_out).write_text(json.dumps(artifact, indent=1))
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
