@@ -69,6 +69,26 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # daily_revenue_interpolated — their family keeps 8 gate members);
 # they stay CI-verified by tests/test_queries_oracle.py at two SFs.
 GATE_ORDER = [
+    # --- Round-10 rotation (VERDICT r9 next #2: never-checked -> 0) ----
+    # IN: the three HLL queries CONVERTED this round from rows-only to
+    # oracle-matched guarantee booleans on the r9 trending_tokens
+    # template (audience_overlap_hll — the last never-driver-checked
+    # oracle-backed query, gate_coverage.py's exact suggestion;
+    # weekly_uniques_hll_rollup; approx_distinct_parts), plus
+    # cosine_topk_pandas — the one by-design rows-only query that has
+    # never received even the driver's weaker rows-only row (a gate
+    # slot spent deliberately this once so never-checked = 0; it
+    # rotates back out next round).
+    # OUT (all thrice-green r7/r8/r9; every family keeps ≥1 checked
+    # member): q15_top_suppliers (TPC-H keeps 5 gate members),
+    # doc_unigram_logprob (documents keeps 5), daily_orders_vs_events_
+    # activity (events family gains the two HLL queries),
+    # customer_order_histogram (agg family keeps order_value_histogram
+    # + supplier_hhi_by_part + the converted approx_distinct_parts).
+    "audience_overlap_hll",
+    "weekly_uniques_hll_rollup",
+    "approx_distinct_parts",
+    "cosine_topk_pandas",
     # --- Round-9 rotation (VERDICT r8 next #2 + new-surface rows) ------
     # IN: the two oracle-backed never-driver-checked backlog queries
     # (alter_evolution_roundtrip, clustered_optimize_roundtrip —
@@ -109,9 +129,7 @@ GATE_ORDER = [
     "order_price_ranks",
     "customer_first_last_orders",
     "small_quantity_orders",
-    "customer_order_histogram",
     "orders_above_customer_avg",
-    "daily_orders_vs_events_activity",
     # profiling / skew / scale
     "referential_integrity_audit",
     "key_skew_report",
@@ -121,7 +139,6 @@ GATE_ORDER = [
     "importance_sample_documents",
     "video_container_catalog",
     "chunk_documents_sliding",
-    "doc_unigram_logprob",
     "phrase_search_bigram",
     # embeddings / ml: knn_label_classifier rotated out in r9
     # (driver-green r8; the family keeps ivf_index_ann_topk below)
@@ -129,7 +146,6 @@ GATE_ORDER = [
     "q4_late_shipment_priority",
     "q10_returned_revenue_customers",
     "q14_promo_revenue_ratio",
-    "q15_top_suppliers",
     "q16_supplier_diversity",
     "q20_dominant_part_suppliers",
     # --- 12 family-coverage carry-overs --------------------------------

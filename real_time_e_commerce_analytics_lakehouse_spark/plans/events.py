@@ -462,7 +462,14 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weekly_uniques_hll_rollup",
-    oracle=None,  # DataSketches HLL binaries are engine-specific; rows-only
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           event_type,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days_merged,
+           TRUE AS estimate_ok, TRUE AS rollup_consistent
+    FROM ev GROUP BY 1, 2
+    """,
     doc=(
         "Mergeable-sketch rollup — the 100 TB incremental-uniques story: "
         "per-day HLL sketches of active users (hll_sketch_agg, Apache "
@@ -472,35 +479,67 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in the daily mart, so week/month/quarter uniques are "
         "sketch-algebra over tiny state instead of a second pass over "
         "the fact table — countDistinct cannot do this (distinct sets "
-        "don't merge; sketches do). No oracle: sketch binaries are "
-        "engine-specific by construction; pytest asserts (a) the "
-        "estimate is within 5% of exact and (b) merged-daily == "
-        "direct-weekly exactly (same sketch algebra)."
+        "don't merge; sketches do). Sketch binaries/estimates are "
+        "engine-specific, so the gate asserts the two GUARANTEES as "
+        "exact booleans (r9 trending_tokens_sketch template, VERDICT "
+        "r9 next #2): the merged estimate within 5% of the exact "
+        "weekly countDistinct (estimate_ok), and merged-daily within "
+        "2% of direct-weekly (rollup_consistent). Register-max union "
+        "is conceptually lossless, but DataSketches HLL4's "
+        "offset+exception encoding makes the union-then-estimate "
+        "roundtrip drift slightly once sketches leave sparse mode — "
+        "measured <=1% at sf0.1 (exactly 0 while sparse); 2% is the "
+        "honest bound, not equality. The exact join is the "
+        "verification harness at gate scale; production keeps the "
+        "sketch rollup alone."
     ),
     tags=("events", "agg", "approx"),
 )
 def weekly_uniques_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").cast("date")
     daily = ev.groupBy(
         F.to_date("ts").alias("day"),
         "event_type",
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
-    return (
-        daily.groupBy(
-            F.date_trunc("week", "day").cast("date").alias("week_start"),
-            "event_type",
-        )
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-            .alias("approx_uniques"),
-            F.count("*").alias("n_days_merged"),
-        )
+    merged = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week_start"),
+        "event_type",
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_est"),
+        F.count("*").alias("n_days_merged"),
+    )
+    direct = ev.groupBy(
+        week.alias("week_start"), "event_type"
+    ).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_uniques"),
+    )
+    return merged.join(direct, ["week_start", "event_type"]).select(
+        "week_start",
+        "event_type",
+        "n_days_merged",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_uniques"))
+            <= 0.05 * F.col("exact_uniques")
+        ).alias("estimate_ok"),
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= 0.02 * F.col("direct_est")
+        ).alias("rollup_consistent"),
     )
 
 
 @register(
     "audience_overlap_hll",
-    oracle=None,  # sketch estimates are engine-specific; rows-only
+    oracle=f"""
+    {EVENTS_CTE},
+    t AS (SELECT DISTINCT event_type FROM ev)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           TRUE AS est_a_ok, TRUE AS est_b_ok,
+           TRUE AS union_ok, TRUE AS overlap_ok
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
     doc=(
         "Audience-overlap matrix from HLL sketch algebra: |users(A) n "
         "users(B)| estimated as est(A) + est(B) - est(A u B), where the "
@@ -511,8 +550,14 @@ def weekly_uniques_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overlap is computed at 100 TB (exact pairwise countDistinct "
         "would be one shuffle PER PAIR). Inclusion-exclusion on HLL "
         "can go negative for tiny overlaps — clamped at 0 (standard "
-        "practice; theta sketches fix this properly). Accuracy vs "
-        "exact intersections asserted in pytest."
+        "practice; theta sketches fix this properly). Estimates are "
+        "engine-specific, so the gate asserts the GUARANTEES as exact "
+        "booleans (r9 trending_tokens_sketch template, VERDICT r9 "
+        "next #2): each per-type and union estimate within 5% of its "
+        "exact countDistinct, and the inclusion-exclusion overlap "
+        "within 15% of the union size of the EXACT overlap (three "
+        "compounding 5% estimates). The exact pairwise join is the "
+        "verification harness at gate scale only."
     ),
     tags=("events", "agg", "approx"),
 )
@@ -531,7 +576,7 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_a = F.hll_sketch_estimate("sk_a")
     est_b = F.hll_sketch_estimate("sk_b")
     est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
-    return pairs.select(
+    ests = pairs.select(
         "type_a",
         "type_b",
         est_a.alias("uniques_a"),
@@ -540,6 +585,64 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(est_a + est_b - est_union, F.lit(0)).alias(
             "overlap_estimate"
         ),
+    )
+    # exact harness (gate scale): per-type uniques + pairwise overlap
+    tu = ev.select("event_type", "user_id").distinct()
+    exact = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_u")
+    )
+    ov = (
+        tu.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            tu.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    eps = 0.05
+    joined = (
+        ests.join(
+            exact.select(
+                F.col("event_type").alias("type_a"),
+                F.col("exact_u").alias("exact_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            exact.select(
+                F.col("event_type").alias("type_b"),
+                F.col("exact_u").alias("exact_b"),
+            ),
+            "type_b",
+        )
+        .join(ov, ["type_a", "type_b"], "left")
+        .withColumn("exact_overlap", F.coalesce("exact_overlap", F.lit(0)))
+        .withColumn(
+            "exact_union",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap"),
+        )
+    )
+    return joined.select(
+        "type_a",
+        "type_b",
+        (
+            F.abs(F.col("uniques_a") - F.col("exact_a"))
+            <= eps * F.col("exact_a")
+        ).alias("est_a_ok"),
+        (
+            F.abs(F.col("uniques_b") - F.col("exact_b"))
+            <= eps * F.col("exact_b")
+        ).alias("est_b_ok"),
+        (
+            F.abs(F.col("uniques_union") - F.col("exact_union"))
+            <= eps * F.col("exact_union")
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("overlap_estimate") - F.col("exact_overlap"))
+            <= 3 * eps * F.col("exact_union")
+        ).alias("overlap_ok"),
     )
 
 

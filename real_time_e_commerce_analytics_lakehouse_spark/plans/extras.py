@@ -268,20 +268,36 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS estimate_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc=(
         "approx_count_distinct (HyperLogLog++): the constant-memory "
         "distinct-count for 100 TB (exact countDistinct doubles the "
-        "shuffle). No oracle: sketch estimates are engine-specific by "
-        "construction; tests assert the estimate is within 5% of exact."
+        "shuffle). The HLL estimate itself is engine-specific, so the "
+        "gate asserts the ESTIMATOR GUARANTEE as an exact boolean "
+        "(r9 trending_tokens_sketch template): |approx - exact| <= 5% "
+        "of exact, per group, computed in-plan against the exact "
+        "countDistinct (the verification harness at gate scale; "
+        "production keeps the one-pass sketch alone) — Spark's default "
+        "rsd is 5%, and HLL++ is near-exact at these cardinalities."
     ),
     tags=("agg", "approx"),
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("estimate_ok"),
     )
 
 
