@@ -746,8 +746,10 @@ def insert_delta(spark: SparkSession, path: str, df: DataFrame) -> dict:
     in-plan, identity columns GENERATE (contiguous values above the
     high-water mark, no global reducer), and the commit re-emits
     metaData with the bumped marks. The arrow-path
-    ``format('delta').mode('append')`` writer refuses identity tables
-    precisely because it cannot do this."""
+    ``format('delta').mode('append')`` writer generates too
+    (arrow_enforce.py) but with per-task disjoint id-blocks — gaps
+    between tasks; this tier is the one that reserves a count-sized
+    contiguous range."""
     snap = DeltaSnapshot(path)
     _guard_writable(snap, overwrite=False, enforce_constraints=True)
     df, new_hwms = _apply_identity(df, snap)

@@ -3572,6 +3572,7 @@ def alter_delta_schema(
     add: str | None = None,
     rename: dict[str, str] | None = None,
     drop: Sequence[str] = (),
+    add_nested: dict[str, str] | None = None,
 ) -> int:
     """ALTER TABLE ADD / RENAME / DROP COLUMN on a foreign Delta table,
     metadata-only (one metaData re-emission, zero file rewrites):
@@ -3581,6 +3582,12 @@ def alter_delta_schema(
       (additive evolution). On a column-mapped table fresh ids +
       physical names allocate at every nested level and maxColumnId
       bumps.
+    - ``add_nested``: {dotted struct path: DDL string OR list of field
+      JSONs}, e.g. ``{"s": "b bigint"}`` adds ``s.b`` — nested ADD
+      COLUMN (VERDICT r9 next #7). Same null-fill / id-allocation
+      rules as ``add``; container levels (array/map of struct) descend
+      transparently. The field-json spelling exists for the
+      session-less datasource writers.
     - ``rename``: {old: new} logical renames — REQUIRES column mapping
       (the physical name stays; without mapping the files' stored
       names would stop resolving, upstream's exact rule). Partition
@@ -3602,7 +3609,8 @@ def alter_delta_schema(
     snap = DeltaSnapshot(path)
     rename = dict(rename or {})
     drop = list(drop)
-    fields = [dict(f) for f in snap.schema_json.get("fields", [])]
+    # deep copy: add_nested mutates nested type jsons in place
+    fields = json.loads(json.dumps(snap.schema_json.get("fields", [])))
     names = {f["name"] for f in fields}
     cfg = dict(snap.configuration)
     mapped = snap.column_mapping_mode != "none"
@@ -3654,13 +3662,13 @@ def alter_delta_schema(
             f["name"] = rename[f["name"]]
         out_fields.append(f)
     added: list[str] = []
+    counter = [max_column_id(snap.schema_json, cfg) + 1]
     if add:
         dup = {f.name for f in _ST.fromDDL(add).fields} & {
             f["name"] for f in out_fields
         }
         if dup:
             raise ValueError(f"columns already exist: {sorted(dup)}")
-        counter = [max_column_id(snap.schema_json, cfg) + 1]
         for f in _ST.fromDDL(add).fields:
             fj = f.jsonValue()
             fj["nullable"] = True  # new columns null-fill old files
@@ -3668,10 +3676,56 @@ def alter_delta_schema(
                 fj = allocate_mapping(fj, counter)
             out_fields.append(fj)
             added.append(f.name)
-        if mapped and counter[0] - 1 > max_column_id(
-            snap.schema_json, cfg
-        ):
-            cfg["delta.columnMapping.maxColumnId"] = str(counter[0] - 1)
+    for parent, ddl in (add_nested or {}).items():
+
+        def _child_fields(dotted: str) -> list[dict]:
+            cur = out_fields
+            for i, part in enumerate(dotted.split(".")):
+                f = next((x for x in cur if x["name"] == part), None)
+                if f is None:
+                    raise ValueError(
+                        f"add_nested: no such column "
+                        f"{'.'.join(dotted.split('.')[: i + 1])!r}"
+                    )
+                t = f["type"]
+                while isinstance(t, dict) and t.get("type") in (
+                    "array",
+                    "map",
+                ):
+                    t = (
+                        t["elementType"]
+                        if t["type"] == "array"
+                        else t["valueType"]
+                    )
+                if not (isinstance(t, dict) and t.get("type") == "struct"):
+                    raise ValueError(
+                        f"add_nested: {dotted!r} is not a struct column"
+                    )
+                cur = t["fields"]
+            return cur
+
+        target = _child_fields(parent)
+        # DDL string (user spelling, needs a session) or field-json
+        # list (the writers' spelling — the datasource worker has no
+        # SparkContext to parse DDL with)
+        if isinstance(ddl, str):
+            new_jsons = [f.jsonValue() for f in _ST.fromDDL(ddl).fields]
+        else:
+            new_jsons = [dict(j) for j in ddl]
+        dup = {j["name"] for j in new_jsons} & {x["name"] for x in target}
+        if dup:
+            raise ValueError(
+                f"nested columns already exist under {parent!r}: "
+                f"{sorted(dup)}"
+            )
+        for fj in new_jsons:
+            fj["nullable"] = True  # null-fill old files on read
+            if mapped:
+                fj = allocate_mapping(fj, counter)
+            target.append(fj)
+            added.append(f"{parent}.{fj['name']}")
+    if mapped and counter[0] - 1 > max_column_id(snap.schema_json, cfg):
+        cfg["delta.columnMapping.maxColumnId"] = str(counter[0] - 1)
     pcols = [rename.get(c, c) for c in snap.partition_cols]
     now = int(time.time() * 1000)
     v = snap.version + 1
@@ -3875,6 +3929,77 @@ def stamp_row_tracking(
         )
 
 
+def _live_file_field_ids(path: str, snap: "DeltaSnapshot"):
+    """For the 'none' -> 'id' column-mapping upgrade: the id map the
+    table's LIVE parquet files already agree on, or None when any file
+    lacks an id for any (nested) field or two files disagree — id-mode
+    resolution must hold for every live file, so anything short of
+    complete + consistent + unique refuses upstream. Returns
+    {dotted logical path: field id} (container levels descend
+    transparently: Delta column-mapping ids live on struct fields at
+    every level, not on array/map element wrappers). One footer read
+    per live file — an ALTER-time metadata pass, no data scanned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def needed(fields: list[dict], prefix: str, out: dict) -> None:
+        for f in fields:
+            p = f"{prefix}.{f['name']}" if prefix else f["name"]
+            out[p] = None
+            t = f["type"]
+            while isinstance(t, dict) and t.get("type") in ("array", "map"):
+                t = (
+                    t["elementType"]
+                    if t["type"] == "array"
+                    else t["valueType"]
+                )
+            if isinstance(t, dict) and t.get("type") == "struct":
+                needed(t["fields"], p, out)
+
+    need: dict[str, None] = {}
+    needed(snap.schema_json.get("fields", []), "", need)
+
+    def walk_type(t, prefix: str, out: dict) -> None:
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                fld = t.field(i)
+                p = f"{prefix}.{fld.name}" if prefix else fld.name
+                raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if raw is not None:
+                    out[p] = int(raw)
+                walk_type(fld.type, p, out)
+        elif (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)
+        ):
+            walk_type(t.value_type, prefix, out)
+        elif pa.types.is_map(t):
+            walk_type(t.key_type, prefix, out)
+            walk_type(t.item_type, prefix, out)
+
+    agreed: dict[str, int] | None = None
+    for rel in snap.files:
+        sch = pq.read_schema(os.path.join(path, rel))
+        ids: dict[str, int] = {}
+        for fld in sch:
+            p = fld.name
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                ids[p] = int(raw)
+            walk_type(fld.type, p, ids)
+        if any(p not in ids for p in need):
+            return None  # incomplete: some field unresolvable by id
+        ids = {p: ids[p] for p in need}
+        if len(set(ids.values())) != len(ids):
+            return None  # duplicate ids within one file
+        if agreed is None:
+            agreed = ids
+        elif agreed != ids:
+            return None  # files disagree
+    return agreed
+
+
 def alter_delta_properties(
     path: str,
     set_props: dict[str, str] | None = None,
@@ -3888,8 +4013,14 @@ def alter_delta_properties(
     mapping UPGRADE — every field gets ``physicalName = its current
     name`` (existing files keep resolving) and a fresh id,
     maxColumnId is recorded, and the protocol floor rises to (2, 5).
-    Other mode transitions are refused (physical renames would brick
-    existing files). Returns the new log version."""
+    'none' → 'id' (VERDICT r9 next #6) additionally requires id
+    RESOLUTION to hold on disk: legal on a fresh table (no live
+    files — sequential ids, stamped by every later write) or when all
+    live files carry a complete, consistent, unique field-id set
+    (those ids are adopted verbatim); otherwise refuses with the
+    'name'-mode workaround. Other transitions are refused (physical
+    renames would brick existing files). Returns the new log
+    version."""
     snap = DeltaSnapshot(path)
     cfg = dict(snap.configuration)
     schema_json = snap.schema_json
@@ -3897,31 +4028,60 @@ def alter_delta_properties(
     old_mode = cfg.get("delta.columnMapping.mode", "none")
     new_mode = set_props.get("delta.columnMapping.mode", old_mode)
     if new_mode != old_mode:
-        if old_mode != "none" or new_mode != "name":
+        if old_mode != "none" or new_mode not in ("name", "id"):
             raise NotImplementedError(
                 f"column mapping mode {old_mode!r} -> {new_mode!r}: only "
-                "the 'none' -> 'name' upgrade is supported (other "
-                "transitions re-key already-written files)"
+                "the 'none' -> 'name'/'id' upgrades are supported "
+                "(other transitions re-key already-written files)"
             )
+        if new_mode == "id":
+            # 'id' mode resolves columns by PARQUET field id (VERDICT
+            # r9 next #6): spec-legal on a table whose LIVE files all
+            # carry a consistent, complete id for every (nested) field
+            # — trivially true for a fresh table with no files. A file
+            # written without ids can never be resolved by id, so
+            # anything short of complete+consistent refuses with the
+            # 'name'-mode workaround (which resolves by stored name).
+            file_ids = _live_file_field_ids(path, snap)
+            if file_ids is None and snap.files:
+                raise NotImplementedError(
+                    "column mapping 'none' -> 'id': existing data "
+                    "files lack complete/consistent PARQUET field ids "
+                    "— id-resolution would brick them; upgrade to "
+                    "'name' mode instead (resolves by stored name), "
+                    "or rewrite the table through a mapped writer"
+                )
         # upstream's upgrade rule: physicalName = current logical name
         # (files on disk already store these names), fresh sequential
-        # ids at every struct level
+        # ids at every struct level — except 'id' mode on a table with
+        # live files, where each field adopts the id its files already
+        # carry (resolution-by-id must match what is on disk)
         counter = [1]
+        from_files = (
+            file_ids if new_mode == "id" and snap.files else None
+        )
+        used_ids: list[int] = []
 
-        def upgrade_field(f: dict) -> dict:
+        def upgrade_field(f: dict, prefix: str = "") -> dict:
+            p = f"{prefix}.{f['name']}" if prefix else f["name"]
             meta = dict(f.get("metadata") or {})
-            meta["delta.columnMapping.id"] = counter[0]
+            if from_files is not None:
+                fid = from_files[p]
+            else:
+                fid = counter[0]
+                counter[0] += 1
+            used_ids.append(fid)
+            meta["delta.columnMapping.id"] = fid
             meta["delta.columnMapping.physicalName"] = f["name"]
-            counter[0] += 1
             t = f["type"]
             return {
                 "name": f["name"],
-                "type": upgrade_type(t),
+                "type": upgrade_type(t, p),
                 "nullable": f.get("nullable", True),
                 "metadata": meta,
             }
 
-        def upgrade_type(t):
+        def upgrade_type(t, prefix: str):
             from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
                 is_nested,
             )
@@ -3931,14 +4091,16 @@ def alter_delta_properties(
             if t["type"] == "struct":
                 return {
                     "type": "struct",
-                    "fields": [upgrade_field(f) for f in t["fields"]],
+                    "fields": [
+                        upgrade_field(f, prefix) for f in t["fields"]
+                    ],
                 }
             out = dict(t)
             if t["type"] == "array":
-                out["elementType"] = upgrade_type(t["elementType"])
+                out["elementType"] = upgrade_type(t["elementType"], prefix)
             else:
-                out["keyType"] = upgrade_type(t["keyType"])
-                out["valueType"] = upgrade_type(t["valueType"])
+                out["keyType"] = upgrade_type(t["keyType"], prefix)
+                out["valueType"] = upgrade_type(t["valueType"], prefix)
             return out
 
         schema_json = {
@@ -3947,7 +4109,7 @@ def alter_delta_properties(
                 upgrade_field(f) for f in snap.schema_json["fields"]
             ],
         }
-        set_props["delta.columnMapping.maxColumnId"] = str(counter[0] - 1)
+        set_props["delta.columnMapping.maxColumnId"] = str(max(used_ids))
     for k in unset:
         cfg.pop(k, None)
     cfg.update(set_props)

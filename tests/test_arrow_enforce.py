@@ -168,6 +168,10 @@ def test_unevaluable_expression_refuses_at_planning(spark, tmp_path):
 def test_stream_sink_enforces_checks_refuses_identity_gen(
     spark, tmp_path
 ):
+    """Historic name kept for the verdict trail: since r10 this is a
+    GENERATION test (VERDICT r9 next #4) — CHECK constraints still
+    enforce per micro-batch, and identity columns now GENERATE on the
+    stream tier with epoch-fresh water-mark bases instead of refusing."""
     src = str(tmp_path / "src")
     sink = str(tmp_path / "sink")
     ck = str(tmp_path / "ck")
@@ -178,6 +182,44 @@ def test_stream_sink_enforces_checks_refuses_identity_gen(
         [], "id long, v long"
     ).write.format("delta").mode("append").save(sink)
     alter_delta_properties(sink, {"delta.constraints.pos": "v > 0"})
+
+    def drain(ckpt, out):
+        q = (
+            spark.readStream.format("delta")
+            .load(src)
+            .writeStream.format("delta")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+
+    drain(ck, sink)
+    assert read_delta_log(spark, sink).count() == 1
+    # violating micro-batch fails the query; nothing adopted
+    spark.createDataFrame(
+        [(2, -9)], "id long, v long"
+    ).write.format("delta").mode("append").save(src)
+    with pytest.raises(Exception, match="pos|StreamingQuery"):
+        drain(ck, sink)
+    assert read_delta_log(spark, sink).count() == 1
+
+
+def test_stream_sink_generates_identity_across_epochs(spark, tmp_path):
+    """VERDICT r9 next #4: streamed inserts into an identity table get
+    unique, direction-correct, step-aligned ids ACROSS micro-batch
+    epochs (each epoch's tasks re-read the advanced water mark as
+    their block base), the mark advances per epoch, and a restart on
+    the same checkpoint replays nothing (ids stay unique)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    create_delta_table(
+        sink,
+        "id long, v long, sk bigint",
+        identity={"sk": {"start": 7, "step": 3}},
+    )
 
     def drain():
         q = (
@@ -191,32 +233,37 @@ def test_stream_sink_enforces_checks_refuses_identity_gen(
         q.awaitTermination(120)
         time.sleep(0.2)
 
-    drain()
-    assert read_delta_log(spark, sink).count() == 1
-    # violating micro-batch fails the query; nothing adopted
-    spark.createDataFrame(
-        [(2, -9)], "id long, v long"
-    ).write.format("delta").mode("append").save(src)
-    with pytest.raises(Exception, match="pos|StreamingQuery"):
-        drain()
-    assert read_delta_log(spark, sink).count() == 1
+    def sks():
+        return [r["sk"] for r in read_delta_log(spark, sink).collect()]
 
-    # identity GENERATION refuses on the stream tier (stale mark)
-    sink2 = str(tmp_path / "sink2")
-    create_delta_table(
-        sink2, "id long, v long, sk bigint", identity={"sk": {}}
-    )
-    ck2 = str(tmp_path / "ck2")
-    with pytest.raises(Exception, match="STREAMING|insert_delta"):
-        q = (
-            spark.readStream.format("delta")
-            .load(src)
-            .writeStream.format("delta")
-            .option("checkpointLocation", ck2)
-            .trigger(availableNow=True)
-            .start(sink2)
-        )
-        q.awaitTermination(120)
+    # epoch 1
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    ).write.format("delta").mode("append").save(src)
+    drain()
+    got1 = sks()
+    assert len(got1) == 2 and len(set(got1)) == 2
+    assert all(sk >= 7 and (sk - 7) % 3 == 0 for sk in got1)
+    hwm1 = _field_md(sink, "sk")["delta.identity.highWaterMark"]
+    assert hwm1 == max(got1)
+
+    # epoch 2: fresh base comes from the ADVANCED mark, never colliding
+    spark.createDataFrame(
+        [(3, 30), (4, 40), (5, 50)], "id long, v long"
+    ).write.format("delta").mode("append").save(src)
+    drain()
+    got2 = sks()
+    assert len(got2) == 5 and len(set(got2)) == 5
+    assert all(sk >= 7 and (sk - 7) % 3 == 0 for sk in got2)
+    new_ids = set(got2) - set(got1)
+    assert all(sk > hwm1 for sk in new_ids), (hwm1, sorted(new_ids))
+    hwm2 = _field_md(sink, "sk")["delta.identity.highWaterMark"]
+    assert hwm2 == max(got2) > hwm1
+
+    # restart on the same checkpoint with no new data: no-op replay
+    drain()
+    assert sorted(sks()) == sorted(got2)
+    assert _field_md(sink, "sk")["delta.identity.highWaterMark"] == hwm2
 
 
 def test_duck_expr_tokenizer_quote_aware():

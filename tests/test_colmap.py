@@ -463,3 +463,177 @@ def test_stream_sink_evolves_mapped_table(spark, tmp_path):
     # exactly-once is intact across the evolving restart
     drain()
     assert spark.read.format("delta").load(sink).count() == 2
+
+
+def test_none_to_id_upgrade_roundtrip(spark, tmp_path):
+    """VERDICT r9 next #6: the spec-legal 'none' -> 'id' column-mapping
+    upgrade. On a FRESH table (no live files) sequential ids are
+    allocated and every later write stamps matching PARQUET field ids;
+    both read tiers, row-level DML and OPTIMIZE keep working. A table
+    holding live files WITHOUT field ids refuses (resolution by id
+    would brick them), pointing at the 'name'-mode workaround."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import (
+        create_delta_table,
+        delete_delta,
+        update_delta,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+    )
+
+    p = str(tmp_path / "fresh")
+    create_delta_table(p, "id bigint, s struct<a: bigint>, v string")
+    alter_delta_properties(p, {"delta.columnMapping.mode": "id"})
+    snap = DeltaSnapshot(p)
+    assert snap.column_mapping_mode == "id"
+    fids = snap.field_ids()
+    assert fids["id"] == 1 and len(set(fids.values())) == len(fids)
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+
+    spark.createDataFrame(
+        [(1, (10,), "x"), (2, (20,), "y")],
+        "id bigint, s struct<a: bigint>, v string",
+    ).write.format("delta").mode("append").save(p)
+    # staged file carries the allocated ids at both nesting levels
+    rel = next(iter(DeltaSnapshot(p).files))
+    sch = pq.read_schema(os.path.join(p, rel))
+    top = {
+        f.name: int((f.metadata or {})[b"PARQUET:field_id"]) for f in sch
+    }
+    assert top["id"] == fids["id"] and top["s"] == fids["s"]
+    s_field = next(
+        f
+        for f in DeltaSnapshot(p).schema_json["fields"]
+        if f["name"] == "s"
+    )
+    nested_id = s_field["type"]["fields"][0]["metadata"][
+        "delta.columnMapping.id"
+    ]
+    inner = sch.field("s").type.field(0)
+    assert int((inner.metadata or {})[b"PARQUET:field_id"]) == nested_id
+
+    def norm(df):
+        return sorted(
+            (r.id, (r.s.a if r.s else None), r.v) for r in df.collect()
+        )
+
+    want = [(1, 10, "x"), (2, 20, "y")]
+    assert norm(read_delta_log(spark, p)) == want
+    assert norm(spark.read.format("delta").load(p)) == want
+
+    # DML on the upgraded table
+    assert update_delta(spark, p, "id = 2", {"v": "'Y'"})["rows_updated"] == 1
+    assert delete_delta(spark, p, "s.a = 10", mode="cow")["rows_deleted"] == 1
+    assert norm(read_delta_log(spark, p)) == [(2, 20, "Y")]
+
+    # OPTIMIZE after a couple more appends
+    for i in (3, 4):
+        spark.createDataFrame(
+            [(i, (i * 10,), f"v{i}")],
+            "id bigint, s struct<a: bigint>, v string",
+        ).write.format("delta").mode("append").save(p)
+    before = norm(read_delta_log(spark, p))
+    n_before = len(DeltaSnapshot(p).files)
+    assert optimize_delta(spark, p)["version"] is not None
+    assert len(DeltaSnapshot(p).files) < n_before
+    assert norm(read_delta_log(spark, p)) == before
+    assert norm(spark.read.format("delta").load(p)) == before
+
+    # live files without field ids refuse the id upgrade
+    q = str(tmp_path / "dirty")
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, v string"
+    ).write.format("delta").mode("append").save(q)
+    with pytest.raises(NotImplementedError, match="'name'"):
+        alter_delta_properties(q, {"delta.columnMapping.mode": "id"})
+    # ...but the same table upgrades to 'name' mode fine
+    alter_delta_properties(q, {"delta.columnMapping.mode": "name"})
+    assert DeltaSnapshot(q).column_mapping_mode == "name"
+
+
+def test_nested_additive_drift_auto_alters(spark, tmp_path):
+    """VERDICT r9 next #7: an incoming frame whose struct column GAINS
+    a nested field used to refuse on the arrow tier; the writers now
+    auto-commit the id-allocating nested ADD COLUMN (alter_delta_schema
+    add_nested) before staging. Mapped + unmapped, batch + stream sink,
+    both read tiers; old rows null-fill; allocated ids are fresh and
+    stamped into the staged files."""
+    # mapped batch
+    p = str(tmp_path / "m")
+    spark.createDataFrame(
+        [((1,), "x")], "s struct<a: long>, v string"
+    ).write.format("delta").mode("append").save(p)
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+        alter_delta_properties,
+    )
+
+    alter_delta_properties(p, {"delta.columnMapping.mode": "name"})
+    max_before = int(
+        DeltaSnapshot(p).configuration["delta.columnMapping.maxColumnId"]
+    )
+    spark.createDataFrame(
+        [((2, 9), "y")], "s struct<a: long, b: long>, v string"
+    ).write.format("delta").mode("append").save(p)
+    snap = DeltaSnapshot(p)
+    assert (
+        int(snap.configuration["delta.columnMapping.maxColumnId"])
+        > max_before
+    )
+    s_field = next(
+        f for f in snap.schema_json["fields"] if f["name"] == "s"
+    )
+    b_field = next(
+        x for x in s_field["type"]["fields"] if x["name"] == "b"
+    )
+    assert "delta.columnMapping.id" in b_field["metadata"]
+    got = sorted(
+        ((r.s.a, r.s.b, r.v) for r in read_delta_log(spark, p).collect())
+    )
+    assert got == [(1, None, "x"), (2, 9, "y")]
+    assert got == sorted(
+        (r.s.a, r.s.b, r.v)
+        for r in spark.read.format("delta").load(p).collect()
+    )
+
+    # unmapped batch: plain metaData merge, same null-fill
+    q = str(tmp_path / "u")
+    spark.createDataFrame(
+        [((1,), "x")], "s struct<a: long>, v string"
+    ).write.format("delta").mode("append").save(q)
+    spark.createDataFrame(
+        [((2, 9), "y")], "s struct<a: long, b: long>, v string"
+    ).write.format("delta").mode("append").save(q)
+    assert sorted(
+        (r.s.a, r.s.b, r.v) for r in read_delta_log(spark, q).collect()
+    ) == [(1, None, "x"), (2, 9, "y")]
+
+    # stream sink: nested drift at query start auto-ALTERs too
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [((1,), "x")], "s struct<a: long>, v string"
+    ).write.format("delta").mode("append").save(sink)
+    alter_delta_properties(sink, {"delta.columnMapping.mode": "name"})
+    spark.createDataFrame(
+        [((5, 50), "z")], "s struct<a: long, b: long>, v string"
+    ).write.format("delta").mode("append").save(src)
+    qy = (
+        spark.readStream.format("delta")
+        .load(src)
+        .writeStream.format("delta")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    qy.awaitTermination(120)
+    time.sleep(0.2)
+    assert sorted(
+        (r.s.a, r.s.b, r.v) for r in read_delta_log(spark, sink).collect()
+    ) == [(1, None, "x"), (5, 50, "z")]
+
+    # a nested TYPE CHANGE is not drift and still refuses loudly
+    with pytest.raises(Exception, match="mismatch"):
+        spark.createDataFrame(
+            [(("oops", 1), "w")], "s struct<a: string, b: long>, v string"
+        ).write.format("delta").mode("append").save(p)
