@@ -522,16 +522,24 @@ def doc_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
     vocab AS (SELECT term, sum(tf) AS tc FROM tf GROUP BY 1),
-    corpus AS (SELECT sum(tc) AS total FROM vocab)
-    SELECT tf.doc_id,
-           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-           round(CAST(sum(
-               CAST(round(tf.tf * ln(CAST(vocab.tc AS DOUBLE)
-                                     / CAST(corpus.total AS DOUBLE)), 6)
-                    AS DECIMAL(18, 6))
-           ) AS DOUBLE) / sum(tf.tf), 6) AS avg_logprob
-    FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN corpus
-    GROUP BY tf.doc_id
+    corpus AS (SELECT sum(tc) AS total FROM vocab),
+    doc AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(
+                   CAST(round(tf.tf * ln(CAST(vocab.tc AS DOUBLE)
+                                         / CAST(corpus.total AS DOUBLE)), 6)
+                        AS DECIMAL(18, 6)) * 1000000 AS BIGINT)
+               ) AS BIGINT) AS tm
+        FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN corpus
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN tm < 0
+                     THEN -(((-tm) * 2 + n_tokens) // (2 * n_tokens))
+                     ELSE (tm * 2 + n_tokens) // (2 * n_tokens)
+                END AS DOUBLE) / 1000000 AS avg_logprob
+    FROM doc
     """,
     doc=(
         "Corpus-trained unigram language-model scoring (the CCNet / "
@@ -545,10 +553,16 @@ def doc_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf, term-keyed shuffle for the vocabulary, broadcast the "
         "1-row corpus total, doc-keyed final agg — all JVM built-ins, "
         "linear in corpus size. Cross-engine exactness: per-term "
-        "logprobs are rounded to 6 decimals and summed as decimals "
-        "(order-independent), so the doc score cannot drift with "
-        "aggregation order; ln() on identical doubles agrees (same "
-        "libm contract as doc_tfidf_weights)."
+        "logprobs are rounded to 6 decimals, scaled to exact integer "
+        "MICRO-units and summed as longs (order-independent), and the "
+        "length normalization is a half-away-from-zero INTEGER "
+        "division — the r10 sf1 sweep caught the old final "
+        "round(double, 6) flipping its 6th digit between engines on a "
+        "tie-adjacent value (Spark rounds the shortest decimal repr "
+        "HALF_UP, DuckDB rounds a float product); integer micros make "
+        "the grid placement bit-identical by construction. ln() on "
+        "identical doubles agrees (same libm contract as "
+        "doc_tfidf_weights)."
     ),
     tags=("documents", "text", "quality"),
 )
@@ -561,16 +575,27 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log(F.col("tc").cast("double") / F.col("total").cast("double")),
         6,
     ).cast("decimal(18,6)")
-    return (
+    term_micros = (term_lp * 1000000).cast("long")  # exact integer µ-units
+    doc = (
         tf.join(vocab, "term")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.round(
-                F.sum(term_lp).cast("double") / F.sum("tf"), 6
-            ).alias("avg_logprob"),
+            F.sum(term_micros).alias("tm"),
         )
+    )
+    # half-away-from-zero integer division: bit-identical across
+    # engines, unlike round(double, 6) on tie-adjacent quotients
+    q = F.expr(
+        "CASE WHEN tm < 0"
+        " THEN -(((-tm) * 2 + n_tokens) DIV (2 * n_tokens))"
+        " ELSE (tm * 2 + n_tokens) DIV (2 * n_tokens) END"
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        (q.cast("double") / F.lit(1000000.0)).alias("avg_logprob"),
     )
 
 
@@ -776,24 +801,30 @@ def lang_doc_profile_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Fuzzy entity matching (data-cleaning family): token-blocked pair
-# generation + edit-distance verification. Blocking is what makes this
-# scale — candidate pairs come from an EQUI-join on the blocking key
-# (hash-partitionable, never all-pairs), and the quadratic work is
-# confined to within-block comparisons, the standard entity-resolution
-# recipe (Fellegi-Sunter style blocking). levenshtein() runs JVM-side
-# in both engines.
-_FUZZY_EDGES_SQL = """
+# generation + edit-distance verification, with DEDUP-BEFORE-VERIFY
+# (new r10 — the sf1 sweep caught the r1-r9 spelling grinding 2.5e9
+# levenshtein calls): real corpora repeat strings massively (this one:
+# 200k part rows, 384 distinct name+type strings at sf1), so the
+# edit-distance verification runs between DISTINCT (block, string)
+# values only — Θ(distinct²) within blocks, 74k comparisons instead of
+# 2.5e9 — and the verified string-pair edges expand back to row pairs
+# through two hash joins, which is pure (unavoidable) output fan-out
+# with zero per-pair verify cost. At 100 TB the verify cost scales
+# with VALUE cardinality, not row count. Blocking stays the standard
+# Fellegi-Sunter equi-join recipe; levenshtein() runs JVM-side in both
+# engines; output identical to the direct spelling.
+_FUZZY_GROUPS_SQL = """
     p AS MATERIALIZED (
         SELECT p_partkey AS id,
                p_name || ' ' || p_type AS nm,
                split_part(p_name, ' ', 1) AS blk
         FROM part
     ),
-    e AS MATERIALIZED (
-        SELECT a.id AS src, b.id AS dst,
+    g AS MATERIALIZED (SELECT blk, nm FROM p GROUP BY 1, 2),
+    gp AS MATERIALIZED (
+        SELECT a.blk, a.nm AS nm_a, b.nm AS nm_b,
                levenshtein(a.nm, b.nm) AS dist
-        FROM p a JOIN p b
-          ON a.blk = b.blk AND a.id < b.id
+        FROM g a JOIN g b ON a.blk = b.blk AND a.nm <= b.nm
         WHERE levenshtein(a.nm, b.nm) <= 4
     )
 """
@@ -806,20 +837,51 @@ def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_name"), F.lit(" "), F.col("p_type")).alias("nm"),
         F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
     )
-    a = p.alias("a")
-    b = p.alias("b")
+    gp = _fuzzy_group_pairs(p)
+    pa = p.select("blk", F.col("nm").alias("nm_a"), F.col("id").alias("xa"))
+    pb = p.select(
+        F.col("blk").alias("blk_b"),
+        F.col("nm").alias("nm_b2"),
+        F.col("id").alias("xb"),
+    )
+    return (
+        pa.join(F.broadcast(gp), ["blk", "nm_a"])
+        .join(
+            pb,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("nm_b") == F.col("nm_b2")),
+        )
+        # same-name pairs come from one (nm, nm) group row: keep x<y to
+        # emit each unordered pair once; cross-name pairs are already
+        # unique per group-pair row
+        .where((F.col("nm_a") < F.col("nm_b")) | (F.col("xa") < F.col("xb")))
+        .select(
+            F.least("xa", "xb").alias("part_a"),
+            F.greatest("xa", "xb").alias("part_b"),
+            F.col("dist").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+def _fuzzy_group_pairs(p: DataFrame) -> DataFrame:
+    """Verified edges between DISTINCT (blk, nm) strings: (blk, nm_a,
+    nm_b, dist) with nm_a <= nm_b and dist <= 4 — the only place
+    levenshtein runs."""
+    dn = p.select("blk", "nm").distinct()
+    a, b = dn.alias("a"), dn.alias("b")
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.nm") <= F.col("b.nm")),
         )
         .withColumn("dist", F.levenshtein(F.col("a.nm"), F.col("b.nm")))
         .filter(F.col("dist") <= 4)
         .select(
-            F.col("a.id").alias("part_a"),
-            F.col("b.id").alias("part_b"),
-            F.col("dist").cast("long").alias("edit_dist"),
+            F.col("a.blk").alias("blk"),
+            F.col("a.nm").alias("nm_a"),
+            F.col("b.nm").alias("nm_b"),
+            "dist",
         )
     )
 
@@ -827,18 +889,26 @@ def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_part_name_matches",
     oracle=f"""
-    WITH {_FUZZY_EDGES_SQL}
-    SELECT src AS part_a, dst AS part_b, CAST(dist AS BIGINT) AS edit_dist
-    FROM e
+    WITH {_FUZZY_GROUPS_SQL}
+    SELECT least(x.id, y.id) AS part_a,
+           greatest(x.id, y.id) AS part_b,
+           CAST(gp.dist AS BIGINT) AS edit_dist
+    FROM gp JOIN p x ON x.blk = gp.blk AND x.nm = gp.nm_a
+            JOIN p y ON y.blk = gp.blk AND y.nm = gp.nm_b
+    WHERE gp.nm_a < gp.nm_b OR x.id < y.id
     """,
     doc=(
         "Fuzzy entity matching: candidate part pairs whose combined "
         "name+type strings are within Levenshtein distance 4, generated "
         "by an equi-join on the first name token (blocking) so the "
         "quadratic comparison is confined within blocks — the classic "
-        "entity-resolution shape that survives 100 TB (candidate "
-        "generation is a hash join; no all-pairs). Edit distance is a "
-        "JVM expression in both engines."
+        "entity-resolution shape. r10: dedup-before-verify — edit "
+        "distance runs between DISTINCT strings only (384 at sf1, vs "
+        "2.5e9 row pairs the sf1 sweep caught the old spelling "
+        "grinding), then verified string-pair edges expand to row "
+        "pairs via hash joins (pure output fan-out). Verify cost now "
+        "scales with value cardinality, not corpus size. Output "
+        "identical; edit distance is a JVM expression in both engines."
     ),
     tags=("analytics", "join", "dedup", "cleaning"),
 )
@@ -849,30 +919,46 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "entity_resolution_parts",
     oracle=f"""
-    WITH RECURSIVE {_FUZZY_EDGES_SQL},
+    WITH RECURSIVE {_FUZZY_GROUPS_SQL},
+    gm AS MATERIALIZED (SELECT blk, nm, min(id) AS gid FROM p GROUP BY 1, 2),
+    ge AS MATERIALIZED (
+        SELECT a.gid AS src, b.gid AS dst
+        FROM gp JOIN gm a ON a.blk = gp.blk AND a.nm = gp.nm_a
+                JOIN gm b ON b.blk = gp.blk AND b.nm = gp.nm_b
+        WHERE gp.nm_a < gp.nm_b
+    ),
     sym AS MATERIALIZED (
-        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+        SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge
     ),
     reach(node, lab) AS (
-        SELECT id, id FROM p
+        SELECT gid, gid FROM gm
         UNION
         SELECT s.dst, r.lab
         FROM reach r JOIN sym s ON s.src = r.node
         WHERE r.lab < s.dst
-    )
-    SELECT node AS p_partkey, CAST(min(lab) AS BIGINT) AS entity_id
-    FROM reach GROUP BY node
+    ),
+    glab AS (SELECT node AS gid, min(lab) AS ent FROM reach GROUP BY node)
+    SELECT p.id AS p_partkey, CAST(glab.ent AS BIGINT) AS entity_id
+    FROM p JOIN gm ON p.blk = gm.blk AND p.nm = gm.nm
+           JOIN glab ON gm.gid = glab.gid
     """,
     doc=(
         "Entity resolution over the fuzzy-match graph: transitive "
         "closure of the blocked edit-distance pairs via distributed "
-        "connected components (operators/graph.py: min-label "
-        "propagation + pointer jumping, O(log n) rounds, double-witness "
-        "convergence), labeling every part with the minimum part key of "
-        "its entity cluster; unmatched parts are their own entity. The "
-        "oracle reproduces it with a pruned recursive min-propagation "
-        "CTE. This is the canonical dedupe-then-canonicalize shape for "
-        "entity mastering at scale."
+        "connected components (operators/graph.py star rewiring), "
+        "labeling every part with the minimum part key of its entity "
+        "cluster; unmatched parts are their own entity. r10: CC runs "
+        "on the GROUP graph — identical strings are trivially one "
+        "entity, so vertices are distinct (block, string) values "
+        "keyed by their min part id and edges are the dedup-verified "
+        "string pairs (384 vertices at sf1 instead of 200k, and the "
+        "2.5e9-comparison edge build the sf1 sweep caught is now 74k) "
+        "— then every row inherits its group's component. Same "
+        "fixpoint as id-level CC: same-string rows were dist-0 edges "
+        "there, and component = min id either way. The oracle "
+        "reproduces it with a pruned recursive min-propagation CTE "
+        "over the same group graph. This is the canonical "
+        "dedupe-then-canonicalize shape for entity mastering at scale."
     ),
     tags=("analytics", "graph", "dedup", "cleaning"),
 )
@@ -882,16 +968,31 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     part = table(spark, sf_dir, "part")
-    edges = _fuzzy_pairs(spark, sf_dir).select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    p = part.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.col("p_name"), F.lit(" "), F.col("p_type")).alias("nm"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    gmin = p.groupBy("blk", "nm").agg(F.min("id").alias("gid"))
+    gp = _fuzzy_group_pairs(p).where(F.col("nm_a") < F.col("nm_b"))
+    edges = (
+        gp.join(
+            gmin.select("blk", F.col("nm").alias("nm_a"), F.col("gid").alias("src")),
+            ["blk", "nm_a"],
+        )
+        .join(
+            gmin.select("blk", F.col("nm").alias("nm_b"), F.col("gid").alias("dst")),
+            ["blk", "nm_b"],
+        )
+        .select("src", "dst")
     )
     comp = connected_components(edges, vertex_col="v", component_col="comp")
     return (
-        part.select(F.col("p_partkey"))
-        .join(comp, part["p_partkey"] == comp["v"], "left")
+        p.join(gmin, ["blk", "nm"])
+        .join(comp, F.col("gid") == F.col("v"), "left")
         .select(
-            "p_partkey",
-            F.coalesce(F.col("comp"), F.col("p_partkey"))
+            F.col("id").alias("p_partkey"),
+            F.coalesce(F.col("comp"), F.col("gid"))
             .cast("long")
             .alias("entity_id"),
         )

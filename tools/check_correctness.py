@@ -53,6 +53,17 @@ def _rowset(rows: list[tuple], columns: list[str]) -> list[tuple]:
 
 def run_duckdb(sql: str, sf_dir: str) -> tuple[list[tuple], list[str]]:
     con = duckdb.connect()
+    # private spill dir: concurrent harness processes sharing a cwd
+    # race on the default ./.tmp temp storage (observed: one process's
+    # exit cleanup deletes another's live spill file -> fatal
+    # duckdb::IOException); large-SF oracles DO spill
+    import os as _os
+    import tempfile as _tf
+
+    con.execute(
+        "SET temp_directory = "
+        f"'{_tf.gettempdir()}/duckspill_{_os.getpid()}'"
+    )
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
