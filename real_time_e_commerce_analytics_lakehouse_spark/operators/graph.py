@@ -248,6 +248,7 @@ def connected_components_star(
     component_col: str = "component",
     max_rounds: int = 40,
     use_local_checkpoint: bool = True,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star EDGE
     REWIRING — the published MapReduce formulation (Kiveris et al.,
@@ -275,7 +276,14 @@ def connected_components_star(
 
     Same contract as ``connected_components``: one row per vertex that
     appears in ``edges``; component = minimum vertex id; singletons not
-    emitted; ids orderable and non-null."""
+    emitted; ids orderable and non-null.
+
+    ``round_stats`` (r10, the soak instrumentation): pass a list and
+    each completed round appends ``{"round", "edges", "seconds"}``
+    where ``edges`` is the rewired edge-set size AFTER the round —
+    the contraction curve is the 100 TB property the soak certifies
+    (each round's shuffle gets cheaper). Costs one count() action per
+    round; leave None in production."""
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u").isNotNull() & F.col("v").isNotNull()
     )
@@ -320,7 +328,10 @@ def connected_components_star(
             df.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
 
-    for _ in range(max_rounds):
+    import time as _time
+
+    for _round in range(max_rounds):
+        _t0 = _time.perf_counter()
         # ---- large-star -------------------------------------------------
         sym = _sym(e)
         m = sym.groupBy("u").agg(
@@ -360,6 +371,14 @@ def connected_components_star(
         )
         new = _edge_digest(e)
         prev_e.unpersist()
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "round": _round + 1,
+                    "edges": e.count(),
+                    "seconds": round(_time.perf_counter() - _t0, 3),
+                }
+            )
         if new == prev:
             break
         prev = new

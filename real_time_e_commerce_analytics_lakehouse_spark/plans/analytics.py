@@ -428,40 +428,44 @@ PR_DAMPING = 0.85
 
 def _pr_sql() -> str:
     """Chained-CTE PageRank: it0 = uniform, each iteration = one
-    edges ⋈ ranks join + per-dst decimal-exact contribution sum."""
+    edges ⋈ ranks join + per-dst decimal-exact contribution sum.
+    Every CTE AS MATERIALIZED (r10): DuckDB re-evaluates plain CTEs
+    per reference, and each it_k references it_{k-1} + edges — without
+    the fence the quadratic co-purchase join re-runs ~2^iters times
+    (the sf1 sweep's chained-CTE finding class, see _bfs_sql)."""
     base = f"""
-    WITH op AS (
+    WITH op AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.l_partkey AS src, b.l_partkey AS dst
         FROM op a JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING count(*) >= {MIN_COPURCHASE_ORDERS}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT src, dst FROM pairs
         UNION ALL
         SELECT dst AS src, src AS dst FROM pairs
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
     ),
-    nn AS (SELECT count(*) AS n FROM deg),
-    it0 AS (
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    it0 AS MATERIALIZED (
         SELECT node, deg, CAST(1 AS DOUBLE) / nn.n AS r
         FROM deg CROSS JOIN nn
     )"""
     for k in range(1, PR_ITERATIONS + 1):
         base += f""",
-    c{k} AS (
+    c{k} AS MATERIALIZED (
         SELECT e.dst AS node,
                sum(CAST(p.r / p.deg AS DECIMAL(18,12))) AS contrib
         FROM edges e JOIN it{k - 1} p ON p.node = e.src
         GROUP BY 1
     ),
-    it{k} AS (
+    it{k} AS MATERIALIZED (
         SELECT d.node, d.deg,
                CAST({1 - PR_DAMPING} AS DOUBLE) / nn.n
                + CAST({PR_DAMPING} AS DOUBLE)
@@ -827,27 +831,34 @@ BFS_ROUNDS = 3
 
 def _bfs_sql() -> str:
     """Chained-CTE BFS over the co-purchase graph: d_{k+1} = min(d_k,
-    1 + d_k of any in-neighbor). Pure integer arithmetic — hash-exact."""
+    1 + d_k of any in-neighbor). Pure integer arithmetic — hash-exact.
+
+    Every CTE is AS MATERIALIZED (r10, found by the sf1 sweep): DuckDB
+    re-evaluates plain CTEs per REFERENCE, and here each d_k references
+    d_{k-1} twice and `edges` once — without materialization the
+    quadratic co-purchase self-join re-runs ~2^rounds times (the exact
+    r9 recursive-CTE finding class, in chained form; 25+ min at sf1,
+    seconds when pinned)."""
     sql = f"""
-    WITH op AS (
+    WITH op AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.l_partkey AS src, b.l_partkey AS dst
         FROM op a JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING count(*) >= {MIN_COPURCHASE_ORDERS}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT src, dst FROM pairs
         UNION ALL
         SELECT dst AS src, src AS dst FROM pairs
     ),
-    d0 AS (SELECT min(src) AS node, 0 AS dist FROM edges)"""
+    d0 AS MATERIALIZED (SELECT min(src) AS node, 0 AS dist FROM edges)"""
     for k in range(1, BFS_ROUNDS + 1):
         sql += f""",
-    d{k} AS (
+    d{k} AS MATERIALIZED (
         SELECT node, min(dist) AS dist FROM (
             SELECT node, dist FROM d{k - 1}
             UNION ALL

@@ -430,8 +430,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # shuffle_hash pinned (r10, found by the sf1 sweep): Catalyst's
+    # size estimate below two Generate nodes is garbage, and it
+    # statically planned a BROADCAST of the pair-count side — 8.7 GiB
+    # at sf1, over the 8 GiB hard cap (and fatal at 100 TB regardless:
+    # both sides here scale with data — pairs with near-dup density,
+    # sizes with corpus size). Shuffle-hash on the doc-id key scales
+    # arbitrarily and keeps the small-side hash build per partition.
+    sa = sizes.alias("sa").hint("shuffle_hash")
+    sb = sizes.alias("sb").hint("shuffle_hash")
     jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
     out = (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
@@ -1493,10 +1500,10 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import QUERIES as _Q
 
 _LSH_EVAL_ORACLE = f"""
-    WITH truth AS (
+    WITH truth AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({_Q['ngram_jaccard_pairs'].oracle}) tt
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({_Q['lsh_candidate_pairs'].oracle}) cc
     ),
     h AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)),

@@ -598,34 +598,49 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS order_date,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS DECIMAL(18,2)) AS day_rev
+                    AS DECIMAL(18,2)) AS day_rev,
+               -- width 19 AT THE SOURCE: DuckDB's optimizer elides a
+               -- later 18->19 widening cast and the width-18 multiply
+               -- stays int64-backed and overflows (r9 memory note)
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS DECIMAL(19,0)) AS x_c
         FROM orders GROUP BY 1
     ),
     framed AS (
         SELECT order_date,
                CAST(day_rev AS DOUBLE) AS x,
-               CAST(sum(day_rev) OVER w AS DOUBLE) AS s,
-               -- operands widened to DECIMAL(19,2): DuckDB 1.0 keeps
-               -- width-18 multiplies int64-backed and overflows; 19
-               -- forces hugeint, result decimal(38,4), still exact
-               CAST(sum(CAST(day_rev AS DECIMAL(19,2))
-                        * CAST(day_rev AS DECIMAL(19,2))) OVER w
-                    AS DOUBLE) AS ss,
-               CAST(count(day_rev) OVER w AS BIGINT) AS n
+               x_c,
+               CAST(sum(x_c) OVER w AS DECIMAL(19,0)) AS s_c,
+               -- operands widened past 18: DuckDB 1.0 keeps width-18
+               -- multiplies int64-backed and overflows; 19 forces
+               -- hugeint, exact
+               CAST(sum(x_c * x_c) OVER w AS DECIMAL(25,0)) AS ss_c,
+               CAST(count(day_rev) OVER w AS DECIMAL(3,0)) AS n
         FROM daily
         WINDOW w AS (ORDER BY order_date
                      RANGE BETWEEN INTERVAL 27 DAY PRECEDING AND CURRENT ROW)
     )
     SELECT order_date,
            round(x, 2) AS day_revenue,
-           n AS n_window,
+           CAST(n AS BIGINT) AS n_window,
            round(z, 4) AS zscore,
            coalesce(abs(z) > 2, FALSE) AS is_anomaly
     FROM (
         SELECT *,
-               CASE WHEN sqrt(greatest(ss / n - (s / n) * (s / n), 0)) > 0
-                    THEN (x - s / n)
-                         / sqrt(greatest(ss / n - (s / n) * (s / n), 0))
+               -- variance numerator n*E[X^2]-E[X]^2 scaled by n^2, in
+               -- EXACT cent-grid decimals: the positivity branch is an
+               -- integer comparison, identical across engines (the sf1
+               -- sweep caught the old double-residue spelling flipping
+               -- NULL-vs-0.0: above 2^53 the engines' decimal->double
+               -- casts round a last bit apart). z's numerator is exact
+               -- and < 2^53 (cast exact in both engines); only
+               -- sqrt(vnum) sees a >2^53 cast, a last-bit effect far
+               -- below the round(z, 4) grid.
+               CASE WHEN n * ss_c - CAST(s_c * s_c AS DECIMAL(25,0)) > 0
+                    THEN CAST(n * x_c - s_c AS DOUBLE)
+                         / sqrt(CAST(n * ss_c
+                                     - CAST(s_c * s_c AS DECIMAL(25,0))
+                                AS DOUBLE))
                END AS z
         FROM framed
     )
@@ -657,6 +672,7 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("day_rev"))
+        .withColumn("x_c", (F.col("day_rev") * 100).cast("decimal(18,0)"))
         .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
     aug = carried_range_buckets(daily, "__day", lookback=27)
@@ -666,26 +682,37 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_date",
             CARRIED,
             F.col("day_rev").cast("double").alias("x"),
-            F.sum("day_rev").over(w).cast("double").alias("s"),
-            F.sum(F.col("day_rev") * F.col("day_rev")).over(w)
-            .cast("double")
-            .alias("ss"),
-            F.count("day_rev").over(w).cast("long").alias("n"),
+            "x_c",
+            F.sum("x_c").over(w).cast("decimal(19,0)").alias("s_c"),
+            F.sum(
+                F.col("x_c").cast("decimal(19,0)")
+                * F.col("x_c").cast("decimal(19,0)")
+            )
+            .over(w)
+            .cast("decimal(25,0)")
+            .alias("ss_c"),
+            F.count("day_rev").over(w).cast("decimal(3,0)").alias("n"),
         )
         .where(~F.col(CARRIED))
         .drop(CARRIED)
     )
-    var = F.greatest(
-        F.col("ss") / F.col("n")
-        - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
-        F.lit(0.0),
+    # exact cent-grid variance numerator (n^2-scaled): the positivity
+    # branch is an integer comparison — identical across engines,
+    # unlike the old double-residue spelling (sf1 sweep: above 2^53
+    # the engines' decimal->double casts round a last bit apart,
+    # flipping z between NULL and 0.0 on one-day windows)
+    vnum = F.col("n") * F.col("ss_c") - (
+        F.col("s_c") * F.col("s_c")
+    ).cast("decimal(25,0)")
+    z = F.when(
+        vnum > 0,
+        (F.col("n") * F.col("x_c") - F.col("s_c")).cast("double")
+        / F.sqrt(vnum.cast("double")),
     )
-    std = F.sqrt(var)
-    z = F.when(std > 0, (F.col("x") - F.col("s") / F.col("n")) / std)
     return framed.select(
         "order_date",
         F.round("x", 2).alias("day_revenue"),
-        F.col("n").alias("n_window"),
+        F.col("n").cast("long").alias("n_window"),
         F.round(z, 4).alias("zscore"),
         F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
     )

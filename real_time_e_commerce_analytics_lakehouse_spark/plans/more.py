@@ -961,6 +961,7 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedupe-then-canonicalize shape for entity mastering at scale."
     ),
     tags=("analytics", "graph", "dedup", "cleaning"),
+    bench=True,  # r10: tracks the dedup-before-verify + group-CC win
 )
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (

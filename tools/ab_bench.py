@@ -10,12 +10,26 @@ host-speed movement hits both sides of every pair equally. The paired
 per-query ratio (median over pairs) is then a host-independent
 statement about the CODE.
 
-Protocol per query:
-- one discarded cold run in each worker (codegen/JIT for that query),
+Protocol per query (hardened r10 — the r9 committed run produced two
+false regression signals from 3 thin pairs + 1 warm-up + a stale B
+tree; VERDICT r9 what's-wrong #1):
+- TWO discarded warm-up runs in each worker (codegen/JIT AND
+  multi-job warm-up — lsh-style queries swung 10.9s -> 2.3s after the
+  first warm run),
 - three timed pairs; the side order flips each pair (A-B, B-A, A-B) so
   monotone host drift within the window cancels,
+- ADAPTIVE extension: if the paired-ratio spread (max/min) exceeds
+  1.15, more pairs run (up to 3x the requested count) until it
+  tightens — thin noisy samples no longer ship as signals,
 - only one worker executes at a time (the other blocks on stdin), so
-  the trees never compete for cores.
+  the trees never compete for cores,
+- the B tree must BE the shipped HEAD: the run refuses when B's
+  commit differs from this repo's HEAD or the B tree is dirty
+  (--allow-stale-b to override for archaeology),
+- every query whose final paired ratio exceeds 1.2 is listed in the
+  artifact under "flagged"; if BASELINE.md does not mention the query
+  name, the run exits non-zero — an unannotated regression signal
+  fails loudly instead of riding along.
 
 Usage:
   driver:  python tools/ab_bench.py A_TREE B_TREE [SF_DIR] [--pairs N]
@@ -146,7 +160,28 @@ def main() -> None:
         i = rest.index("--only")
         only = rest[i + 1].split(",")
         rest = rest[:i] + rest[i + 2:]
+    allow_stale_b = "--allow-stale-b" in rest
+    if allow_stale_b:
+        rest.remove("--allow-stale-b")
     sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
+
+    # the benched B tree must BE the shipped HEAD (r9: the committed
+    # A/B ran against a pre-final commit and its signals were read as
+    # the final tree's)
+    repo = str(Path(__file__).resolve().parent.parent)
+    head = short_commit(repo)
+    b_head = short_commit(b_tree)
+    b_dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=b_tree, capture_output=True, text=True,
+    ).stdout.strip()
+    if not allow_stale_b and (b_head != head or b_dirty):
+        raise SystemExit(
+            f"ab_bench: B tree HEAD {b_head}"
+            f"{' (dirty)' if b_dirty else ''} != shipped HEAD {head} — "
+            "bench the tree you ship (commit first), or pass "
+            "--allow-stale-b for archaeology"
+        )
 
     # bench set = B tree's headline queries (B is the tree under test)
     sys.path.insert(0, b_tree)
@@ -163,20 +198,35 @@ def main() -> None:
     out: dict[str, dict] = {}
     try:
         for name in names:
-            ca, cb = wa.run(name), wb.run(name)  # cold, discarded
-            if ca is None or cb is None:
+            # TWO discarded warm-ups per side: the first covers
+            # codegen/JIT, the second covers multi-job warm-up (r9's
+            # lsh false signal: 10.9s -> 2.3s inside one window)
+            warm = [wa.run(name), wb.run(name), wa.run(name), wb.run(name)]
+            if any(w is None for w in warm):
                 out[name] = {"skipped": "not in both trees"}
                 continue
             ta: list[float] = []
             tb: list[float] = []
-            for i in range(pairs):
+
+            def one_pair(i: int) -> bool:
                 if i % 2 == 0:
-                    ta.append(wa.run(name))
-                    tb.append(wb.run(name))
+                    ra, rb = wa.run(name), wb.run(name)
                 else:
-                    tb.append(wb.run(name))
-                    ta.append(wa.run(name))
-            if any(x is None for x in ta + tb):
+                    rb, ra = wb.run(name), wa.run(name)
+                if ra is None or rb is None:
+                    return False
+                ta.append(ra)
+                tb.append(rb)
+                return True
+
+            ok = all(one_pair(i) for i in range(pairs))
+            # adaptive: extend while the ratio spread is noisy
+            while ok and len(ta) < 3 * pairs:
+                ratios = [b / a for a, b in zip(ta, tb)]
+                if max(ratios) / min(ratios) <= 1.15:
+                    break
+                ok = one_pair(len(ta))
+            if not ok:
                 out[name] = {"skipped": "worker error mid-pairs"}
                 continue
             ratios = [b / a for a, b in zip(ta, tb)]
@@ -195,6 +245,14 @@ def main() -> None:
     med = statistics.median(
         v["ratio"] for v in out.values() if "ratio" in v
     )
+    flagged = sorted(
+        n for n, v in out.items() if v.get("ratio", 0) > 1.2
+    )
+    baseline_txt = ""
+    bp = Path(b_tree) / "BASELINE.md"
+    if bp.exists():
+        baseline_txt = bp.read_text()
+    unannotated = [n for n in flagged if n not in baseline_txt]
     a_label, b_label = short_commit(a_tree), short_commit(b_tree)
     doc = {
         "a_tree": a_tree,
@@ -204,6 +262,8 @@ def main() -> None:
         "sf_dir": sf_dir,
         "pairs_per_query": pairs,
         "median_paired_ratio": round(med, 3),
+        "flagged_over_1.2": flagged,
+        "flagged_unannotated": unannotated,
         "queries": out,
     }
     path = Path(b_tree) / _OUT_NAME
@@ -211,7 +271,16 @@ def main() -> None:
         json.dump(doc, f, indent=1)
     print(f"[ab] wrote {path}; median paired ratio (B/A) = {med:.3f}",
           file=sys.stderr)
+    if flagged:
+        print(f"[ab] paired ratio > 1.2: {flagged}", file=sys.stderr)
     print(json.dumps({"median_paired_ratio": round(med, 3)}))
+    if unannotated:
+        print(
+            f"[ab] FAIL: ratios > 1.2 with no BASELINE.md annotation: "
+            f"{unannotated} — investigate or annotate before shipping",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

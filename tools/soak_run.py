@@ -53,6 +53,50 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     return round(cold, 3), round(min(*steady, cold), 3)
 
 
+def cc_star_soak(spark, sf_dir: str) -> dict:
+    """Star-CC scaling probe (VERDICT r9 next #5): run large-star/
+    small-star connected components over the lev<=1 customer-name
+    graph (the r9 measurement subject) with per-round instrumentation.
+    Records rounds-to-converge (must sit within the O(log^2 n) bound),
+    per-round edge counts (the contraction curve — each round's
+    shuffle must get CHEAPER), and wall time. Fixed algorithm, scaled
+    graph: the cross-scale exponent of total time is the soak row."""
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = (
+        QUERIES["fuzzy_customer_pairs"]
+        .builder(spark, sf_dir)
+        .select("custkey_a", "custkey_b")
+        .localCheckpoint(eager=True)  # time CC, not edge generation
+        .persist()
+    )
+    n_edges = edges.count()
+    stats: list[dict] = []
+    t0 = time.perf_counter()
+    out = connected_components_star(
+        edges, src="custkey_a", dst="custkey_b", round_stats=stats
+    )
+    n_verts = out.count()
+    total = round(time.perf_counter() - t0, 3)
+    edges.unpersist()
+    import math as _m
+
+    log2n = _m.log2(max(n_verts, 2))
+    return {
+        "input_edges": n_edges,
+        "vertices": n_verts,
+        "rounds": len(stats),
+        "log2_n": round(log2n, 2),
+        "log2_n_squared": round(log2n * log2n, 1),
+        "rounds_within_log2sq_bound": len(stats) <= log2n * log2n,
+        "edge_contraction": [s["edges"] for s in stats],
+        "round_seconds": [s["seconds"] for s in stats],
+        "total_seconds": total,
+    }
+
+
 def table_layer_soak(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     """Table-layer costs at one scale (VERDICT r4 next #8): the scaling
     claim for the write path is cost ∝ CHURN, not table size — so the
@@ -312,6 +356,7 @@ def main() -> None:
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--out", default=str(Path(__file__).parent.parent / "soak_sf1.json"))
     ap.add_argument("--skip-table-layer", action="store_true")
+    ap.add_argument("--skip-cc", action="store_true")
     ap.add_argument(
         "--queries",
         nargs="*",
@@ -416,6 +461,34 @@ def main() -> None:
             )
             print(json.dumps(table_layer[-1], separators=(",", ":")), flush=True)
 
+    cc_star = None
+    if not a.skip_cc:
+        cc_small = cc_star_soak(spark, a.small)
+        cc_big = cc_star_soak(spark, a.big)
+        exp = round(
+            math.log(
+                max(cc_big["total_seconds"], 1e-3)
+                / max(cc_small["total_seconds"], 1e-3)
+            )
+            / math.log(a.factor),
+            2,
+        )
+        cc_star = {
+            "small": cc_small,
+            "big": cc_big,
+            "exponent": exp,
+            # contraction: the edge set must shrink monotonically after
+            # its first rewire round at BOTH scales
+            "big_contracts": all(
+                x >= y
+                for x, y in zip(
+                    cc_big["edge_contraction"][1:],
+                    cc_big["edge_contraction"][2:],
+                )
+            ),
+        }
+        print(json.dumps({"cc_star": cc_star}, separators=(",", ":")), flush=True)
+
     with open(a.out, "w") as f:
         json.dump(
             {
@@ -424,6 +497,7 @@ def main() -> None:
                 "big": a.big,
                 "rows": rows,
                 "table_layer": table_layer,
+                "cc_star": cc_star,
             },
             f,
             indent=1,
