@@ -1204,14 +1204,54 @@ def _commit_table_change(
                         by_name[n] for n in written_names + extra
                     ],
                 }
-            else:
-                if identity_hwms and not first:
+            elif not first and any(
+                "delta.identity.start" in (f.get("metadata") or {})
+                for f in snap.schema_json.get("fields", [])
+            ):
+                # overwrite re-emission on an identity table whose
+                # layout changed (dropped columns / new partitioning):
+                # rebuild from the table's field jsons so the identity
+                # metadata (start/step/highWaterMark) survives —
+                # schema.jsonValue() from the written frame would strip
+                # it and corrupt the table (keyed on the TABLE schema,
+                # not identity_hwms, so a zero-row overwrite preserves
+                # it too). Dropping the identity column ITSELF loses
+                # its generation state, so that one case stays a
+                # refusal (corruption guard).
+                ident_cols = {
+                    f["name"]
+                    for f in snap.schema_json.get("fields", [])
+                    if "delta.identity.start"
+                    in (f.get("metadata") or {})
+                }
+                written_names = [f.name for f in schema.fields]
+                lost = sorted(
+                    ident_cols - set(written_names) - computed
+                )
+                if lost:
                     raise NotImplementedError(
-                        "overwrite that changes the schema/layout of "
-                        "an identity table on the arrow tier — write "
-                        "through the DML tier (delete + insert_delta) "
-                        "instead"
+                        f"overwrite that DROPS identity column(s) "
+                        f"{lost} on the arrow tier would lose their "
+                        "generation state — ALTER the table first or "
+                        "write through the DML tier (delete + "
+                        "insert_delta) instead"
                     )
+                by_name = {
+                    f["name"]: f
+                    for f in snap.schema_json.get("fields", [])
+                }
+                extra = [
+                    n
+                    for n in by_name
+                    if n in computed and n not in written_names
+                ]
+                schema_json = {
+                    "type": "struct",
+                    "fields": [
+                        by_name[n] for n in written_names + extra
+                    ],
+                }
+            else:
                 schema_json = schema.jsonValue()
             if identity_hwms:
                 schema_json = {
