@@ -412,6 +412,53 @@ def test_identity_overwrite_layout_change_preserves_generation(
     )
 
 
+def test_identity_mixed_append_overwrite_sequence(spark, tmp_path):
+    """Seeded interaction sequence over the arrow tier: appends,
+    layout-preserving overwrites, and NARROWING overwrites (the r10
+    rebuild path) interleaved. Invariants after every step: ids ever
+    generated are globally unique, the high-water mark never moves
+    backwards, and the identity start/step metadata survives
+    verbatim."""
+    import random
+
+    rng = random.Random(1009)
+    p = str(tmp_path / "t")
+    create_delta_table(
+        p,
+        "k string, v long, sk bigint",
+        identity={"sk": {"start": 1, "step": 3}},
+    )
+    wide = "k string, v long"
+    seen: set[int] = set()
+    hwm = 0
+    rowid = 0
+    for step in range(8):
+        n = rng.randint(1, 5)
+        narrow = rng.random() < 0.4
+        mode = "overwrite" if rng.random() < 0.5 else "append"
+        if narrow:
+            rows = [(f"r{rowid + i}",) for i in range(n)]
+            df = spark.createDataFrame(rows, "k string")
+        else:
+            rows = [(f"r{rowid + i}", rowid + i) for i in range(n)]
+            df = spark.createDataFrame(rows, wide)
+        rowid += n
+        df.write.format("delta").mode(mode).save(p)
+        got = {r["sk"] for r in read_delta_log(spark, p).collect()}
+        fresh = got - seen
+        assert fresh, f"step {step}: no new ids generated"
+        assert min(fresh) > hwm, (
+            f"step {step}: reused id space below hwm {hwm}"
+        )
+        seen |= got
+        md = _field_md(p, "sk")
+        assert md["delta.identity.start"] == 1
+        assert md["delta.identity.step"] == 3
+        assert md["delta.identity.highWaterMark"] >= hwm
+        hwm = md["delta.identity.highWaterMark"]
+        assert all((sk - 1) % 3 == 0 for sk in got)
+
+
 def test_identity_overwrite_dropping_identity_column_refuses(
     spark, tmp_path
 ):
