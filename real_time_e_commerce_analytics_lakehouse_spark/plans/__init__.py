@@ -69,6 +69,13 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans import tpch as _tpch  
 # daily_revenue_interpolated — their family keeps 8 gate members);
 # they stay CI-verified by tests/test_queries_oracle.py at two SFs.
 GATE_ORDER = [
+    # --- Round-11 rotation (VERDICT r10 next #2) -----------------------
+    # cosine_topk_pandas — CONVERTED this round from rows-only to
+    # oracle-matched guarantee booleans on the r10 HLL template (pandas
+    # top-k vs in-plan exact bruteforce: overlap/sim/rank parity as
+    # exact TRUE/FALSE) — keeps its r10 gate slot so the driver turns
+    # the r10 `no_oracle` row green. With this conversion ZERO
+    # registered queries lack an oracle; the gate is 50/50 hash-exact.
     # --- Round-10 rotation (VERDICT r9 next #2: never-checked -> 0) ----
     # IN: the three HLL queries CONVERTED this round from rows-only to
     # oracle-matched guarantee booleans on the r9 trending_tokens
