@@ -3567,6 +3567,36 @@ def _legacy_writer_features(min_writer: int) -> set[str]:
     return out
 
 
+def descend_struct_fields(fields: list[dict], dotted: str) -> list[dict]:
+    """Walk a field-json tree to the child-field list of the struct at
+    dotted path ``dotted`` (container levels — array/map of struct —
+    descend transparently). Raises ValueError for a missing path or a
+    non-struct target. The returned list is the LIVE list inside
+    ``fields`` (mutating it mutates the tree) — shared by ALTER TABLE
+    add_nested and the writers' fold-into-commit nested evolution."""
+    cur = fields
+    for i, part in enumerate(dotted.split(".")):
+        f = next((x for x in cur if x["name"] == part), None)
+        if f is None:
+            raise ValueError(
+                f"add_nested: no such column "
+                f"{'.'.join(dotted.split('.')[: i + 1])!r}"
+            )
+        t = f["type"]
+        while isinstance(t, dict) and t.get("type") in ("array", "map"):
+            t = (
+                t["elementType"]
+                if t["type"] == "array"
+                else t["valueType"]
+            )
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(
+                f"add_nested: {dotted!r} is not a struct column"
+            )
+        cur = t["fields"]
+    return cur
+
+
 def alter_delta_schema(
     path: str,
     add: str | None = None,
@@ -3677,34 +3707,7 @@ def alter_delta_schema(
             out_fields.append(fj)
             added.append(f.name)
     for parent, ddl in (add_nested or {}).items():
-
-        def _child_fields(dotted: str) -> list[dict]:
-            cur = out_fields
-            for i, part in enumerate(dotted.split(".")):
-                f = next((x for x in cur if x["name"] == part), None)
-                if f is None:
-                    raise ValueError(
-                        f"add_nested: no such column "
-                        f"{'.'.join(dotted.split('.')[: i + 1])!r}"
-                    )
-                t = f["type"]
-                while isinstance(t, dict) and t.get("type") in (
-                    "array",
-                    "map",
-                ):
-                    t = (
-                        t["elementType"]
-                        if t["type"] == "array"
-                        else t["valueType"]
-                    )
-                if not (isinstance(t, dict) and t.get("type") == "struct"):
-                    raise ValueError(
-                        f"add_nested: {dotted!r} is not a struct column"
-                    )
-                cur = t["fields"]
-            return cur
-
-        target = _child_fields(parent)
+        target = descend_struct_fields(out_fields, parent)
         # DDL string (user spelling, needs a session) or field-json
         # list (the writers' spelling — the datasource worker has no
         # SparkContext to parse DDL with)

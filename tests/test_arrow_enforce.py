@@ -362,6 +362,27 @@ def test_vetted_subset_is_semantics_identical(spark):
     )
 
 
+def test_screen_refuses_double_quoted_tokens():
+    """r10 advice (low): Spark parses "..." as a STRING LITERAL
+    (default doubleQuotedIdentifiers=false) while DuckDB parses it as
+    an IDENTIFIER — `a = "b"` where b is a real column passes the word
+    screen (b resolves as a known column) yet string-compares in Spark
+    and column-compares in DuckDB. The screen must refuse the
+    character outright; single quotes / backticks remain fine."""
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.arrow_enforce import (
+        screen_expression,
+    )
+
+    cols = {"a", "b"}
+    for expr in ('a = "b"', '"a" IS NOT NULL', 'coalesce(a, "x")'):
+        with pytest.raises(NotImplementedError, match="double-quoted"):
+            screen_expression(expr, cols, "CHECK")
+    # unchanged: single-quoted literals and backtick identifiers pass,
+    # and a double quote INSIDE a string literal is data, not quoting
+    screen_expression("a = 'b'", cols, "CHECK")
+    screen_expression("`a` = 'x\"y'", cols, "CHECK")
+
+
 def test_identity_overwrite_layout_change_preserves_generation(
     spark, tmp_path
 ):
@@ -482,6 +503,57 @@ def test_identity_overwrite_dropping_identity_column_refuses(
             adds=[],
             overwrite=True,
             enforced=True,
+        )
+
+
+def test_stream_epoch_base_mismatch_refuses(spark, tmp_path):
+    """r10 advice (arrow_enforce medium): if a concurrent identity
+    commit lands mid-epoch, two tasks of one epoch can re-read
+    DIFFERENT high-water marks; a later-pid task holding the older
+    mark can overlap an earlier-pid task's range near its block cap
+    while every id still clears the current mark — the min-id-only
+    check commits the collision silently. merged_hwms now records the
+    base each task actually used and refuses the epoch unless all
+    bases agree (batch-tier equality-style conflict detection)."""
+    import pyarrow as pa
+
+    from real_time_e_commerce_analytics_lakehouse_spark.sources import arrow_enforce as ae
+
+    p = str(tmp_path / "t")
+    create_delta_table(
+        p, "k string, sk bigint", identity={"sk": {"start": 1, "step": 1}}
+    )
+    snap = DeltaSnapshot(p)
+    enf = ae.ArrowEnforcer(
+        checks=[], gens_present=[], gens_absent=[],
+        ident_generate={
+            "sk": {"step": 1, "base": 0, "plan_hwm": None,
+                   "atype": pa.int64(), "reread_path": p}
+        },
+        ident_sync={},
+    )
+    # equal bases: epoch commits, hwm = furthest id
+    ok = enf.merged_hwms(
+        snap, [{"sk": (1, 5, 0)}, {"sk": (1 << 20, (1 << 20) + 3, 0)}]
+    )
+    assert ok == {"sk": (1 << 20) + 3}
+    # mixed bases (concurrent commit mid-epoch): refuse even though
+    # every id clears the (still-None) current mark
+    with pytest.raises(RuntimeError, match="different high-water marks"):
+        enf.merged_hwms(
+            snap,
+            [{"sk": (1, 5, 0)}, {"sk": ((1 << 20) + 11, (1 << 20) + 12, 10)}],
+        )
+    # base ahead of the table's current mark (log restored/truncated
+    # since tasks ran): refuse. Advance the real mark to 2 via the DML
+    # tier, then present an epoch whose tasks claim base=100.
+    from real_time_e_commerce_analytics_lakehouse_spark.sources.delta_dml import insert_delta
+
+    insert_delta(spark, p, spark.createDataFrame([("a",), ("b",)], "k string"))
+    cur = _field_md(p, "sk")["delta.identity.highWaterMark"]
+    with pytest.raises(RuntimeError, match="ahead of the table"):
+        enf.merged_hwms(
+            DeltaSnapshot(p), [{"sk": (cur + 101, cur + 105, cur + 100)}]
         )
 
 

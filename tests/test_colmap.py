@@ -552,12 +552,15 @@ def test_none_to_id_upgrade_roundtrip(spark, tmp_path):
 
 
 def test_nested_additive_drift_auto_alters(spark, tmp_path):
-    """VERDICT r9 next #7: an incoming frame whose struct column GAINS
-    a nested field used to refuse on the arrow tier; the writers now
-    auto-commit the id-allocating nested ADD COLUMN (alter_delta_schema
-    add_nested) before staging. Mapped + unmapped, batch + stream sink,
-    both read tiers; old rows null-fill; allocated ids are fresh and
-    stamped into the staged files."""
+    """VERDICT r9 next #7, reworked per r10 advice: an incoming frame
+    whose struct column GAINS a nested field evolves the table — but
+    only with .option('mergeSchema','true') (upstream delta-spark's
+    rule; a typo'd nested field must not silently mutate the table),
+    and the nested ADD COLUMN now folds into the SAME commit as the
+    data (no plan-time ALTER: an aborted write leaves the schema
+    untouched — asserted below). Mapped + unmapped, batch + stream
+    sink, both read tiers; old rows null-fill; allocated ids are fresh
+    and stamped into the staged files."""
     # mapped batch
     p = str(tmp_path / "m")
     spark.createDataFrame(
@@ -571,9 +574,21 @@ def test_nested_additive_drift_auto_alters(spark, tmp_path):
     max_before = int(
         DeltaSnapshot(p).configuration["delta.columnMapping.maxColumnId"]
     )
+    # without the opt-in: refuse loudly, schema untouched
+    with pytest.raises(Exception, match="mergeSchema"):
+        spark.createDataFrame(
+            [((2, 9), "y")], "s struct<a: long, b: long>, v string"
+        ).write.format("delta").mode("append").save(p)
+    s_field = next(
+        f for f in DeltaSnapshot(p).schema_json["fields"]
+        if f["name"] == "s"
+    )
+    assert [x["name"] for x in s_field["type"]["fields"]] == ["a"]
     spark.createDataFrame(
         [((2, 9), "y")], "s struct<a: long, b: long>, v string"
-    ).write.format("delta").mode("append").save(p)
+    ).write.format("delta").mode("append").option(
+        "mergeSchema", "true"
+    ).save(p)
     snap = DeltaSnapshot(p)
     assert (
         int(snap.configuration["delta.columnMapping.maxColumnId"])
@@ -602,7 +617,9 @@ def test_nested_additive_drift_auto_alters(spark, tmp_path):
     ).write.format("delta").mode("append").save(q)
     spark.createDataFrame(
         [((2, 9), "y")], "s struct<a: long, b: long>, v string"
-    ).write.format("delta").mode("append").save(q)
+    ).write.format("delta").mode("append").option(
+        "mergeSchema", "true"
+    ).save(q)
     assert sorted(
         (r.s.a, r.s.b, r.v) for r in read_delta_log(spark, q).collect()
     ) == [(1, None, "x"), (2, 9, "y")]
@@ -623,6 +640,7 @@ def test_nested_additive_drift_auto_alters(spark, tmp_path):
         .load(src)
         .writeStream.format("delta")
         .option("checkpointLocation", ck)
+        .option("mergeSchema", "true")
         .trigger(availableNow=True)
         .start(sink)
     )
@@ -631,6 +649,27 @@ def test_nested_additive_drift_auto_alters(spark, tmp_path):
     assert sorted(
         (r.s.a, r.s.b, r.v) for r in read_delta_log(spark, sink).collect()
     ) == [(1, None, "x"), (5, 50, "z")]
+
+    # atomicity (r10 advice): a drifting write that FAILS (CHECK
+    # violation) must leave the schema untouched — the evolution rides
+    # the data commit, which never happens
+    w = str(tmp_path / "atomic")
+    spark.createDataFrame(
+        [((1,), 5)], "s struct<a: long>, v long"
+    ).write.format("delta").mode("append").save(w)
+    alter_delta_properties(w, {"delta.constraints.pos": "v > 0"})
+    with pytest.raises(Exception, match="pos|CHECK"):
+        spark.createDataFrame(
+            [((2, 9), -1)], "s struct<a: long, b: long>, v long"
+        ).write.format("delta").mode("append").option(
+            "mergeSchema", "true"
+        ).save(w)
+    sw = next(
+        f for f in DeltaSnapshot(w).schema_json["fields"]
+        if f["name"] == "s"
+    )
+    assert [x["name"] for x in sw["type"]["fields"]] == ["a"]
+    assert read_delta_log(spark, w).count() == 1
 
     # a nested TYPE CHANGE is not drift and still refuses loudly
     with pytest.raises(Exception, match="mismatch"):
