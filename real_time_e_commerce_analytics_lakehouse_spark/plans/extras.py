@@ -613,8 +613,11 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(x_c) OVER w AS DECIMAL(19,0)) AS s_c,
                -- operands widened past 18: DuckDB 1.0 keeps width-18
                -- multiplies int64-backed and overflows; 19 forces
-               -- hugeint, exact
-               CAST(sum(x_c * x_c) OVER w AS DECIMAL(25,0)) AS ss_c,
+               -- hugeint, exact. Width 34 (r10 advice, headroom to
+               -- ~sf2e5 ≈ 100 TB: ss_c ~ 3e23*sf^2 cents^2) chosen so
+               -- n(3,0)*ss_c stays within DuckDB's 38-width multiply
+               -- bound; the old 25 overflowed NULL-vs-error at ~sf10
+               CAST(sum(x_c * x_c) OVER w AS DECIMAL(34,0)) AS ss_c,
                CAST(count(day_rev) OVER w AS DECIMAL(3,0)) AS n
         FROM daily
         WINDOW w AS (ORDER BY order_date
@@ -636,10 +639,15 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- and < 2^53 (cast exact in both engines); only
                -- sqrt(vnum) sees a >2^53 cast, a last-bit effect far
                -- below the round(z, 4) grid.
-               CASE WHEN n * ss_c - CAST(s_c * s_c AS DECIMAL(25,0)) > 0
+               -- s_c*s_c is DECIMAL(38,0) in both engines (19+19);
+               -- cast to 37 so the subtraction vs n*ss_c (37) stays
+               -- inside width 38 on DuckDB — s_c^2 ~ 1e35 at sf1e5,
+               -- within 10^37 (r10 advice: the old DECIMAL(25,0)
+               -- NULL'd in Spark / errored in DuckDB at ~sf10)
+               CASE WHEN n * ss_c - CAST(s_c * s_c AS DECIMAL(37,0)) > 0
                     THEN CAST(n * x_c - s_c AS DOUBLE)
                          / sqrt(CAST(n * ss_c
-                                     - CAST(s_c * s_c AS DECIMAL(25,0))
+                                     - CAST(s_c * s_c AS DECIMAL(37,0))
                                 AS DOUBLE))
                END AS z
         FROM framed
@@ -672,7 +680,9 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("day_rev"))
-        .withColumn("x_c", (F.col("day_rev") * 100).cast("decimal(18,0)"))
+        # width 19 at the source, matching the oracle's x_c exactly
+        # (r10 advice: the sides used to build 18 vs 19)
+        .withColumn("x_c", (F.col("day_rev") * 100).cast("decimal(19,0)"))
         .withColumn("__day", F.datediff("order_date", F.lit("1995-01-01")))
     )
     aug = carried_range_buckets(daily, "__day", lookback=27)
@@ -684,12 +694,12 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_rev").cast("double").alias("x"),
             "x_c",
             F.sum("x_c").over(w).cast("decimal(19,0)").alias("s_c"),
-            F.sum(
-                F.col("x_c").cast("decimal(19,0)")
-                * F.col("x_c").cast("decimal(19,0)")
-            )
+            # x_c^2 is decimal(38,0) exact; 34 matches the oracle's
+            # width (headroom to ~sf2e5 while keeping n*ss_c inside
+            # DuckDB's 38-width multiply bound — r10 advice)
+            F.sum(F.col("x_c") * F.col("x_c"))
             .over(w)
-            .cast("decimal(25,0)")
+            .cast("decimal(34,0)")
             .alias("ss_c"),
             F.count("day_rev").over(w).cast("decimal(3,0)").alias("n"),
         )
@@ -703,7 +713,7 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flipping z between NULL and 0.0 on one-day windows)
     vnum = F.col("n") * F.col("ss_c") - (
         F.col("s_c") * F.col("s_c")
-    ).cast("decimal(25,0)")
+    ).cast("decimal(37,0)")
     z = F.when(
         vnum > 0,
         (F.col("n") * F.col("x_c") - F.col("s_c")).cast("double")
