@@ -356,11 +356,20 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         joined = canon.join(m2, "u")
+        # r11 (guide §2.4): ONE distinct instead of two back-to-back.
+        # Every small-star output is already canonically ordered —
+        # (v, m) has m <= v (m is the min over G-(u) ∪ {u} ∋ v) and
+        # (u, m) has m <= v < u — so the old `ss.distinct()` followed
+        # by `.select(greatest, least).distinct()` deduped an
+        # identical row set twice: one full exchange + dedup pass per
+        # round, pure waste. The greatest/least canonicalization is
+        # kept (it is a free projection and pins the invariant the
+        # digest relies on); the dedup runs once, on the canonical
+        # form.
         ss = (
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(joined.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         prev_e = e
         e = _materialize(

@@ -31,6 +31,17 @@ from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
 MIN_COPURCHASE_ORDERS = 2
 
 
+def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order: the sorted SET of distinct part keys bought
+    together — (l_orderkey, __parts array). ONE shuffle over lineitem
+    (groupBy l_orderkey with map-side partial collect_set); every
+    consumer below derives from it without touching lineitem again."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__parts")
+    )
+
+
 def _copurchase_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -38,28 +49,57 @@ def _copurchase_pairs(
     b_name: str,
     symmetric: bool = False,
 ):
-    """(distinct order-part frame, support-thresholded co-purchase
-    pairs) — the basket-blocked self-join shared by the pair/graph/
-    rules family (ONE copy; four verbatim blocks had to be kept in
-    sync, r5 review). `symmetric=False` keeps a<b ordered pairs;
-    True keeps every a!=b directed pair (association rules)."""
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias(a_name))
-    b = op.select("l_orderkey", F.col("l_partkey").alias(b_name))
-    pred = (
-        F.col(a_name) != F.col(b_name)
-        if symmetric
-        else F.col(a_name) < F.col(b_name)
+    """(baskets, distinct order-part frame, support-thresholded
+    co-purchase pairs) — the basket family's shared trunk (ONE copy;
+    four verbatim blocks had to be kept in sync, r5 review).
+    `symmetric=False` keeps a<b ordered pairs; True keeps every a!=b
+    directed pair (association rules).
+
+    r11 (guide §2.3/§2.4 "aggregate before you shuffle" / "remove
+    shuffles outright"): the r1-r10 spelling was
+    `op = lineitem.distinct()` then `op ⋈ op ON l_orderkey` — a full
+    two-key distinct exchange over lineitem PLUS a re-shuffle of both
+    join sides on l_orderkey, with the pair fan-out produced by the
+    join. Baskets are bounded (7 lines in TPC-H, tens in retail), so
+    the same pairs fall out of ONE groupBy(l_orderkey) with map-side
+    partial collect_set, followed by a row-local array comprehension
+    (posexplode + tail-slice explode — the _blocked_pairs pattern:
+    O(k) per-row memory, Θ(pairs) output). Exchange count for the
+    pair lineage drops 3 -> 2 and the self-join disappears; `op`
+    (still needed by the support counts) is the explode of the basket
+    array — same rows as the old distinct, no extra shuffle.
+    Result-identical: collect_set == per-order DISTINCT (l_partkey is
+    never NULL by TPC-H construction and counts are support counts
+    over exact sets either way); sorted arrays make a<b the tail
+    slice."""
+    baskets = _copurchase_baskets(spark, sf_dir)
+    op = baskets.select(
+        "l_orderkey", F.explode("__parts").alias("l_partkey")
     )
+    if symmetric:
+        pairs_raw = baskets.select(
+            F.explode("__parts").alias(a_name), "__parts"
+        ).select(
+            a_name,
+            F.explode(
+                F.expr(f"filter(__parts, x -> x != {a_name})")
+            ).alias(b_name),
+        )
+    else:
+        pairs_raw = baskets.select(
+            "__parts", F.posexplode("__parts").alias("__i", a_name)
+        ).select(
+            a_name,
+            F.explode(
+                F.expr("slice(__parts, __i + 2, size(__parts))")
+            ).alias(b_name),
+        )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(pred)
-        .groupBy(a_name, b_name)
+        pairs_raw.groupBy(a_name, b_name)
         .agg(F.count("*").alias("n_together"))
         .filter(F.col("n_together") >= MIN_COPURCHASE_ORDERS)
     )
-    return op, pairs
+    return baskets, op, pairs
 
 
 @register(
@@ -107,10 +147,13 @@ def _copurchase_pairs(
     bench=True,
 )
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op, pairs = _copurchase_pairs(spark, sf_dir, "part_a", "part_b")
+    baskets, op, pairs = _copurchase_pairs(spark, sf_dir, "part_a", "part_b")
     part_orders = op.groupBy("l_partkey").agg(F.count("*").alias("part_n"))
-    total = op.select(
-        F.countDistinct("l_orderkey").alias("n")
+    # every basket row is one distinct l_orderkey, so count(*) over
+    # baskets == countDistinct(l_orderkey) over op with no distinct
+    # shuffle (r11, guide §2.4)
+    total = baskets.select(
+        F.count("*").alias("n")
     )  # 1-row frame, broadcast below
     pa = part_orders.select(
         F.col("l_partkey").alias("part_a"), F.col("part_n").alias("n_a")
@@ -505,21 +548,30 @@ def _pr_sql() -> str:
     bench=True,
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _op, thresholded = _copurchase_pairs(spark, sf_dir, "src", "dst")
+    _baskets, _op, thresholded = _copurchase_pairs(spark, sf_dir, "src", "dst")
     pairs = thresholded.select("src", "dst")
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # edges feed deg, nn, the annotated graph AND the initial ranks —
-    # cache them so the distinct+self-join chain runs once
+    # cache them so the pair-building chain runs once
     edges = edges.persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
     nn = deg.select(F.count("*").alias("n"))
-    # annotate each edge ONCE with its destination's degree and the node
-    # count, so an iteration is exactly one join + one groupBy (no
-    # per-round deg/n rejoin); the graph is reused 3x -> materialize it
+    # annotate each edge ONCE with its destination's degree, so an
+    # iteration is exactly one join + one groupBy (no per-round deg
+    # rejoin); the graph is reused 3x -> materialize it.
+    # r11 (guide §2.3/§2.4): the node-count column no longer rides
+    # every edge row through the persisted graph (it is crossJoined
+    # onto the |V|-row rank frame after each aggregation instead —
+    # same IEEE expression on identical inputs), and the graph is
+    # hash-partitioned by src BEFORE persisting: each iteration's
+    # edges ⋈ ranks then reuses the cached partitioning and shuffles
+    # only the |V|-row rank frame — at 100 TB (where ranks cannot
+    # broadcast) the old shape re-shuffled the FULL edge list every
+    # iteration; locally AQE broadcasts ranks either way.
     graph = (
         edges.join(
             deg.select(
@@ -527,7 +579,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "dst",
         )
-        .crossJoin(F.broadcast(nn))
+        .repartition("src")
         .persist()
     )
     ranks = deg.crossJoin(F.broadcast(nn)).select(
@@ -542,13 +594,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("r") / F.col("deg")).cast("decimal(18,12)")
                 ).alias("contrib"),
                 F.max("dst_deg").alias("next_deg"),  # constant per dst
-                F.max("n").alias("next_n"),
             )
+            .crossJoin(F.broadcast(nn))
             .select(
                 F.col("next_node").alias("node"),
                 F.col("next_deg").alias("deg"),
                 (
-                    F.lit(1 - PR_DAMPING) / F.col("next_n")
+                    F.lit(1 - PR_DAMPING) / F.col("n")
                     + F.lit(PR_DAMPING) * F.col("contrib").cast("double")
                 ).alias("r"),
             )
@@ -890,7 +942,7 @@ def _bfs_sql() -> str:
     tags=("analytics", "graph", "join", "agg"),
 )
 def copurchase_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _op, thresholded = _copurchase_pairs(spark, sf_dir, "src", "dst")
+    _baskets, _op, thresholded = _copurchase_pairs(spark, sf_dir, "src", "dst")
     pairs = thresholded.select("src", "dst")
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1216,11 +1268,13 @@ def repeat_order_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("analytics", "join", "agg"),
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op, pairs = _copurchase_pairs(
+    baskets, op, pairs = _copurchase_pairs(
         spark, sf_dir, "antecedent", "consequent", symmetric=True
     )
     item_n = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
-    nb = op.agg(F.countDistinct("l_orderkey").cast("double").alias("nb"))
+    # count(*) over baskets == countDistinct(l_orderkey) over op
+    # without a distinct shuffle (r11, guide §2.4)
+    nb = baskets.agg(F.count("*").cast("double").alias("nb"))
     ia = item_n.select(
         F.col("l_partkey").alias("antecedent"), F.col("n_orders").alias("n_a")
     )

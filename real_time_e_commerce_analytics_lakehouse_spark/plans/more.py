@@ -911,11 +911,18 @@ def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fuzzy_group_pairs(p: DataFrame) -> DataFrame:
+def _fuzzy_group_pairs(p: DataFrame, dn: DataFrame | None = None) -> DataFrame:
     """Verified edges between DISTINCT (blk, nm) strings: (blk, nm_a,
     nm_b, dist) with nm_a <= nm_b and dist <= 4 — the only place
-    levenshtein runs."""
-    dn = p.select("blk", "nm").distinct()
+    levenshtein runs.
+
+    ``dn`` (r11, guide §2.4): callers that already compute a distinct
+    (blk, nm) frame (entity_resolution_parts' group-min aggregate
+    groups by exactly these keys) pass it in, so the SAME exchange
+    over `p` serves both the group table and the verify self-join
+    instead of shuffling `p` twice on the same key."""
+    if dn is None:
+        dn = p.select("blk", "nm").distinct()
     a, b = dn.alias("a"), dn.alias("b")
     return (
         a.join(
@@ -1023,7 +1030,12 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
     )
     gmin = p.groupBy("blk", "nm").agg(F.min("id").alias("gid"))
-    gp = _fuzzy_group_pairs(p).where(F.col("nm_a") < F.col("nm_b"))
+    # r11: the verify self-join's distinct (blk, nm) vertex set IS
+    # gmin's grouping — reuse gmin's exchange instead of a second
+    # full shuffle of p on the same key (guide §2.4)
+    gp = _fuzzy_group_pairs(p, dn=gmin.select("blk", "nm")).where(
+        F.col("nm_a") < F.col("nm_b")
+    )
     edges = (
         gp.join(
             gmin.select("blk", F.col("nm").alias("nm_a"), F.col("gid").alias("src")),
