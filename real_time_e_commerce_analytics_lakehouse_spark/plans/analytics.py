@@ -553,25 +553,30 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # edges feed deg, nn, the annotated graph AND the initial ranks —
-    # cache them so the pair-building chain runs once
-    edges = edges.persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
-    nn = deg.select(F.count("*").alias("n"))
     # annotate each edge ONCE with its destination's degree, so an
     # iteration is exactly one join + one groupBy (no per-round deg
     # rejoin); the graph is reused 3x -> materialize it.
-    # r11 (guide §2.3/§2.4): the node-count column no longer rides
-    # every edge row through the persisted graph (it is crossJoined
-    # onto the |V|-row rank frame after each aggregation instead —
-    # same IEEE expression on identical inputs), and the graph is
-    # hash-partitioned by src BEFORE persisting: each iteration's
-    # edges ⋈ ranks then reuses the cached partitioning and shuffles
-    # only the |V|-row rank frame — at 100 TB (where ranks cannot
-    # broadcast) the old shape re-shuffled the FULL edge list every
-    # iteration; locally AQE broadcasts ranks either way.
+    # r11 (guide §2.3/§2.4, §5): the graph is now the ONLY persisted
+    # frame — the r10 spelling ALSO persisted the raw edge list, but
+    # everything downstream (deg for the rank init, the node count,
+    # the iterations) derives from the annotated graph, so the edges
+    # cache fill was a second materialization of the same rows (the
+    # identical pair-groupBy exchange below is reused by Catalyst for
+    # deg). The node-count column no longer rides every edge row nor
+    # appears as 4 aggregate+broadcast subtrees: it is ONE bounded
+    # 1-row driver aggregate over the persisted graph (the simsearch-
+    # guard / PQ-codebook bounded-collect precedent; the job doubles
+    # as the cache fill) folded into the damping expression as a
+    # literal — the identical integer n, so every IEEE double is
+    # unchanged. The graph is hash-partitioned by src BEFORE
+    # persisting: each iteration's edges ⋈ ranks reuses the cached
+    # partitioning and shuffles only the |V|-row rank frame — at
+    # 100 TB (where ranks cannot broadcast) the old shape re-shuffled
+    # the FULL edge list every iteration; locally AQE broadcasts
+    # ranks either way.
     graph = (
         edges.join(
             deg.select(
@@ -582,9 +587,16 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .persist()
     )
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    n_nodes = graph.select(F.countDistinct("dst").alias("n")).collect()[0][
+        "n"
+    ]
+    nn = F.lit(n_nodes)
+    # every node appears as a dst (edges are symmetric), and dst_deg
+    # is constant per dst — so the rank init is a groupBy over the
+    # cached graph instead of a second aggregation of the edge list
+    ranks = graph.groupBy(F.col("dst").alias("node")).agg(
+        F.max("dst_deg").alias("deg")
+    ).select("node", "deg", (F.lit(1.0) / nn).alias("r"))
     for _ in range(PR_ITERATIONS):
         ranks = (
             graph.join(ranks, graph["src"] == ranks["node"])
@@ -595,12 +607,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("contrib"),
                 F.max("dst_deg").alias("next_deg"),  # constant per dst
             )
-            .crossJoin(F.broadcast(nn))
             .select(
                 F.col("next_node").alias("node"),
                 F.col("next_deg").alias("deg"),
                 (
-                    F.lit(1 - PR_DAMPING) / F.col("n")
+                    F.lit(1 - PR_DAMPING) / nn
                     + F.lit(PR_DAMPING) * F.col("contrib").cast("double")
                 ).alias("r"),
             )
@@ -610,10 +621,10 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("degree"),
         F.round("r", 9).alias("pagerank"),
     )
-    # leases ride the result: the correctness harness (and any caller
-    # following the release_cached convention) frees edges/graph after
-    # its action — without this they stay pinned for the session
-    out._cached_deps = [edges, graph]
+    # the lease rides the result: the correctness harness (and any
+    # caller following the release_cached convention) frees the graph
+    # after its action — without this it stays pinned for the session
+    out._cached_deps = [graph]
     return out
 
 

@@ -127,7 +127,15 @@ def revenue_by_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr(_SUM_TOTALPRICE).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("order_count"),
+            # r11 (guide §2.3 "aggregate before you shuffle" — here:
+            # don't plan a distinct at all): o_orderkey is the orders
+            # PK and both joins are N:1 onto dimension PKs (c_custkey,
+            # n_nationkey), so every orders row survives exactly once
+            # and count(DISTINCT o_orderkey) == count(*). The oracle
+            # keeps count(DISTINCT) — identical value — while the
+            # engine skips the two-level distinct aggregation (one
+            # full extra exchange keyed on (group keys, o_orderkey)).
+            F.count("*").alias("order_count"),
         )
     )
 
@@ -166,7 +174,12 @@ def revenue_by_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fact_orders_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    li = fan_out(table(spark, sf_dir, "lineitem"))
+    # r11: fan out by HASH on the aggregation key — one exchange both
+    # rebalances the single-row-group scan and feeds the groupBy, so
+    # the agg's own exchange disappears (2 exchanges -> 1) and the
+    # round-robin's sortBeforeRepartition local sort is skipped
+    # (guide §2.4; l_orderkey is high-cardinality so the spread holds)
+    li = fan_out(table(spark, sf_dir, "lineitem"), by="l_orderkey")
     items = li.groupBy("l_orderkey").agg(
         F.count("*").alias("item_count"),
         F.expr(dec_sum("l_extendedprice")).alias("total_item_value"),

@@ -411,43 +411,76 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _spark_tokens(spark, sf_dir)
-    # persisted: referenced three times below (both join sides + sizes)
-    sh = (
-        toks.select(
-            "doc_id",
-            F.explode(F.expr(tx.shingles("t", SHINGLE_N, "spark"))).alias("s"),
-        )
-        .distinct()
-        .persist()
+    # r11 (guide §2.3/§2.4): doc_id is the documents PK (one row per
+    # doc), so the DISTINCT over exploded (doc_id, shingle) rows — a
+    # full exchange in the r8-r10 spelling — can only ever dedup
+    # shingles WITHIN one row: row-local array_distinct is the same
+    # set, zero shuffle. The per-doc size |A| is likewise row-local
+    # (size of the deduped array), so instead of a separate groupBy
+    # plus TWO size joins after the pair count (r10 pinned them
+    # shuffle_hash because Catalyst statically planned an 8.7 GiB
+    # broadcast at sf1 — both joins are now gone entirely, which is
+    # the scale-safest shape of all), each doc's n rides inside the
+    # pair id struct through _blocked_pairs. Struct ordering sorts by
+    # the first field, and doc_id is unique, so (doc_a < doc_b) and
+    # the sorted member arrays are exactly the old doc_id ordering.
+    # Plan: 5 exchanges + persist -> 2 exchanges, no cache.
+    #
+    # Explode-input shape matters (measured 40x): the generator input
+    # must stay a NON-ATTRIBUTE expression. Exploding a projected
+    # array column lets InferFiltersFromGenerate add `size(sh) > 0
+    # AND isnotnull(sh)` on the attribute, and predicate pushdown
+    # then substitutes the WHOLE token+shingle+array_distinct chain
+    # through the projections and parks the filter BELOW the fan_out
+    # exchange — the entire heavy compute re-runs (twice) inside the
+    # single pre-repartition scan task: 16.7 s vs 0.4 s at sf0.1.
+    # transform(sh, ...) as the generator input keeps the rule off
+    # while still evaluating the array chain once per doc.
+    pd0 = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(tx.shingles("t", SHINGLE_N, "spark"))
+        ).alias("sh"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    per_doc = pd0.select(
+        F.explode(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.size("sh").alias("n"),
+                ),
+            )
+        ).alias("x")
+    ).select(
+        F.col("x.s").alias("s"),
+        F.struct(
+            F.col("x.doc_id").alias("doc_id"), F.col("x.n").alias("n")
+        ).alias("dn"),
+    )
     # pair generation + budget: ONE shuffle on the shingle, guard
     # in-plan (zero extra jobs; see _blocked_pairs). Each co-occurring
     # shingle emits one (doc_a, doc_b) instance, so the pair count IS
     # the intersection size |A∩B|.
     common = (
-        _blocked_pairs(sh, ["s"], "doc_id", "ngram_jaccard_pairs")
+        _blocked_pairs(per_doc, ["s"], "dn", "ngram_jaccard_pairs")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    # shuffle_hash pinned (r10, found by the sf1 sweep): Catalyst's
-    # size estimate below two Generate nodes is garbage, and it
-    # statically planned a BROADCAST of the pair-count side — 8.7 GiB
-    # at sf1, over the 8 GiB hard cap (and fatal at 100 TB regardless:
-    # both sides here scale with data — pairs with near-dup density,
-    # sizes with corpus size). Shuffle-hash on the doc-id key scales
-    # arbitrarily and keeps the small-side hash build per partition.
-    sa = sizes.alias("sa").hint("shuffle_hash")
-    sb = sizes.alias("sb").hint("shuffle_hash")
-    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    out = (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    # same IEEE expression as before: double(c) / (int + int - bigint)
+    # over identical integer inputs — hash-identical vs the oracle
+    jac = F.col("c").cast("double") / (
+        F.col("doc_a.n") + F.col("doc_b.n") - F.col("c")
     )
-    out._cached_deps = [sh]  # released by the harness/caller post-action
-    return out
+    return (
+        common.filter(jac >= 0.1)
+        .select(
+            F.col("doc_a.doc_id").alias("doc_a"),
+            F.col("doc_b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
 
 
 @register(

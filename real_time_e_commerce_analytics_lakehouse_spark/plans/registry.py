@@ -77,9 +77,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, by: str | None = None) -> DataFrame:
     """Rebalance a scan whose input has fewer splits than the session has
     cores, so scan-rooted CPU-heavy stages can use the whole machine.
+
+    ``by`` (r11, guide §2.4 "two operations keyed the same way share
+    one exchange"): when the consumer is a HIGH-CARDINALITY keyed
+    aggregation/join, fan out by HASH on that key instead of round-
+    robin — the one exchange then simultaneously rebalances the scan
+    AND satisfies the downstream partitioning requirement, so the
+    aggregation's own ENSURE_REQUIREMENTS exchange disappears; a
+    round-robin fan-out additionally pays a local sort of its input
+    (spark.sql.execution.sortBeforeRepartition, on by default so task
+    retries stay deterministic) that a hash repartition skips. Only
+    pass ``by`` for keys with many more distinct values than cores
+    (fan_out's whole point is spreading; 6 groups -> 6 busy cores).
 
     Parquet's split unit is the ROW GROUP; the driver testdata ships one
     row group per file, so shingle hashing / vector folds / decimal
@@ -111,6 +123,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     except Exception:  # non-file-rooted plan: nothing to rebalance
         return df
     if 0 < splits * 2 <= cores:
+        if by is not None:
+            # REPARTITION_BY_COL at the session's shuffle-partition
+            # count: reusable by the downstream keyed operator, and
+            # AQE may still coalesce it
+            return df.repartition(F.col(by))
         return df.repartition(cores)
     return df
 

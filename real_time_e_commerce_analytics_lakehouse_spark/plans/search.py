@@ -186,24 +186,63 @@ def bm25_term_score(tf, df_, n_corpus, avgdl, dl):
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-aggregation spelling (r4: shaves one wide shuffle + a join
-    # off the r3 plan): ONE groupBy(doc_id) over the exploded tokens
-    # computes dl AND every per-term tf as conditional counts, and ONE
+    # off the r3 plan): per-doc stats computed together, and ONE
     # 1-row aggregate over that yields n_corpus/avgdl/df_t together —
     # no per-(doc,term) shuffle, no tf-dl join, everything else a
     # broadcast. Scores are the same doubles as the r3 spelling: each
     # term's idf*tf_factor is one scalar expression per doc (tf=0 gives
     # exactly 0.0, matching the old coalesce), so the oracle — still
     # the canonical 5-CTE BM25 — hash-matches unchanged.
+    #
+    # r11 (guide §2.4): doc_id is the documents PK, so the r4
+    # explode + groupBy(doc_id) — a full shuffle of every token
+    # instance, run TWICE because column pruning makes the stats and
+    # matches subtrees non-identical (no exchange reuse) — regroups
+    # rows that were never apart: dl is size(tokens) and each tf_i is
+    # size(filter(tokens, = term)), all row-local JVM expressions.
+    # Zero exchanges in the per-doc lineage (was 2x2). The docs the
+    # old explode dropped are exactly the NULL-text docs (split of
+    # non-NULL text always yields >= 1 element, [''] at minimum), so
+    # the equivalent filter is `text IS NOT NULL` — pushed into the
+    # parquet scan for free, unlike a size(tokens) predicate, which
+    # predicate pushdown would substitute through the projection and
+    # park BELOW the fan_out exchange, re-running the whole token
+    # chain single-threaded in the pre-repartition scan task (the
+    # ngram_jaccard_pairs lesson, measured 40x there). The per-doc
+    # stats are emitted through an explode-of-one-struct Generate for
+    # the same reason: the `matches` tf-sum filter lands on generator
+    # OUTPUT attributes, which cannot be pushed below the Generate,
+    # keeping it above the exchange. dl/tf become ints where count(*)
+    # was long — every consumer casts to double before arithmetic, so
+    # all scores are bit-identical.
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(tx.tokens("text", "spark"))).alias("t")
+    docs = fan_out(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").alias("dl"),
+    toks_arr = docs.select(
+        "doc_id", F.expr(tx.tokens("text", "spark")).alias("t")
+    )
+    per_doc = toks_arr.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.size("t").alias("dl"),
+                    *[
+                        F.size(
+                            F.filter(F.col("t"), lambda x: x == F.lit(t))
+                        ).alias(f"tf{i}")
+                        for i, t in enumerate(BM25_TERMS)
+                    ],
+                )
+            )
+        ).alias("__pd"),
+    ).select(
+        "doc_id",
+        F.col("__pd.dl").alias("dl"),
         *[
-            F.count(F.when(F.col("t") == t, 1)).alias(f"tf{i}")
-            for i, t in enumerate(BM25_TERMS)
+            F.col(f"__pd.tf{i}").alias(f"tf{i}")
+            for i in range(len(BM25_TERMS))
         ],
     )
     stats = per_doc.agg(
