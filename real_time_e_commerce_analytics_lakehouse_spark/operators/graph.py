@@ -144,8 +144,16 @@ def connected_components(
         # rewriting is O(plan), not O(2^round) digit arithmetic. The
         # digest action right after each _materialize call fills the
         # cache; the caller unpersists the previous round.
+        # r11 (guide §1/§2: fewer passes): eager=False — the digest
+        # collect that always follows is the FIRST job over this
+        # frame, so the local checkpoint and the cache fill happen
+        # inside that one job instead of a separate eager
+        # materialization job per round (measured ~15% off
+        # entity_resolution_parts at sf0.1; identical fixpoint). The
+        # reliable-checkpoint branch stays eager: a non-eager
+        # checkpoint() recomputes the frame for the file write.
         cp = (
-            df.localCheckpoint(eager=True)
+            df.localCheckpoint(eager=False)
             if use_local_checkpoint
             else df.checkpoint(eager=True)
         )
@@ -300,9 +308,13 @@ def connected_components_star(
     def _materialize(df: DataFrame) -> DataFrame:
         # same lineage-truncation + stats-grounding pairing as
         # connected_components (localCheckpoint inherits ESTIMATED
-        # sizes; persist substitutes real ones into later plans)
+        # sizes; persist substitutes real ones into later plans).
+        # r11: eager=False — the edge digest (or, for verts, the final
+        # labels join) is the first job over the frame and performs the
+        # checkpoint + cache fill inside itself, saving one eager
+        # materialization job per round (see connected_components).
         cp = (
-            df.localCheckpoint(eager=True)
+            df.localCheckpoint(eager=False)
             if use_local_checkpoint
             else df.checkpoint(eager=True)
         )

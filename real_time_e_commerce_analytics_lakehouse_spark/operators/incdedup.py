@@ -53,26 +53,30 @@ def band_table(docs: DataFrame) -> DataFrame:
             F.expr(tx.minhash_component("hx", j, "spark")).alias(f"mh_{j}")
             for j in range(N_MINHASH)
         ],
-    ).persist()
-    # persist BEFORE the band fan-out: the union has N_BANDS branches
-    # over sig, and without the cache each branch re-runs the md5-heavy
-    # tokenize+digest+minhash pipeline (the exact re-evaluation
-    # plans/documents.lsh_candidate_pairs measured at ~8x). The lease
-    # rides the returned frame (release_cached convention).
-    bands = []
-    for b in range(N_BANDS):
-        bands.append(
-            sig.select(
-                "doc_id",
+    )
+    # r11 (guide §2.4): ONE explode over a per-doc band-struct array —
+    # the same single-scan spelling plans/documents.lsh_candidate_pairs
+    # adopted in r8 — replaces the N_BANDS-branch union whose persist
+    # existed only to stop each branch re-running the md5-heavy
+    # tokenize+digest+minhash pipeline (~8x measured there). The
+    # signature lambdas now evaluate exactly once per doc with no
+    # cache to fill or lease to release; row order differs from the
+    # union (per-doc instead of per-band) but every consumer is a
+    # join/distinct/append. The generator input is a non-attribute
+    # expression, so InferFiltersFromGenerate cannot re-plant the
+    # chain below an upstream exchange (the ngram_jaccard lesson).
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.expr(f"md5(concat(mh_{2 * b}, mh_{2 * b + 1}))").alias("h"),
+                F.md5(F.concat(f"mh_{2 * b}", f"mh_{2 * b + 1}")).alias("h"),
             )
-        )
-    out = bands[0]
-    for frame in bands[1:]:
-        out = out.unionByName(frame)
-    out._cached_deps = [sig]
-    return out
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("bh")
+    ).select("doc_id", "bh.band", "bh.h")
 
 
 def create_dedup_index(spark: SparkSession, path: str) -> LakeTable:
