@@ -106,8 +106,9 @@ def top_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ranks shift by at most the one adjacent swap (rank_ok). "
         "Reassociation noise is ~64*eps ≈ 1.4e-14 on unit vectors, so "
         "any real divergence (wrong normalization, dropped candidate, "
-        "tie-break drift) flips a boolean. tests/test_llm_ops.py keeps "
-        "the tighter 1e-9 pairwise tolerance check."
+        "tie-break drift) flips a boolean. tests/test_operators.py "
+        "keeps the tighter pairwise tolerance check against the "
+        "underlying operator."
     ),
     tags=("embeddings", "simsearch", "pandas"),
 )

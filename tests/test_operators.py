@@ -153,21 +153,40 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_pandas_cosine_matches_exact_topk(spark, sf_dir):
+    """The Arrow/pandas top-k agrees with the exact JVM bruteforce.
+
+    cosine_topk_pandas now RETURNS the parity-guarantee booleans (the
+    r10-boundary oracle-matching change), so the pairwise tolerance
+    check runs against the underlying operator directly, and the gate
+    query's booleans are asserted on top."""
+    from pyspark.sql import functions as F
+
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.simsearch import (
+        cosine_topk_vectorized,
+    )
     from real_time_e_commerce_analytics_lakehouse_spark.plans import QUERIES
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import table
 
     exact = {
         (r.query_id, r.rank): (r.vec_id, r.cosine_sim)
         for r in QUERIES["cosine_topk_bruteforce"].builder(spark, sf_dir).collect()
     }
+    emb = table(spark, sf_dir, "embeddings")
     fast = {
         (r.query_id, r.rank): (r.vec_id, r.cosine_sim)
-        for r in QUERIES["cosine_topk_pandas"].builder(spark, sf_dir).collect()
+        for r in cosine_topk_vectorized(
+            emb, emb.filter(F.col("vec_id") < 5), k=10
+        ).collect()
     }
     assert set(exact) == set(fast)
     for key, (vid, sim) in exact.items():
         fvid, fsim = fast[key]
         assert fvid == vid, f"rank order diverged at {key}"
         assert abs(fsim - sim) < 1e-6
+    # the registered gate query asserts the same agreement in-plan as
+    # exact booleans the DuckDB oracle can check
+    for r in QUERIES["cosine_topk_pandas"].builder(spark, sf_dir).collect():
+        assert r.overlap_ok and r.sim_ok and r.rank_ok and r.n_results > 0
 
 
 # ---------------------------------------------------------------- round 2
