@@ -292,6 +292,42 @@ def main() -> None:
     # warmup: run the flagship once to pay JVM/codegen/parquet-footer costs
     run("revenue_by_nation_status")
 
+    # r12 (VERDICT r11 what's-wrong #3 / next #6): the IVF index is a
+    # persistent, corpus-fingerprint-keyed artifact; when a PREVIOUS
+    # run's index survived under the default $SPARK_GRAFT_INDEX_DIR,
+    # even the cold ivf_index_ann_topk run was probe-only — a cross-run
+    # persisted intermediate keyed on the testdata. The bench now (a)
+    # points the index at a RUN-SCOPED temp dir so every invocation
+    # builds from the parquet inputs, and (b) times the build as its
+    # own row ("ivf_index_build", additive — never replaces the
+    # existing headline row), so ivf_index_ann_topk is pure probe by
+    # construction, which is what its steady-state number always
+    # measured (r10/r11 comparisons stay like-for-like).
+    idx_root = tempfile.mkdtemp(prefix="bench_vecindex_")
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = idx_root
+    from real_time_e_commerce_analytics_lakehouse_spark.operators.vecindex import (
+        build_ivf_index,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.embeddings import (
+        KM_ROUNDS,
+        _adaptive_cells,
+        _embeddings_fingerprint,
+    )
+    from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+        table as _table,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    idx = os.path.join(idx_root, _embeddings_fingerprint(sf_dir))
+    t0 = time.perf_counter()
+    n_emb = emb.count()
+    build_ivf_index(
+        spark, emb, idx, n_cells=_adaptive_cells(n_emb), rounds=KM_ROUNDS
+    )
+    with open(os.path.join(idx, "_INDEX_READY"), "w") as f:
+        f.write("ok")
+    ivf_build_secs = round(time.perf_counter() - t0, 3)
+
     # environment calibration: fixed JVM-side work, best of two
     def _cal_once() -> float:
         t0 = time.perf_counter()
@@ -331,7 +367,17 @@ def main() -> None:
                 break
         timings[name] = round(min(*steady, cold[name]), 3)
 
-    total = round(sum(timings.values()), 3)
+    # additive row (never replaces/renames an existing one): the IVF
+    # build pass, reported separately from the probe-only headline row.
+    # Kept OUT of the headline total so `value` stays comparable with
+    # every prior round's total over the same 29-query set (the driver
+    # divides raw totals; a new workload row must not read as a
+    # slowdown).
+    timings["ivf_index_build"] = ivf_build_secs
+
+    total = round(
+        sum(v for k, v in timings.items() if k != "ivf_index_build"), 3
+    )
 
     # table-layer round-trip (cold only: it is write-dominated, and a
     # second run would just re-pay the same disk I/O)
@@ -346,6 +392,7 @@ def main() -> None:
         mart_secs = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+        shutil.rmtree(idx_root, ignore_errors=True)  # run-scoped IVF index
 
     # interleaved A/B paired ratios (tools/ab_bench.py): host-drift-free
     # cross-round comparison — both trees ran as resident workers on one
@@ -470,7 +517,23 @@ def main() -> None:
     # _latest_recorded once the round completes. Overwritten by every
     # bench run this round; the driver's own end-of-round run writes
     # last, so the archive matches BENCH_r{N}.json.
-    with open(here / f"BENCH_DETAIL_r{_current_round():02d}.json", "w") as f:
+    # r12 measurement-bug fix: the driver ALSO re-runs the bench at a
+    # LOW core count (SPARK_GRAFT_CPUS=8) after its main run — at the
+    # r11 boundary that 8-core run wrote last and the committed
+    # BENCH_DETAIL_r12.json held 8-core numbers, which would have
+    # become the next round's 32-core baseline. Low-core runs (CPUS
+    # set below the machine's core count) archive under a _c{cpus}
+    # suffix instead of the round file.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    low_core = (
+        cpus_env is not None
+        and cpus_env.isdigit()
+        and int(cpus_env) < (os.cpu_count() or int(cpus_env))
+    )
+    suffix = f"_c{cpus_env}" if low_core else ""
+    with open(
+        here / f"BENCH_DETAIL_r{_current_round():02d}{suffix}.json", "w"
+    ) as f:
         json.dump(detail, f, indent=1)
     # The driver captures a bounded (~2,000 char) stdout tail: the r6
     # line embedded the full 28-query ab_paired ratio map, overflowed

@@ -50,6 +50,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Plan-audit hook (tools/r12_measure.py --stage-plans): checkpointed CC
+# rounds enter the consumer query's final plan as `Scan ExistingRDD`, so
+# an end-of-query explain dump cannot evidence per-round plan-shape
+# claims (VERDICT r11 "what's wrong" #2). When set, the hook receives
+# every frame passed to a `_materialize` BEFORE lineage truncation so
+# the full pre-checkpoint stage plan can be dumped. None (no-op) in
+# production — the hook must not run actions or mutate the frame.
+PLAN_AUDIT_HOOK = None
+
 
 def _label_digests():
     """Overflow-safe change digests over the comp column: sums of
@@ -152,6 +161,13 @@ def connected_components(
         # entity_resolution_parts at sf0.1; identical fixpoint). The
         # reliable-checkpoint branch stays eager: a non-eager
         # checkpoint() recomputes the frame for the file write.
+        # CONTRACT (lazy checkpoint, r11 advice): the caller must run
+        # an action on the returned frame BEFORE unpersisting the
+        # frames it was built from — otherwise the lazy checkpoint
+        # recomputes through a released cache. Upheld here: the digest
+        # collect on the new labels precedes prev_labels.unpersist().
+        if PLAN_AUDIT_HOOK is not None:
+            PLAN_AUDIT_HOOK(df)
         cp = (
             df.localCheckpoint(eager=False)
             if use_local_checkpoint
@@ -313,6 +329,13 @@ def connected_components_star(
         # labels join) is the first job over the frame and performs the
         # checkpoint + cache fill inside itself, saving one eager
         # materialization job per round (see connected_components).
+        # CONTRACT: caller must run an action on the returned frame
+        # before unpersisting its inputs (see connected_components).
+        # Upheld here: each round's edge digest precedes
+        # prev_e.unpersist(), and the final labels join over verts/e
+        # is eager-checkpointed before either unpersists.
+        if PLAN_AUDIT_HOOK is not None:
+            PLAN_AUDIT_HOOK(df)
         cp = (
             df.localCheckpoint(eager=False)
             if use_local_checkpoint
@@ -333,7 +356,14 @@ def connected_components_star(
             .collect()[0]
         )
 
-    prev = _edge_digest(e)
+    # r12 (guide §1/§2: fewer passes): no standalone pre-loop digest —
+    # round 1's digest job materializes e's lazy checkpoint anyway, so
+    # the loop compares round k against round k-1 instead. A graph that
+    # is already a fixpoint pays one extra (cheap, contracted) round;
+    # every other graph saves exactly one job. Termination and fixpoint
+    # are unchanged: the loop still stops precisely when a round leaves
+    # the canonical edge set untouched.
+    prev: tuple | None = None
 
     def _sym(df: DataFrame) -> DataFrame:
         return df.select("u", "v").union(
@@ -359,7 +389,13 @@ def connected_components_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e1 = ls.where(F.col("u") != F.col("v")).distinct()
+        # r12 (guide §2.4): NO mid-round distinct — the large-star
+        # output flows into small-star as a multiset. m2 is a MIN, so
+        # duplicate rows cannot change it, and the round's final
+        # distinct collapses duplicate emissions; the round's edge SET
+        # (what the digest certifies and the next round consumes) is
+        # identical, one full exchange + dedup pass per round cheaper.
+        e1 = ls.where(F.col("u") != F.col("v"))
         # ---- small-star -------------------------------------------------
         canon = e1.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
@@ -400,7 +436,7 @@ def connected_components_star(
                     "seconds": round(_time.perf_counter() - _t0, 3),
                 }
             )
-        if new == prev:
+        if prev is not None and new == prev:
             break
         prev = new
     else:

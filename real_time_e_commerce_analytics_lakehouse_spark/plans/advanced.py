@@ -298,11 +298,14 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair can collide on several shared variants
     )
     return (
+        # r12 (guide §1.2): threshold form — banded O(len*1) DP, -1 past
+        # the bound; kept rows (0..1) carry the exact distance, so the
+        # filter and output are identical to the unbounded spelling.
         cand.withColumn(
             "edit_dist",
-            F.levenshtein("name_a", "name_b").cast("long"),
+            F.levenshtein("name_a", "name_b", 1).cast("long"),
         )
-        .filter(F.col("edit_dist") <= 1)
+        .filter(F.col("edit_dist") >= 0)
         .select(
             "c_nationkey",
             "custkey_a",

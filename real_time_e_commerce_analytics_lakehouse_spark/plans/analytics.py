@@ -953,13 +953,28 @@ def _bfs_sql() -> str:
     tags=("analytics", "graph", "join", "agg"),
 )
 def copurchase_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (the proven pagerank recipe, guide §2.4/§5): the edge list is
+    # hash-partitioned by src BEFORE the persist, so every round's
+    # frontier ⋈ edges reuses the cached partitioning and shuffles only
+    # the frontier (at 100 TB, where the frontier cannot broadcast, the
+    # old shape re-shuffled the full edge list every round); the BFS
+    # source (min part key) is ONE bounded 1-row driver aggregate whose
+    # job doubles as the cache fill, folded in as a literal — the old
+    # shape carried the min-aggregate subtree inside every round's
+    # frontier lineage (2^k copies by round k under the union+groupBy
+    # doubling). Identical integer source -> identical integer hops.
     _baskets, _op, thresholded = _copurchase_pairs(spark, sf_dir, "src", "dst")
     pairs = thresholded.select("src", "dst")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    dist = edges.agg(F.min("src").alias("node")).select(
-        "node", F.lit(0).alias("dist")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
+    start = edges.agg(F.min("src").alias("node")).collect()[0]["node"]
+    dist = spark.range(1).select(
+        F.lit(start).cast("long").alias("node"), F.lit(0).alias("dist")
     )
     for _ in range(BFS_ROUNDS):
         hop = (

@@ -850,15 +850,36 @@ def _pq_sql() -> str:
     bench=True,
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 rewrite (guide §2.4 "remove shuffles outright" + §1.2 order of
+    # operations): nearest-centroid assignment is an argmin over a
+    # BOUNDED centroid set (K=8 per subspace), so the r10/r11 shape —
+    # broadcast-join sub x cents (a K-fold row expansion carrying both
+    # 16-dim arrays) into a row_number window partitioned by (vec_id, m)
+    # (one full exchange + sort), run TWICE (seed assign + final encode),
+    # plus an `assigned ⋈ sub` equi-join to re-attach subvectors (two
+    # more exchanges) — collapses to a row-local fold:
+    #   array_min(transform(cents, (c, i) -> struct(dist, i))).i
+    # Lexicographic struct-min == ORDER BY dist ASC, cell_id ASC with
+    # rn=1 (cents are sorted by cell_id, so position order IS cell_id
+    # order, and distances are the identical IEEE expression on the
+    # identical inputs — the chosen cell is bit-for-bit the same).
+    # Encoding, the per-query LUT and the ADC sum are likewise row-local
+    # from the collected codebook (bounded M*K = 32 rows, the documented
+    # driver roundtrip this plan always had). Plan effect: 2 window
+    # exchanges + 2 join exchanges + the scored groupBy exchange (which
+    # carried N*Q rows) are gone; the `sub` persist (whole subvector
+    # table in cache — memory-infeasible at 100 TB) is gone; what
+    # remains is ONE exchange for the codebook means, the bounded
+    # collect, and the final top-k window. Internally cells are tracked
+    # by POSITION in the cell_id-sorted centroid list (a bijection onto
+    # cell_id that preserves order, so grouping and every tie-break are
+    # unchanged); cell ids never reach the output.
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.expr("cast(embedding as array<double>)").alias("emb"))
-    # the subvector table feeds FOUR downstream consumers (seed assign,
-    # mean update, final encode, query LUT) across the multiple jobs the
-    # mid-plan codebook collect forces — persist it once instead of
-    # re-scanning + re-exploding the parquet per consumer (same persisted-
-    # intermediate pattern as the LSH band index; measured 7.0s -> 3.2s
-    # on the cold run at sf0.1, steady-state unchanged at ~2.6s where
-    # per-job scheduling overhead dominates this many-stage plan)
+    e = fan_out(
+        emb.select(
+            "vec_id", F.expr("cast(embedding as array<double>)").alias("emb")
+        )
+    )
     sub = e.select(
         "vec_id",
         F.posexplode(
@@ -867,26 +888,31 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"m -> slice(emb, m*{PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
             )
         ).alias("m", "sv"),
-    ).persist()
-    sq = vx.sqdist("sv", "c_sv", "spark")
-
-    def assign(cents: DataFrame) -> DataFrame:
-        sims = sub.join(F.broadcast(cents), "m").withColumn("__d", F.expr(sq))
-        w = W.partitionBy("vec_id", "m").orderBy(F.asc("__d"), F.asc("cell_id"))
-        return (
-            sims.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cell_id")
-        )
-
-    seeds = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("cell_id"), F.col("sv").alias("c_sv")
     )
-    assigned = assign(seeds)
+    # seed centroids per subspace, ordered by cell_id (= seed vec_id):
+    # a bounded M-row frame (each row carries K subvectors), broadcast
+    seeds_m = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .groupBy("m")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(vec_id, sv))),"
+                " s -> s.sv)"
+            ).alias("cents")
+        )
+    )
+    argmin = (
+        "array_min(transform(cents, (cc, i) -> "
+        f"named_struct('d', {vx.sqdist('sv', 'cc', 'spark')}, 'i', i))).i"
+    )
+    subc = (
+        sub.join(F.broadcast(seeds_m), "m")
+        .withColumn("cell", F.expr(argmin))
+        .drop("cents")
+    )
     per_pos = (
-        assigned.join(sub, ["vec_id", "m"])
-        .select("m", "cell_id", "vec_id", F.posexplode("sv").alias("pos", "x"))
-        .groupBy("m", "cell_id", "pos")
+        subc.select("m", "cell", "vec_id", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "cell", "pos")
         .agg(
             (
                 F.expr(
@@ -897,36 +923,67 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mx")
         )
     )
-    trained = per_pos.groupBy("m", "cell_id").agg(
+    trained = per_pos.groupBy("m", "cell").agg(
         F.expr(
             "transform(sort_array(collect_list(struct(pos, mx))), s -> s.mx)"
         ).alias("c_sv")
     )
-    # bounded driver roundtrip: M*K = 32 subspace centroids
-    rows = [(r["m"], r["cell_id"], list(r["c_sv"])) for r in trained.collect()]
-    codebook = spark.createDataFrame(
-        rows, "m int, cell_id long, c_sv array<double>"
-    )
-    codes = assign(codebook)
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(codebook), "m")
-        .select("query_id", "m", "cell_id", F.expr(sq).alias("pd"))
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "cell_id"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
+    # bounded driver roundtrip: M*K = 32 subspace centroids (unchanged
+    # from the r10/r11 shape); cells sorted by position == by cell_id
+    by_m: dict[int, list] = {}
+    for r in trained.collect():
+        by_m.setdefault(r["m"], []).append((r["cell"], list(r["c_sv"])))
+    cb = [
+        [sv for _, sv in sorted(by_m.get(m, []))] for m in range(PQ_M)
+    ]
+    cb_df = spark.createDataFrame([(cb,)], "cb array<array<array<double>>>")
+
+    def _sv(m: str) -> str:
+        return f"slice(emb, {m}*{PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+
+    # row-local encode: code[m] = argmin cell position in subspace m
+    enc = (
+        e.crossJoin(F.broadcast(cb_df))
+        .select(
+            "vec_id",
             F.expr(
-                "aggregate(transform(sort_array(collect_list(struct(m, pd))),"
-                " s -> s.pd), cast(0 as double), (a, v) -> a + v)"
-            ).alias("approx_sqdist")
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"array_min(transform(element_at(cb, m + 1), (cc, i) -> "
+                f"named_struct('d', {vx.sqdist(_sv('m'), 'cc', 'spark')}, "
+                f"'i', i))).i)"
+            ).alias("code"),
+        )
+    )
+    # row-local per-query LUT: lut[m][cell] = sqdist(query subvector, centroid)
+    q_lut = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cb_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"transform(element_at(cb, m + 1), cc -> "
+                f"{vx.sqdist(_sv('m'), 'cc', 'spark')}))"
+            ).alias("lut"),
+        )
+    )
+    # ADC: sum the M partial distances in subspace order (identical
+    # summation sequence to the old sort_array(collect_list) fold:
+    # cast(0 as double) + pd_0 + pd_1 + ...)
+    scored = (
+        enc.join(F.broadcast(q_lut), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as double), "
+                "(acc, m) -> acc + element_at(element_at(lut, m + 1), "
+                "element_at(code, m + 1) + 1))"
+            ).alias("approx_sqdist"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("vec_id"))
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= PQ_TOPK)
         .select(
@@ -934,8 +991,6 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("approx_sqdist", 6).alias("approx_sqdist"),
         )
     )
-    out._cached_deps = [sub]  # released by the harness/caller post-action
-    return out
 
 
 @register(

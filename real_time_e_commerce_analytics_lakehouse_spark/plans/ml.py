@@ -20,9 +20,14 @@ hash-exact with no tolerance.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.functions import textexpr as tx
-from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import register, table
+from real_time_e_commerce_analytics_lakehouse_spark.plans.registry import (
+    fan_out,
+    register,
+    table,
+)
 
 GD_ROUNDS = 3
 GD_LR = 1.0
@@ -53,10 +58,23 @@ def _features_sql(d: str) -> str:
     """
 
 
-def _gd_sql(d: str) -> str:
-    feats = _features_sql(d)
-    sql = f"""
-    WITH feats AS ({feats}),
+def _gd_sql(d: str, feats_rel: str | None = None) -> str:
+    """``feats_rel`` (r12, guide §2.4/§5): the engine passes a temp-view
+    name over a PERSISTED feature frame, so the tokenize-heavy feature
+    scan materializes once instead of being re-inlined into every
+    gradient round's CTE reference (Spark inlines plain CTEs; the r12
+    before-plan carries 4 copies of the feature subtree). The oracle
+    keeps the self-contained CTE (DuckDB CTEs are its own concern).
+    Downstream SQL text is identical either way, so the weight
+    trajectory is bit-identical."""
+    if feats_rel is None:
+        feats = _features_sql(d)
+        sql = f"""
+    WITH feats AS ({feats}),"""
+    else:
+        sql = f"""
+    WITH feats AS (SELECT * FROM {feats_rel}),"""
+    sql += """
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
     w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,
                   CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3)"""
@@ -110,6 +128,14 @@ def _gd_sql(d: str) -> str:
     tags=("documents", "ml", "agg"),
 )
 def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: a persisted fanned-out feature frame (the pagerank recipe,
+    # via _gd_sql(feats_rel=...)) was tried and measured WORSE at sf0.1
+    # (0.89 s -> 1.49 s steady): the 4 inline copies of the row-local
+    # feature subtree pipeline inside each aggregation stage, while the
+    # persist adds a materialization barrier + cache write for a
+    # 5000-row frame — the same finding as the r11 nb_lang persist
+    # revert. Kept on the plain spelling; the feats_rel hook remains
+    # for genuinely large corpora (see OPTIMIZATION_r12.md).
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_gd_sql("spark"))
 
@@ -202,11 +228,155 @@ def _nb_sql(d: str) -> str:
     bench=True,
 )
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_nb_sql("spark"))
+    # r12 rewrite (guide §2.3/§2.4; the bm25 technique, second attempt
+    # after the r11 persisted-count-table attempt measured WORSE and was
+    # reverted — this one persists nothing):
+    # - doc_id is the documents PK, so doc_tok's global (doc, lang,
+    #   token) exchange collapses to a ROW-LOCAL per-doc token-count
+    #   array (array_distinct + size(filter(...)) — exact same counts);
+    #   the explode-dropped rows are exactly NULL-text docs, replaced by
+    #   `text IS NOT NULL` pushed into the scan (the bm25 argument:
+    #   tokens() yields [''] for any non-NULL text, so explode only ever
+    #   dropped NULL text).
+    # - class priors / class token totals / vocabulary are BOUNDED
+    #   aggregates (one row per language + one count) — collected once
+    #   and folded into the expressions as literals (the pagerank
+    #   n-trick; the ln/round transcendentals stay IN-PLAN on the
+    #   identical exact integers, so every emitted double is unchanged).
+    # - the per-(lang, token) count table pivots to ONE row per token
+    #   with a count column per language, so inference joins doc tokens
+    #   to likelihoods on `token` once (1x rows) instead of LEFT-joining
+    #   the 4-way doc_tok x model fan-out on (lang, token) (4x rows),
+    #   and the final argmax is a row-local struct-min instead of a
+    #   row_number window.
+    # Plan effect: 4 parallel explode+groupBy token pipelines -> one
+    # shared token exchange (ReusedExchange) + one doc exchange; the
+    # scored-side shuffles carry 1x the doc-token rows. Exact by
+    # construction: counts are integers, per-term likelihoods are the
+    # same round(ln(...), 6) decimal casts on identical inputs, and the
+    # per-(doc, lang) score is an exact decimal sum (order-free).
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = tx.tokens("text", "spark")
+
+    # bounded stats in ONE collect job: one row per language (doc count
+    # for priors over ALL docs, token-instance total, non-null-text doc
+    # count) cross-joined with the 1-row vocabulary count (row-local
+    # array_distinct first so the distinct aggregation sees per-doc-
+    # distinct tokens only)
+    vdf = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.expr(f"array_distinct(({toks}))")).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    stats = (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.expr(
+                    f"case when text is not null then size(({toks})) "
+                    "else 0 end"
+                )
+            ).alias("tot"),
+            F.count("text").alias("n_txt"),
+        )
+        .crossJoin(vdf)
+        .collect()
+    )
+    n_all = sum(r["n_docs"] for r in stats)
+    v = stats[0]["v"] if stats else 0
+    # a language whose docs are all NULL-text has no cls_tot row in the
+    # declared SQL (inner join) and is not a candidate class there
+    langs = sorted(
+        (r["lang"], r["n_docs"], r["tot"]) for r in stats if r["n_txt"] > 0
+    )
+
+    # row-local per-doc token counts (== the old doc_tok group counts)
+    doc_pairs = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(
+            F.expr(
+                f"transform(array_distinct(({toks})), t -> named_struct("
+                f"'token', t, 'n', cast(size(filter(({toks}), x -> x = t)) "
+                "as bigint)))"
+            )
+        ).alias("tc"),
+    ).select("doc_id", "true_lang", F.col("tc.token").alias("token"), F.col("tc.n").alias("n"))
+
+    # per-token likelihood row, one count column per language (pivoted
+    # cls_tok); sum(n) over docs == count(*) over token instances
+    def _ll(cnt_col: str, tot: int) -> str:
+        # identical expression tree to the declared SQL: BIGINT tot +
+        # DOUBLE v is a double addition, ln/round on identical inputs
+        return (
+            f"cast(round(ln((coalesce({cnt_col}, 0) + 1.0) / "
+            f"(cast({tot} as bigint) + cast({v} as double))), 6) "
+            "as decimal(18,6))"
+        )
+
+    tok_tbl = doc_pairs.groupBy("token").agg(
+        *[
+            F.sum(F.when(F.col("true_lang") == lang, F.col("n"))).alias(
+                f"__c{i}"
+            )
+            for i, (lang, _nd, _tot) in enumerate(langs)
+        ]
+    )
+    ll_cols = [
+        F.expr(_ll(f"__c{i}", tot)).alias(f"__ll{i}")
+        for i, (_lang, _nd, tot) in enumerate(langs)
+    ]
+    scored = (
+        doc_pairs.join(tok_tbl, "token")
+        .select("doc_id", "true_lang", "n", *ll_cols)
+        .groupBy("doc_id", "true_lang")
+        .agg(
+            *[
+                F.sum(F.col("n") * F.col(f"__ll{i}")).alias(f"__s{i}")
+                for i in range(len(langs))
+            ]
+        )
+    )
+    # per-class score = logprior + sum; argmax with (score DESC, cand
+    # ASC) tie-break == struct-min on (-score, cand); decimals negate
+    # exactly, so the pick is identical to the window spelling
+    cand_structs = ", ".join(
+        f"named_struct('ns', -__sc{i}, 'cand', '{lang}', 'sc', __sc{i})"
+        for i, (lang, _nd, _tot) in enumerate(langs)
+    )
+    score_cols = [
+        F.expr(
+            f"cast(round(ln(cast({nd} as double) / cast({n_all} as double)),"
+            f" 6) as decimal(18,6)) + __s{i}"
+        ).alias(f"__sc{i}")
+        for i, (_lang, nd, _tot) in enumerate(langs)
+    ]
+    return (
+        scored.select("doc_id", "true_lang", *score_cols)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.expr(f"array_min(array({cand_structs}))").alias("__best"),
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("__best.cand").alias("pred_lang"),
+            F.col("__best.sc").cast("double").alias("log_score"),
+        )
+    )
 
 
-def _als_sql() -> str:
+_ALS_RATINGS_SQL = """
+        SELECT o.o_custkey AS c, l.l_partkey AS p,
+               CAST(sum(l.l_quantity) AS DOUBLE) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    """
+
+
+def _als_sql(r_rel: str | None = None) -> str:
     """Rank-1 alternating least squares on the customer x part quantity
     matrix — valid in both dialects. Ratings are integer-valued (exact
     in any summation order); each alternation's products are ROUNDED
@@ -215,14 +385,17 @@ def _als_sql() -> str:
     engine's own rounding mode, which flipped 3 of 61k factors in the
     9th decimal at sf0.1; found by the r9 full-suite sf0.1 run), and
     the emitted factor rounds to 6 decimals so the remaining pure-IEEE
-    ratio carries no boundary sensitivity into the value hash."""
-    return """
-    WITH r AS (
-        SELECT o.o_custkey AS c, l.l_partkey AS p,
-               CAST(sum(l.l_quantity) AS DOUBLE) AS r
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_custkey, l.l_partkey
-    ),
+    ratio carries no boundary sensitivity into the value hash.
+
+    ``r_rel`` (r12, guide §2.4/§5): the engine passes a temp-view name
+    over a PERSISTED ratings frame so the lineitem ⋈ orders + groupBy
+    subtree materializes once instead of being re-inlined into all
+    three alternation references (the r12 before-plan carries three
+    verbatim copies). Downstream SQL is byte-identical, so the learned
+    factors are unchanged."""
+    r_cte = f"({_ALS_RATINGS_SQL})" if r_rel is None else f"(SELECT * FROM {r_rel})"
+    return f"""
+    WITH r AS {r_cte},
     u1 AS (
         SELECT c, CAST(sum(r) AS DOUBLE) / count(*) AS u
         FROM r GROUP BY c
@@ -266,6 +439,12 @@ def _als_sql() -> str:
     tags=("ml", "join", "agg", "analytics"),
 )
 def rank1_mf_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: a persisted ratings frame (the pagerank recipe, via
+    # _als_sql(r_rel=...)) was tried and measured WORSE at sf0.1
+    # (2.33 s -> 3.58 s steady): AQE reuses the three identical ratings
+    # shuffle stages at runtime anyway, so the persist only added a
+    # 600k-row cache materialization + columnar round-trip. Kept on the
+    # plain spelling; the r_rel hook remains (OPTIMIZATION_r12.md).
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_als_sql())
@@ -281,8 +460,34 @@ ADA_GRID = {
 }
 
 
-def _ada_sql(d: str) -> str:
+def _ada_w1_sql(d: str) -> str:
+    """The round-1 weighted rows (y, x1, x2, x3, w) as a standalone
+    statement — byte-identical CTE text to _ada_sql's prefix, split out
+    so the engine can materialize it once (see _ada_sql's w1_rel)."""
+    feats = _features_sql(d)
+    return f"""
+    WITH feats0 AS ({feats}),
+    rows0 AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE -1.0 END AS y,
+               x1, x2, x3
+        FROM feats0
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rows0)
+    SELECT y, x1, x2, x3,
+           CAST(round(1.0 / n.n, 12) AS DECIMAL(18,12)) AS w
+    FROM rows0 CROSS JOIN n
+    """
+
+
+def _ada_sql(d: str, w1_rel: str | None = None) -> str:
     """AdaBoost with depth-1 stumps, unrolled to ADA_ROUNDS rounds.
+
+    ``w1_rel`` (r12, guide §2.4/§5): the engine passes a temp-view name
+    over a PERSISTED round-1 weight frame (_ada_w1_sql), so the
+    tokenize-heavy feature subtree materializes once instead of being
+    re-inlined into every round's err/upd references (the r12
+    before-plan carries ~6 copies). Downstream SQL text is identical,
+    so the stump trajectory is bit-identical.
 
     Exactness discipline: weighted errors are decimal-exact sums of
     per-row weight terms; alpha = 0.5*ln((1-e)/e) is rounded to 6
@@ -303,7 +508,8 @@ def _ada_sql(d: str) -> str:
         for t in ts
         for pol in (1, -1)
     )
-    sql = f"""
+    if w1_rel is None:
+        sql = f"""
     WITH feats0 AS ({feats}),
     rows0 AS (
         SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE -1.0 END AS y,
@@ -316,6 +522,10 @@ def _ada_sql(d: str) -> str:
                CAST(round(1.0 / n.n, 12) AS DECIMAL(18,12)) AS w
         FROM rows0 CROSS JOIN n
     ),
+    cand AS ({cands})"""
+    else:
+        sql = f"""
+    WITH w1 AS (SELECT * FROM {w1_rel}),
     cand AS ({cands})"""
     for k in range(1, ADA_ROUNDS + 1):
         sql += f""",
@@ -387,5 +597,14 @@ def _ada_sql(d: str) -> str:
     tags=("documents", "ml", "agg"),
 )
 def adaboost_quality_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (the pagerank recipe): the round-1 weight frame — which
+    # carries the tokenize-heavy feature subtree — materializes once
+    # into a persisted, fanned-out frame; each boosting round reads the
+    # cache. fan_out is safe: the weighted-error sums are decimal-exact
+    # (order-independent by design). Identical SQL text downstream.
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_ada_sql("spark"))
+    w1 = fan_out(spark.sql(_ada_w1_sql("spark"))).persist()
+    w1.createOrReplaceTempView("__ada_w1")
+    out = spark.sql(_ada_sql("spark", w1_rel="__ada_w1"))
+    out._cached_deps = [w1]  # released by the harness/caller post-action
+    return out
