@@ -542,7 +542,12 @@ def _pr_sql() -> str:
         "are still bit-identical and the result hash-matches. At 100 TB "
         "the ranks frame is |nodes| (<< |edges|); co-partitioning edges "
         "by src across iterations reuses the shuffle, and every node "
-        "has degree >= 1 by construction so no dangling-mass term."
+        "has degree >= 1 by construction so no dangling-mass term. "
+        "NOTE (r12 advice): this builder is EAGER — like the CC/index "
+        "builders it runs one bounded 1-row aggregate (the node count, "
+        "which doubles as the graph cache fill) at build time, so "
+        "plan-only consumers executing the builder pay that job; "
+        "callers must follow the release_cached convention."
     ),
     tags=("analytics", "graph", "join", "agg"),
     bench=True,

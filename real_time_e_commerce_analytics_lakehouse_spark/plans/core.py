@@ -108,7 +108,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Flagship revenue mart: fact ⋈ dim ⋈ dim, multi-key date/geo/status "
         "group (reference 07_gold_metrics_revenue.py:26-65 — revenue by "
         "(order_date, customer_state, order_status)). nation is broadcast; "
-        "orders⋈customer shuffles on the join key once and AQE right-sizes."
+        "orders⋈customer shuffles on the join key once and AQE right-sizes. "
+        "Integrity precondition (r11 rewrite, r12 advice): order_count is "
+        "count(*) in the engine, equal to the declared count(DISTINCT "
+        "o_orderkey) ONLY under dimension-key uniqueness (c_custkey, "
+        "n_nationkey are PKs — TPC-H referential integrity, re-checked by "
+        "the referential_integrity_audit query and the oracle gate); on "
+        "inputs with duplicate dimension keys the two spellings diverge."
     ),
     tags=("join", "agg"),
     bench=True,

@@ -228,144 +228,20 @@ def _nb_sql(d: str) -> str:
     bench=True,
 )
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r12 rewrite (guide §2.3/§2.4; the bm25 technique, second attempt
-    # after the r11 persisted-count-table attempt measured WORSE and was
-    # reverted — this one persists nothing):
-    # - doc_id is the documents PK, so doc_tok's global (doc, lang,
-    #   token) exchange collapses to a ROW-LOCAL per-doc token-count
-    #   array (array_distinct + size(filter(...)) — exact same counts);
-    #   the explode-dropped rows are exactly NULL-text docs, replaced by
-    #   `text IS NOT NULL` pushed into the scan (the bm25 argument:
-    #   tokens() yields [''] for any non-NULL text, so explode only ever
-    #   dropped NULL text).
-    # - class priors / class token totals / vocabulary are BOUNDED
-    #   aggregates (one row per language + one count) — collected once
-    #   and folded into the expressions as literals (the pagerank
-    #   n-trick; the ln/round transcendentals stay IN-PLAN on the
-    #   identical exact integers, so every emitted double is unchanged).
-    # - the per-(lang, token) count table pivots to ONE row per token
-    #   with a count column per language, so inference joins doc tokens
-    #   to likelihoods on `token` once (1x rows) instead of LEFT-joining
-    #   the 4-way doc_tok x model fan-out on (lang, token) (4x rows),
-    #   and the final argmax is a row-local struct-min instead of a
-    #   row_number window.
-    # Plan effect: 4 parallel explode+groupBy token pipelines -> one
-    # shared token exchange (ReusedExchange) + one doc exchange; the
-    # scored-side shuffles carry 1x the doc-token rows. Exact by
-    # construction: counts are integers, per-term likelihoods are the
-    # same round(ln(...), 6) decimal casts on identical inputs, and the
-    # per-(doc, lang) score is an exact decimal sum (order-free).
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    toks = tx.tokens("text", "spark")
-
-    # bounded stats in ONE collect job: one row per language (doc count
-    # for priors over ALL docs, token-instance total, non-null-text doc
-    # count) cross-joined with the 1-row vocabulary count (row-local
-    # array_distinct first so the distinct aggregation sees per-doc-
-    # distinct tokens only)
-    vdf = (
-        docs.filter(F.col("text").isNotNull())
-        .select(F.explode(F.expr(f"array_distinct(({toks}))")).alias("token"))
-        .agg(F.countDistinct("token").alias("v"))
-    )
-    stats = (
-        docs.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(
-                F.expr(
-                    f"case when text is not null then size(({toks})) "
-                    "else 0 end"
-                )
-            ).alias("tot"),
-            F.count("text").alias("n_txt"),
-        )
-        .crossJoin(vdf)
-        .collect()
-    )
-    n_all = sum(r["n_docs"] for r in stats)
-    v = stats[0]["v"] if stats else 0
-    # a language whose docs are all NULL-text has no cls_tot row in the
-    # declared SQL (inner join) and is not a candidate class there
-    langs = sorted(
-        (r["lang"], r["n_docs"], r["tot"]) for r in stats if r["n_txt"] > 0
-    )
-
-    # row-local per-doc token counts (== the old doc_tok group counts)
-    doc_pairs = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.explode(
-            F.expr(
-                f"transform(array_distinct(({toks})), t -> named_struct("
-                f"'token', t, 'n', cast(size(filter(({toks}), x -> x = t)) "
-                "as bigint)))"
-            )
-        ).alias("tc"),
-    ).select("doc_id", "true_lang", F.col("tc.token").alias("token"), F.col("tc.n").alias("n"))
-
-    # per-token likelihood row, one count column per language (pivoted
-    # cls_tok); sum(n) over docs == count(*) over token instances
-    def _ll(cnt_col: str, tot: int) -> str:
-        # identical expression tree to the declared SQL: BIGINT tot +
-        # DOUBLE v is a double addition, ln/round on identical inputs
-        return (
-            f"cast(round(ln((coalesce({cnt_col}, 0) + 1.0) / "
-            f"(cast({tot} as bigint) + cast({v} as double))), 6) "
-            "as decimal(18,6))"
-        )
-
-    tok_tbl = doc_pairs.groupBy("token").agg(
-        *[
-            F.sum(F.when(F.col("true_lang") == lang, F.col("n"))).alias(
-                f"__c{i}"
-            )
-            for i, (lang, _nd, _tot) in enumerate(langs)
-        ]
-    )
-    ll_cols = [
-        F.expr(_ll(f"__c{i}", tot)).alias(f"__ll{i}")
-        for i, (_lang, _nd, tot) in enumerate(langs)
-    ]
-    scored = (
-        doc_pairs.join(tok_tbl, "token")
-        .select("doc_id", "true_lang", "n", *ll_cols)
-        .groupBy("doc_id", "true_lang")
-        .agg(
-            *[
-                F.sum(F.col("n") * F.col(f"__ll{i}")).alias(f"__s{i}")
-                for i in range(len(langs))
-            ]
-        )
-    )
-    # per-class score = logprior + sum; argmax with (score DESC, cand
-    # ASC) tie-break == struct-min on (-score, cand); decimals negate
-    # exactly, so the pick is identical to the window spelling
-    cand_structs = ", ".join(
-        f"named_struct('ns', -__sc{i}, 'cand', '{lang}', 'sc', __sc{i})"
-        for i, (lang, _nd, _tot) in enumerate(langs)
-    )
-    score_cols = [
-        F.expr(
-            f"cast(round(ln(cast({nd} as double) / cast({n_all} as double)),"
-            f" 6) as decimal(18,6)) + __s{i}"
-        ).alias(f"__sc{i}")
-        for i, (_lang, nd, _tot) in enumerate(langs)
-    ]
-    return (
-        scored.select("doc_id", "true_lang", *score_cols)
-        .select(
-            "doc_id",
-            "true_lang",
-            F.expr(f"array_min(array({cand_structs}))").alias("__best"),
-        )
-        .select(
-            "doc_id",
-            "true_lang",
-            F.col("__best.cand").alias("pred_lang"),
-            F.col("__best.sc").cast("double").alias("log_score"),
-        )
-    )
+    # r12: two rewrites were tried and BOTH measured worse at sf0.1
+    # (recorded in OPTIMIZATION_r12.md, the r11 persist-revert lesson
+    # again): (a) bounded per-lang stats folded as literals + a
+    # per-token likelihood table pivoted by language (1x scored rows,
+    # row-local argmax) — 1.69 s -> 2.09 s, the extra driver-collect
+    # jobs dominate at 5k docs; (b) in-plan row-local per-doc token
+    # counts (the bm25 technique) — 1.69 s -> 2.84 s, because NB counts
+    # EVERY token, so size(filter(toks, x = t)) per distinct token is
+    # O(tokens * distinct) interpreted lambda work per doc, while the
+    # explode+groupBy spelling is one linear codegen'd pass. bm25's
+    # trick fits a FIXED small term set, not a full-vocabulary count.
+    # The r10 spelling stands.
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_nb_sql("spark"))
 
 
 _ALS_RATINGS_SQL = """

@@ -115,6 +115,7 @@ print("WORKER_OK")
 """
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_cross_process_appends_serialize(spark, tmp_path):
     """Two separate driver PROCESSES append concurrently to one table:
     os.link exclusivity + rebase-retry must serialize all 10 commits

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.pipelines.corpus import curate
@@ -44,6 +45,7 @@ def test_curation_drops_junk_exact_and_near_dups(spark, sf_dir):
     assert {"n_tokens", "n_bpe_tokens", "predicted_lang"} <= cols
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_curation_idempotent(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
     once, r1 = curate(docs)

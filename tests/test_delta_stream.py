@@ -65,6 +65,7 @@ def _stream_rows(spark, out):
     )
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_stream_equals_batch_cdf_and_checkpoint_resumes(spark, tmp_path):
     """availableNow drain == batch delta_changes over the full log —
     through appends, a MoR delete (DV diff -> row-level deletes) and an

@@ -76,6 +76,7 @@ def test_connected_components_long_path_pointer_jumping(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_connected_components_model(spark, edges):
     assert _cc(spark, edges) == _union_find_components(edges)
 
@@ -121,6 +122,7 @@ def test_nonconvergence_raise_unpersists_everything(spark):
         assert cache_mgr.isEmpty(), "cached frame leaked on raise path"
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_star_and_jump_agree(spark):
     """r9: connected_components dispatches to the large-star/small-star
     edge-rewiring algorithm by default (published O(log^2 n) bound,

@@ -49,6 +49,7 @@ def test_asof_join_no_match_is_null(spark):
     assert len(out) == 1 and out[0].v2 is None
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_range_join_matches_naive(spark):
     points = spark.createDataFrame([(i,) for i in range(0, 100, 3)], "p long")
     intervals = spark.createDataFrame(

@@ -14,6 +14,7 @@ performance must compute exactly what the old spelling computed.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -79,6 +80,7 @@ def test_basket_pairs_match_old_selfjoin_spelling(spark, tmp_path):
         assert baskets.count() == 4
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_star_cc_multiround_with_multiedges(spark):
     from real_time_e_commerce_analytics_lakehouse_spark.operators.graph import (
         connected_components,

@@ -130,6 +130,7 @@ def test_every_window_is_partitioned(spark):
         release_cached(df)
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_no_decimal_output_columns(spark):
     """No gate query may OUTPUT a DecimalType column (VERDICT r7 wrong #1).
 

@@ -6,6 +6,7 @@ empty groups, all-duplicate keys, guard ties, unmatched keys.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -48,6 +49,7 @@ def test_dedup_latest_model(spark, rows):
 
 @given(target=ROWS, source=ROWS)
 @SETTINGS
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_merge_upsert_model(spark, target, source):
     # unique keys per side (merge contract); guard = ver
     t = {k: (k, v, x) for k, v, x in target}
@@ -136,6 +138,7 @@ _OPS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_table_lifecycle_model(spark, tmp_path, first, ops):
     """Random op chains (append / guarded upsert / insert-only merge /
     compact / vacuum / delete / update / restore) match a naive Python
@@ -223,6 +226,7 @@ def test_table_lifecycle_model(spark, tmp_path, first, ops):
     ),
 )
 @SETTINGS
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_asof_join_forward_model(spark, lefts, rights):
     """Forward direction: nearest right row at-or-after; value ties at
     identical timestamps resolve to the MIN value (desc scan, rval
@@ -357,6 +361,7 @@ def test_carried_range_window_model(spark, days, lookback):
 
 @given(days=DAY_SETS, k=st.integers(1, 4))
 @SETTINGS
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_carried_rows_window_model(spark, days, k):
     from decimal import Decimal
 

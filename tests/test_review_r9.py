@@ -209,6 +209,7 @@ def test_verify_crc_survives_log_expiry(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_blocked_pairs_at_cap_streams_not_one_array(spark):
     """A block AT PAIR_BLOCK_CAP (10k members -> ~50M pairs) must fan
     out streaming — two pipelined Generate nodes, per-row memory O(k)

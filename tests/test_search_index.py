@@ -3,6 +3,7 @@ exactly the scores of a full corpus scan, and incremental == one-shot."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_e_commerce_analytics_lakehouse_spark.pipelines.search_index import SearchIndex
@@ -15,6 +16,7 @@ def _rows(df):
     return sorted((r.doc_id, r.rank, r.bm25) for r in df.collect())
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_incremental_index_equals_one_shot_and_corpus_scan(
     spark, sf_dir, tmp_path
 ) -> None:

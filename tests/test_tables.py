@@ -544,6 +544,7 @@ def test_stats_skipping_string_column(spark, tmp_table):
     assert got == {"apple", "banana"}
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_compact_zorder_files_bound_both_dimensions(spark, tmp_table):
     """True multi-dim Z-ordering: after compact(zorder=True) each file
     covers a small rectangle of (x, y) — per-file min/max ranges are
@@ -1545,6 +1546,7 @@ def test_compact_defaults_to_declared_clustering(spark, tmp_table):
     assert t.read().count() == 3000
 
 
+@pytest.mark.soak  # r12: soak-style; default run deselects (pytest.ini)
 def test_read_stream_rate_limit_bounds_each_microbatch(spark, tmp_table, tmp_path):
     """maxFilesPerTrigger parity: a backlog drains in several bounded
     micro-batches instead of one giant catch-up batch."""
