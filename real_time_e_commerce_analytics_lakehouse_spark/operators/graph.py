@@ -308,9 +308,16 @@ def connected_components_star(
     the contraction curve is the 100 TB property the soak certifies
     (each round's shuffle gets cheaper). Costs one count() action per
     round; leave None in production."""
+    # r12 (guide §2.4/§5): persist the normalized edge input — it is
+    # read THREE times (the vertex set unions both endpoint columns, and
+    # e filters self-loops), so without the cache the caller's whole
+    # upstream edge pipeline (for entity_resolution_parts: the blocked
+    # levenshtein self-join + three hash joins) re-executed once per
+    # branch. Same pattern the jump spelling always used for `sym`.
+    # Released with verts/e at every exit below.
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u").isNotNull() & F.col("v").isNotNull()
-    )
+    ).persist()
     # vertex set BEFORE dropping self-loops: a vertex appearing only in
     # a self-loop is a singleton that must still get a row (the
     # connected_components contract)
@@ -440,9 +447,10 @@ def connected_components_star(
             break
         prev = new
     else:
-        # release BOTH cached frames before raising — leaving the last
+        # release ALL cached frames before raising — leaving the last
         # round's edge set persisted holds executor storage until
         # session GC (r9 advice)
+        raw.unpersist()
         verts.unpersist()
         e.unpersist()
         raise RuntimeError(
@@ -460,6 +468,7 @@ def connected_components_star(
         )
     )
     out = labels.localCheckpoint(eager=True)
+    raw.unpersist()
     verts.unpersist()
     e.unpersist()
     return out
